@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central table loaders for the driver-generated testdata
+  * (`/root/testdata/sf{0.001,0.01,0.1}/<name>.parquet`, see TESTDATA.md).
+  *
+  * Every analytic is a pure function `(SparkSession, sfDir) => DataFrame`
+  * reading only through these loaders, so the scan layer (format,
+  * pushdown, pruning) is controlled in one place. Parquet scans get
+  * predicate pushdown + column pruning from Catalyst automatically; at
+  * cluster scale these would be partitioned/bucketed tables behind the
+  * same interface.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
+    * Spark vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
+    * Read nanos as Long (legacy conf) and convert to a microsecond
+    * timestamp with *integer* division — epoch-nanos ≈ 1.7e18 exceeds
+    * double's 2^53 exact-integer range, so `/ 1000` via doubles would
+    * corrupt low bits. The testdata is µs-exact (verified: 0 rows with
+    * ns%1000 != 0), so this matches DuckDB's TIMESTAMP view bit-for-bit.
+    */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = loadEvents(s, d)
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,126 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hot-item / traffic analytics over the `events` table.
+  *
+  * Re-expresses the reference's HotItemsAnalysis + NetworkFlowAnalysis
+  * modules (REF: HotItemsAnalysis/src/main/scala/HotItems.scala § CountAgg,
+  * § TopNHotItems; NetworkFlowAnalysis § NetworkFlow, § PageView,
+  * § UniqueVisitor, § UvWithBloom — reconstructed, see SURVEY.md §0)
+  * Spark-first:
+  *
+  *   - Flink `keyBy(itemId).timeWindow(1h, 5m).aggregate(CountAgg)` +
+  *     `keyBy(windowEnd).process(TopNHotItems)` (two hand-built shuffles,
+  *     ListState + event-time timers, ~70 LoC) collapses into
+  *     `groupBy(window($"ts","1 hour","5 minutes"), $"item_id").count()`
+  *     + `row_number` over a window-partitioned rank. Catalyst plans the
+  *     partial→final HashAggregate (map-side combine) and Spark ≥3.5's
+  *     WindowGroupLimit pushes `rank <= N` below the sort, so only N rows
+  *     per window survive each partition — the 100 TB-safe shape.
+  *   - Per-record mutable state (Flink's incremental `CountAgg`) is
+  *     subsumed by whole-stage-codegen'd hash aggregation.
+  *
+  * Event mapping (SURVEY.md §7.1): behavior "pv" → event_type 'view';
+  * itemId → `get_json_object(props, '$.k')`; url → same key for the
+  * hot-pages variant on 'click' events.
+  */
+object UserBehaviorAnalytics {
+
+  /** Item id proxy extracted from the JSON props payload. */
+  private def itemId(c: org.apache.spark.sql.Column) =
+    get_json_object(c, "$.k").cast("bigint")
+
+  /** Top-N hot items per sliding window (flagship).
+    * REF: HotItems.scala § main/CountAgg/TopNHotItems — 1h windows
+    * sliding 5m, top 5 items by view count per window.
+    */
+  def hotItemsTopN(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame = {
+    import spark.implicits._
+    val views = Tables.events(spark, sfDir)
+      .filter($"event_type" === "view")
+      .select(itemId($"props").as("item_id"), $"ts")
+    val counts = views
+      .groupBy(window($"ts", "1 hour", "5 minutes").as("w"), $"item_id")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.end").as("window_end"), $"item_id", $"cnt")
+    counts
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"window_end").orderBy($"cnt".desc, $"item_id".asc)))
+      .filter($"rnk" <= n)
+      .orderBy($"window_end", $"rnk")
+  }
+
+  /** Top-N hot pages per sliding window, url proxy = props.k of clicks.
+    * REF: NetworkFlow.scala § PageCountAgg/TopNHotPages — 10 min windows
+    * sliding 1 min (reference slides 5 s; widened so the window grid stays
+    * sane on the 30-day synthetic stream), top 3 per window.
+    */
+  def hotPagesTopN(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val clicks = Tables.events(spark, sfDir)
+      .filter($"event_type" === "click")
+      .select(concat(lit("/page/"), get_json_object($"props", "$.k")).as("url"), $"ts")
+    val counts = clicks
+      .groupBy(window($"ts", "10 minutes", "1 minute").as("w"), $"url")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.end").as("window_end"), $"url", $"cnt")
+    counts
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"window_end").orderBy($"cnt".desc, $"url".asc)))
+      .filter($"rnk" <= n)
+      .orderBy($"window_end", $"rnk")
+  }
+
+  /** Hourly page views (tumbling window count).
+    * REF: PageView.scala § PvCountAgg/TotalPvCountResult. The reference
+    * salts keys to parallelize then re-merges per window with keyed state
+    * + a timer; Spark's partial aggregation makes the salt + second stage
+    * unnecessary (SURVEY.md §2.3 P6, §2.5 A3/A6).
+    */
+  def pageViews(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === "view")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("pv"))
+      .select(col("w.end").as("window_end"), $"pv")
+      .orderBy($"window_end")
+  }
+
+  /** Hourly unique visitors — exact distinct.
+    * REF: UniqueVisitor.scala § UvCountByWindow builds an in-memory
+    * Set[Long] at parallelism 1; Spark's countDistinct is a distributed
+    * two-phase (partial distinct → final) aggregate with no OOM cliff.
+    */
+  def uniqueVisitors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === "view")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(countDistinct($"user_id").as("uv"))
+      .select(col("w.end").as("window_end"), $"uv")
+      .orderBy($"window_end")
+  }
+
+  /** Hourly unique visitors — approximate (HLL++).
+    * REF: UvWithBloom.scala § Bloom/UvCountWithBloom keeps a 64 MB Redis
+    * bitmap + per-record FIRE_AND_PURGE trigger; the idiomatic Spark
+    * replacement is approx_count_distinct (mergeable HLL++ sketch,
+    * constant memory, map-side combinable). Not oracled (approximate —
+    * driver records a rows-only check); the ScalaTest spec asserts the
+    * estimate is within rsd of the exact count.
+    */
+  def uvApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === "view")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(approx_count_distinct($"user_id", 0.01).as("uv_approx"))
+      .select(col("w.end").as("window_end"), $"uv_approx")
+      .orderBy($"window_end")
+  }
+}
