@@ -24,6 +24,17 @@ object SparkEntry {
     "page_views"      -> ((s, d) => UserBehaviorAnalytics.pageViews(s, d)),
     "unique_visitors" -> ((s, d) => UserBehaviorAnalytics.uniqueVisitors(s, d)),
     "uv_approx"       -> ((s, d) => UserBehaviorAnalytics.uvApprox(s, d)),
+    "marketing_by_channel" -> ((s, d) => MarketingAnalytics.marketingByChannel(s, d)),
+    "ad_stats_province"    -> ((s, d) => MarketingAnalytics.adStatsByProvince(s, d)),
+    "blacklist_users"      -> ((s, d) => MarketingAnalytics.blacklistUsers(s, d)),
+    "blacklist_filtered_clicks" -> ((s, d) => MarketingAnalytics.blacklistFilteredClicks(s, d)),
+    "login_fail_detect" -> ((s, d) => DetectionAnalytics.loginFailDetect(s, d)),
+    "order_timeout"     -> ((s, d) => DetectionAnalytics.orderTimeout(s, d)),
+    "tx_match"          -> ((s, d) => DetectionAnalytics.txMatch(s, d)),
+    "interval_join"     -> ((s, d) => DetectionAnalytics.intervalJoin(s, d)),
+    "pricing_summary"   -> ((s, d) => RelationalAnalytics.pricingSummary(s, d)),
+    "top_customers"     -> ((s, d) => RelationalAnalytics.topCustomers(s, d)),
+    "events_union"      -> ((s, d) => RelationalAnalytics.eventsUnion(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,5 +101,143 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY window_end""".stripMargin,
     // uv_approx: intentionally un-oracled (approximate HLL++ sketch);
     // driver records a rows-only check, exactness asserted in ScalaTest.
+    "marketing_by_channel" ->
+      """WITH base AS (
+        |  SELECT 'ch_' || CAST(user_id % 4 AS VARCHAR) AS channel,
+        |         event_type AS behavior, ts
+        |  FROM events WHERE event_type <> 'error'
+        |), expanded AS (
+        |  SELECT channel, behavior,
+        |         time_bucket(INTERVAL 6 HOUR, ts) - k * (INTERVAL 6 HOUR) AS ws, ts
+        |  FROM base CROSS JOIN range(4) g(k)
+        |  WHERE time_bucket(INTERVAL 6 HOUR, ts) - k * (INTERVAL 6 HOUR)
+        |        + INTERVAL 24 HOUR > ts
+        |)
+        |SELECT ws AS window_start, ws + INTERVAL 24 HOUR AS window_end,
+        |       channel, behavior, count(*) AS cnt
+        |FROM expanded GROUP BY 1, 2, 3, 4
+        |ORDER BY window_end, channel, behavior""".stripMargin,
+    "ad_stats_province" ->
+      """WITH clicks AS (
+        |  SELECT CAST(user_id % 25 AS INT) AS nk, ts
+        |  FROM events WHERE event_type = 'click'
+        |), j AS (
+        |  SELECT n.n_name AS province, c.ts
+        |  FROM clicks c JOIN nation n ON c.nk = n.n_nationkey
+        |), expanded AS (
+        |  SELECT province,
+        |         time_bucket(INTERVAL 15 MINUTE, ts) - k * (INTERVAL 15 MINUTE) AS ws, ts
+        |  FROM j CROSS JOIN range(4) g(k)
+        |  WHERE time_bucket(INTERVAL 15 MINUTE, ts) - k * (INTERVAL 15 MINUTE)
+        |        + INTERVAL 60 MINUTE > ts
+        |)
+        |SELECT ws + INTERVAL 60 MINUTE AS window_end, province, count(*) AS cnt
+        |FROM expanded GROUP BY 1, 2 ORDER BY window_end, province""".stripMargin,
+    "blacklist_users" ->
+      """SELECT user_id,
+        |       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS ad_id,
+        |       CAST(ts AS DATE) AS day, count(*) AS click_cnt,
+        |       'click over 2 times today' AS msg
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY user_id, ad_id, day""".stripMargin,
+    "blacklist_filtered_clicks" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id,
+        |         CAST(json_extract_string(props, '$.k') AS INT) % 10 AS ad_id,
+        |         CAST(ts AS DATE) AS day
+        |  FROM events WHERE event_type = 'click'
+        |), black AS (
+        |  SELECT user_id, ad_id, day FROM clicks
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |)
+        |SELECT c.event_id, c.user_id, c.ad_id FROM clicks c
+        |WHERE NOT EXISTS (SELECT 1 FROM black b
+        |  WHERE c.user_id = b.user_id AND c.ad_id = b.ad_id AND c.day = b.day)
+        |ORDER BY event_id""".stripMargin,
+    "login_fail_detect" ->
+      """WITH fails AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events WHERE event_type = 'error'
+        |)
+        |SELECT user_id, prev_ts AS first_fail, ts AS last_fail,
+        |       'consecutive login failures' AS msg
+        |FROM fails
+        |WHERE prev_ts IS NOT NULL AND ts - prev_ts <= INTERVAL 30 MINUTE
+        |ORDER BY user_id, first_fail, last_fail""".stripMargin,
+    "order_timeout" ->
+      """WITH creates AS (
+        |  SELECT event_id AS order_id, user_id, ts AS create_ts
+        |  FROM events WHERE event_type = 'signup'
+        |), pays AS (
+        |  SELECT user_id, ts AS pay_ts FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.order_id, c.user_id, c.create_ts, min(p.pay_ts) AS pay_ts,
+        |       CASE WHEN min(p.pay_ts) IS NOT NULL THEN 'payed successfully'
+        |            ELSE 'timeout' END AS status
+        |FROM creates c LEFT JOIN pays p
+        |  ON c.user_id = p.user_id AND p.pay_ts > c.create_ts
+        |  AND p.pay_ts <= c.create_ts + INTERVAL 24 HOUR
+        |GROUP BY 1, 2, 3 ORDER BY order_id""".stripMargin,
+    "tx_match" ->
+      """WITH pays AS (
+        |  SELECT CAST(user_id AS VARCHAR) || '-' || json_extract_string(props, '$.k') AS tx_id,
+        |         count(*) AS pay_cnt
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), rcpts AS (
+        |  SELECT CAST(user_id AS VARCHAR) || '-' || json_extract_string(props, '$.k') AS tx_id,
+        |         count(*) AS receipt_cnt
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |)
+        |SELECT COALESCE(p.tx_id, r.tx_id) AS tx_id,
+        |       COALESCE(pay_cnt, 0) AS pay_cnt,
+        |       COALESCE(receipt_cnt, 0) AS receipt_cnt,
+        |       CASE WHEN p.tx_id IS NOT NULL AND r.tx_id IS NOT NULL THEN 'matched'
+        |            WHEN r.tx_id IS NULL THEN 'unmatched-pay'
+        |            ELSE 'unmatched-receipt' END AS status
+        |FROM pays p FULL OUTER JOIN rcpts r ON p.tx_id = r.tx_id
+        |ORDER BY tx_id""".stripMargin,
+    "interval_join" ->
+      """SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate
+        |FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 5 DAY
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        |           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "top_customers" ->
+      """WITH revenue AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |         count(*) AS order_cnt
+        |  FROM orders GROUP BY 1
+        |), j AS (
+        |  SELECT r.revenue, r.order_cnt, c.c_custkey, c.c_name, n.n_name AS nation
+        |  FROM revenue r
+        |  JOIN customer c ON r.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rnk
+        |  FROM j
+        |)
+        |SELECT CAST(rnk AS INT) AS rnk, c_custkey, c_name, nation, revenue, order_cnt
+        |FROM ranked WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+    "events_union" ->
+      """SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users
+        |FROM (SELECT * FROM events WHERE event_type = 'view'
+        |      UNION ALL SELECT * FROM events WHERE event_type = 'click')
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 }

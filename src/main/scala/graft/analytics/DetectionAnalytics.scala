@@ -1,0 +1,125 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stateful-detection / CEP analytics.
+  *
+  * Re-expresses the reference's LoginFailDetect + OrderPayDetect modules
+  * (REF: LoginFailDetect/src/main/scala/{LoginFail,LoginFailAdvance,
+  * LoginFailWithCep}.scala; OrderPayDetect/src/main/scala/{OrderTimeout,
+  * OrderTimeoutWithoutCep,TxMatch,TxMatchByJoin}.scala — reconstructed,
+  * see SURVEY.md §0).
+  *
+  * The reference builds per-key NFAs / keyed state machines with timers;
+  * in batch the same semantics are declarative (SURVEY.md §2.8):
+  * CEP `next` (strict contiguity) ≡ `lag` over ts-sorted per-key rows,
+  * CEP `followedBy … within` ≡ a time-bounded left join, CoProcess
+  * reconciliation ≡ a full-outer join whose null sides are the timeout
+  * side-outputs. Streaming parity uses stream-stream joins /
+  * transformWithState (graft.streaming).
+  */
+object DetectionAnalytics {
+
+  /** Consecutive login failures within a deadline → warning.
+    * REF: LoginFailAdvance.scala § LoginFailWarningAdvanceResult and
+    * LoginFailWithCep.scala § Pattern.next("secondFail") — two adjacent
+    * fails within 2 s. Proxy: event_type 'error' plays "fail"; deadline
+    * widened to 30 min for the synthetic stream's event density.
+    * `lag` over (user_id, ts, event_id) is *more* correct than the
+    * reference's state version, which mis-pairs out-of-order events
+    * (the course discusses exactly this caveat).
+    */
+  def loginFailDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .filter($"prev_ts".isNotNull &&
+        unix_micros($"ts") - unix_micros($"prev_ts") <= 30L * 60 * 1000000)
+      .select($"user_id", $"prev_ts".as("first_fail"), $"ts".as("last_fail"),
+        lit("consecutive login failures").as("msg"))
+      .orderBy($"user_id", $"first_fail", $"last_fail")
+  }
+
+  /** Order-payment timeout: every "create" (signup) either pays
+    * (first purchase by the same user within 24 h) or times out.
+    * REF: OrderTimeout.scala § Pattern create→followedBy(pay).within(15m)
+    * + PatternTimeoutFunction; OrderTimeoutWithoutCep.scala
+    * § OrderPayMatch. The NFA + timeout side-output collapses into a
+    * time-bounded left join + CASE — the null right side IS the timeout
+    * stream. Deadline widened 15 min → 24 h for the testdata density.
+    */
+  def orderTimeout(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val creates = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("order_id"), $"user_id", $"ts".as("create_ts"))
+    val pays = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("pay_ts"))
+    creates.join(pays,
+        creates("user_id") === pays("user_id") &&
+          $"pay_ts" > $"create_ts" &&
+          $"pay_ts" <= $"create_ts" + expr("interval 24 hours"),
+        "left_outer")
+      .groupBy($"order_id", creates("user_id").as("user_id"), $"create_ts")
+      .agg(min($"pay_ts").as("pay_ts"))
+      .withColumn("status",
+        when($"pay_ts".isNotNull, lit("payed successfully")).otherwise(lit("timeout")))
+      .select($"order_id", $"user_id", $"create_ts", $"pay_ts", $"status")
+      .orderBy($"order_id")
+  }
+
+  /** Two-stream transaction reconciliation: purchases vs click receipts
+    * on a synthesized tx key, with both unmatched sides retained.
+    * REF: TxMatch.scala § TxPayMatch (CoProcessFunction, two ValueStates,
+    * timers → side outputs unmatched-pays / unmatched-receipts). The
+    * whole state machine is one full-outer join; the two side outputs
+    * are its null sides — Catalyst reuses a single shuffle for all
+    * three logical outputs (SURVEY.md §3.3).
+    */
+  def txMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    def txSide(kind: String, cntName: String) = ev
+      .filter($"event_type" === kind)
+      .select(concat($"user_id", lit("-"),
+        get_json_object($"props", "$.k")).as("tx_id"))
+      .groupBy($"tx_id").agg(count(lit(1)).as(cntName))
+    val pays = txSide("purchase", "pay_cnt")
+    val receipts = txSide("click", "receipt_cnt")
+    pays.join(receipts, Seq("tx_id"), "full_outer")
+      .withColumn("status",
+        when($"pay_cnt".isNotNull && $"receipt_cnt".isNotNull, lit("matched"))
+          .when($"receipt_cnt".isNull, lit("unmatched-pay"))
+          .otherwise(lit("unmatched-receipt")))
+      .select($"tx_id",
+        coalesce($"pay_cnt", lit(0L)).as("pay_cnt"),
+        coalesce($"receipt_cnt", lit(0L)).as("receipt_cnt"),
+        $"status")
+      .orderBy($"tx_id")
+  }
+
+  /** Interval (range) join: lineitems shipped within 5 days of their
+    * order date. REF: TxMatchByJoin.scala § intervalJoin.between(-5s,5s)
+    * — equi key + bounded time range. On the relational side this is
+    * orders ⋈ lineitem: equi on orderkey (shuffle/broadcast hash join)
+    * plus a residual range predicate — no NFA, no per-key state.
+    */
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderdate")
+    val l = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
+    o.join(l, $"o_orderkey" === $"l_orderkey" &&
+        $"l_shipdate" >= $"o_orderdate" &&
+        $"l_shipdate" <= $"o_orderdate" + expr("interval 5 days"))
+      .select($"o_orderkey", $"l_linenumber", $"o_orderdate", $"l_shipdate")
+      .orderBy($"o_orderkey", $"l_linenumber")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface: scan/filter/agg/sort/join/union over the TPC-H-ish
+  * tables. The reference never makes join-strategy or agg-strategy
+  * choices (SURVEY.md §2.7/§2.10 — its only joins are hand-built keyed
+  * state machines); this module exercises the declarative surface Spark
+  * provides for free — broadcast vs shuffle joins, two-phase hash
+  * aggregation, rank pushdown — which a user of the reference would
+  * need the moment their data stops fitting one stream.
+  *
+  * Float determinism for the DuckDB hash-compare: double sums are
+  * order-dependent, so every money aggregate casts to decimal(18,2)
+  * per-row (exact, associative) and only the final result is cast back
+  * to double (SURVEY.md §7.4).
+  */
+object RelationalAnalytics {
+
+  /** TPC-H Q1-style pricing summary over lineitem. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // Raw columns are generated as 2-decimal values, so double→decimal
+    // casts of the *columns* round identically in Spark and DuckDB;
+    // casting double *products* does not (Spark rounds the shortest
+    // decimal repr, DuckDB the true binary value). So: cast factors to
+    // decimal first, multiply in exact decimal arithmetic.
+    val price = $"l_extendedprice".cast("decimal(12,2)")
+    val oneMinusDisc = lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(3,2)")
+    val onePlusTax = lit(1).cast("decimal(3,2)") + $"l_tax".cast("decimal(3,2)")
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * oneMinusDisc).cast("double").as("sum_disc_price"),
+        sum(price * oneMinusDisc * onePlusTax).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Top customers by total order value, with nation via broadcast dims.
+    * orders (fact) shuffles once on custkey; customer joins pre-agg
+    * (15 k rows at sf0.1 — broadcastable), nation (25 rows) broadcasts
+    * onto it. Ranking with a full tie-breaker for hash-compare
+    * determinism.
+    */
+  def topCustomers(spark: SparkSession, sfDir: String, n: Int = 10): DataFrame = {
+    import spark.implicits._
+    val revenue = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("order_cnt"))
+    val cust = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+    val nation = Tables.nation(spark, sfDir)
+      .select($"n_nationkey", $"n_name".as("nation"))
+    revenue
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"revenue".desc, $"c_custkey".asc)))
+      .filter($"rnk" <= n)
+      .select($"rnk".cast("int").as("rnk"), $"c_custkey", $"c_name", $"nation",
+        $"revenue", $"order_cnt")
+      .orderBy($"rnk")
+  }
+
+  /** Union + distinct surface (absent from the reference — SURVEY.md
+    * §2.10): view and click slices unioned, then per-type exact counts
+    * and distinct users.
+    */
+  def eventsUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val views = ev.filter($"event_type" === "view")
+    val clicks = ev.filter($"event_type" === "click")
+    views.union(clicks)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), countDistinct($"user_id").as("users"))
+      .orderBy($"event_type")
+  }
+}
