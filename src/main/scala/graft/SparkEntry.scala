@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics._
+import graft.textops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +36,17 @@ object SparkEntry {
     "pricing_summary"   -> ((s, d) => RelationalAnalytics.pricingSummary(s, d)),
     "top_customers"     -> ((s, d) => RelationalAnalytics.topCustomers(s, d)),
     "events_union"      -> ((s, d) => RelationalAnalytics.eventsUnion(s, d)),
+    "dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash"     -> ((s, d) => Dedup.simhashDedup(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "similarity_topk"   -> ((s, d) => Similarity.similarityTopK(s, d)),
+    "similarity_ivf"    -> ((s, d) => Similarity.similarityIvf(s, d)),
+    "text_stats"        -> ((s, d) => TextStats.textStats(s, d)),
+    "lang_id"           -> ((s, d) => TextStats.langId(s, d)),
+    "doc_fingerprint"   -> ((s, d) => TextStats.docFingerprint(s, d)),
+    "multimodal_decode" -> ((s, d) => Multimodal.multimodalDecode(s, d)),
+    "props_extract"     -> ((s, d) => Multimodal.propsExtract(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -239,5 +251,16 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'view'
         |      UNION ALL SELECT * FROM events WHERE event_type = 'click')
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "dedup_exact"         -> Dedup.dedupExactOracle,
+    "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
+    "dedup_simhash"       -> Dedup.simhashDedupOracle,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "similarity_topk"     -> Similarity.similarityTopKOracle,
+    "similarity_ivf"      -> Similarity.similarityIvfOracle,
+    "text_stats"          -> TextStats.textStatsOracle,
+    "lang_id"             -> TextStats.langIdOracle,
+    "doc_fingerprint"     -> TextStats.docFingerprintOracle,
+    "multimodal_decode"   -> Multimodal.multimodalDecodeOracle,
+    "props_extract"       -> Multimodal.propsExtractOracle,
   )
 }

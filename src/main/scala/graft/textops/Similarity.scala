@@ -1,0 +1,146 @@
+package graft.textops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over `embeddings`
+  * (`Array[Float]` column, dim 64).
+  *
+  * - [[similarityTopK]]: brute-force cosine top-k — the exactness
+  *   baseline. All float math is widened to double and folded
+  *   left-to-right so Spark and the DuckDB oracle produce bit-identical
+  *   doubles (both `aggregate`/`list_reduce` are sequential left folds).
+  * - [[similarityIvf]]: IVF-style scale path — assign every vector to
+  *   its nearest of C fixed centroids (a broadcast-joinable 16-row
+  *   table), then search only within the query's nprobe=2 nearest
+  *   cells. At 100 TB the brute-force n² pair join is impossible; the
+  *   IVF cell join shuffles each vector once on its cell id.
+  *
+  * Deterministic end to end (fixed centroid choice, full tie-breakers),
+  * so both variants are DuckDB-oracled exactly.
+  */
+object Similarity {
+
+  /** dot(a, b) over double arrays as a sequential left fold. */
+  private def dotSpark(a: String, b: String, sfx: String): String =
+    s"aggregate(zip_with($a, $b, (zx$sfx, zy$sfx) -> zx$sfx * zy$sfx), " +
+      s"cast(0 as double), (za$sfx, zb$sfx) -> za$sfx + zb$sfx)"
+
+  private def dotDuck(a: String, b: String, sfx: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(list_zip($a, $b), zp$sfx -> zp$sfx[1] * zp$sfx[2])), " +
+      s"(za$sfx, zb$sfx) -> za$sfx + zb$sfx)"
+
+  private def vectors(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .selectExpr("vec_id", "v", s"sqrt(${dotSpark("v", "v", "n")}) as nrm")
+
+  /** Brute-force cosine top-k per query vector. */
+  def similarityTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, sfDir).cache()
+    val q = e.select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
+    q.join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", expr(s"${dotSpark("qv", "cv", "d")} / (qn * cn)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)))
+      .where($"rnk" <= k)
+      .select($"query_id", $"neighbor_id", $"cosine", $"rnk".cast("int").as("rnk"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val similarityTopKOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), p AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         ${dotDuck("a.v", "b.v", "d")} / (a.nrm * b.nrm) AS cosine
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |  FROM p
+       |)
+       |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
+       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  /** IVF-bucketed ANN: C=16 fixed centroids (vec_id < 16), every vector
+    * assigned to its nearest centroid cell, queries probe their 2
+    * nearest cells and rank candidates by exact cosine. Returns top-5
+    * per query from the probed cells.
+    */
+  def similarityIvf(spark: SparkSession, sfDir: String, k: Int = 5,
+                    nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, sfDir).cache()
+    val cent = e.where($"vec_id" < nCentroids)
+      .select($"vec_id".as("cent_id"), $"v".as("centv"), $"nrm".as("centn"))
+    // cell assignment: nearest centroid by cosine (rank 1 of a 16-row
+    // broadcast join — at scale this is the cheap, shuffle-free part)
+    val scored = e.join(broadcast(cent), expr("true"))
+      .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
+    val assign = scored
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)))
+      .where($"crk" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cent_id".as("cell"))
+      .cache()
+    // query probes: its nProbe nearest cells
+    val probes = scored
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)))
+      .where($"crk" <= nProbe)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"cent_id".as("cell"))
+    probes.join(assign, "cell")
+      .where($"query_id" =!= $"vec_id")
+      .withColumn("cosine", expr(s"${dotSpark("qv", "v", "d")} / (qn * nrm)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)))
+      .where($"rnk" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cosine",
+        $"rnk".cast("int").as("rnk"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val similarityIvfOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), cent AS (
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < 16
+       |), scored AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+       |         ${dotDuck("n.v", "c.centv", "a")} / (n.nrm * c.centn) AS csim
+       |  FROM n CROSS JOIN cent c
+       |), rankedcells AS (
+       |  SELECT vec_id, v, nrm, cent_id, csim,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY csim DESC, cent_id ASC) AS crk
+       |  FROM scored
+       |), assign AS (
+       |  SELECT vec_id, v, nrm, cent_id AS cell FROM rankedcells WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell
+       |  FROM rankedcells WHERE crk <= 2
+       |), cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         ${dotDuck("p.qv", "a.v", "d")} / (p.qn * a.nrm) AS cosine
+       |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |  FROM cand
+       |)
+       |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+}

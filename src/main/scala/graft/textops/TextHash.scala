@@ -1,0 +1,44 @@
+package graft.textops
+
+/** Portable hashing primitives expressible in BOTH Spark SQL and DuckDB.
+  *
+  * The dedup/fingerprint operators must hash-match a DuckDB oracle, so
+  * they cannot use engine hashes (`xxhash64`, DuckDB `hash`) — instead
+  * every string hash is a polynomial character fold
+  * `h = fold(chars, 0, (a, c) => (a*31 + ascii(c)) mod P)` built from
+  * higher-order array functions both engines codegen natively
+  * (Spark `aggregate`/`transform`, DuckDB `list_reduce`/`list_transform`).
+  * All arithmetic stays < 2^63 (P ≈ 1e9, a*31+127 ≈ 3.2e10; affine
+  * rehash a*h+b ≤ 1e9·1.7e2+… « 2^63).
+  *
+  * Lambda variable names are suffixed per call site — nested lambdas
+  * with shadowed names are rejected/ambiguous in both engines.
+  */
+object TextHash {
+  val P = 1000000007L
+
+  /** MinHash family: K affine rehashes of the shingle hash. */
+  val MinhashA: Seq[Long] = Seq(131, 137, 139, 149, 151, 157, 163, 167)
+  val MinhashB: Seq[Long] = Seq(31, 37, 41, 43, 47, 53, 59, 61)
+  val K: Int = MinhashA.length
+
+  /** Spark SQL: polynomial char-fold hash of string expression `t`. */
+  def phSpark(t: String, sfx: String): String =
+    s"aggregate(transform(sequence(1, length($t)), i$sfx -> " +
+      s"cast(ascii(substring($t, i$sfx, 1)) as bigint)), cast(0 as bigint), " +
+      s"(a$sfx, x$sfx) -> (a$sfx * 31 + x$sfx) % $P)"
+
+  /** DuckDB: same fold, same result. `t` must be a parenthesizable expr. */
+  def phDuck(t: String, sfx: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($t) + 1), i$sfx -> " +
+      s"CAST(ascii(($t)[i$sfx]) AS BIGINT))), " +
+      s"(a$sfx, x$sfx) -> (a$sfx * 31 + x$sfx) % $P)"
+
+  /** Whitespace tokenization with empty tokens dropped — identical
+    * token arrays in both engines regardless of leading/trailing
+    * whitespace or split-empties semantics.
+    */
+  val tokensSpark = """filter(split(text, '\\s+'), t0 -> t0 <> '')"""
+  val tokensDuck = """list_filter(string_split_regex(text, '\s+'), t0 -> t0 <> '')"""
+}

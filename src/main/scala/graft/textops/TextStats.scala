@@ -1,0 +1,133 @@
+package graft.textops
+
+import graft.Tables
+import graft.textops.TextHash._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-document text analysis: token counts (whitespace + BPE-ish
+  * regex), quality scoring, n-gram-heuristic language id, and rolling
+  * polynomial fingerprints. All single-pass narrow transforms — no
+  * shuffle except the final presentation sort, so the 100 TB plan is
+  * one map stage over the scan.
+  */
+object TextStats {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private def inList(v: String, xs: Seq[String]) =
+    xs.map(s => s"'$s'").mkString(s"$v in (", ", ", ")")
+
+  /** Token counts + quality features per document. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "lang", "length(text) as n_chars",
+        s"$tokensSpark as tokens",
+        """size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)) as bpe_tokens""")
+      .selectExpr("doc_id", "lang", "n_chars", "bpe_tokens",
+        "size(tokens) as n_tokens",
+        s"size(filter(tokens, sw -> ${inList("sw", Stopwords)})) as stop_cnt",
+        "aggregate(transform(tokens, tl -> cast(length(tl) as bigint)), cast(0 as bigint), (la, lb) -> la + lb) as tok_chars")
+      .selectExpr("doc_id", "lang", "n_chars", "n_tokens", "bpe_tokens", "stop_cnt",
+        "cast(tok_chars as double) / n_tokens as avg_tok_len",
+        "cast(stop_cnt as double) / n_tokens as stop_ratio",
+        "0.5 * least(n_tokens / 100.0, 1.0) + 0.5 * (cast(stop_cnt as double) / n_tokens) as quality")
+      .orderBy(col("doc_id"))
+  }
+
+  val textStatsOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, length(text) AS n_chars,
+       |         $tokensDuck AS tokens,
+       |         len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens
+       |  FROM documents
+       |), feat AS (
+       |  SELECT doc_id, lang, n_chars, bpe_tokens,
+       |         len(tokens) AS n_tokens,
+       |         len(list_filter(tokens, sw -> ${inList("sw", Stopwords)})) AS stop_cnt,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(tokens, tl -> CAST(length(tl) AS BIGINT))),
+       |           (la, lb) -> la + lb) AS tok_chars
+       |  FROM base
+       |)
+       |SELECT doc_id, lang, n_chars, n_tokens, bpe_tokens, stop_cnt,
+       |       CAST(tok_chars AS DOUBLE) / n_tokens AS avg_tok_len,
+       |       CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+       |       0.5 * least(n_tokens / 100.0, 1.0)
+       |         + 0.5 * (CAST(stop_cnt AS DOUBLE) / n_tokens) AS quality
+       |FROM feat ORDER BY doc_id""".stripMargin
+
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "es" -> Seq("el", "la", "y", "los", "de", "un"))
+
+  /** N-gram-heuristic language id: count marker-stopword hits per
+    * language, argmax with fixed priority tie-break; 'und' (sic:
+    * undetermined) when no marker hits at all.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scoreCols = Markers.map { case (l, ws) =>
+      s"size(filter(tokens, w$l -> ${inList(s"w$l", ws)})) as s_$l"
+    }
+    val langs = Markers.map(_._1)
+    val allZero = langs.map(l => s"s_$l = 0").mkString(" and ")
+    val argmax = langs.zipWithIndex.map { case (l, i) =>
+      val geRest = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+      val cond = if (geRest.isEmpty) "true" else geRest.mkString(" and ")
+      s"when $cond then '$l'"
+    }.mkString(" ")
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "lang", s"$tokensSpark as tokens")
+      .selectExpr(("doc_id" +: "lang" +: scoreCols): _*)
+      .selectExpr(("doc_id" +: "lang" +: langs.map(l => s"s_$l")) :+
+        s"case when $allZero then 'und' $argmax end as pred_lang": _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdOracle: String = {
+    val scoreCols = Markers.map { case (l, ws) =>
+      s"len(list_filter(tokens, w$l -> ${inList(s"w$l", ws)})) AS s_$l"
+    }.mkString(",\n         ")
+    val langs = Markers.map(_._1)
+    val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+    val argmax = langs.zipWithIndex.map { case (l, i) =>
+      val geRest = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+      val cond = if (geRest.isEmpty) "true" else geRest.mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, $tokensDuck AS tokens FROM documents
+       |), scores AS (
+       |  SELECT doc_id, lang,
+       |         $scoreCols
+       |  FROM toks
+       |)
+       |SELECT doc_id, lang, ${langs.map(l => s"s_$l").mkString(", ")},
+       |       CASE WHEN $allZero THEN 'und' $argmax END AS pred_lang
+       |FROM scores ORDER BY doc_id""".stripMargin
+  }
+
+  /** Rolling-hash document fingerprints: full-text polynomial hash +
+    * min of all 16-char rolling window hashes (winnowing-style robust
+    * fingerprint, stable under small appends/prepends).
+    */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        s"${phSpark("text", "f")} as fp_full",
+        s"""array_min(transform(sequence(1, greatest(length(text) - 15, 1)), wi ->
+           |  ${phSpark("substring(text, wi, 16)", "w")})) as fp_winnow""".stripMargin)
+      .orderBy(col("doc_id"))
+  }
+
+  val docFingerprintOracle: String =
+    s"""SELECT doc_id,
+       |       ${phDuck("text", "f")} AS fp_full,
+       |       list_min(list_transform(range(1, greatest(length(text) - 15, 1) + 1), wi ->
+       |         ${phDuck("substring(text, wi, 16)", "w")})) AS fp_winnow
+       |FROM documents ORDER BY doc_id""".stripMargin
+}
