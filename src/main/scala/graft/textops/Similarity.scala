@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *   doubles (both `aggregate`/`list_reduce` are sequential left folds).
   * - [[similarityIvf]]: IVF-style scale path — assign every vector to
   *   its nearest of C fixed centroids (a broadcast-joinable 16-row
-  *   table), then search only within the query's nprobe=2 nearest
+  *   table), then search only within the query's nprobe nearest
   *   cells. At 100 TB the brute-force n² pair join is impossible; the
   *   IVF cell join shuffles each vector once on its cell id.
   *
@@ -72,12 +72,13 @@ object Similarity {
        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
   /** IVF-bucketed ANN: C=16 fixed centroids (vec_id < 16), every vector
-    * assigned to its nearest centroid cell, queries probe their 2
-    * nearest cells and rank candidates by exact cosine. Returns top-5
+    * assigned to its nearest centroid cell, queries probe their nProbe
+    * nearest cells (default 6: the synthetic embeddings are near-uniform
+    * random — IVF's worst case; clustered real data needs fewer probes) and rank candidates by exact cosine. Returns top-5
     * per query from the probed cells.
     */
   def similarityIvf(spark: SparkSession, sfDir: String, k: Int = 5,
-                    nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+                    nCentroids: Int = 16, nProbe: Int = 6): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, sfDir).cache()
     val cent = e.where($"vec_id" < nCentroids)
@@ -130,7 +131,7 @@ object Similarity {
        |  SELECT vec_id, v, nrm, cent_id AS cell FROM rankedcells WHERE crk = 1
        |), probes AS (
        |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell
-       |  FROM rankedcells WHERE crk <= 2
+       |  FROM rankedcells WHERE crk <= 6
        |), cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |         ${dotDuck("p.qv", "a.v", "d")} / (p.qn * a.nrm) AS cosine

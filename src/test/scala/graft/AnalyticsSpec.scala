@@ -1,0 +1,154 @@
+package graft
+
+import graft.analytics._
+import graft.textops._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-query invariants on sf0.001 — semantic properties the DuckDB
+  * hash-compare can't express (it only proves Spark == DuckDB, not that
+  * either is the *right* computation).
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val sf = SparkTestBase.sf
+  import spark.implicits._
+
+  lazy val events = Tables.events(spark, sf).cache()
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every queries key has either an oracle or a documented reason") {
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled == Set("uv_approx"), s"unexpected un-oracled: $unoracled")
+  }
+
+  test("hot_items_topn: ranks are 1..5 per window, counts decreasing") {
+    val df = UserBehaviorAnalytics.hotItemsTopN(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.where($"rnk" < 1 || $"rnk" > 5).isEmpty)
+    // within a window, cnt is non-increasing in rnk
+    val bad = df.withColumn("prev", lag($"cnt", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"window_end").orderBy($"rnk")))
+      .where($"prev".isNotNull && $"cnt" > $"prev")
+    assert(bad.isEmpty)
+  }
+
+  test("page_views: windowed counts sum to total view count") {
+    val total = events.where($"event_type" === "view").count()
+    val summed = UserBehaviorAnalytics.pageViews(spark, sf)
+      .agg(sum($"pv")).as[Long].head()
+    assert(summed == total)
+  }
+
+  test("unique_visitors <= page_views per window; uv_approx within 5% of exact") {
+    val pv = UserBehaviorAnalytics.pageViews(spark, sf)
+    val uv = UserBehaviorAnalytics.uniqueVisitors(spark, sf)
+    val joined = pv.join(uv, "window_end")
+    assert(joined.where($"uv" > $"pv").isEmpty)
+    val cmp = uv.join(UserBehaviorAnalytics.uvApprox(spark, sf), "window_end")
+      .where(abs($"uv_approx" - $"uv") > greatest($"uv" * 0.05, lit(2.0)))
+    assert(cmp.isEmpty)
+  }
+
+  test("tx_match: status counts partition the tx universe") {
+    val df = DetectionAnalytics.txMatch(spark, sf).cache()
+    val pays = df.where($"pay_cnt" > 0).count()
+    val matched = df.where($"status" === "matched").count()
+    val unPay = df.where($"status" === "unmatched-pay").count()
+    val unRcpt = df.where($"status" === "unmatched-receipt").count()
+    assert(matched + unPay == pays)
+    assert(matched + unPay + unRcpt == df.count())
+    // no row is both sides empty
+    assert(df.where($"pay_cnt" === 0 && $"receipt_cnt" === 0).isEmpty)
+  }
+
+  test("order_timeout: every signup classified; pay within deadline iff payed") {
+    val df = DetectionAnalytics.orderTimeout(spark, sf).cache()
+    val signups = events.where($"event_type" === "signup").count()
+    assert(df.count() == signups)
+    assert(df.where($"status" === "payed successfully" && $"pay_ts".isNull).isEmpty)
+    assert(df.where($"status" === "timeout" && $"pay_ts".isNotNull).isEmpty)
+  }
+
+  test("login_fail_detect: all pairs within 30 minutes, ordered") {
+    val df = DetectionAnalytics.loginFailDetect(spark, sf)
+    assert(df.where($"last_fail" < $"first_fail").isEmpty)
+    assert(df.where(
+      unix_micros($"last_fail") - unix_micros($"first_fail") > 30L * 60 * 1000000).isEmpty)
+  }
+
+  test("blacklist: filtered stream + blacklisted clicks = all clicks") {
+    val clicks = events.where($"event_type" === "click").count()
+    val kept = MarketingAnalytics.blacklistFilteredClicks(spark, sf).count()
+    val warned = MarketingAnalytics.blacklistUsers(spark, sf)
+      .agg(sum($"click_cnt")).as[Long].head()
+    assert(kept + warned == clicks)
+  }
+
+  test("pricing_summary: count_order sums to filtered lineitem count") {
+    val df = RelationalAnalytics.pricingSummary(spark, sf)
+    val n = df.agg(sum($"count_order")).as[Long].head()
+    val expected = Tables.lineitem(spark, sf)
+      .where($"l_shipdate" <= lit("1998-09-02").cast("timestamp")).count()
+    assert(n == expected)
+  }
+
+  test("dedup_exact: dup counts sum to document count") {
+    val docs = Tables.documents(spark, sf).count()
+    val df = Dedup.dedupExact(spark, sf)
+    assert(df.agg(sum($"dup_cnt")).as[Long].head() == docs)
+  }
+
+  test("dedup pairs are strictly ordered (doc1 < doc2), no self-pairs") {
+    for (df <- Seq(Dedup.minhashLsh(spark, sf), Dedup.simhashDedup(spark, sf),
+                   Dedup.ngramJaccard(spark, sf))) {
+      assert(df.where($"doc1" >= $"doc2").isEmpty)
+    }
+  }
+
+  test("ngram_jaccard: jaccard in (0, 1]") {
+    val df = Dedup.ngramJaccard(spark, sf)
+    assert(df.where($"jaccard" <= 0 || $"jaccard" > 1).isEmpty)
+  }
+
+  test("similarity_topk: k per query, cosine in [-1, 1], non-increasing") {
+    val df = Similarity.similarityTopK(spark, sf).cache()
+    assert(df.where($"cosine" < -1.0000001 || $"cosine" > 1.0000001).isEmpty)
+    val perQuery = df.groupBy($"query_id").count()
+    assert(perQuery.where($"count" =!= 10).isEmpty)
+    val bad = df.withColumn("prev", lag($"cosine", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id").orderBy($"rnk")))
+      .where($"prev".isNotNull && $"cosine" > $"prev")
+    assert(bad.isEmpty)
+  }
+
+  test("similarity_ivf: recall@5 vs brute force is sane (> 0.5)") {
+    val exact = Similarity.similarityTopK(spark, sf).where($"rnk" <= 5)
+      .select($"query_id", $"neighbor_id")
+    val ivf = Similarity.similarityIvf(spark, sf)
+      .select($"query_id".as("q2"), $"neighbor_id".as("n2"))
+    val hits = exact.join(ivf,
+      $"query_id" === $"q2" && $"neighbor_id" === $"n2").count()
+    val total = exact.count()
+    assert(hits.toDouble / total > 0.5, s"recall ${hits.toDouble / total}")
+  }
+
+  test("multimodal_decode: checksum matches doc_fingerprint full hash") {
+    // ASCII texts: byte-fold in mapPartitions == char-fold in SQL
+    val dec = Multimodal.multimodalDecode(spark, sf)
+      .select($"doc_id", $"checksum")
+    val fp = TextStats.docFingerprint(spark, sf)
+      .select($"doc_id".as("d2"), $"fp_full")
+    assert(dec.join(fp, $"doc_id" === $"d2")
+      .where($"checksum" =!= $"fp_full").isEmpty)
+  }
+
+  test("lang_id: predictions are valid labels") {
+    val df = TextStats.langId(spark, sf)
+    assert(df.where(!$"pred_lang".isin("en", "de", "fr", "es", "und")).isEmpty)
+    assert(df.count() == Tables.documents(spark, sf).count())
+  }
+}
