@@ -34,23 +34,49 @@ object UserBehaviorAnalytics {
   private def itemId(c: org.apache.spark.sql.Column) =
     get_json_object(c, "$.k").cast("bigint")
 
+  // ---- shared batch/stream transforms (unified DataFrame API) ----
+  // Each takes the events DataFrame (batch scan OR readStream source)
+  // and returns the un-sorted aggregation; batch entry points add the
+  // presentation ORDER BY, streaming runs them under a watermark.
+
+  /** Tumbling 1 h view count (no sort — stream-safe). */
+  def pageViewsFrom(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "view")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("pv"))
+      .select(col("w.end").as("window_end"), col("pv"))
+
+  /** Tumbling 1 h exact distinct users (no sort — stream-safe). */
+  def uniqueVisitorsFrom(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "view")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("uv"))
+      .select(col("w.end").as("window_end"), col("uv"))
+
+  /** Sliding-window per-item counts (pre-rank stage, stream-safe). */
+  def itemWindowCountsFrom(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "view")
+      .select(itemId(col("props")).as("item_id"), col("ts"))
+      .groupBy(window(col("ts"), "1 hour", "5 minutes").as("w"), col("item_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.end").as("window_end"), col("item_id"), col("cnt"))
+
+  /** Rank stage of hot-items (batch; streaming applies it per
+    * micro-batch via foreachBatch — SURVEY.md §2.6 R1).
+    */
+  def rankTopN(counts: DataFrame, n: Int): DataFrame =
+    counts.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("window_end"))
+          .orderBy(col("cnt").desc, col("item_id").asc)))
+      .filter(col("rnk") <= n)
+
   /** Top-N hot items per sliding window (flagship).
     * REF: HotItems.scala § main/CountAgg/TopNHotItems — 1h windows
     * sliding 5m, top 5 items by view count per window.
     */
   def hotItemsTopN(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame = {
     import spark.implicits._
-    val views = Tables.events(spark, sfDir)
-      .filter($"event_type" === "view")
-      .select(itemId($"props").as("item_id"), $"ts")
-    val counts = views
-      .groupBy(window($"ts", "1 hour", "5 minutes").as("w"), $"item_id")
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("w.end").as("window_end"), $"item_id", $"cnt")
-    counts
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy($"window_end").orderBy($"cnt".desc, $"item_id".asc)))
-      .filter($"rnk" <= n)
+    rankTopN(itemWindowCountsFrom(Tables.events(spark, sfDir)), n)
       .orderBy($"window_end", $"rnk")
   }
 
@@ -83,12 +109,7 @@ object UserBehaviorAnalytics {
     */
   def pageViews(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, sfDir)
-      .filter($"event_type" === "view")
-      .groupBy(window($"ts", "1 hour").as("w"))
-      .agg(count(lit(1)).as("pv"))
-      .select(col("w.end").as("window_end"), $"pv")
-      .orderBy($"window_end")
+    pageViewsFrom(Tables.events(spark, sfDir)).orderBy($"window_end")
   }
 
   /** Hourly unique visitors — exact distinct.
@@ -98,12 +119,7 @@ object UserBehaviorAnalytics {
     */
   def uniqueVisitors(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, sfDir)
-      .filter($"event_type" === "view")
-      .groupBy(window($"ts", "1 hour").as("w"))
-      .agg(countDistinct($"user_id").as("uv"))
-      .select(col("w.end").as("window_end"), $"uv")
-      .orderBy($"window_end")
+    uniqueVisitorsFrom(Tables.events(spark, sfDir)).orderBy($"window_end")
   }
 
   /** Hourly unique visitors — approximate (HLL++).

@@ -1,0 +1,207 @@
+package graft.streaming
+
+import graft.analytics.UserBehaviorAnalytics
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming parity layer.
+  *
+  * The reference is a pure DataStream program: event-time windows +
+  * watermarks + keyed state + timers (REF: every main sets
+  * TimeCharacteristic.EventTime — reconstructed, SURVEY.md §0). Spark's
+  * unified API means the batch transforms in `graft.analytics` run
+  * unchanged under `readStream`; this module adds
+  *   - the streaming source (watermarked events),
+  *   - windowed aggs under watermark (A1–A7 analogs),
+  *   - `flatMapGroupsWithState` state machines with event-time timeouts
+  *     for the reference's KeyedProcessFunction semantics (T5, L1/L2,
+  *     O2 — login-fail pairing, order-pay timeout),
+  *   - per-micro-batch Top-N via foreachBatch (R1/R2: rank-after-agg is
+  *     unsupported inside a streaming query — documented divergence,
+  *     SURVEY.md §7.4).
+  *
+  * Divergences from Flink, by design (SURVEY.md §2.4): no
+  * `allowedLateness` re-fires (update mode + watermark approximates),
+  * late data is dropped at the watermark rather than side-output.
+  */
+object StreamingAnalytics {
+
+  /** Typed event for stateful operators. ts in epoch MICROseconds
+    * (java.sql.Timestamp round-trips only millis; the state machines
+    * compare at the data's native µs precision).
+    */
+  case class Ev(event_id: Long, ts_us: Long, user_id: Long, event_type: String)
+
+  case class FailPair(user_id: Long, first_fail_us: Long, last_fail_us: Long)
+  case class FailState(lastUs: Long)
+
+  case class OrderResult(order_id: Long, user_id: Long, create_us: Long,
+                         pay_us: Option[Long], status: String)
+  case class OrderState(pending: List[(Long, Long)]) // (order_id, create_us)
+
+  /** Streaming events source: the same parquet file tail-read as a
+    * stream (each new file = one micro-batch at scale; here the single
+    * file arrives as one batch). nanos→micros conversion identical to
+    * the batch loader.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** A1/A3 analog: tumbling PV count under a watermark. */
+  def pageViewsStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    UserBehaviorAnalytics.pageViewsFrom(events.withWatermark("ts", watermark))
+
+  /** A7 analog: windowed exact distinct. `countDistinct` is illegal on
+    * streams; the exact streaming form is watermarked dropDuplicates
+    * (keyed dedup state, GC'd at the watermark) feeding a windowed
+    * count — two chained stateful operators, append mode. This is the
+    * distributed version of the reference's in-memory Set[Long]
+    * (REF: UniqueVisitor.scala § UvCountByWindow — reconstructed).
+    */
+  def uniqueVisitorsStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .filter(col("event_type") === "view")
+      .select(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w")).agg(count(lit(1)).as("uv"))
+      .select(col("w.end").as("window_end"), col("uv"))
+
+  /** A8 analog: approx distinct — the Bloom/Redis replacement. */
+  def uvApproxStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .filter(col("event_type") === "view")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("uv_approx"))
+      .select(col("w.end").as("window_end"), col("uv_approx"))
+
+  /** R1 analog: sliding-window counts stream + per-micro-batch Top-N
+    * rank applied in foreachBatch by the caller; this returns the
+    * watermarked pre-rank stream (rank-after-streaming-agg is not
+    * allowed inside the query).
+    */
+  def itemWindowCountsStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    UserBehaviorAnalytics.itemWindowCountsFrom(events.withWatermark("ts", watermark))
+
+  /** L1/L2 analog (REF: LoginFail.scala § LoginFailWarning,
+    * LoginFailAdvance.scala — reconstructed): per-user state machine
+    * pairing consecutive 'error' events within `deadlineUs`. ListState +
+    * 2 s timer in the reference; here GroupState[lastTs] + event-time
+    * timeout for state GC. Same output as the batch lag()-based
+    * loginFailDetect on in-order input.
+    */
+  def loginFailPairs(events: Dataset[Ev], deadlineUs: Long = 30L * 60 * 1000000)
+                    (implicit spark: SparkSession): Dataset[FailPair] = {
+    import spark.implicits._
+    events.filter(_.event_type == "error")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._3) // user_id
+      .flatMapGroupsWithState[FailState, FailPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state: GroupState[FailState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (e._2, e._1)) // (ts_us, event_id)
+            val out = scala.collection.mutable.ListBuffer.empty[FailPair]
+            var last = state.getOption.map(_.lastUs)
+            for (e <- sorted) {
+              val t = e._2
+              last.foreach { l =>
+                if (t - l <= deadlineUs) out += FailPair(user, l, t)
+              }
+              last = Some(t)
+            }
+            last.foreach { l =>
+              state.update(FailState(l))
+              state.setTimeoutTimestamp(l / 1000 + 2 * deadlineUs / 1000)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** O2 analog (REF: OrderTimeoutWithoutCep.scala § OrderPayMatch —
+    * reconstructed): per-user pending-order state; a purchase pays the
+    * oldest qualifying signup; watermark passing create+deadline emits
+    * the timeout — the event-time-timer semantics of the reference,
+    * driven by GroupStateTimeout.EventTimeTimeout.
+    */
+  def orderTimeoutStream(events: Dataset[Ev], deadlineUs: Long = 24L * 3600 * 1000000)
+                        (implicit spark: SparkSession): Dataset[OrderResult] = {
+    import spark.implicits._
+    events.filter(e => e.event_type == "signup" || e.event_type == "purchase")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[OrderState, OrderResult](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state: GroupState[OrderState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          var pending = state.getOption.map(_.pending).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[OrderResult]
+          val sorted = it.toSeq.sortBy(e => (e._2, e._1))
+          for (e <- sorted) e._4 match {
+            case "signup" => pending = pending :+ (e._1, e._2)
+            case "purchase" =>
+              val t = e._2
+              val (paid, rest) = pending.partition { case (_, c) =>
+                t > c && t <= c + deadlineUs
+              }
+              paid.foreach { case (oid, c) =>
+                out += OrderResult(oid, user, c, Some(t), "payed successfully")
+              }
+              pending = rest
+          }
+          // event-time timers: anything past create+deadline at the
+          // current watermark can never be paid
+          val (expired, live) = pending.partition { case (_, c) =>
+            c + deadlineUs < wmUs
+          }
+          expired.foreach { case (oid, c) =>
+            out += OrderResult(oid, user, c, None, "timeout")
+          }
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(OrderState(live))
+            state.setTimeoutTimestamp((live.map(_._2).min + deadlineUs) / 1000 + 1)
+          }
+          out.iterator
+      }
+  }
+
+  /** J1 analog (REF: TxMatch.scala § TxPayMatch — reconstructed):
+    * two-stream reconciliation as a watermarked stream-stream inner
+    * join with a time-range bound — Spark's
+    * StreamingSymmetricHashJoinExec holds both sides' keyed state and
+    * GCs it at the watermark, exactly the CoProcess + timer pattern.
+    */
+  def txMatchStream(events: DataFrame): DataFrame = {
+    val pays = events.filter(col("event_type") === "purchase")
+      .select(concat(col("user_id"), lit("-"),
+        get_json_object(col("props"), "$.k")).as("tx_id"),
+        col("ts").as("pay_ts"), col("event_id").as("pay_event"))
+      .withWatermark("pay_ts", "1 hour")
+    val receipts = events.filter(col("event_type") === "click")
+      .select(concat(col("user_id"), lit("-"),
+        get_json_object(col("props"), "$.k")).as("rc_tx_id"),
+        col("ts").as("receipt_ts"), col("event_id").as("receipt_event"))
+      .withWatermark("receipt_ts", "1 hour")
+    pays.join(receipts,
+      col("tx_id") === col("rc_tx_id") &&
+        col("receipt_ts") >= col("pay_ts") - expr("interval 24 hours") &&
+        col("receipt_ts") <= col("pay_ts") + expr("interval 24 hours"))
+      .select(col("tx_id"), col("pay_event"), col("receipt_event"),
+        col("pay_ts"), col("receipt_ts"))
+  }
+}

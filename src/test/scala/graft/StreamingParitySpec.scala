@@ -1,0 +1,174 @@
+package graft
+
+import graft.analytics._
+import graft.streaming.StreamingAnalytics
+import graft.streaming.StreamingAnalytics._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream == batch parity on identical input — the unified-API claim,
+  * verified. Events are fed through MemoryStream in event-time order
+  * with a final far-future flush row to advance the watermark so
+  * event-time timers fire (the reference's onTimer analog).
+  */
+case class EvFull(event_id: Long, ts_us: Long, user_id: Long,
+                  event_type: String, props: String)
+
+class StreamingParitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val sf = SparkTestBase.sf
+
+  import spark.implicits._
+
+  lazy val batchEvents = Tables.events(spark, sf).cache()
+
+  lazy val rows: Seq[EvFull] = batchEvents
+    .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id",
+      $"event_type", $"props")
+    .as[EvFull].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
+
+  private def flush(kind: String) =
+    EvFull(-1L, rows.map(_.ts_us).max + 30L * 86400 * 1000000, -1L, kind, "{}")
+
+  private def toEventsDF(ms: MemoryStream[EvFull]) =
+    ms.toDF().withColumn("ts", expr("timestamp_micros(ts_us)"))
+
+  test("pageViews: stream (complete mode) == batch") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    ms.addData(rows)
+    val q = StreamingAnalytics.pageViewsStream(toEventsDF(ms))
+      .writeStream.format("memory").queryName("pv_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pv_stream").select($"window_end", $"pv")
+        .as[(java.sql.Timestamp, Long)].collect().toSet
+      val want = UserBehaviorAnalytics.pageViews(spark, sf)
+        .as[(java.sql.Timestamp, Long)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("uniqueVisitors: streaming dropDuplicates+count (append) == batch countDistinct") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    val q = StreamingAnalytics.uniqueVisitorsStream(toEventsDF(ms))
+      .writeStream.format("memory").queryName("uv_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows)
+      q.processAllAvailable()
+      ms.addData(flush("view")) // advance watermark → close all windows
+      q.processAllAvailable()
+      val want = UserBehaviorAnalytics.uniqueVisitors(spark, sf)
+        .as[(java.sql.Timestamp, Long)].collect().toSet
+      val maxEnd = want.map(_._1.getTime).max
+      val got = spark.table("uv_stream").select($"window_end", $"uv")
+        .as[(java.sql.Timestamp, Long)].collect().toSet
+        .filter(_._1.getTime <= maxEnd) // drop the sentinel's own window
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("hot items: per-micro-batch rank over streamed window counts == batch topN") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    ms.addData(rows)
+    val q = StreamingAnalytics.itemWindowCountsStream(toEventsDF(ms))
+      .writeStream.format("memory").queryName("hi_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // R1 divergence: rank applied after the streaming agg (foreachBatch
+      // in production; on the final micro-batch state here)
+      val ranked = UserBehaviorAnalytics.rankTopN(spark.table("hi_stream"), 5)
+        .select($"window_end", $"item_id", $"cnt", $"rnk")
+        .as[(java.sql.Timestamp, Long, Long, Int)].collect().toSet
+      val want = UserBehaviorAnalytics.hotItemsTopN(spark, sf)
+        .select($"window_end", $"item_id", $"cnt", $"rnk")
+        .as[(java.sql.Timestamp, Long, Long, Int)].collect().toSet
+      assert(ranked == want)
+    } finally q.stop()
+  }
+
+  test("login-fail state machine: stream == batch lag-based pairs") {
+    implicit val ctx = spark.sqlContext
+    implicit val ss = spark
+    val ms = MemoryStream[EvFull]
+    val q = StreamingAnalytics.loginFailPairs(
+        ms.toDS().map(e => Ev(e.event_id, e.ts_us, e.user_id, e.event_type)))
+      .writeStream.format("memory").queryName("lf_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows)
+      q.processAllAvailable()
+      ms.addData(flush("error"))
+      q.processAllAvailable()
+      val got = spark.table("lf_stream")
+        .where($"user_id" =!= -1L)
+        .select($"user_id", $"first_fail_us", $"last_fail_us")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = DetectionAnalytics.loginFailDetect(spark, sf)
+        .select($"user_id", unix_micros($"first_fail"), unix_micros($"last_fail"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("order-timeout state machine: stream (with event-time timers) == batch join") {
+    implicit val ctx = spark.sqlContext
+    implicit val ss = spark
+    val ms = MemoryStream[EvFull]
+    val q = StreamingAnalytics.orderTimeoutStream(
+        ms.toDS().map(e => Ev(e.event_id, e.ts_us, e.user_id, e.event_type)))
+      .writeStream.format("memory").queryName("ot_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows)
+      q.processAllAvailable()
+      ms.addData(flush("purchase"))
+      q.processAllAvailable()
+      val got = spark.table("ot_stream")
+        .where($"user_id" =!= -1L)
+        .select($"order_id", $"user_id", $"create_us",
+          coalesce($"pay_us", lit(-1L)), $"status")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val want = DetectionAnalytics.orderTimeout(spark, sf)
+        .select($"order_id", $"user_id", unix_micros($"create_ts"),
+          coalesce(unix_micros($"pay_ts"), lit(-1L)), $"status")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("tx-match: stream-stream join matches batch pair join") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    ms.addData(rows)
+    val q = StreamingAnalytics.txMatchStream(toEventsDF(ms))
+      .writeStream.format("memory").queryName("tx_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tx_stream")
+        .select($"tx_id", $"pay_event", $"receipt_event")
+        .as[(String, Long, Long)].collect().toSet
+      val ev = batchEvents
+      val pays = ev.where($"event_type" === "purchase")
+        .select(concat($"user_id", lit("-"), get_json_object($"props", "$.k")).as("tx_id"),
+          $"ts".as("pay_ts"), $"event_id".as("pay_event"))
+      val receipts = ev.where($"event_type" === "click")
+        .select(concat($"user_id", lit("-"), get_json_object($"props", "$.k")).as("rc_tx_id"),
+          $"ts".as("receipt_ts"), $"event_id".as("receipt_event"))
+      val want = pays.join(receipts,
+          $"tx_id" === $"rc_tx_id" &&
+            $"receipt_ts" >= $"pay_ts" - expr("interval 24 hours") &&
+            $"receipt_ts" <= $"pay_ts" + expr("interval 24 hours"))
+        .select($"tx_id", $"pay_event", $"receipt_event")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+}
