@@ -13,8 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * same interface.
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // every query path goes through here: make sure the session has the
+    // engine's native expressions (idempotent)
+    graft.functions.GraftExpressions.register(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
     * Spark vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).

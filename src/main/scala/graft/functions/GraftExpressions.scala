@@ -1,0 +1,255 @@
+package graft.functions
+
+import graft.textops.TextHash
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hot loops.
+  *
+  * Spark's higher-order array functions (`aggregate`, `transform`,
+  * `zip_with`) are CodegenFallback — every lambda application is an
+  * interpreted Catalyst eval with boxing. For the similarity and dedup
+  * hot paths that interpretive overhead dominates the query (millions
+  * of pairs × 64-element folds), so these expressions compile the same
+  * arithmetic — IN THE SAME LEFT-TO-RIGHT ORDER, so results stay
+  * bit-identical to both the HOF formulation and the DuckDB oracle —
+  * into whole-stage-codegen'd Java loops.
+  *
+  * This is preference path (b) of the build brief: a custom
+  * `Expression` with `doGenCode`, not a Scala UDF (no boxing, no
+  * encoder round-trip, participates in WholeStageCodegen).
+  */
+object GraftExpressions {
+
+  /** Σ aᵢ·bᵢ over two double arrays, sequential left fold. */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    // callers guarantee array<double> inputs (AbstractDataType — and so
+    // ExpectsInputTypes — is private[sql], unavailable to library code)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |int vdN = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double vdAcc = 0.0;
+           |for (int vdI = 0; vdI < vdN; vdI++) {
+           |  vdAcc += $a.getDouble(vdI) * $b.getDouble(vdI);
+           |}
+           |${ev.value} = vdAcc;
+           |""".stripMargin)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Polynomial char-fold hash — semantics of TextHash.phSpark for
+    * ASCII input (the synthetic corpus), i.e.
+    * fold(chars, 0, (a, c) => (a*31 + ascii(c)) mod P), byte-iterated.
+    */
+  case class PolyHash(child: Expression, mult: Long = 31)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(s: Any): Any = {
+      val b = s.asInstanceOf[UTF8String].getBytes
+      var acc = 0L
+      var i = 0
+      while (i < b.length) { acc = (acc * mult + (b(i) & 0xff)) % TextHash.P; i += 1 }
+      acc
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |byte[] phB = $c.getBytes();
+           |long phAcc = 0L;
+           |for (int phI = 0; phI < phB.length; phI++) {
+           |  phAcc = (phAcc * ${mult}L + (phB[phI] & 0xFF)) % ${TextHash.P}L;
+           |}
+           |${ev.value} = phAcc;
+           |""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Min over all 16-char sliding-window polynomial hashes — the
+    * winnowing fingerprint of TextStats.docFingerprint, computed as a
+    * true O(n·w) byte loop instead of n interpreted substring+fold
+    * lambdas.
+    */
+  case class RollingMinHash(child: Expression, window: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    private def hashAt(b: Array[Byte], start: Int, len: Int): Long = {
+      var acc = 0L
+      var i = start
+      val end = start + len
+      while (i < end) { acc = (acc * 31 + (b(i) & 0xff)) % TextHash.P; i += 1 }
+      acc
+    }
+    override def nullSafeEval(s: Any): Any = {
+      val b = s.asInstanceOf[UTF8String].getBytes
+      val nWin = math.max(b.length - window + 1, 1)
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < nWin) {
+        val h = hashAt(b, i, math.min(window, b.length - i))
+        if (h < mn) mn = h
+        i += 1
+      }
+      mn
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |byte[] rmB = $c.getBytes();
+           |int rmWins = java.lang.Math.max(rmB.length - $window + 1, 1);
+           |long rmMin = Long.MAX_VALUE;
+           |for (int rmI = 0; rmI < rmWins; rmI++) {
+           |  long rmAcc = 0L;
+           |  int rmEnd = java.lang.Math.min(rmI + $window, rmB.length);
+           |  for (int rmJ = rmI; rmJ < rmEnd; rmJ++) {
+           |    rmAcc = (rmAcc * 31L + (rmB[rmJ] & 0xFF)) % ${TextHash.P}L;
+           |  }
+           |  if (rmAcc < rmMin) rmMin = rmAcc;
+           |}
+           |${ev.value} = rmMin;
+           |""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 60-bit SimHash over an array of (60-bit) token hashes: per bit i,
+    * weight = Σ_tokens (((h >> i) & 1)*2 − 1); bit set iff weight > 0.
+    * Replaces a doubly-nested interpreted HOF fold (60 × n_tokens
+    * lambda evals per row — 275+ s of the sf0.1 bench) with one fused
+    * loop; identical arithmetic and summation order. 60 bits (not 64)
+    * keeps every intermediate in-range for the DuckDB oracle, whose
+    * BIGINT arithmetic traps on overflow.
+    */
+  case class SimHash60(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val w = new Array[Long](60)
+      var j = 0
+      while (j < n) {
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < 60) { w(i) += ((h >> i) & 1L) * 2 - 1; i += 1 }
+        j += 1
+      }
+      var acc = 0L
+      var i = 0
+      while (i < 60) { if (w(i) > 0) acc += 1L << i; i += 1 }
+      acc
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |int shN = $c.numElements();
+           |long[] shW = new long[60];
+           |for (int shJ = 0; shJ < shN; shJ++) {
+           |  long shH = $c.getLong(shJ);
+           |  for (int shI = 0; shI < 60; shI++) {
+           |    shW[shI] += ((shH >> shI) & 1L) * 2 - 1;
+           |  }
+           |}
+           |long shAcc = 0L;
+           |for (int shI = 0; shI < 60; shI++) {
+           |  if (shW[shI] > 0) shAcc += 1L << shI;
+           |}
+           |${ev.value} = shAcc;
+           |""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** MinHash signature: K affine rehash minima over the shingle-hash
+    * array in ONE pass (the HOF form — K separate
+    * `array_min(transform(...))` scans, all interpreted — was 300+ s of
+    * the sf0.1 bench once uncached). Constants from TextHash; returns
+    * array<bigint> of length K. Caller guarantees a non-empty input
+    * array (documents are pre-filtered to ≥3 tokens).
+    */
+  case class MinHashSig(child: Expression)
+      extends UnaryExpression {
+    private val K = TextHash.K
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val mins = Array.fill(K)(Long.MaxValue)
+      var j = 0
+      while (j < n) {
+        val v = arr.getLong(j)
+        var k = 0
+        while (k < K) {
+          val t = (v * TextHash.MinhashA(k) + TextHash.MinhashB(k)) % TextHash.P
+          if (t < mins(k)) mins(k) = t
+          k += 1
+        }
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val aConst = TextHash.MinhashA.mkString("{", "L,", "L}")
+      val bConst = TextHash.MinhashB.mkString("{", "L,", "L}")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |int mhN = $c.numElements();
+           |long[] mhA = new long[]$aConst;
+           |long[] mhB = new long[]$bConst;
+           |long[] mhM = new long[$K];
+           |java.util.Arrays.fill(mhM, Long.MAX_VALUE);
+           |for (int mhJ = 0; mhJ < mhN; mhJ++) {
+           |  long mhV = $c.getLong(mhJ);
+           |  for (int mhK = 0; mhK < $K; mhK++) {
+           |    long mhT = (mhV * mhA[mhK] + mhB[mhK]) % ${TextHash.P}L;
+           |    if (mhT < mhM[mhK]) mhM[mhK] = mhT;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mhM);
+           |""".stripMargin)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Idempotent session registration; afterwards usable from any
+    * `expr(...)` / SQL string as vec_dot, poly_hash, rolling_min_hash,
+    * poly_hash37, simhash60, minhash_sig.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => VecDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("poly_hash",
+      es => PolyHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("rolling_min_hash",
+      es => RollingMinHash(es(0), es(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => other.eval().asInstanceOf[Int]
+      }), "built-in")
+    reg.createOrReplaceTempFunction("poly_hash37",
+      es => PolyHash(es.head, 37), "built-in")
+    reg.createOrReplaceTempFunction("simhash60",
+      es => SimHash60(es.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSig(es.head), "built-in")
+  }
+}

@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   *     an equi-join on (band, hash), NEVER an O(n²) cross join, so the
   *     plan scales: at 100 TB the band join shuffles each doc's 4 band
   *     rows, not n² pairs.
-  *   - SimHash: 32-bit weighted-bit fingerprint + pigeonhole byte-block
-  *     candidate join (hamming ≤ 3 ⇒ some 8-bit block equal ⇒ exact,
+  *   - SimHash: 60-bit weighted-bit fingerprint + pigeonhole 15-bit
+  *     block candidate join (hamming ≤ 3 ⇒ some block equal ⇒ exact,
   *     not approximate, candidate recall).
   *   - n-gram Jaccard: inverted-index equi-join on shingle strings with
   *     exact set-overlap arithmetic.
@@ -45,46 +45,48 @@ object Dedup {
 
   private val SH = 1000003L // shingle-combine multiplier
 
-  /** doc_id + K minhash signature columns s0..s{K-1}. */
+  /** doc_id + K minhash signature columns s0..s{K-1}; the K minima are
+    * computed in one native pass (minhash_sig) over the shingle hashes.
+    */
   private def minhashSig(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigCols = (0 until K).map(j =>
-      s"array_min(transform(sh, v$j -> (v$j * ${MinhashA(j)} + ${MinhashB(j)}) % $P)) as s$j")
     Tables.documents(spark, sfDir)
       .selectExpr("doc_id", s"$tokensSpark as tokens")
       .where("size(tokens) >= 3")
-      .selectExpr("doc_id", s"transform(tokens, tk -> ${phSpark("tk", "h")}) as th")
+      .selectExpr("doc_id", "transform(tokens, tk -> poly_hash(tk)) as th")
       .selectExpr("doc_id",
         s"""transform(sequence(0, size(th) - 3), sj ->
            |  ((element_at(th, sj + 1) * $SH + element_at(th, sj + 2)) % $P
            |   * $SH + element_at(th, sj + 3)) % $P) as sh""".stripMargin)
-      .selectExpr(("doc_id" +: sigCols): _*)
+      .selectExpr("doc_id", "minhash_sig(sh) as sig")
+      .selectExpr(("doc_id" +: (0 until K).map(j => s"element_at(sig, ${j + 1}) as s$j")): _*)
   }
 
   /** Near-dup pairs via banded MinHash LSH (bands of 2, K/2 bands),
     * estimated Jaccard = matching-signature fraction ≥ threshold.
+    * Signatures ride along the band explode so the pair join compares
+    * them in place — no join-back, and the signature subtree is
+    * evaluated once per side instead of 6×.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sig = minhashSig(spark, sfDir).cache()
-    val bands = (0 until K / 2).map { b =>
-      sig.selectExpr("doc_id", s"$b as band_idx",
-        s"(s${2 * b} * $SH + s${2 * b + 1}) % $P as band_hash")
-    }.reduce(_.union(_))
-    val pairs = bands.as("x")
+    val sig = minhashSig(spark, sfDir)
+    val bandArray = (0 until K / 2)
+      .map(b => s"(s${2 * b} * $SH + s${2 * b + 1}) % $P")
+      .mkString("array(", ", ", ")")
+    val bands = sig.selectExpr(
+      ((0 until K).map(j => s"s$j") :+ "doc_id" :+
+        s"posexplode($bandArray) as (band_idx, band_hash)"): _*)
+    val simExpr = (0 until K)
+      .map(j => s"(case when x.s$j = y.s$j then 1 else 0 end)").mkString(" + ")
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .selectExpr("x.doc_id as doc1", "y.doc_id as doc2",
+        s"($simExpr) / ${K}.0 as sim")
       .distinct()
-    val a = sig.select(col("doc_id").as("doc1") +: (0 until K).map(j => col(s"s$j").as(s"a$j")): _*)
-    val b = sig.select(col("doc_id").as("doc2") +: (0 until K).map(j => col(s"s$j").as(s"b$j")): _*)
-    val simExpr = (0 until K)
-      .map(j => s"(case when a$j = b$j then 1 else 0 end)").mkString(" + ")
-    pairs.join(a, "doc1").join(b, "doc2")
-      .withColumn("sim", expr(s"($simExpr) / ${K}.0"))
       .where($"sim" >= 0.5)
-      .select($"doc1", $"doc2", $"sim")
       .orderBy($"doc1", $"doc2")
   }
 
@@ -123,59 +125,57 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** doc_id + 32-bit simhash fingerprint from token-hash bit weights. */
+  /** doc_id + 60-bit simhash fingerprint from token-hash bit weights.
+    * 60 bits = two independent 30-bit poly hashes packed (a single
+    * poly hash is < 2^30, so its high bits carry no signal — a 32-bit
+    * simhash over it degenerates and floods the candidate join);
+    * simhash60 fuses the 60-bit × n-token weight fold into one native
+    * codegen'd loop (the doubly-nested HOF form was 275 s at sf0.1).
+    */
   private def simhashSig(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.documents(spark, sfDir)
       .selectExpr("doc_id", s"$tokensSpark as tokens")
       .where("size(tokens) >= 1")
-      .selectExpr("doc_id", s"transform(tokens, tk -> ${phSpark("tk", "h")}) as th")
       .selectExpr("doc_id",
-        """aggregate(transform(sequence(0, 31), bi ->
-          |  case when aggregate(th, cast(0 as bigint),
-          |         (ab, hb) -> ab + ((shiftright(hb, bi) & 1) * 2 - 1)) > 0
-          |  then shiftleft(cast(1 as bigint), bi) else cast(0 as bigint) end),
-          |  cast(0 as bigint), (sa, sx) -> sa + sx) as simhash""".stripMargin)
+        s"simhash60(transform(tokens, tk -> ${tokenHash60Spark("tk")})) as simhash")
   }
 
-  /** Near-dup pairs with hamming(simhash) ≤ 3 via 4×8-bit block
+  /** Near-dup pairs with hamming(simhash) ≤ 3 via 4×15-bit block
     * pigeonhole candidates (≤3 flipped bits over 4 blocks ⇒ at least
     * one block identical — candidate set provably complete).
     */
   def simhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sig = simhashSig(spark, sfDir).cache()
-    val blocks = (0 until 4).map { blk =>
-      sig.selectExpr("doc_id", s"$blk as pos",
-        s"(shiftright(simhash, ${8 * blk}) & 255) as byte_val")
-    }.reduce(_.union(_))
-    val pairs = blocks.as("x")
+    val sig = simhashSig(spark, sfDir)
+    val blockArray = (0 until 4)
+      .map(blk => s"(shiftright(simhash, ${15 * blk}) & 32767)")
+      .mkString("array(", ", ", ")")
+    val blocks = sig.selectExpr("doc_id", "simhash",
+      s"posexplode($blockArray) as (pos, byte_val)")
+    blocks.as("x")
       .join(blocks.as("y"),
         col("x.pos") === col("y.pos") &&
           col("x.byte_val") === col("y.byte_val") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .selectExpr("x.doc_id as doc1", "y.doc_id as doc2",
+        "bit_count(x.simhash ^ y.simhash) as hamming")
       .distinct()
-    pairs
-      .join(sig.select($"doc_id".as("doc1"), $"simhash".as("sh1")), "doc1")
-      .join(sig.select($"doc_id".as("doc2"), $"simhash".as("sh2")), "doc2")
-      .withColumn("hamming", expr("bit_count(sh1 ^ sh2)"))
       .where($"hamming" <= 3)
-      .select($"doc1", $"doc2", $"hamming")
       .orderBy($"doc1", $"doc2")
   }
 
   val simhashDedupOracle: String = {
     val blockSelects = (0 until 4).map(blk =>
-      s"SELECT doc_id, $blk AS pos, (simhash >> ${8 * blk}) & 255 AS byte_val FROM sig")
+      s"SELECT doc_id, $blk AS pos, (simhash >> ${15 * blk}) & 32767 AS byte_val FROM sig")
       .mkString("\n  UNION ALL ")
     s"""WITH toks AS (
        |  SELECT doc_id, $tokensDuck AS tokens FROM documents
        |), th AS (
-       |  SELECT doc_id, list_transform(tokens, tk -> ${phDuck("tk", "h")}) AS tharr
+       |  SELECT doc_id, list_transform(tokens, tk -> ${tokenHash60Duck("tk", "h")}) AS tharr
        |  FROM toks WHERE len(tokens) >= 1
        |), sig AS (
        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(range(0, 32), bi ->
+       |    list_transform(range(0, 60), bi ->
        |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
        |             list_transform(tharr, hb -> ((hb >> bi) & 1) * 2 - 1)),
        |             (ab, xb) -> ab + xb) > 0
@@ -208,16 +208,14 @@ object Dedup {
       .selectExpr("doc_id",
         """array_distinct(transform(sequence(0, size(tokens) - 3), gi ->
           |  concat_ws(' ', slice(tokens, gi + 1, 3)))) as shingles""".stripMargin)
-      .cache()
-    val sizes = shingled.selectExpr("doc_id", "size(shingles) as n_sh")
-    val inv = shingled.selectExpr("doc_id", "explode(shingles) as sh")
-    val inter = inv.as("x").join(inv.as("y"),
+    // set sizes ride along the explode — no join-back to a sizes table
+    val inv = shingled.selectExpr("doc_id", "size(shingles) as n_sh",
+      "explode(shingles) as sh")
+    inv.as("x").join(inv.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
-      .agg(count(lit(1)).as("inter_cnt"))
-    inter
-      .join(sizes.select($"doc_id".as("doc1"), $"n_sh".as("n1")), "doc1")
-      .join(sizes.select($"doc_id".as("doc2"), $"n_sh".as("n2")), "doc2")
+      .agg(count(lit(1)).as("inter_cnt"),
+        max(col("x.n_sh")).as("n1"), max(col("y.n_sh")).as("n2"))
       .withColumn("jaccard",
         expr("cast(inter_cnt as double) / (n1 + n2 - inter_cnt)"))
       .where($"jaccard" >= threshold)

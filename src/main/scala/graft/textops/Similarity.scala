@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) over double arrays as a sequential left fold. */
+  /** dot(a, b): the native codegen'd VecDot expression — identical
+    * sequential left-fold arithmetic to the HOF form
+    * `aggregate(zip_with(a, b, *), 0d, +)` (which is CodegenFallback
+    * and ~20× slower on the 4M-pair bench), so oracle parity holds
+    * bit-for-bit.
+    */
   private def dotSpark(a: String, b: String, sfx: String): String =
-    s"aggregate(zip_with($a, $b, (zx$sfx, zy$sfx) -> zx$sfx * zy$sfx), " +
-      s"cast(0 as double), (za$sfx, zb$sfx) -> za$sfx + zb$sfx)"
+    s"vec_dot($a, $b)"
 
   private def dotDuck(a: String, b: String, sfx: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
@@ -41,7 +45,7 @@ object Similarity {
   /** Brute-force cosine top-k per query vector. */
   def similarityTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
     import spark.implicits._
-    val e = vectors(spark, sfDir).cache()
+    val e = vectors(spark, sfDir)
     val q = e.select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val c = e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
     q.join(c, $"query_id" =!= $"neighbor_id")
@@ -80,7 +84,7 @@ object Similarity {
   def similarityIvf(spark: SparkSession, sfDir: String, k: Int = 5,
                     nCentroids: Int = 16, nProbe: Int = 6): DataFrame = {
     import spark.implicits._
-    val e = vectors(spark, sfDir).cache()
+    val e = vectors(spark, sfDir)
     val cent = e.where($"vec_id" < nCentroids)
       .select($"vec_id".as("cent_id"), $"v".as("centv"), $"nrm".as("centn"))
     // cell assignment: nearest centroid by cosine (rank 1 of a 16-row
@@ -92,7 +96,6 @@ object Similarity {
         Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)))
       .where($"crk" === 1)
       .select($"vec_id", $"v", $"nrm", $"cent_id".as("cell"))
-      .cache()
     // query probes: its nProbe nearest cells
     val probes = scored
       .withColumn("crk", row_number().over(

@@ -23,17 +23,27 @@ object TextHash {
   val K: Int = MinhashA.length
 
   /** Spark SQL: polynomial char-fold hash of string expression `t`. */
-  def phSpark(t: String, sfx: String): String =
+  def phSpark(t: String, sfx: String, mult: Long = 31): String =
     s"aggregate(transform(sequence(1, length($t)), i$sfx -> " +
       s"cast(ascii(substring($t, i$sfx, 1)) as bigint)), cast(0 as bigint), " +
-      s"(a$sfx, x$sfx) -> (a$sfx * 31 + x$sfx) % $P)"
+      s"(a$sfx, x$sfx) -> (a$sfx * $mult + x$sfx) % $P)"
 
   /** DuckDB: same fold, same result. `t` must be a parenthesizable expr. */
-  def phDuck(t: String, sfx: String): String =
+  def phDuck(t: String, sfx: String, mult: Long = 31): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($t) + 1), i$sfx -> " +
       s"CAST(ascii(($t)[i$sfx]) AS BIGINT))), " +
-      s"(a$sfx, x$sfx) -> (a$sfx * 31 + x$sfx) % $P)"
+      s"(a$sfx, x$sfx) -> (a$sfx * $mult + x$sfx) % $P)"
+
+  /** 60-bit token hash: two independent 30-bit poly hashes (mult 31 /
+    * 37) packed as `h31 + h37·2^30` — poly-hash values are < 2^30, so a
+    * single fold leaves bits 30+ empty, which would cripple SimHash.
+    */
+  def tokenHash60Spark(tk: String): String =
+    s"poly_hash($tk) + poly_hash37($tk) * 1073741824"
+
+  def tokenHash60Duck(tk: String, sfx: String): String =
+    s"${phDuck(tk, sfx + "p")} + ${phDuck(tk, sfx + "q", 37)} * 1073741824"
 
   /** Whitespace tokenization with empty tokens dropped — identical
     * token arrays in both engines regardless of leading/trailing

@@ -118,9 +118,10 @@ object TextStats {
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .selectExpr("doc_id",
-        s"${phSpark("text", "f")} as fp_full",
-        s"""array_min(transform(sequence(1, greatest(length(text) - 15, 1)), wi ->
-           |  ${phSpark("substring(text, wi, 16)", "w")})) as fp_winnow""".stripMargin)
+        "poly_hash(text) as fp_full",
+        // native O(n*w) rolling loop; the HOF form (n interpreted
+        // substring+fold lambdas) computes the identical value
+        "rolling_min_hash(text, 16) as fp_winnow")
       .orderBy(col("doc_id"))
   }
 
