@@ -196,9 +196,25 @@ object Dedup {
 
   // ------------------------------------------------------------- 3-gram jaccard
 
-  /** Exact n-gram Jaccard near-dup via inverted-index join: explode
-    * distinct token 3-grams, equi-join on the shingle, exact
-    * |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. No cross join anywhere.
+  /** Exact n-gram Jaccard near-dup with PPJoin-style prefix filtering.
+    *
+    * The naive inverted-index self-join on ALL shingles costs
+    * Σ_shingle c² — on a dense shared-vocabulary corpus the hottest
+    * shingle buckets dominate (39 s of the sf0.1 bench). The prefix
+    * filter is an EXACT optimization: order shingles globally by
+    * rarity; two sets with Jaccard ≥ t must share a shingle among each
+    * set's first ⌊(1−t)·n⌋+1 rarest shingles, so candidates come from
+    * joining only those prefixes (the dense head buckets drop out of
+    * the join entirely), then each candidate pair is verified with a
+    * true intersection — output set provably identical to all-pairs,
+    * which is why the DuckDB oracle can stay the naive formulation.
+    *
+    * Scale notes: the rarity dictionary (distinct shingles) is ranked
+    * with a single-partition row_number — it is corpus-vocabulary
+    * sized, not corpus sized (swap for zipWithIndex if the dictionary
+    * itself outgrows one task). The verify step broadcasts the
+    * doc→shingle-id arrays (5 k docs ≈ 6 MB; at larger corpora this
+    * becomes a shuffled join on doc_id — flip the broadcast() hint).
     */
   def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.2): DataFrame = {
     import spark.implicits._
@@ -208,14 +224,31 @@ object Dedup {
       .selectExpr("doc_id",
         """array_distinct(transform(sequence(0, size(tokens) - 3), gi ->
           |  concat_ws(' ', slice(tokens, gi + 1, 3)))) as shingles""".stripMargin)
-    // set sizes ride along the explode — no join-back to a sizes table
-    val inv = shingled.selectExpr("doc_id", "size(shingles) as n_sh",
-      "explode(shingles) as sh")
-    inv.as("x").join(inv.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
-      .agg(count(lit(1)).as("inter_cnt"),
-        max(col("x.n_sh")).as("n1"), max(col("y.n_sh")).as("n2"))
+    val inv = shingled.selectExpr("doc_id", "explode(shingles) as sh")
+    // global rarity order over the shingle dictionary
+    val ranked = inv.groupBy($"sh").agg(count(lit(1)).as("freq"))
+      .withColumn("rid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"freq".asc, $"sh".asc)))
+      .select($"sh", $"rid")
+    // docs re-encoded as rarity-sorted int arrays
+    val enc = inv.join(broadcast(ranked), "sh")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"rid")).as("ids"))
+    // candidate pairs from rarest-prefix inverted index only
+    val pref = enc.selectExpr("doc_id",
+      s"explode(slice(ids, 1, cast(floor((1.0 - $threshold) * size(ids)) as int) + 1)) as pid")
+    val pairs = pref.as("x")
+      .join(pref.as("y"),
+        col("x.pid") === col("y.pid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+    // exact verification per candidate
+    pairs
+      .join(broadcast(enc.select($"doc_id".as("doc1"), $"ids".as("ids1"))), "doc1")
+      .join(broadcast(enc.select($"doc_id".as("doc2"), $"ids".as("ids2"))), "doc2")
+      .selectExpr("doc1", "doc2",
+        "size(array_intersect(ids1, ids2)) as inter_cnt",
+        "size(ids1) as n1", "size(ids2) as n2")
       .withColumn("jaccard",
         expr("cast(inter_cnt as double) / (n1 + n2 - inter_cnt)"))
       .where($"jaccard" >= threshold)
