@@ -1,0 +1,115 @@
+package graft
+
+import graft.functions.GraftExpressions
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized properties over generated corpora — things the fixed
+  * testdata can't probe (degenerate docs, adversarial vocab density,
+  * optimization ≡ naive equivalences).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** seeded manual sampling (scalatestplus-scalacheck is not in the
+    * offline dependency cache; raw scalacheck is)
+    */
+  private def forAll[T](gen: Gen[T], n: Int = 5)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(gen.apply(Gen.Parameters.default, Seed(42L + i)).getOrElse(
+        fail(s"generator exhausted at sample $i")))
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val wordGen = Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+    "the", "a", "of", "scan", "join", "sort")
+  private val docGen = Gen.chooseNum(3, 40).flatMap(n => Gen.listOfN(n, wordGen))
+  private val corpusGen = Gen.chooseNum(5, 40)
+    .flatMap(n => Gen.listOfN(n, docGen))
+
+  /** Naive exact all-pairs Jaccard — the spec the prefix filter must
+    * reproduce exactly.
+    */
+  private def naiveJaccard(docs: Seq[Seq[String]], t: Double): Set[(Long, Long, Int)] = {
+    val sets = docs.zipWithIndex.collect {
+      case (ws, i) if ws.size >= 3 =>
+        i.toLong -> ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    (for {
+      (i, a) <- sets; (j, b) <- sets if i < j
+      inter = (a & b).size
+      jac = inter.toDouble / (a.size + b.size - inter)
+      if jac >= t
+    } yield (i, j, inter)).toSet
+  }
+
+  test("prefix-filtered ngramJaccard == naive all-pairs on random corpora") {
+    GraftExpressions.register(spark)
+    forAll(corpusGen) { corpus =>
+      val dir = java.nio.file.Files.createTempDirectory("graftprop").toString
+      corpus.zipWithIndex
+        .map { case (ws, i) =>
+          (i.toLong, ws.mkString(" "), "en", "src0", ws.mkString(" ").length.toLong)
+        }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.textops.Dedup.ngramJaccard(spark, dir)
+        .select($"doc1", $"doc2", $"inter_cnt")
+        .as[(Long, Long, Int)].collect().toSet
+      val want = naiveJaccard(corpus, 0.2)
+      assert(got == want, s"corpus=${corpus.take(3)}…")
+    }
+  }
+
+  test("poly_hash native == HOF char-fold for arbitrary ASCII strings") {
+    val asciiGen = Gen.listOf(Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString)
+    forAll(Gen.listOfN(50, asciiGen)) { strs =>
+      val df = strs.toDF("s")
+      val both = df.selectExpr(
+        "poly_hash(s) as native",
+        s"${graft.textops.TextHash.phSpark("s", "t")} as hof")
+      assert(both.where($"native" =!= $"hof").isEmpty)
+    }
+  }
+
+  test("vec_dot native == HOF fold for arbitrary double vectors") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 7.0))
+    forAll(Gen.listOfN(20, vecGen)) { vecs =>
+      val df = vecs.map(v => (v, v.reverse)).toDF("a", "b")
+      val both = df.selectExpr(
+        "vec_dot(a, b) as native",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0 as double), (p, q) -> p + q) as hof")
+      // identical fold order → bit-identical, not approximately equal
+      assert(both.where($"native" =!= $"hof").isEmpty)
+    }
+  }
+
+  test("minhash_sig: estimated similarity bounded and symmetric-invariant") {
+    forAll(Gen.zip(docGen, docGen)) { case (d1, d2) =>
+      whenever(d1.size >= 3 && d2.size >= 3) {
+        val df = Seq((0L, d1.mkString(" ")), (1L, d2.mkString(" ")))
+          .toDF("doc_id", "text")
+        val sig = df.selectExpr("doc_id",
+          s"${graft.textops.TextHash.tokensSpark} as tokens")
+          .selectExpr("doc_id", "transform(tokens, tk -> poly_hash(tk)) as th")
+          .where("size(th) >= 3")
+          .selectExpr("doc_id",
+            s"""minhash_sig(transform(sequence(0, size(th) - 3), sj ->
+               |((element_at(th, sj+1) * 1000003 + element_at(th, sj+2)) % 1000000007
+               | * 1000003 + element_at(th, sj+3)) % 1000000007)) as sig""".stripMargin)
+          .collect()
+        val Array(s1, s2) = sig.map(_.getSeq[Long](1))
+        // identical docs → identical sigs; any doc vs itself = 8/8 match
+        if (d1 == d2) assert(s1 == s2)
+        assert(s1.length == 8 && s2.length == 8)
+        assert(s1.forall(v => v >= 0 && v < graft.textops.TextHash.P))
+      }
+    }
+  }
+}
