@@ -180,6 +180,21 @@ object StreamingAnalytics {
       }
   }
 
+  /** R1 production shape (REF: HotItems.scala § TopNHotItems onTimer —
+    * reconstructed): rank-after-agg is unsupported inside a streaming
+    * query, so the per-window Top-N is applied per micro-batch in
+    * foreachBatch — the batch rank transform reused verbatim, emitted
+    * to any sink the caller writes in `sink`.
+    */
+  def hotItemsTopNForeachBatch(events: DataFrame, n: Int = 5)
+                              (sink: DataFrame => Unit) =
+    itemWindowCountsStream(events)
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(UserBehaviorAnalytics.rankTopN(batch, n))
+      }
+
   /** J1 analog (REF: TxMatch.scala § TxPayMatch — reconstructed):
     * two-stream reconciliation as a watermarked stream-stream inner
     * join with a time-range bound — Spark's

@@ -1,0 +1,94 @@
+package graft
+
+import graft.sources.CsvSources
+import graft.streaming.StreamingAnalytics
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** S1 CSV-source coverage (reference record layouts) + the foreachBatch
+  * streaming Top-N sink.
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmpCsv(name: String, lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("graftcsv")
+    val f = dir.resolve(name)
+    Files.write(f, String.join("\n", lines: _*).getBytes)
+    f.toString
+  }
+
+  test("userBehavior csv parses reference layout") {
+    val p = tmpCsv("UserBehavior.csv", Seq(
+      "543462,1715,1464116,pv,1511658000",
+      "662867,2244074,1575622,buy,1511658060"))
+    val ds = CsvSources.userBehavior(spark, p).collect().sortBy(_.userId)
+    assert(ds.length == 2)
+    assert(ds.head == CsvSources.UserBehavior(543462L, 1715L, 1464116, "pv", 1511658000L))
+  }
+
+  test("apache.log parses dd/MM/yyyy:HH:mm:ss into epoch millis") {
+    val p = tmpCsv("apache.log", Seq(
+      "83.149.9.216 - 17/05/2015:10:05:03 GET /presentations/logstash/",
+      "83.149.9.216 - 17/05/2015:10:05:43 GET /style2.css"))
+    val ds = CsvSources.apacheLog(spark, p).collect().sortBy(_.eventTime)
+    assert(ds.length == 2)
+    // 2015-05-17T10:05:03 UTC = 1431857103000 ms
+    assert(ds.head.eventTime == 1431857103000L)
+    assert(ds.head.method == "GET")
+    assert(ds.last.url == "/style2.css")
+  }
+
+  test("order/receipt/login/adclick csvs parse") {
+    val o = CsvSources.orderLog(spark, tmpCsv("OrderLog.csv",
+      Seq("34729,create,,1558430842", "34730,pay,sd76f87d6,1558430844")))
+    assert(o.count() == 2 && o.filter($"eventType" === "pay").count() == 1)
+    val r = CsvSources.receiptLog(spark, tmpCsv("ReceiptLog.csv",
+      Seq("ewr342as4,wechat,1558430845")))
+    assert(r.head().payChannel == "wechat")
+    val l = CsvSources.loginLog(spark, tmpCsv("LoginLog.csv",
+      Seq("5402,83.149.11.115,success,1558430815", "23064,66.249.3.15,fail,1558430826")))
+    assert(l.filter($"eventType" === "fail").count() == 1)
+    val a = CsvSources.adClickLog(spark, tmpCsv("AdClickLog.csv",
+      Seq("543462,1715,beijing,beijing,1511658000")))
+    assert(a.head().province == "beijing")
+  }
+
+  test("hot items over the reference's own UserBehavior layout") {
+    // 3 pv's for item 1, 1 pv for item 2, one buy (filtered) in one hour
+    val base = 1511658000L
+    val rows = Seq(
+      s"1,1,10,pv,$base", s"2,1,10,pv,${base + 60}", s"3,1,10,pv,${base + 120}",
+      s"4,2,10,pv,${base + 60}", s"5,2,10,buy,${base + 90}")
+    val ds = CsvSources.userBehavior(spark, tmpCsv("UserBehavior.csv", rows))
+    val top = CsvSources.hotItemsFromBehaviors(ds, 1)
+      .where($"rnk" === 1).select($"item_id").distinct().as[Long].collect()
+    assert(top.toSeq == Seq(1L))
+  }
+
+  test("foreachBatch streaming top-N == batch rank on final state") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    val rows = Tables.events(spark, SparkTestBase.sf)
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id",
+        $"event_type", $"props")
+      .as[EvFull].collect().toSeq
+    ms.addData(rows)
+    val got = new java.util.concurrent.atomic.AtomicReference[Set[(java.sql.Timestamp, Long, Long, Int)]](Set.empty)
+    val q = StreamingAnalytics.hotItemsTopNForeachBatch(
+        ms.toDF().withColumn("ts", expr("timestamp_micros(ts_us)")), 5) { ranked =>
+        got.set(ranked.select($"window_end", $"item_id", $"cnt", $"rnk")
+          .as[(java.sql.Timestamp, Long, Long, Int)].collect().toSet)
+      }.start()
+    try {
+      q.processAllAvailable()
+      val want = analytics.UserBehaviorAnalytics.hotItemsTopN(spark, SparkTestBase.sf)
+        .select($"window_end", $"item_id", $"cnt", $"rnk")
+        .as[(java.sql.Timestamp, Long, Long, Int)].collect().toSet
+      assert(got.get() == want)
+    } finally q.stop()
+  }
+}
