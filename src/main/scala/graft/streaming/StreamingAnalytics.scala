@@ -41,6 +41,10 @@ object StreamingAnalytics {
                          pay_us: Option[Long], status: String)
   case class OrderState(pending: List[(Long, Long)]) // (order_id, create_us)
 
+  case class ClickEv(event_id: Long, ts_us: Long, user_id: Long, ad_id: Int)
+  case class BlackWarn(user_id: Long, ad_id: Int, day_us: Long)
+  case class ClickState(dayUs: Long, cnt: Long, warned: Boolean)
+
   /** Streaming events source: the same parquet file tail-read as a
     * stream (each new file = one micro-batch at scale; here the single
     * file arrives as one batch). nanos→micros conversion identical to
@@ -177,6 +181,49 @@ object StreamingAnalytics {
             state.setTimeoutTimestamp((live.map(_._2).min + deadlineUs) / 1000 + 1)
           }
           out.iterator
+      }
+  }
+
+  /** M3 analog (REF: AdStatisticsByGeo.scala § FilterBlackListUser —
+    * reconstructed): per-(user, ad) daily click counter; crossing the
+    * threshold emits one warning per day. The reference registers a
+    * timer at the NEXT MIDNIGHT (`(ts/86400000+1)*86400000`) to clear
+    * the counter — here that is the event-time timeout that removes
+    * state, and a day-rollover observed in-stream resets the count the
+    * same way.
+    */
+  def blacklistStream(clicks: Dataset[ClickEv], threshold: Long = 2)
+                     (implicit spark: SparkSession): Dataset[BlackWarn] = {
+    import spark.implicits._
+    val DayUs = 86400L * 1000000
+    clicks
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Long, Long, Int, java.sql.Timestamp)]
+      .groupByKey(e => (e._3, e._4)) // (user_id, ad_id)
+      .flatMapGroupsWithState[ClickState, BlackWarn](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((user, ad), it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (e._2, e._1))
+            val out = scala.collection.mutable.ListBuffer.empty[BlackWarn]
+            var st = state.getOption.getOrElse(ClickState(-1L, 0L, warned = false))
+            for (e <- sorted) {
+              val day = e._2 / DayUs * DayUs
+              if (day != st.dayUs) st = ClickState(day, 0L, warned = false)
+              st = st.copy(cnt = st.cnt + 1)
+              if (st.cnt >= threshold && !st.warned) {
+                out += BlackWarn(user, ad, st.dayUs)
+                st = st.copy(warned = true)
+              }
+            }
+            state.update(st)
+            // the reference's midnight-reset timer: clear state when the
+            // watermark passes the next midnight
+            state.setTimeoutTimestamp((st.dayUs + DayUs) / 1000)
+            out.iterator
+          }
       }
   }
 

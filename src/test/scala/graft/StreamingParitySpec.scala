@@ -143,6 +143,35 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("blacklist state machine: stream warnings == batch (user, ad, day) set") {
+    implicit val ctx = spark.sqlContext
+    implicit val ss = spark
+    val ms = MemoryStream[StreamingAnalytics.ClickEv]
+    val clickRows = rows.filter(_.event_type == "click").map(e =>
+      StreamingAnalytics.ClickEv(e.event_id, e.ts_us, e.user_id,
+        (get_json_k(e.props) % 10).toInt))
+    val q = StreamingAnalytics.blacklistStream(ms.toDS())
+      .writeStream.format("memory").queryName("bl_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(clickRows)
+      q.processAllAvailable()
+      val got = spark.table("bl_stream")
+        .select($"user_id", $"ad_id", (col("day_us") / 1000000).cast("long"))
+        .as[(Long, Int, Long)].collect().toSet
+      val want = MarketingAnalytics.blacklistUsers(spark, sf)
+        .select($"user_id", $"ad_id",
+          (unix_micros($"day".cast("timestamp")) / 1000000).cast("long"))
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  private def get_json_k(props: String): Long = {
+    val m = """"k":\s*(\d+)""".r.findFirstMatchIn(props)
+    m.map(_.group(1).toLong).getOrElse(0L)
+  }
+
   test("tx-match: stream-stream join matches batch pair join") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[EvFull]
