@@ -36,6 +36,9 @@ object SparkEntry {
     "pricing_summary"   -> ((s, d) => RelationalAnalytics.pricingSummary(s, d)),
     "top_customers"     -> ((s, d) => RelationalAnalytics.topCustomers(s, d)),
     "events_union"      -> ((s, d) => RelationalAnalytics.eventsUnion(s, d)),
+    "revenue_by_region" -> ((s, d) => RelationalAnalytics.revenueByRegion(s, d)),
+    "part_supplier_stats" -> ((s, d) => RelationalAnalytics.partSupplierStats(s, d)),
+    "value_by_type_daily" -> ((s, d) => RelationalAnalytics.valueByTypeDaily(s, d)),
     "dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhashDedup(s, d)),
@@ -251,6 +254,31 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'view'
         |      UNION ALL SELECT * FROM events WHERE event_type = 'click')
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "revenue_by_region" ->
+      """SELECT r.r_name AS region,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS order_cnt
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1 ORDER BY region""".stripMargin,
+    "part_supplier_stats" ->
+      """SELECT s.s_name, p.p_brand,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS net_revenue,
+        |  CAST(sum(CAST(p.p_retailprice AS DECIMAL(12,2))
+        |           * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS retail_value,
+        |  count(*) AS line_cnt
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1, 2 ORDER BY s_name, p_brand""".stripMargin,
+    "value_by_type_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "dedup_exact"         -> Dedup.dedupExactOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
     "dedup_simhash"       -> Dedup.simhashDedupOracle,

@@ -70,6 +70,63 @@ object RelationalAnalytics {
       .orderBy($"rnk")
   }
 
+  /** Revenue rollup through the full dimension chain
+    * orders → customer → nation → region: two broadcast hash joins on
+    * the pre-aggregated fact side (the 25/5-row dims never shuffle the
+    * fact table), exact decimal money math.
+    */
+  def revenueByRegion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_totalprice")
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_regionkey")
+    val r = Tables.region(spark, sfDir).select($"r_regionkey", $"r_name")
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name".as("region"))
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("order_cnt"))
+      .select($"region", $"revenue", $"order_cnt")
+      .orderBy($"region")
+  }
+
+  /** Supplier/part margin summary: lineitem ⋈ part ⋈ supplier (the
+    * TPC-H Q9 shape) — two broadcastable dims onto the fact scan,
+    * decimal-exact revenue minus retail cost per (supplier, brand).
+    */
+  def partSupplierStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_suppkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+    val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_brand", $"p_retailprice")
+    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name")
+    val price = $"l_extendedprice".cast("decimal(12,2)")
+    val oneMinusDisc = lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(3,2)")
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name", $"p_brand")
+      .agg(
+        sum(price * oneMinusDisc).cast("double").as("net_revenue"),
+        sum($"p_retailprice".cast("decimal(12,2)") * $"l_quantity".cast("decimal(12,2)"))
+          .cast("double").as("retail_value"),
+        count(lit(1)).as("line_cnt"))
+      .orderBy($"s_name", $"p_brand")
+  }
+
+  /** Daily value totals per event type — covers the events `value`
+    * measure column with exact decimal summation.
+    */
+  def valueByTypeDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(sum($"value".cast("decimal(12,2)")).cast("double").as("total_value"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"day", $"event_type")
+  }
+
   /** Union + distinct surface (absent from the reference — SURVEY.md
     * §2.10): view and click slices unioned, then per-type exact counts
     * and distinct users.

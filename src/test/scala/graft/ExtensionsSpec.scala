@@ -1,0 +1,25 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The shared test session is built `.withExtensions(new
+  * GraftExtensions)` (SparkTestBase), so every suite resolves the
+  * native functions through the injected-function path; this spec
+  * pins the SQL-text surface explicitly.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("extension-injected native functions resolve from SQL text") {
+    val row = spark.sql(
+      """SELECT poly_hash('hello') AS ph,
+        |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS vd,
+        |       rolling_min_hash('hello world rolling', 16) AS rmh,
+        |       simhash60(array(7L, 9L)) AS sh,
+        |       size(minhash_sig(array(42L, 77L))) AS mk""".stripMargin).head()
+    assert(row.getLong(0) == 99162322L) // matches the DuckDB char fold
+    assert(row.getDouble(1) == 11.0)
+    assert(row.getLong(2) > 0)
+    assert(row.getInt(4) == graft.textops.TextHash.K)
+  }
+}
