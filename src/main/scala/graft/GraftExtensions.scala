@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft.functions.GraftExpressions", null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoin.AsOfJoinStrategy)
     e.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two double arrays (left fold)"),
       (es: Seq[Expression]) => VecDot(es(0), es(1))))

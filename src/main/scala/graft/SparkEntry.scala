@@ -33,6 +33,7 @@ object SparkEntry {
     "order_timeout"     -> ((s, d) => DetectionAnalytics.orderTimeout(s, d)),
     "tx_match"          -> ((s, d) => DetectionAnalytics.txMatch(s, d)),
     "interval_join"     -> ((s, d) => DetectionAnalytics.intervalJoin(s, d)),
+    "asof_attribution"  -> ((s, d) => DetectionAnalytics.asofAttribution(s, d)),
     "pricing_summary"   -> ((s, d) => RelationalAnalytics.pricingSummary(s, d)),
     "top_customers"     -> ((s, d) => RelationalAnalytics.topCustomers(s, d)),
     "events_union"      -> ((s, d) => RelationalAnalytics.eventsUnion(s, d)),
@@ -213,6 +214,18 @@ object SparkEntry {
         |            ELSE 'unmatched-receipt' END AS status
         |FROM pays p FULL OUTER JOIN rcpts r ON p.tx_id = r.tx_id
         |ORDER BY tx_id""".stripMargin,
+    "asof_attribution" ->
+      """WITH views AS (
+        |  SELECT event_id AS view_id, user_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'
+        |), purchases AS (
+        |  SELECT event_id AS purchase_id, user_id AS p_user, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT v.view_id, v.user_id, v.view_ts, p.purchase_id, p.purchase_ts
+        |FROM views v ASOF LEFT JOIN purchases p
+        |  ON v.user_id = p.p_user AND v.view_ts >= p.purchase_ts
+        |ORDER BY view_id""".stripMargin,
     "interval_join" ->
       """SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate
         |FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey

@@ -104,6 +104,26 @@ object DetectionAnalytics {
       .orderBy($"tx_id")
   }
 
+  /** As-of attribution: for every view, the user's most recent prior
+    * purchase (classic last-touch attribution). Runs on the custom
+    * sort-merge AsOfJoinExec (graft.plans.AsOfJoin — LogicalPlan +
+    * Strategy + SparkPlan); DuckDB's native ASOF LEFT JOIN is the
+    * independent oracle.
+    */
+  def asofAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"ts".as("purchase_ts"))
+    graft.plans.AsOfJoin.asof(views, purchases,
+        "user_id", "p_user", "view_ts", "purchase_ts")
+      .select($"view_id", $"user_id", $"view_ts", $"purchase_id", $"purchase_ts")
+      .orderBy($"view_id")
+  }
+
   /** Interval (range) join: lineitems shipped within 5 days of their
     * order date. REF: TxMatchByJoin.scala § intervalJoin.between(-5s,5s)
     * — equi key + bounded time range. On the relational side this is

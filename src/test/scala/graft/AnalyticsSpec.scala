@@ -146,6 +146,30 @@ class AnalyticsSpec extends AnyFunSuite {
       .where($"checksum" =!= $"fp_full").isEmpty)
   }
 
+  test("asof_attribution: custom AsOfJoinExec == declarative join+rank") {
+    val ev = events
+    val views = ev.where($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("purchase_ts"))
+    // declarative spec: all qualifying pairs, rank desc by purchase_ts, keep 1
+    val pairs = views.join(purchases,
+        $"user_id" === $"p_user" && $"purchase_ts" <= $"view_ts", "left_outer")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"view_id")
+          .orderBy($"purchase_ts".desc_nulls_last, $"purchase_id".desc_nulls_last)))
+      .where($"rn" === 1)
+      .select($"view_id", $"user_id", coalesce($"purchase_id", lit(-1L)))
+    val want = pairs.as[(Long, Long, Long)].collect().toSet
+    val got = DetectionAnalytics.asofAttribution(spark, sf)
+      .select($"view_id", $"user_id", coalesce($"purchase_id", lit(-1L)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // every view appears exactly once
+    assert(DetectionAnalytics.asofAttribution(spark, sf).count() ==
+      ev.where($"event_type" === "view").count())
+  }
+
   test("lang_id: predictions are valid labels") {
     val df = TextStats.langId(spark, sf)
     assert(df.where(!$"pred_lang".isin("en", "de", "fr", "es", "und")).isEmpty)
