@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_simhash"     -> ((s, d) => Dedup.simhashDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "similarity_topk"   -> ((s, d) => Similarity.similarityTopK(s, d)),
+    "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     "similarity_ivf"    -> ((s, d) => Similarity.similarityIvf(s, d)),
     "text_stats"        -> ((s, d) => TextStats.textStats(s, d)),
     "lang_id"           -> ((s, d) => TextStats.langId(s, d)),
@@ -297,6 +298,7 @@ object SparkEntry {
     "dedup_simhash"       -> Dedup.simhashDedupOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "similarity_topk"     -> Similarity.similarityTopKOracle,
+    "dedup_embedding"     -> Similarity.dedupEmbeddingOracle,
     "similarity_ivf"      -> Similarity.similarityIvfOracle,
     "text_stats"          -> TextStats.textStatsOracle,
     "lang_id"             -> TextStats.langIdOracle,

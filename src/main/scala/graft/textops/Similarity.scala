@@ -75,6 +75,37 @@ object Similarity {
        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
+  /** Embedding-cosine near-duplicate pairs: all (v1 < v2) with
+    * cosine ≥ threshold — the embedding tier of the dedup family
+    * (threshold 0.4 sized to the synthetic near-uniform vectors, whose
+    * max pairwise cosine is ~0.51). Exact baseline via the native
+    * vec_dot pair join; at corpus scale candidates come from the IVF
+    * cell join ([[similarityIvf]]) instead of the n² pair join.
+    */
+  def dedupEmbedding(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, sfDir)
+    val a = e.select($"vec_id".as("vec1"), $"v".as("v1"), $"nrm".as("n1"))
+    val b = e.select($"vec_id".as("vec2"), $"v".as("v2"), $"nrm".as("n2"))
+    a.join(b, $"vec1" < $"vec2")
+      .withColumn("cosine", expr(s"${dotSpark("v1", "v2", "d")} / (n1 * n2)"))
+      .where($"cosine" >= threshold)
+      .select($"vec1", $"vec2", $"cosine")
+      .orderBy($"vec1", $"vec2")
+  }
+
+  val dedupEmbeddingOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |)
+       |SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+       |       ${dotDuck("a.v", "b.v", "d")} / (a.nrm * b.nrm) AS cosine
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE ${dotDuck("a.v", "b.v", "w")} / (a.nrm * b.nrm) >= 0.4
+       |ORDER BY vec1, vec2""".stripMargin
+
   /** IVF-bucketed ANN: C=16 fixed centroids (vec_id < 16), every vector
     * assigned to its nearest centroid cell, queries probe their nProbe
     * nearest cells (default 6: the synthetic embeddings are near-uniform
