@@ -60,6 +60,28 @@ object StreamingAnalytics {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** S3 analog (REF: AppMarketingByChannel.scala § SimulatedEventSource
+    * — reconstructed): the reference's RichSourceFunction loops
+    * `ctx.collect(random channel/behavior)` + sleep; the Spark-native
+    * generator is the rate source with deterministic column synthesis
+    * (hash of the monotonic value picks channel/behavior) — same shape,
+    * backpressure-aware, no custom source class.
+    */
+  def simulatedMarketingStream(spark: SparkSession, rowsPerSecond: Int = 100): DataFrame = {
+    val channels = array(
+      lit("AppStore"), lit("XiaomiStore"), lit("HuaweiStore"),
+      lit("weibo"), lit("wechat"), lit("tieba"))
+    val behaviors = array(
+      lit("BROWSE"), lit("CLICK"), lit("DOWNLOAD"), lit("INSTALL"), lit("UNINSTALL"))
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .select(
+        col("value").as("user_id"),
+        col("timestamp").as("ts"),
+        element_at(channels, (pmod(col("value"), lit(6)) + 1).cast("int")).as("channel"),
+        element_at(behaviors, (pmod(col("value") * 31 + 7, lit(5)) + 1).cast("int")).as("behavior"))
+  }
+
   /** A1/A3 analog: tumbling PV count under a watermark. */
   def pageViewsStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     UserBehaviorAnalytics.pageViewsFrom(events.withWatermark("ts", watermark))

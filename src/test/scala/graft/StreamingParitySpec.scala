@@ -167,6 +167,43 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("uv_approx stream: estimates within rsd of batch exact counts") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    ms.addData(rows)
+    val q = StreamingAnalytics.uvApproxStream(toEventsDF(ms))
+      .writeStream.format("memory").queryName("uva_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val exact = UserBehaviorAnalytics.uniqueVisitors(spark, sf)
+      val bad = spark.table("uva_stream")
+        .join(exact, "window_end")
+        .where(abs($"uv_approx" - $"uv") > greatest($"uv" * 0.05, lit(2.0)))
+      assert(bad.isEmpty)
+    } finally q.stop()
+  }
+
+  test("simulated marketing source (S3 analog): rate stream synthesizes valid columns") {
+    val q = StreamingAnalytics.simulatedMarketingStream(spark, rowsPerSecond = 500)
+      .writeStream.format("memory").queryName("sim_stream")
+      .outputMode("append").start()
+    try {
+      // rate source is wall-clock driven; give it a couple of ticks
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table("sim_stream").isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        q.processAllAvailable()
+      }
+      val df = spark.table("sim_stream")
+      assert(!df.isEmpty, "rate source produced no rows in 15s")
+      assert(df.where(!$"channel".isin(
+        "AppStore", "XiaomiStore", "HuaweiStore", "weibo", "wechat", "tieba")).isEmpty)
+      assert(df.where(!$"behavior".isin(
+        "BROWSE", "CLICK", "DOWNLOAD", "INSTALL", "UNINSTALL")).isEmpty)
+    } finally q.stop()
+  }
+
   private def get_json_k(props: String): Long = {
     val m = """"k":\s*(\d+)""".r.findFirstMatchIn(props)
     m.map(_.group(1).toLong).getOrElse(0L)
