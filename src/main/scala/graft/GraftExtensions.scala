@@ -51,5 +51,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(arr) - K-minima MinHash signature array"),
       (es: Seq[Expression]) => MinHashSig(es.head)))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count", "sorted_intersect_count(a, b) - |A n B| of sorted int arrays"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
   }
 }

@@ -230,10 +230,17 @@ object Dedup {
       .withColumn("rid", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy($"freq".asc, $"sh".asc)))
       .select($"sh", $"rid")
-    // docs re-encoded as rarity-sorted int arrays
+    // docs re-encoded as rarity-sorted int arrays; localCheckpoint
+    // materializes the 5k-row encoding ONCE — it feeds four subtrees
+    // (both self-join sides + two verify join-backs) that would
+    // otherwise each recompute tokenize→shingle→dict-join (the bulk of
+    // the query's cost). Unlike cache(), checkpoint blocks are dropped
+    // by the ContextCleaner once the query's RDDs are unreachable, so
+    // nothing leaks across a long session.
     val enc = inv.join(broadcast(ranked), "sh")
       .groupBy($"doc_id")
       .agg(sort_array(collect_list($"rid")).as("ids"))
+      .localCheckpoint()
     // candidate pairs from rarest-prefix inverted index only
     val pref = enc.selectExpr("doc_id",
       s"explode(slice(ids, 1, cast(floor((1.0 - $threshold) * size(ids)) as int) + 1)) as pid")
@@ -247,7 +254,9 @@ object Dedup {
       .join(broadcast(enc.select($"doc_id".as("doc1"), $"ids".as("ids1"))), "doc1")
       .join(broadcast(enc.select($"doc_id".as("doc2"), $"ids".as("ids2"))), "doc2")
       .selectExpr("doc1", "doc2",
-        "size(array_intersect(ids1, ids2)) as inter_cnt",
+        // native two-pointer merge (ids are sorted distinct); the
+        // hash-set-based array_intersect was the verify bottleneck
+        "sorted_intersect_count(ids1, ids2) as inter_cnt",
         "size(ids1) as n1", "size(ids2) as n2")
       .withColumn("jaccard",
         expr("cast(inter_cnt as double) / (n1 + n2 - inter_cnt)"))
