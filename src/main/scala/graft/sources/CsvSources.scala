@@ -81,6 +81,25 @@ object CsvSources {
       .csv(path).as[ReceiptEvent]
   }
 
+  /** The reference's NetworkFlow job end-to-end over its own log
+    * layout (REF: NetworkFlow.scala § main — reconstructed): GET only,
+    * static resources (css/js/png/ico) excluded by regex (P3), 10-min
+    * windows sliding 1 min, top-N urls per window.
+    */
+  def hotPagesFromApacheLog(logs: Dataset[ApacheLogEvent], n: Int = 3) = {
+    val spark = logs.sparkSession
+    import spark.implicits._
+    val counts = logs
+      .filter($"method" === "GET" && !$"url".rlike("""\.(css|js|png|ico)$"""))
+      .select($"url", timestamp_millis($"eventTime").as("ts"))
+      .groupBy(window($"ts", "10 minutes", "1 minute").as("w"), $"url")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.end").as("window_end"), $"url".as("item_id"), $"cnt")
+    graft.analytics.UserBehaviorAnalytics.rankTopN(counts, n)
+      .withColumnRenamed("item_id", "url")
+      .orderBy($"window_end", $"rnk")
+  }
+
   /** The reference's flagship over its own record layout: hot items
     * top-N from a UserBehavior dataset (REF: HotItems.scala end-to-end)
     * — proof the engine runs the original data shape, not only the

@@ -69,6 +69,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(top.toSeq == Seq(1L))
   }
 
+  test("hot pages over apache.log layout: GET + static-resource regex filter") {
+    val p = tmpCsv("apache.log", Seq(
+      "1.1.1.1 - 17/05/2015:10:01:00 GET /a",
+      "1.1.1.1 - 17/05/2015:10:02:00 GET /a",
+      "1.1.1.2 - 17/05/2015:10:03:00 GET /b",
+      "1.1.1.2 - 17/05/2015:10:03:30 GET /style.css", // excluded: static
+      "1.1.1.3 - 17/05/2015:10:04:00 POST /a"))       // excluded: not GET
+    val top = CsvSources.hotPagesFromApacheLog(CsvSources.apacheLog(spark, p), 1)
+    import org.apache.spark.sql.functions.col
+    // in the window ending 10:04 all three GET page hits are present:
+    // /a (2) must outrank /b (1)
+    val w = top.where(col("rnk") === 1 &&
+      col("window_end") === java.sql.Timestamp.valueOf("2015-05-17 10:04:00"))
+      .select(col("url")).as[String].collect().toSeq
+    assert(w == Seq("/a"))
+    assert(top.where(col("url").isin("/style.css")).isEmpty) // static excluded
+    // POST never counted: /a's max count anywhere is 2
+    assert(top.where(col("url") === "/a" && col("cnt") > 2).isEmpty)
+  }
+
   test("foreachBatch streaming top-N == batch rank on final state") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[EvFull]
