@@ -59,12 +59,17 @@ object RelationalAnalytics {
       .select($"c_custkey", $"c_name", $"c_nationkey")
     val nation = Tables.nation(spark, sfDir)
       .select($"n_nationkey", $"n_name".as("nation"))
+    // top-n via orderBy+limit (plans as TakeOrderedAndProject: per-
+    // partition top-n then a single merge — no global-window single-
+    // partition sort of the whole aggregated fact); rnk is attached on
+    // the n-row result, where the window is trivially bounded
     revenue
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(n)
       .withColumn("rnk", row_number().over(
-        Window.orderBy($"revenue".desc, $"c_custkey".asc)))
-      .filter($"rnk" <= n)
+        Window.partitionBy(lit(0)).orderBy($"revenue".desc, $"c_custkey".asc)))
       .select($"rnk".cast("int").as("rnk"), $"c_custkey", $"c_name", $"nation",
         $"revenue", $"order_cnt")
       .orderBy($"rnk")

@@ -90,10 +90,23 @@ object UserBehaviorAnalytics {
     val clicks = Tables.events(spark, sfDir)
       .filter($"event_type" === "click")
       .select(concat(lit("/page/"), get_json_object($"props", "$.k")).as("url"), $"ts")
-    val counts = clicks
-      .groupBy(window($"ts", "10 minutes", "1 minute").as("w"), $"url")
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("w.end").as("window_end"), $"url", $"cnt")
+    // two-level sliding window: the naive window(ts, 10 min, 1 min)
+    // expands EVERY event 10× before the first aggregate. Instead
+    // pre-aggregate per (url, 1-minute tumbling bucket) — partial agg
+    // collapses events map-side — then expand each bucket COUNT into
+    // the 10 sliding windows that contain its minute and sum. Identical
+    // results (every event in minute [m, m+1) belongs to exactly the
+    // sliding windows ending at m+1 … m+10 minutes), but the 10× row
+    // expansion applies to distinct (url, minute) buckets, not events.
+    val perMinute = clicks
+      .groupBy(window($"ts", "1 minute").as("m"), $"url")
+      .agg(count(lit(1)).as("mcnt"))
+    val counts = perMinute
+      .select($"url", $"mcnt", explode(expr(
+        "sequence(m.end, m.start + interval 10 minutes, interval 1 minute)"))
+        .as("window_end"))
+      .groupBy($"window_end", $"url")
+      .agg(sum($"mcnt").as("cnt"))
     counts
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"window_end").orderBy($"cnt".desc, $"url".asc)))

@@ -88,7 +88,11 @@ object AsOfJoin {
         val rKeyProj = UnsafeProjection.create(Seq(rKeyExpr), rOut)
         val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
         val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
-        val outProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
+        // project with the node's declared output (right side forced
+        // nullable) — raw rOut attrs may claim non-nullable and codegen
+        // would then read the all-null row without null checks
+        val outProj = UnsafeProjection.create(
+          lOut ++ rOut.map(_.withNullability(true)), lOut ++ rOut)
         val nullRight = new GenericInternalRow(rOut.length)
         val joined = new JoinedRow
         val keyType = lKeyExpr.dataType

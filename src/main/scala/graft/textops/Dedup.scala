@@ -84,7 +84,10 @@ object Dedup {
           col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
       .selectExpr("x.doc_id as doc1", "y.doc_id as doc2",
-        s"($simExpr) / ${K}.0 as sim")
+        // cast BEFORE dividing: int / 8.0 is DECIMAL division in Spark
+        // (literal 8.0 is DECIMAL(2,1) → DECIMAL(17,6) result) while the
+        // DuckDB oracle emits DOUBLE — the driver's hash gate sees types
+        s"cast(($simExpr) as double) / $K as sim")
       .distinct()
       .where($"sim" >= 0.5)
       .orderBy($"doc1", $"doc2")
@@ -117,9 +120,9 @@ object Dedup {
        |  FROM bands x JOIN bands y ON x.band_idx = y.band_idx
        |    AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
        |)
-       |SELECT p.doc1, p.doc2, ($simExpr) / ${K}.0 AS sim
+       |SELECT p.doc1, p.doc2, CAST(($simExpr) AS DOUBLE) / $K AS sim
        |FROM pairs p JOIN sig a ON p.doc1 = a.doc_id JOIN sig b ON p.doc2 = b.doc_id
-       |WHERE ($simExpr) / ${K}.0 >= 0.5
+       |WHERE CAST(($simExpr) AS DOUBLE) / $K >= 0.5
        |ORDER BY doc1, doc2""".stripMargin
   }
 

@@ -122,18 +122,23 @@ object Similarity {
     // broadcast join — at scale this is the cheap, shuffle-free part)
     val scored = e.join(broadcast(cent), expr("true"))
       .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
-    val assign = scored
-      .withColumn("crk", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)))
-      .where($"crk" === 1)
-      .select($"vec_id", $"v", $"nrm", $"cent_id".as("cell"))
-    // query probes: its nProbe nearest cells
-    val probes = scored
+    // rank the centroid cross-score ONCE and keep only the nProbe head;
+    // localCheckpoint materializes the (n × nProbe)-row result so the
+    // assign and probe sides below don't each recompute the n × C
+    // broadcast cross + window sort (the double-compute was 12.4 s vs
+    // 2.8 s at sf0.1 local[32])
+    val ranked = scored
       .withColumn("crk", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)))
       .where($"crk" <= nProbe)
+      .select($"vec_id", $"v", $"nrm", $"cent_id".as("cell"), $"crk")
+      .localCheckpoint()
+    // cell assignment = rank-1 row; probes = all nProbe rows
+    val assign = ranked.where($"crk" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+    val probes = ranked
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
-        $"cent_id".as("cell"))
+        $"cell")
     probes.join(assign, "cell")
       .where($"query_id" =!= $"vec_id")
       .withColumn("cosine", expr(s"${dotSpark("qv", "v", "d")} / (qn * nrm)"))
