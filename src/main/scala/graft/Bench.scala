@@ -6,13 +6,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+    // Session.tune: AQE + coalesce + skew-join + UTC + GraftExtensions —
+    // the library's recommended config, same knobs a cluster deploy sets.
+    // SPARK_GRAFT_CONF ("k=v;k=v") lets perf experiments override
+    // without recompiling.
+    var b = Session.tune(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    for (kv <- sys.env.getOrElse("SPARK_GRAFT_CONF", "").split(';')
+         if kv.contains('=')) {
+      val Array(k, v) = kv.split("=", 2)
+      b = b.config(k, v)
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up (untimed): first query in a cold JVM pays ~30-50 s of
     // one-time class-loading / codegen-compiler / JIT cost that has

@@ -227,7 +227,12 @@ object Dedup {
       .selectExpr("doc_id",
         """array_distinct(transform(sequence(0, size(tokens) - 3), gi ->
           |  concat_ws(' ', slice(tokens, gi + 1, 3)))) as shingles""".stripMargin)
+    // materialize the tokenize→shingle→explode pass ONCE: `inv` feeds
+    // both the rarity dictionary and the doc encoding join — without
+    // the checkpoint the interpreted-HOF shingle transform runs twice
+    // (the front end, not the pair join, dominates this query's cost)
     val inv = shingled.selectExpr("doc_id", "explode(shingles) as sh")
+      .localCheckpoint()
     // global rarity order over the shingle dictionary
     val ranked = inv.groupBy($"sh").agg(count(lit(1)).as("freq"))
       .withColumn("rid", row_number().over(
@@ -244,12 +249,23 @@ object Dedup {
       .groupBy($"doc_id")
       .agg(sort_array(collect_list($"rid")).as("ids"))
       .localCheckpoint()
-    // candidate pairs from rarest-prefix inverted index only
-    val pref = enc.selectExpr("doc_id",
-      s"explode(slice(ids, 1, cast(floor((1.0 - $threshold) * size(ids)) as int) + 1)) as pid")
+    // candidate pairs from rarest-prefix inverted index only, with the
+    // PPJoin length + positional filters (exact pruning: a pruned pair
+    // provably cannot reach the threshold, and every surviving pair is
+    // verified with a true intersection below, so recall is unaffected).
+    //  - length: jaccard >= t forces min(n1,n2) >= t * max(n1,n2)
+    //  - positional: a match at 0-based prefix positions (p1, p2) caps
+    //    the intersection at ub = min(n1-p1, n2-p2); keep only if
+    //    ub/(n1+n2-ub) >= t, i.e. ub*(1+t) >= t*(n1+n2). The 1e-9 slack
+    //    makes double rounding err on the keep side only.
+    val pref = enc.selectExpr("doc_id", "size(ids) as n",
+      s"posexplode(slice(ids, 1, cast(floor((1.0 - $threshold) * size(ids)) as int) + 1)) as (ppos, pid)")
     val pairs = pref.as("x")
       .join(pref.as("y"),
-        col("x.pid") === col("y.pid") && col("x.doc_id") < col("y.doc_id"))
+        col("x.pid") === col("y.pid") && col("x.doc_id") < col("y.doc_id") &&
+          expr(s"least(x.n, y.n) >= $threshold * greatest(x.n, y.n) - 1e-9") &&
+          expr(s"least(x.n - x.ppos, y.n - y.ppos) * (1.0 + $threshold)" +
+            s" >= $threshold * (x.n + y.n) - 1e-9"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
     // exact verification per candidate
