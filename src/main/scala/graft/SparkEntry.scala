@@ -25,6 +25,7 @@ object SparkEntry {
     "page_views"      -> ((s, d) => UserBehaviorAnalytics.pageViews(s, d)),
     "unique_visitors" -> ((s, d) => UserBehaviorAnalytics.uniqueVisitors(s, d)),
     "uv_approx"       -> ((s, d) => UserBehaviorAnalytics.uvApprox(s, d)),
+    "uv_approx_kmv"   -> ((s, d) => UserBehaviorAnalytics.uvApproxKmv(s, d)),
     "marketing_by_channel" -> ((s, d) => MarketingAnalytics.marketingByChannel(s, d)),
     "ad_stats_province"    -> ((s, d) => MarketingAnalytics.adStatsByProvince(s, d)),
     "blacklist_users"      -> ((s, d) => MarketingAnalytics.blacklistUsers(s, d)),
@@ -118,6 +119,9 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY window_end""".stripMargin,
     // uv_approx: intentionally un-oracled (approximate HLL++ sketch);
     // driver records a rows-only check, exactness asserted in ScalaTest.
+    // uv_approx_kmv is the hash-oracled approx-distinct: a KMV sketch
+    // over the portable poly_hash is replayable exactly in DuckDB.
+    "uv_approx_kmv" -> UserBehaviorAnalytics.uvApproxKmvOracle,
     "marketing_by_channel" ->
       """WITH base AS (
         |  SELECT 'ch_' || CAST(user_id % 4 AS VARCHAR) AS channel,

@@ -152,4 +152,62 @@ object UserBehaviorAnalytics {
       .select(col("w.end").as("window_end"), $"uv_approx")
       .orderBy($"window_end")
   }
+
+  /** KMV (k-minimum-values) distinct sketch parameters — shared by the
+    * Spark query and its DuckDB oracle.
+    */
+  // e0 suffix: `255.0` parses as DECIMAL in both Spark and DuckDB;
+  // `255e0` is DOUBLE in both — the hash gate compares types
+  private val KmvK = 256
+  private val KmvEstimate =
+    s"if(cnt < $KmvK, cast(cnt as double), ${KmvK - 1}e0 * ${graft.textops.TextHash.P}e0 / kth)"
+
+  /** Hourly unique visitors — approximate via a KMV sketch that DuckDB
+    * can replay EXACTLY (unlike HLL++): per window keep the K smallest
+    * distinct portable hashes of user_id; with the K-th smallest hash
+    * h_(K) of a P-ranged uniform hash, E[distinct] ≈ (K-1)·P/h_(K)
+    * (Bar-Yossef et al. '02). Windows with fewer than K distinct
+    * hashes report the exact count.
+    *
+    * Scale shape: the per-window distinct shuffles (window, hash)
+    * pairs with map-side partial dedup; the K-smallest rank partitions
+    * by window (parallel across windows). Mergeability at 1000
+    * executors comes from the same property HLL++ uses — min-K of a
+    * union = min-K of the per-partition min-Ks.
+    */
+  def uvApproxKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === "view")
+      .select(window($"ts", "1 hour").getField("end").as("window_end"),
+        expr("poly_hash(cast(user_id as string))").as("h"))
+      .distinct()
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"window_end").orderBy($"h".asc)))
+      .filter($"rnk" <= KmvK)
+      .groupBy($"window_end")
+      .agg(count(lit(1)).as("cnt"), max($"h").as("kth"))
+      .select($"window_end", expr(KmvEstimate).as("uv_kmv"))
+      .orderBy($"window_end")
+  }
+
+  val uvApproxKmvOracle: String = {
+    import graft.textops.TextHash.{phDuck, P}
+    s"""WITH v AS (
+       |  SELECT DISTINCT time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+       |         ${phDuck("CAST(user_id AS VARCHAR)", "u")} AS h
+       |  FROM events WHERE event_type = 'view'
+       |), r AS (
+       |  SELECT window_end, h,
+       |         row_number() OVER (PARTITION BY window_end ORDER BY h ASC) AS rnk
+       |  FROM v
+       |), agg AS (
+       |  SELECT window_end, count(*) AS cnt, max(h) AS kth
+       |  FROM r WHERE rnk <= $KmvK GROUP BY 1
+       |)
+       |SELECT window_end,
+       |       CASE WHEN cnt < $KmvK THEN CAST(cnt AS DOUBLE)
+       |            ELSE ${KmvK - 1}e0 * ${P}e0 / kth END AS uv_kmv
+       |FROM agg ORDER BY window_end""".stripMargin
+  }
 }

@@ -75,22 +75,55 @@ object Similarity {
        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
-  /** Embedding-cosine near-duplicate pairs: all (v1 < v2) with
-    * cosine ≥ threshold — the embedding tier of the dedup family
-    * (threshold 0.4 sized to the synthetic near-uniform vectors, whose
-    * max pairwise cosine is ~0.51). Exact baseline via the native
-    * vec_dot pair join; at corpus scale candidates come from the IVF
-    * cell join ([[similarityIvf]]) instead of the n² pair join.
+  /** Shared IVF stage: every vector scored against the C fixed
+    * centroids (vec_id < C — deterministic, broadcastable), ranked once
+    * per vector, kept to the nProbe head, materialized once
+    * (localCheckpoint) so the assign and probe sides don't each
+    * recompute the n × C broadcast cross + window sort.
     */
-  def dedupEmbedding(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+  private def ivfRanked(spark: SparkSession, sfDir: String,
+                        nCentroids: Int, nProbe: Int): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, sfDir)
-    val a = e.select($"vec_id".as("vec1"), $"v".as("v1"), $"nrm".as("n1"))
-    val b = e.select($"vec_id".as("vec2"), $"v".as("v2"), $"nrm".as("n2"))
-    a.join(b, $"vec1" < $"vec2")
-      .withColumn("cosine", expr(s"${dotSpark("v1", "v2", "d")} / (n1 * n2)"))
+    val cent = e.where($"vec_id" < nCentroids)
+      .select($"vec_id".as("cent_id"), $"v".as("centv"), $"nrm".as("centn"))
+    e.join(broadcast(cent), expr("true"))
+      .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)))
+      .where($"crk" <= nProbe)
+      .select($"vec_id", $"v", $"nrm", $"cent_id".as("cell"), $"crk")
+      .localCheckpoint()
+  }
+
+  /** Embedding-cosine near-duplicate pairs: (v1 < v2) with
+    * cosine ≥ threshold (0.4 sized to the synthetic near-uniform
+    * vectors, whose max pairwise cosine is ~0.51) — the embedding tier
+    * of the dedup family, candidate-generated through the IVF cell
+    * join: a pair is considered iff one side's assigned cell is among
+    * the other side's nProbe nearest cells, then verified with the
+    * exact cosine. The n² all-pairs form is quarantined to the
+    * brute-force [[similarityTopK]] baseline; this shape shuffles each
+    * vector nProbe times on its cell id — the 100 TB path. Approximate
+    * by design (a pair whose cells fall outside each other's probe
+    * sets is missed); the DuckDB oracle replays the same candidate
+    * generation, so the gate stays a hash match.
+    */
+  def dedupEmbedding(spark: SparkSession, sfDir: String, threshold: Double = 0.4,
+                     nCentroids: Int = 16, nProbe: Int = 6): DataFrame = {
+    import spark.implicits._
+    val ranked = ivfRanked(spark, sfDir, nCentroids, nProbe)
+    val assign = ranked.where($"crk" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+    val probes = ranked
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"cell")
+    probes.join(assign, "cell")
+      .where($"qid" =!= $"vec_id")
+      .select(least($"qid", $"vec_id").as("vec1"),
+        greatest($"qid", $"vec_id").as("vec2"),
+        expr(s"${dotSpark("qv", "v", "d")} / (qn * nrm)").as("cosine"))
       .where($"cosine" >= threshold)
-      .select($"vec1", $"vec2", $"cosine")
+      .distinct()
       .orderBy($"vec1", $"vec2")
   }
 
@@ -99,11 +132,25 @@ object Similarity {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), cent AS (
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < 16
+       |), rankedcells AS (
+       |  SELECT vec_id, v, nrm, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY
+       |           ${dotDuck("n.v", "c.centv", "a")} / (n.nrm * c.centn) DESC,
+       |           cent_id ASC) AS crk
+       |  FROM n CROSS JOIN cent c
+       |), assign AS (
+       |  SELECT vec_id, v, nrm, cent_id AS cell FROM rankedcells WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id AS qid, v AS qv, nrm AS qn, cent_id AS cell
+       |  FROM rankedcells WHERE crk <= 6
        |)
-       |SELECT a.vec_id AS vec1, b.vec_id AS vec2,
-       |       ${dotDuck("a.v", "b.v", "d")} / (a.nrm * b.nrm) AS cosine
-       |FROM n a JOIN n b ON a.vec_id < b.vec_id
-       |WHERE ${dotDuck("a.v", "b.v", "w")} / (a.nrm * b.nrm) >= 0.4
+       |SELECT DISTINCT least(p.qid, a.vec_id) AS vec1,
+       |       greatest(p.qid, a.vec_id) AS vec2,
+       |       ${dotDuck("p.qv", "a.v", "d")} / (p.qn * a.nrm) AS cosine
+       |FROM probes p JOIN assign a ON p.cell = a.cell AND p.qid <> a.vec_id
+       |WHERE ${dotDuck("p.qv", "a.v", "w")} / (p.qn * a.nrm) >= 0.4
        |ORDER BY vec1, vec2""".stripMargin
 
   /** IVF-bucketed ANN: C=16 fixed centroids (vec_id < 16), every vector
@@ -115,24 +162,7 @@ object Similarity {
   def similarityIvf(spark: SparkSession, sfDir: String, k: Int = 5,
                     nCentroids: Int = 16, nProbe: Int = 6): DataFrame = {
     import spark.implicits._
-    val e = vectors(spark, sfDir)
-    val cent = e.where($"vec_id" < nCentroids)
-      .select($"vec_id".as("cent_id"), $"v".as("centv"), $"nrm".as("centn"))
-    // cell assignment: nearest centroid by cosine (rank 1 of a 16-row
-    // broadcast join — at scale this is the cheap, shuffle-free part)
-    val scored = e.join(broadcast(cent), expr("true"))
-      .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
-    // rank the centroid cross-score ONCE and keep only the nProbe head;
-    // localCheckpoint materializes the (n × nProbe)-row result so the
-    // assign and probe sides below don't each recompute the n × C
-    // broadcast cross + window sort (the double-compute was 12.4 s vs
-    // 2.8 s at sf0.1 local[32])
-    val ranked = scored
-      .withColumn("crk", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)))
-      .where($"crk" <= nProbe)
-      .select($"vec_id", $"v", $"nrm", $"cent_id".as("cell"), $"crk")
-      .localCheckpoint()
+    val ranked = ivfRanked(spark, sfDir, nCentroids, nProbe)
     // cell assignment = rank-1 row; probes = all nProbe rows
     val assign = ranked.where($"crk" === 1)
       .select($"vec_id", $"v", $"nrm", $"cell")

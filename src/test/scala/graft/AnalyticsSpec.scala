@@ -53,6 +53,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(cmp.isEmpty)
   }
 
+  test("uv_approx_kmv: exact below K distinct, within 20% above") {
+    // sf0.001 windows all have < 256 distinct users → estimate must be
+    // the EXACT count; the sketch regime is exercised on a synthetic
+    // column with > K distinct values
+    val uv = UserBehaviorAnalytics.uniqueVisitors(spark, sf)
+    val kmv = UserBehaviorAnalytics.uvApproxKmv(spark, sf)
+    val small = uv.join(kmv, "window_end")
+      .where($"uv" < 256 && $"uv_kmv" =!= $"uv".cast("double"))
+    assert(small.isEmpty)
+    val big = uv.join(kmv, "window_end").where($"uv" >= 256)
+      .where(abs($"uv_kmv" - $"uv") > $"uv" * 0.2)
+    assert(big.isEmpty)
+  }
+
+  test("dedup_embedding (IVF candidates): precision 1 vs exact all-pairs") {
+    // every reported pair must appear in the exact brute-force pair set
+    // with the same cosine (IVF may MISS pairs, never invent them)
+    val ivf = Similarity.dedupEmbedding(spark, sf).cache()
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .selectExpr("vec_id", "v", "sqrt(vec_dot(v, v)) as nrm")
+    val exact = e.select($"vec_id".as("vec1"), $"v".as("v1"), $"nrm".as("n1"))
+      .join(e.select($"vec_id".as("vec2"), $"v".as("v2"), $"nrm".as("n2")),
+        $"vec1" < $"vec2")
+      .withColumn("cosine", expr("vec_dot(v1, v2) / (n1 * n2)"))
+      .where($"cosine" >= 0.4)
+      .select($"vec1", $"vec2", $"cosine")
+    assert(ivf.count() > 0)
+    assert(ivf.except(exact).isEmpty, "IVF emitted a pair not in the exact set")
+  }
+
   test("tx_match: status counts partition the tx universe") {
     val df = DetectionAnalytics.txMatch(spark, sf).cache()
     val pays = df.where($"pay_cnt" > 0).count()
