@@ -89,6 +89,61 @@ class SourcesSpec extends AnyFunSuite {
     assert(top.where(col("url") === "/a" && col("cnt") > 2).isEmpty)
   }
 
+  // ---- Kafka wiring (S2/S4): no broker/connector in this container, so
+  // the reader is exercised up to source resolution and the value
+  // parse/encode stages run on synthesized Kafka-shaped frames.
+
+  /** A DataFrame shaped like Kafka's output schema for the given
+    * record values (binary key/value + metadata columns).
+    */
+  private def kafkaShaped(values: Seq[String]) =
+    values.toDF("v").select(
+      lit(null).cast("binary").as("key"),
+      $"v".cast("binary").as("value"),
+      lit("t").as("topic"), lit(0).as("partition"),
+      monotonically_increasing_id().as("offset"),
+      current_timestamp().as("timestamp"),
+      lit(0).as("timestampType"))
+
+  test("kafka reader: format wired (resolution fails only on missing connector)") {
+    val ex = intercept[Exception] {
+      sources.KafkaSources.reader(spark, "broker:9092", "behaviors").load()
+    }
+    // proves .format("kafka") + options reached source resolution —
+    // the one failure a connector-less container must produce
+    assert(ex.getMessage.toLowerCase.contains("kafka"))
+  }
+
+  test("kafka value parse: UserBehavior/OrderLog layouts round-trip") {
+    val b = sources.KafkaSources.parseUserBehavior(kafkaShaped(Seq(
+      "543462,1715,1464116,pv,1511658000")))
+      .collect()
+    assert(b.head == CsvSources.UserBehavior(543462L, 1715L, 1464116, "pv", 1511658000L))
+    val o = sources.KafkaSources.parseOrderLog(kafkaShaped(Seq(
+      "34729,create,,1558430842"))).head()
+    assert(o == CsvSources.OrderEvent(34729L, "create", null, 1558430842L))
+  }
+
+  test("kafka apache.log layout: space-separated value parse") {
+    val a = sources.KafkaSources.parseApacheLog(kafkaShaped(Seq(
+      "83.149.9.216 - 17/05/2015:10:05:03 GET /presentations/logstash/"))).head()
+    assert(a.eventTime == 1431857103000L && a.method == "GET")
+  }
+
+  test("kafka encode: typed rows -> keyed csv value -> parse round-trips") {
+    val rows = Seq(
+      CsvSources.AdClickLog(543462L, 1715L, "beijing", "beijing", 1511658000L),
+      CsvSources.AdClickLog(662867L, 2244074L, "shanghai", "shanghai", 1511658060L))
+    val enc = sources.KafkaSources.encodeCsv(rows.toDF(), keyCol = Some("userId"))
+    assert(enc.columns.toSeq == Seq("key", "value"))
+    assert(enc.select($"key").as[String].collect().sorted.toSeq ==
+      Seq("543462", "662867"))
+    val back = sources.KafkaSources.parseAdClickLog(
+      kafkaShaped(enc.select($"value").as[String].collect().toSeq))
+      .collect().sortBy(_.userId).toSeq
+    assert(back == rows.sortBy(_.userId))
+  }
+
   test("foreachBatch streaming top-N == batch rank on final state") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[EvFull]
