@@ -35,6 +35,9 @@ object SparkEntry {
     "tx_match"          -> ((s, d) => DetectionAnalytics.txMatch(s, d)),
     "interval_join"     -> ((s, d) => DetectionAnalytics.intervalJoin(s, d)),
     "asof_attribution"  -> ((s, d) => DetectionAnalytics.asofAttribution(s, d)),
+    "cep_funnel"        -> ((s, d) => DetectionAnalytics.cepFunnel(s, d)),
+    "late_events"       -> ((s, d) => LateDataAnalytics.lateEvents(s, d)),
+    "hot_pages_late_split" -> ((s, d) => LateDataAnalytics.hotPagesLateSplit(s, d)),
     "pricing_summary"   -> ((s, d) => RelationalAnalytics.pricingSummary(s, d)),
     "top_customers"     -> ((s, d) => RelationalAnalytics.topCustomers(s, d)),
     "events_union"      -> ((s, d) => RelationalAnalytics.eventsUnion(s, d)),
@@ -231,6 +234,9 @@ object SparkEntry {
         |FROM views v ASOF LEFT JOIN purchases p
         |  ON v.user_id = p.p_user AND v.view_ts >= p.purchase_ts
         |ORDER BY view_id""".stripMargin,
+    "cep_funnel"           -> DetectionAnalytics.cepFunnelOracle,
+    "late_events"          -> graft.analytics.LateDataAnalytics.lateEventsOracle,
+    "hot_pages_late_split" -> graft.analytics.LateDataAnalytics.hotPagesLateSplitOracle,
     "interval_join" ->
       """SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate
         |FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey

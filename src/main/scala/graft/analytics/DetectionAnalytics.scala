@@ -124,6 +124,46 @@ object DetectionAnalytics {
       .orderBy($"view_id")
   }
 
+  /** The 3-step strict-next funnel pattern shared by the batch query,
+    * the streaming NFA parity test, and the oracle: per user,
+    * view → click → purchase on IMMEDIATELY consecutive events within
+    * 72 h. REF: LoginFailWithCep.scala § Pattern.begin("firstFail")
+    * .next("secondFail").within(…) — the reusable generalization the
+    * two hard-coded patterns (login-fail, order-timeout) instantiate.
+    */
+  val funnelPattern: graft.cep.Pattern = graft.cep.Pattern(Seq(
+    graft.cep.Step("view", col("event_type") === "view"),
+    graft.cep.Step("click", col("event_type") === "click"),
+    graft.cep.Step("purchase", col("event_type") === "purchase")),
+    withinUs = 72L * 3600 * 1000000)
+
+  /** Generic-CEP funnel: [[funnelPattern]] compiled to the per-key lag
+    * form (one window sort per user — no state, no driver loop).
+    */
+  def cepFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    funnelPattern
+      .compileBatch(Tables.events(spark, sfDir), $"user_id", $"ts", $"event_id")
+      .withColumnRenamed("key", "user_id")
+      .orderBy($"user_id", $"end_event")
+  }
+
+  val cepFunnelOracle: String =
+    """WITH l AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type, 1) OVER w AS m1,
+      |         lag(event_type, 2) OVER w AS m2,
+      |         lag(ts, 2) OVER w AS start_ts,
+      |         lag(event_id, 2) OVER w AS start_event
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT user_id, start_event, start_ts, event_id AS end_event, ts AS end_ts
+      |FROM l
+      |WHERE event_type = 'purchase' AND m1 = 'click' AND m2 = 'view'
+      |  AND epoch_us(ts) - epoch_us(start_ts) <= 259200000000
+      |ORDER BY user_id, end_event""".stripMargin
+
   /** Interval (range) join: lineitems shipped within 5 days of their
     * order date. REF: TxMatchByJoin.scala § intervalJoin.between(-5s,5s)
     * — equi key + bounded time range. On the relational side this is

@@ -22,9 +22,11 @@ import org.apache.spark.sql.types._
   *     unsupported inside a streaming query — documented divergence,
   *     SURVEY.md §7.4).
   *
-  * Divergences from Flink, by design (SURVEY.md §2.4): no
-  * `allowedLateness` re-fires (update mode + watermark approximates),
-  * late data is dropped at the watermark rather than side-output.
+  * Lateness (T3/T4, SURVEY.md §2.4): `allowedLateness` re-fires map to
+  * [[hotPagesUpdateStream]] (update mode re-emits a window's count on
+  * each late-but-within-watermark arrival); the late-data side output
+  * is batch-exact in graft.analytics.LateDataAnalytics (streams drop
+  * rows past the watermark silently — the split query recovers them).
   */
 object StreamingAnalytics {
 
@@ -249,20 +251,107 @@ object StreamingAnalytics {
       }
   }
 
+  /** T3 analog (REF: NetworkFlow.scala § main `.allowedLateness(
+    * Time.minutes(1))` — reconstructed): update-mode windowed count —
+    * a late-but-within-watermark click RE-EMITS its window's updated
+    * count, which is exactly the allowedLateness re-fire; rows later
+    * than the watermark are dropped (the T4 side output has a batch-
+    * exact form in graft.analytics.LateDataAnalytics). Run with
+    * `.outputMode("update")`; verified by the out-of-order MemoryStream
+    * test in LateDataSpec.
+    */
+  def hotPagesUpdateStream(events: DataFrame, lateness: String = "5 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .filter(col("event_type") === "click")
+      .select(concat(lit("/page/"), get_json_object(col("props"), "$.k")).as("url"),
+        col("ts"))
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("url"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.end").as("window_end"), col("url"), col("cnt"))
+
   /** R1 production shape (REF: HotItems.scala § TopNHotItems onTimer —
     * reconstructed): rank-after-agg is unsupported inside a streaming
     * query, so the per-window Top-N is applied per micro-batch in
     * foreachBatch — the batch rank transform reused verbatim, emitted
     * to any sink the caller writes in `sink`.
+    *
+    * Update mode, not complete: complete mode would retain every
+    * window's state forever despite the watermark (unbounded on a
+    * long-running stream). Update emits only the (window, item) rows
+    * changed in the micro-batch; [[TopNStore]] merges them into the
+    * bounded per-window count state — the reference holds exactly this
+    * state in its TopNHotItems ListState — and re-ranks only the
+    * windows the batch touched, pruning state once the watermark
+    * passes a window's end.
     */
-  def hotItemsTopNForeachBatch(events: DataFrame, n: Int = 5)
+  def hotItemsTopNForeachBatch(events: DataFrame, n: Int = 5,
+                               store: TopNStore = new InMemoryTopNStore)
                               (sink: DataFrame => Unit) =
     itemWindowCountsStream(events)
       .writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(UserBehaviorAnalytics.rankTopN(batch, n))
+        val spark = batch.sparkSession
+        val touched = store.merge(batch)
+        if (touched.nonEmpty) {
+          val all = store.windows(spark, touched)
+          sink(UserBehaviorAnalytics.rankTopN(all, n))
+          store.prune()
+        }
       }
+
+  /** Per-window count state behind the foreachBatch Top-N: the
+    * production instance is an external KV (the reference writes
+    * Redis); [[InMemoryTopNStore]] is the single-process test/bench
+    * instance. State stays bounded: windows are pruned once the
+    * stream's watermark passes their end.
+    */
+  trait TopNStore {
+    /** Merge a micro-batch of updated (window_end, item_id, cnt) rows;
+      * returns the set of windows touched. */
+    def merge(batch: DataFrame): Set[java.sql.Timestamp]
+    /** Full current counts for the given windows. */
+    def windows(spark: SparkSession, ws: Set[java.sql.Timestamp]): DataFrame
+    /** Drop windows that can no longer receive updates. */
+    def prune(): Unit
+  }
+
+  /** Retention proof: a window [s, e) only re-emits while
+    * e > watermark = maxEventTs − lateness, and every emitted window
+    * end satisfies e ≤ maxEventTs + windowSize (an event joins windows
+    * ending up to windowSize after it). So once
+    * e < maxEndSeen − (windowSize + slide + lateness) the window is
+    * strictly behind the watermark — safe to drop, no progress
+    * introspection needed.
+    */
+  final class InMemoryTopNStore(
+      retentionUs: Long = (60L + 5 + 10) * 60 * 1000000) extends TopNStore {
+    private val state =
+      scala.collection.mutable.Map.empty[(java.sql.Timestamp, Long), Long]
+    private var maxEndUs = Long.MinValue
+
+    def merge(batch: DataFrame): Set[java.sql.Timestamp] = {
+      val rows = batch.select("window_end", "item_id", "cnt")
+        .collect() // update-mode output: only changed rows, small by construction
+      rows.foreach { r =>
+        state((r.getTimestamp(0), r.getLong(1))) = r.getLong(2)
+        maxEndUs = math.max(maxEndUs, r.getTimestamp(0).getTime * 1000)
+      }
+      rows.map(_.getTimestamp(0)).toSet
+    }
+
+    def windows(spark: SparkSession, ws: Set[java.sql.Timestamp]): DataFrame = {
+      import spark.implicits._
+      state.iterator.collect { case ((w, item), cnt) if ws(w) => (w, item, cnt) }
+        .toSeq.toDF("window_end", "item_id", "cnt")
+    }
+
+    def prune(): Unit =
+      if (maxEndUs != Long.MinValue) {
+        val floorUs = maxEndUs - retentionUs
+        state.filterInPlace { case ((w, _), _) => w.getTime * 1000 >= floorUs }
+      }
+  }
 
   /** J1 analog (REF: TxMatch.scala § TxPayMatch — reconstructed):
     * two-stream reconciliation as a watermarked stream-stream inner

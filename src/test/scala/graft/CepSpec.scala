@@ -1,0 +1,94 @@
+package graft
+
+import graft.analytics.DetectionAnalytics
+import graft.cep.{Pattern, PatternEv, Step}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generic CEP pattern compiler (graft.cep.Pattern): strict-next NFA
+  * semantics pinned three ways — against the hand-written lag query it
+  * generalizes, on a tiny hand-checked sequence, and stream == batch
+  * parity for the 3-step funnel.
+  */
+class CepSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val sf = SparkTestBase.sf
+
+  import spark.implicits._
+
+  test("2-step always-true pattern over error stream == loginFailDetect lag pairs") {
+    val p = Pattern(Seq(Step("f1", lit(true)), Step("f2", lit(true))),
+      withinUs = 30L * 60 * 1000000)
+    val errors = Tables.events(spark, sf).filter($"event_type" === "error")
+    val got = p.compileBatch(errors, $"user_id", $"ts", $"event_id")
+      .select($"key", $"start_ts", $"end_ts")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    val want = DetectionAnalytics.loginFailDetect(spark, sf)
+      .select($"user_id", $"first_fail", $"last_fail")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    assert(got == want)
+  }
+
+  test("strict contiguity on a hand-checked sequence (batch and stream agree)") {
+    // key 1: err(t=1) err(2) view(3) err(4) err(5)  → matches (1,2), (4,5)
+    //        — (2,·) killed by the view, overlap (1,2)/(2,·) allowed
+    // key 2: err(10) err(90) with within=60s       → killed by the bound
+    val us = 1000000L
+    val evs = Seq(
+      (1L, 1 * us, 101L, "error"), (1L, 2 * us, 102L, "error"),
+      (1L, 3 * us, 103L, "view"), (1L, 4 * us, 104L, "error"),
+      (1L, 5 * us, 105L, "error"),
+      (2L, 10 * us, 201L, "error"), (2L, 90 * us, 202L, "error"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    val p = Pattern(Seq(
+      Step("a", $"event_type" === "error"),
+      Step("b", $"event_type" === "error")), withinUs = 60 * us)
+    val got = p.compileBatch(evs, $"user_id", $"ts", $"event_id")
+      .select($"key", $"start_event", $"end_event")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 101L, 102L), (1L, 104L, 105L)))
+
+    implicit val ss = spark
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[PatternEv]
+    val q = p.compileStream(ms.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("cep_tiny")
+      .outputMode("append").start()
+    try {
+      ms.addData(p.toPatternEvents(evs, $"user_id", $"ts_us", $"event_id").collect().toSeq)
+      q.processAllAvailable()
+      val sgot = spark.table("cep_tiny")
+        .select($"key", $"start_ord", $"end_ord")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(sgot == Set((1L, 101L, 102L), (1L, 104L, 105L)))
+    } finally q.stop()
+  }
+
+  test("funnel NFA stream == compiled batch on sf0.001 (split across micro-batches)") {
+    implicit val ss = spark
+    implicit val ctx = spark.sqlContext
+    val p = DetectionAnalytics.funnelPattern
+    val rows = p.toPatternEvents(Tables.events(spark, sf),
+        $"user_id", unix_micros($"ts"), $"event_id")
+      .collect().toSeq.sortBy(e => (e.ts_us, e.ord))
+    val ms = MemoryStream[PatternEv]
+    val q = p.compileStream(ms.toDS())
+      .writeStream.format("memory").queryName("cep_funnel_stream")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: partial matches must survive the batch boundary
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val got = spark.table("cep_funnel_stream")
+        .select($"key", $"start_ord", $"end_ord")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = DetectionAnalytics.cepFunnel(spark, sf)
+        .select($"user_id", $"start_event", $"end_event")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+}
