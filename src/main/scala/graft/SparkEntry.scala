@@ -36,6 +36,7 @@ object SparkEntry {
     "interval_join"     -> ((s, d) => DetectionAnalytics.intervalJoin(s, d)),
     "asof_attribution"  -> ((s, d) => DetectionAnalytics.asofAttribution(s, d)),
     "cep_funnel"        -> ((s, d) => DetectionAnalytics.cepFunnel(s, d)),
+    "cep_funnel_relaxed" -> ((s, d) => DetectionAnalytics.cepFunnelRelaxed(s, d)),
     "late_events"       -> ((s, d) => LateDataAnalytics.lateEvents(s, d)),
     "hot_pages_late_split" -> ((s, d) => LateDataAnalytics.hotPagesLateSplit(s, d)),
     "pricing_summary"   -> ((s, d) => RelationalAnalytics.pricingSummary(s, d)),
@@ -235,6 +236,7 @@ object SparkEntry {
         |  ON v.user_id = p.p_user AND v.view_ts >= p.purchase_ts
         |ORDER BY view_id""".stripMargin,
     "cep_funnel"           -> DetectionAnalytics.cepFunnelOracle,
+    "cep_funnel_relaxed"   -> DetectionAnalytics.cepFunnelRelaxedOracle,
     "late_events"          -> graft.analytics.LateDataAnalytics.lateEventsOracle,
     "hot_pages_late_split" -> graft.analytics.LateDataAnalytics.hotPagesLateSplitOracle,
     "interval_join" ->

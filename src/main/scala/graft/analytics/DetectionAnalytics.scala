@@ -148,6 +148,39 @@ object DetectionAnalytics {
       .orderBy($"user_id", $"end_event")
   }
 
+  /** Relaxed (`followedBy`) instance: signup → earliest following
+    * purchase → earliest following click, within 72 h — the
+    * OrderTimeout-style contiguity (REF: OrderTimeout.scala §
+    * Pattern.begin("create").followedBy("pay").within(…) —
+    * reconstructed). Compiles to a chain of forward as-of joins on the
+    * custom AsOfJoinExec; DuckDB's native forward ASOF is the oracle.
+    */
+  val relaxedFunnelPattern: graft.cep.Pattern = graft.cep.Pattern(Seq(
+    graft.cep.Step("signup", col("event_type") === "signup"),
+    graft.cep.Step("purchase", col("event_type") === "purchase"),
+    graft.cep.Step("click", col("event_type") === "click")),
+    withinUs = 72L * 3600 * 1000000, strict = false)
+
+  def cepFunnelRelaxed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    relaxedFunnelPattern
+      .compileBatch(Tables.events(spark, sfDir), $"user_id", $"ts", $"event_id")
+      .withColumnRenamed("key", "user_id")
+      .orderBy($"user_id", $"start_event")
+  }
+
+  val cepFunnelRelaxedOracle: String =
+    """WITH s0 AS (SELECT user_id, ts AS t0, event_id AS o0 FROM events WHERE event_type = 'signup'),
+      |s1 AS (SELECT user_id AS u1, ts AS t1, event_id AS o1 FROM events WHERE event_type = 'purchase'),
+      |s2 AS (SELECT user_id AS u2, ts AS t2, event_id AS o2 FROM events WHERE event_type = 'click'),
+      |j1 AS (SELECT * FROM s0 ASOF JOIN s1 ON s0.user_id = s1.u1 AND s0.t0 < s1.t1
+      |       WHERE epoch_us(t1) - epoch_us(t0) <= 259200000000),
+      |j2 AS (SELECT * FROM j1 ASOF JOIN s2 ON j1.user_id = s2.u2 AND j1.t1 < s2.t2
+      |       WHERE epoch_us(t2) - epoch_us(t0) <= 259200000000)
+      |SELECT user_id, o0 AS start_event, t0 AS start_ts,
+      |       o2 AS end_event, t2 AS end_ts
+      |FROM j2 ORDER BY user_id, start_event""".stripMargin
+
   val cepFunnelOracle: String =
     """WITH l AS (
       |  SELECT user_id, ts, event_id, event_type,

@@ -22,11 +22,15 @@ case class PatternMatch(key: Long, start_us: Long, start_ord: Long,
   * `Pattern.begin(...).next(...).within(...)` (REF:
   * LoginFailWithCep.scala § Pattern.begin("firstFail").next("secondFail")
   * .within(Time.seconds(2)); OrderTimeout.scala § begin("create")
-  * .followedBy("pay") — reconstructed, SURVEY.md §0). Strict contiguity
-  * (Flink `next`): step i+1 must match the key's IMMEDIATELY next
-  * event; a non-matching event kills the partial match, exactly like
-  * Flink's strict NFA edge. Matches may overlap (every event can start
-  * a new partial), matching Flink's default after-match skip.
+  * .followedBy("pay") — reconstructed, SURVEY.md §0). Two contiguity
+  * modes, like Flink:
+  *   - `strict = true` (Flink `next`): step i+1 must match the key's
+  *     IMMEDIATELY next event; a non-matching event kills the partial.
+  *   - `strict = false` (Flink `followedBy`, skip-till-next-match):
+  *     non-matching events are skipped; each step binds the EARLIEST
+  *     following occurrence.
+  * Matches may overlap (every event can start a new partial), matching
+  * Flink's default after-match skip.
   *
   * Two compilers, one semantics:
   *   - [[compileBatch]]: per-key lag windows — k-1 lagged step flags +
@@ -43,15 +47,21 @@ case class PatternMatch(key: Long, start_us: Long, start_ord: Long,
   * view→click→purchase instance, hash-verified against a DuckDB lag
   * oracle.
   */
-case class Pattern(steps: Seq[Step], withinUs: Long) {
+case class Pattern(steps: Seq[Step], withinUs: Long, strict: Boolean = true) {
   require(steps.nonEmpty, "pattern needs at least one step")
   private val k = steps.size
 
   /** Batch compile: events + (key, ts, ord) → one row per complete
     * match with columns (key, start_event, start_ts, end_event, end_ts).
     * `ord` breaks event-time ties deterministically (event id).
+    * Dispatches on [[strict]]: `next` → the lag form,
+    * `followedBy` → the forward-asof chain.
     */
-  def compileBatch(events: DataFrame, key: Column, ts: Column, ord: Column): DataFrame = {
+  def compileBatch(events: DataFrame, key: Column, ts: Column, ord: Column): DataFrame =
+    if (strict) compileBatchStrict(events, key, ts, ord)
+    else compileBatchRelaxed(events, key, ts, ord)
+
+  private def compileBatchStrict(events: DataFrame, key: Column, ts: Column, ord: Column): DataFrame = {
     val base = events.select(
       (Seq(key.as("key"), ts.as("ts"), ord.as("ord")) ++
         steps.zipWithIndex.map { case (s, i) => s.pred.cast("boolean").as(s"_m$i") }): _*)
@@ -71,6 +81,37 @@ case class Pattern(steps: Seq[Step], withinUs: Long) {
         unix_micros(col("ts")) - unix_micros(col("start_ts")) <= withinUs)
       .select(col("key"), col("start_ord").as("start_event"), col("start_ts"),
         col("ord").as("end_event"), col("ts").as("end_ts"))
+  }
+
+  /** Relaxed contiguity (Flink `followedBy`, skip-till-next-match):
+    * from each step-0 event, bind the EARLIEST following step-1 event,
+    * then the earliest step-2 after that, and so on — a chain of k-1
+    * FORWARD as-of joins. Reuses the custom sort-merge AsOfJoinExec
+    * (backward-≤ by construction) by negating the µs time axis:
+    * greatest −t_r ≤ −(t_l + 1)  ⟺  smallest t_r > t_l.
+    * Each stage prunes on `t_i − t_0 ≤ within` (times are monotone
+    * along the chain, so the per-stage prune is exactly the final
+    * bound). One sort-merge pass per step — never a (left × all
+    * later rights) pair blowup. Ties on (key, ts) within a step
+    * stream are broken arbitrarily — callers need ts unique per key
+    * per step (true for the events table) or a composite time.
+    */
+  private def compileBatchRelaxed(events: DataFrame, key: Column, ts: Column, ord: Column): DataFrame = {
+    def stepDf(i: Int) = events.filter(steps(i).pred)
+      .select(key.as(s"k$i"), unix_micros(ts).as(s"t$i"), ord.as(s"o$i"))
+    var cur = stepDf(0)
+    for (i <- 1 until k) {
+      val left = cur.withColumn("_nl", -(col(s"t${i - 1}") + lit(1L)))
+      val right = stepDf(i).withColumn("_nr", -col(s"t$i"))
+      cur = graft.plans.AsOfJoin.asof(left, right, "k0", s"k$i", "_nl", "_nr")
+        .filter(col(s"t$i").isNotNull &&
+          col(s"t$i") - col("t0") <= withinUs)
+        .drop("_nl", "_nr")
+    }
+    cur.select(col("k0").as("key"),
+        col("o0").as("start_event"), expr("timestamp_micros(t0)").as("start_ts"),
+        col(s"o${k - 1}").as("end_event"),
+        expr(s"timestamp_micros(t${k - 1})").as("end_ts"))
   }
 
   /** Evaluate the step predicates into the [[PatternEv]] mask (Catalyst
@@ -96,6 +137,7 @@ case class Pattern(steps: Seq[Step], withinUs: Long) {
     import spark.implicits._
     val kk = k
     val win = withinUs
+    val isStrict = strict
     events
       .withColumn("ts", expr("timestamp_micros(ts_us)"))
       .withWatermark("ts", watermark)
@@ -121,11 +163,14 @@ case class Pattern(steps: Seq[Step], withinUs: Long) {
             for (e <- it.toSeq.sortBy(x => (x._2, x._3))) {
               val (ts, ord, mask) = (e._2, e._3, e._4)
               def bit(i: Int) = ((mask >> i) & 1L) == 1L
-              val advanced = partials.flatMap { case (j, s, so) =>
-                if (bit(j + 1) && ts - s <= win) {
+              val advanced = partials.flatMap { case p @ (j, s, so) =>
+                if (ts - s > win) None // expired: no later event can fit either
+                else if (bit(j + 1)) {
                   if (j + 2 == kk) { out += PatternMatch(key, s, so, ts, ord); None }
                   else Some((j + 1, s, so))
-                } else None // strict contiguity: non-match kills the partial
+                }
+                else if (isStrict) None // strict: non-match kills the partial
+                else Some(p)            // relaxed: skip and keep waiting
               }
               val started =
                 if (!bit(0)) Nil

@@ -66,6 +66,69 @@ class CepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("relaxed (followedBy) on a hand-checked sequence: skips non-matches, binds earliest, honors within") {
+    val us = 1000000L
+    // key 1: s(1) x(2) p(3) p(4) x(5) c(6) → one match (1,6): binds the
+    //        EARLIEST p (t=3), skips x's; second p never starts a chain step
+    // key 2: s(10) p(20) c(90) with within=60 → c too late, no match
+    val evs = Seq(
+      (1L, 1 * us, 101L, "signup"), (1L, 2 * us, 102L, "view"),
+      (1L, 3 * us, 103L, "purchase"), (1L, 4 * us, 104L, "purchase"),
+      (1L, 5 * us, 105L, "view"), (1L, 6 * us, 106L, "click"),
+      (2L, 10 * us, 201L, "signup"), (2L, 20 * us, 202L, "purchase"),
+      (2L, 90 * us, 203L, "click"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    val p = graft.cep.Pattern(Seq(
+      Step("s", $"event_type" === "signup"),
+      Step("p", $"event_type" === "purchase"),
+      Step("c", $"event_type" === "click")), withinUs = 60 * us, strict = false)
+    val got = p.compileBatch(evs, $"user_id", $"ts", $"event_id")
+      .select($"key", $"start_event", $"end_event")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 101L, 106L)))
+
+    implicit val ss = spark
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[PatternEv]
+    val q = p.compileStream(ms.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("cep_relaxed_tiny")
+      .outputMode("append").start()
+    try {
+      ms.addData(p.toPatternEvents(evs, $"user_id", $"ts_us", $"event_id").collect().toSeq)
+      q.processAllAvailable()
+      val sgot = spark.table("cep_relaxed_tiny")
+        .select($"key", $"start_ord", $"end_ord")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(sgot == Set((1L, 101L, 106L)))
+    } finally q.stop()
+  }
+
+  test("relaxed funnel NFA stream == asof-chain batch on sf0.001") {
+    implicit val ss = spark
+    implicit val ctx = spark.sqlContext
+    val p = DetectionAnalytics.relaxedFunnelPattern
+    val rows = p.toPatternEvents(Tables.events(spark, sf),
+        $"user_id", unix_micros($"ts"), $"event_id")
+      .collect().toSeq.sortBy(e => (e.ts_us, e.ord))
+    val ms = MemoryStream[PatternEv]
+    val q = p.compileStream(ms.toDS())
+      .writeStream.format("memory").queryName("cep_relaxed_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val got = spark.table("cep_relaxed_stream")
+        .select($"key", $"start_ord", $"end_ord")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = DetectionAnalytics.cepFunnelRelaxed(spark, sf)
+        .select($"user_id", $"start_event", $"end_event")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("funnel NFA stream == compiled batch on sf0.001 (split across micro-batches)") {
     implicit val ss = spark
     implicit val ctx = spark.sqlContext
