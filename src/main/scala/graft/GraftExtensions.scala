@@ -54,5 +54,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count", "sorted_intersect_count(a, b) - |A n B| of sorted int arrays"),
       (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - distinct whitespace n-gram shingles"),
+      (es: Seq[Expression]) => WordShingles(es(0), es(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => other.eval().asInstanceOf[Int]
+      })))
   }
 }

@@ -276,9 +276,55 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Runtime for [[WordShingles]] — one JVM call per document instead
+    * of ~n_shingles interpreted HOF lambda evals (split → filter →
+    * transform(slice+concat_ws) → array_distinct was ~5 s of the sf0.1
+    * ngram bench front end). Semantics bit-identical to the HOF chain:
+    * regex `\s+` split, empties dropped, space-joined n-grams,
+    * distinct in first-occurrence order (what array_distinct keeps).
+    */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Distinct whitespace n-gram shingles of a document — codegen emits
+    * a single static call into [[wordShingles]] (string/regex work
+    * doesn't benefit from inlined Java the way the arithmetic kernels
+    * above do; the win is skipping the per-element HOF interpreter).
+    */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(s: Any): Any =
+      GraftExpressions.wordShingles(s.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.GraftExpressions.wordShingles($c, $n);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Idempotent session registration; afterwards usable from any
     * `expr(...)` / SQL string as vec_dot, poly_hash, rolling_min_hash,
-    * poly_hash37, simhash60, minhash_sig, sorted_intersect_count.
+    * poly_hash37, simhash60, minhash_sig, sorted_intersect_count,
+    * word_shingles.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -299,5 +345,10 @@ object GraftExpressions {
       es => MinHashSig(es.head), "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       es => SortedIntersectCount(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(es(0), es(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => other.eval().asInstanceOf[Int]
+      }), "built-in")
   }
 }

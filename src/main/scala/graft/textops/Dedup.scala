@@ -221,12 +221,12 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.2): DataFrame = {
     import spark.implicits._
+    // native one-pass shingling (word_shingles ≡ the HOF chain
+    // filter(split)→transform(slice+concat_ws)→array_distinct, pinned
+    // bit-identical by a property test; empty array ⟺ <3 tokens)
     val shingled = Tables.documents(spark, sfDir)
-      .selectExpr("doc_id", s"$tokensSpark as tokens")
-      .where("size(tokens) >= 3")
-      .selectExpr("doc_id",
-        """array_distinct(transform(sequence(0, size(tokens) - 3), gi ->
-          |  concat_ws(' ', slice(tokens, gi + 1, 3)))) as shingles""".stripMargin)
+      .selectExpr("doc_id", "word_shingles(text, 3) as shingles")
+      .where("size(shingles) >= 1")
     // materialize the tokenize→shingle→explode pass ONCE: `inv` feeds
     // both the rarity dictionary and the doc encoding join — without
     // the checkpoint the interpreted-HOF shingle transform runs twice

@@ -23,11 +23,8 @@ object ProfileNgram {
     }
     val threshold = 0.2
     val shingled = Tables.documents(spark, sfDir)
-      .selectExpr("doc_id", s"$tokensSpark as tokens")
-      .where("size(tokens) >= 3")
-      .selectExpr("doc_id",
-        """array_distinct(transform(sequence(0, size(tokens) - 3), gi ->
-          |  concat_ws(' ', slice(tokens, gi + 1, 3)))) as shingles""".stripMargin)
+      .selectExpr("doc_id", "word_shingles(text, 3) as shingles")
+      .where("size(shingles) >= 1")
     val inv = shingled.selectExpr("doc_id", "explode(shingles) as sh")
     time("inv count")(println(inv.count()))
     val ranked = inv.groupBy($"sh").agg(count(lit(1)).as("freq"))

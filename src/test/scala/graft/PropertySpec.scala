@@ -78,6 +78,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("word_shingles native == HOF split/slice/concat/distinct chain") {
+    // mixed whitespace, leading/trailing runs, repeated shingles,
+    // sub-3-token degenerates
+    val tokGen = Gen.oneOf("aa", "bb", "cc", "dd", "x")
+    val sepGen = Gen.oneOf(" ", "  ", "\t", " \n ")
+    val textGen = for {
+      n <- Gen.chooseNum(0, 12)
+      toks <- Gen.listOfN(n, tokGen)
+      seps <- Gen.listOfN(n + 1, sepGen)
+    } yield seps.zipAll(toks.map(Some(_)), " ", None)
+      .map { case (s, t) => s + t.getOrElse("") }.mkString
+    GraftExpressions.register(spark)
+    forAll(Gen.listOfN(60, textGen)) { strs =>
+      val df = strs.toDF("text")
+      val both = df
+        .selectExpr("text", s"${graft.textops.TextHash.tokensSpark} as toks")
+        .selectExpr(
+          "word_shingles(text, 3) as native",
+          // <3 tokens must be the empty array (sequence(0, size-3)
+          // would run DESCENDING there — the query pre-filters; the
+          // native form returns empty)
+          """case when size(toks) < 3 then cast(array() as array<string>)
+            |else array_distinct(transform(sequence(0, size(toks) - 3), gi ->
+            |  concat_ws(' ', slice(toks, gi + 1, 3)))) end as hof""".stripMargin)
+      assert(both.where(expr("native != hof")).isEmpty)
+    }
+  }
+
   test("vec_dot native == HOF fold for arbitrary double vectors") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 7.0))
     forAll(Gen.listOfN(20, vecGen)) { vecs =>
