@@ -170,18 +170,25 @@ object UserBehaviorAnalytics {
     * hashes report the exact count.
     *
     * Scale shape: the per-window distinct shuffles (window, hash)
-    * pairs with map-side partial dedup; the K-smallest rank partitions
-    * by window (parallel across windows). Mergeability at 1000
-    * executors comes from the same property HLL++ uses — min-K of a
-    * union = min-K of the per-partition min-Ks.
+    * pairs with map-side partial dedup; the K-smallest rank is
+    * two-level — min-K of a union = min-K of the per-bucket min-Ks
+    * (the same mergeability HLL++ relies on), so level 1 ranks within
+    * (window, h%64) buckets in parallel and level 2 ranks ≤ 64·K
+    * survivors per window. A window with 10⁹ distinct users never
+    * funnels through one task.
     */
   def uvApproxKmv(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, sfDir)
+    val distinctHashes = Tables.events(spark, sfDir)
       .filter($"event_type" === "view")
       .select(window($"ts", "1 hour").getField("end").as("window_end"),
         expr("poly_hash(cast(user_id as string))").as("h"))
       .distinct()
+    val bucketTopK = distinctHashes
+      .withColumn("brnk", row_number().over(
+        Window.partitionBy($"window_end", pmod($"h", lit(64))).orderBy($"h".asc)))
+      .filter($"brnk" <= KmvK)
+    bucketTopK
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"window_end").orderBy($"h".asc)))
       .filter($"rnk" <= KmvK)

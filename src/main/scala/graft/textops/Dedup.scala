@@ -213,11 +213,12 @@ object Dedup {
     * which is why the DuckDB oracle can stay the naive formulation.
     *
     * Scale notes: the rarity dictionary (distinct shingles) is ranked
-    * with a single-partition row_number — it is corpus-vocabulary
-    * sized, not corpus sized (swap for zipWithIndex if the dictionary
-    * itself outgrows one task). The verify step broadcasts the
-    * doc→shingle-id arrays (5 k docs ≈ 6 MB; at larger corpora this
-    * becomes a shuffled join on doc_id — flip the broadcast() hint).
+    * via range-partition + sortWithinPartitions + zipWithIndex —
+    * contiguous global ids with every partition ranking in parallel,
+    * no single-task window even at 100 TB vocabulary. The verify step
+    * broadcasts the doc→shingle-id arrays (5 k docs ≈ 6 MB; at larger
+    * corpora this becomes a shuffled join on doc_id — flip the
+    * broadcast() hint).
     */
   def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.2): DataFrame = {
     import spark.implicits._
@@ -233,11 +234,24 @@ object Dedup {
     // (the front end, not the pair join, dominates this query's cost)
     val inv = shingled.selectExpr("doc_id", "explode(shingles) as sh")
       .localCheckpoint()
-    // global rarity order over the shingle dictionary
-    val ranked = inv.groupBy($"sh").agg(count(lit(1)).as("freq"))
-      .withColumn("rid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy($"freq".asc, $"sh".asc)))
-      .select($"sh", $"rid")
+    // global rarity order over the shingle dictionary — contiguous ids
+    // WITHOUT a single-partition window: range-partition on the rank
+    // order, sort within partitions, zipWithIndex. The ids are
+    // identical to row_number() over (freq, sh) — the data is totally
+    // ordered across range partitions, so the global index is
+    // order-preserving regardless of sampled boundaries — but every
+    // partition ranks in parallel (the 100 TB-vocabulary shape).
+    val freqs = inv.groupBy($"sh").agg(count(lit(1)).as("freq"))
+    val ranked = {
+      val parts = math.max(freqs.rdd.getNumPartitions, 1)
+      val sortedRdd = freqs
+        .repartitionByRange(parts, $"freq".asc, $"sh".asc)
+        .sortWithinPartitions($"freq".asc, $"sh".asc)
+        .select($"sh").rdd
+      sortedRdd.zipWithIndex()
+        .map { case (r, i) => (r.getString(0), (i + 1).toInt) }
+        .toDF("sh", "rid")
+    }
     // docs re-encoded as rarity-sorted int arrays; localCheckpoint
     // materializes the 5k-row encoding ONCE — it feeds four subtrees
     // (both self-join sides + two verify join-backs) that would
