@@ -5,8 +5,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** One pattern step: a name and a Catalyst predicate over the event row. */
-case class Step(name: String, pred: Column)
+/** One pattern step: a name and a Catalyst predicate over the event
+  * row. `times` is Flink's `.times(n)` quantifier (REF:
+  * LoginFailWithCep.scala § Pattern.begin("fail").times(2) —
+  * reconstructed): the step must match n times in sequence; it expands
+  * to n copies before compilation, so both compilers and both
+  * contiguity modes support it unchanged.
+  */
+case class Step(name: String, pred: Column, times: Int = 1) {
+  require(times >= 1, s"step $name: times must be >= 1")
+}
 
 /** A typed event for the streaming NFA: `mask` bit i = step i's
   * predicate held on this event (predicates are evaluated by Catalyst
@@ -47,9 +55,14 @@ case class PatternMatch(key: Long, start_us: Long, start_ord: Long,
   * view→click→purchase instance, hash-verified against a DuckDB lag
   * oracle.
   */
-case class Pattern(steps: Seq[Step], withinUs: Long, strict: Boolean = true) {
-  require(steps.nonEmpty, "pattern needs at least one step")
+case class Pattern(rawSteps: Seq[Step], withinUs: Long, strict: Boolean = true) {
+  require(rawSteps.nonEmpty, "pattern needs at least one step")
+  /** quantifiers expanded: `Step(p, times = n)` → n copies */
+  val steps: Seq[Step] = rawSteps.flatMap(s =>
+    Seq.tabulate(s.times)(i =>
+      if (s.times == 1) s else s.copy(name = s"${s.name}#${i + 1}", times = 1)))
   private val k = steps.size
+  require(k <= 63, "expanded pattern exceeds the 63-step mask width")
 
   /** Batch compile: events + (key, ts, ord) → one row per complete
     * match with columns (key, start_event, start_ts, end_event, end_ts).

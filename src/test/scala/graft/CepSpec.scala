@@ -17,8 +17,9 @@ class CepSpec extends AnyFunSuite {
 
   import spark.implicits._
 
-  test("2-step always-true pattern over error stream == loginFailDetect lag pairs") {
-    val p = Pattern(Seq(Step("f1", lit(true)), Step("f2", lit(true))),
+  test("times(2) quantifier over error stream == loginFailDetect lag pairs") {
+    // Flink's begin("fail").times(2): one quantified step, expanded to 2
+    val p = Pattern(Seq(Step("fail", lit(true), times = 2)),
       withinUs = 30L * 60 * 1000000)
     val errors = Tables.events(spark, sf).filter($"event_type" === "error")
     val got = p.compileBatch(errors, $"user_id", $"ts", $"event_id")
