@@ -60,5 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(v: Int, IntegerType) => v
         case other => other.eval().asInstanceOf[Int]
       })))
+    e.injectFunction((FunctionIdentifier("token_hashes60"),
+      info("token_hashes60", "token_hashes60(text) - packed 60-bit hash per whitespace token"),
+      (es: Seq[Expression]) => TokenHashes60(es.head)))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text) - 3-gram shingle hashes over token poly hashes"),
+      (es: Seq[Expression]) => ShingleHashes(es.head)))
   }
 }

@@ -321,10 +321,104 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Byte-level whitespace test — identical to Java regex `\s` (no
+    * UNICODE_CHARACTER_CLASS): the six ASCII whitespace chars. UTF-8
+    * continuation bytes are ≥ 0x80, so scanning raw bytes can never
+    * split inside a multi-byte char.
+    */
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** Runtime for [[TokenHashes60]]: whitespace-tokenize and compute
+    * each token's packed 60-bit hash (poly31 + poly37·2^30 —
+    * TextHash.tokenHash60Spark) in ONE byte scan, no token string
+    * allocation. Replaces the interpreted
+    * `transform(filter(split(text,'\s+'), …), tk -> poly_hash(tk) + …)`
+    * chain on the SimHash front end.
+    */
+  def tokenHashes60(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        var h31 = 0L
+        var h37 = 0L
+        while (i < n && !isWs(bytes(i))) {
+          val c = bytes(i) & 0xff
+          h31 = (h31 * 31 + c) % TextHash.P
+          h37 = (h37 * 37 + c) % TextHash.P
+          i += 1
+        }
+        out += h31 + h37 * 1073741824L
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  case class TokenHashes60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(s: Any): Any =
+      GraftExpressions.tokenHashes60(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.GraftExpressions.tokenHashes60($c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Runtime for [[ShingleHashes]]: token poly31 hashes (one byte
+    * scan) combined into 3-gram shingle hashes
+    * `((h1·SH + h2) % P · SH + h3) % P` — the MinHash front end's
+    * tokenize → transform(poly_hash) → 3-gram-combine HOF chain fused
+    * into one call. Empty if the document has < 3 tokens (matching the
+    * pre-filter the HOF form required).
+    */
+  def shingleHashes(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val th = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        var h31 = 0L
+        while (i < n && !isWs(bytes(i))) {
+          h31 = (h31 * 31 + (bytes(i) & 0xff)) % TextHash.P
+          i += 1
+        }
+        th += h31
+      }
+    }
+    if (th.length < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](th.length - 2)
+    var j = 0
+    while (j < th.length - 2) {
+      out(j) = ((th(j) * TextHash.ShingleMult + th(j + 1)) % TextHash.P *
+        TextHash.ShingleMult + th(j + 2)) % TextHash.P
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class ShingleHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(s: Any): Any =
+      GraftExpressions.shingleHashes(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.GraftExpressions.shingleHashes($c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Idempotent session registration; afterwards usable from any
     * `expr(...)` / SQL string as vec_dot, poly_hash, rolling_min_hash,
     * poly_hash37, simhash60, minhash_sig, sorted_intersect_count,
-    * word_shingles.
+    * word_shingles, token_hashes60, shingle_hashes.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -350,5 +444,9 @@ object GraftExpressions {
         case Literal(v: Int, IntegerType) => v
         case other => other.eval().asInstanceOf[Int]
       }), "built-in")
+    reg.createOrReplaceTempFunction("token_hashes60",
+      es => TokenHashes60(es.head), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => ShingleHashes(es.head), "built-in")
   }
 }

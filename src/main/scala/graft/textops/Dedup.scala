@@ -43,20 +43,17 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  private val SH = 1000003L // shingle-combine multiplier
+  private val SH = ShingleMult // shingle-combine multiplier
 
-  /** doc_id + K minhash signature columns s0..s{K-1}; the K minima are
-    * computed in one native pass (minhash_sig) over the shingle hashes.
+  /** doc_id + K minhash signature columns s0..s{K-1}: one native byte
+    * scan (shingle_hashes = tokenize → poly31 → 3-gram combine, empty
+    * for <3-token docs) feeding the native one-pass K-minima
+    * (minhash_sig) — zero interpreted HOF stages.
     */
   private def minhashSig(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.documents(spark, sfDir)
-      .selectExpr("doc_id", s"$tokensSpark as tokens")
-      .where("size(tokens) >= 3")
-      .selectExpr("doc_id", "transform(tokens, tk -> poly_hash(tk)) as th")
-      .selectExpr("doc_id",
-        s"""transform(sequence(0, size(th) - 3), sj ->
-           |  ((element_at(th, sj + 1) * $SH + element_at(th, sj + 2)) % $P
-           |   * $SH + element_at(th, sj + 3)) % $P) as sh""".stripMargin)
+      .selectExpr("doc_id", "shingle_hashes(text) as sh")
+      .where("size(sh) >= 1")
       .selectExpr("doc_id", "minhash_sig(sh) as sig")
       .selectExpr(("doc_id" +: (0 until K).map(j => s"element_at(sig, ${j + 1}) as s$j")): _*)
   }
@@ -137,10 +134,9 @@ object Dedup {
     */
   private def simhashSig(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.documents(spark, sfDir)
-      .selectExpr("doc_id", s"$tokensSpark as tokens")
-      .where("size(tokens) >= 1")
-      .selectExpr("doc_id",
-        s"simhash60(transform(tokens, tk -> ${tokenHash60Spark("tk")})) as simhash")
+      .selectExpr("doc_id", "token_hashes60(text) as th")
+      .where("size(th) >= 1")
+      .selectExpr("doc_id", "simhash60(th) as simhash")
   }
 
   /** Near-dup pairs with hamming(simhash) ≤ 3 via 4×15-bit block

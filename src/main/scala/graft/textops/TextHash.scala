@@ -17,6 +17,9 @@ package graft.textops
 object TextHash {
   val P = 1000000007L
 
+  /** 3-gram shingle-hash combine multiplier (MinHash tier). */
+  val ShingleMult = 1000003L
+
   /** MinHash family: K affine rehashes of the shingle hash. */
   val MinhashA: Seq[Long] = Seq(131, 137, 139, 149, 151, 157, 163, 167)
   val MinhashB: Seq[Long] = Seq(31, 37, 41, 43, 47, 53, 59, 61)

@@ -106,6 +106,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("token_hashes60 / shingle_hashes native == HOF chains") {
+    import graft.textops.TextHash
+    val tokGen = Gen.oneOf("aa", "bb", "cc", "dd", "x", "longword", "zz9")
+    val sepGen = Gen.oneOf(" ", "  ", "\t", " \n ")
+    val textGen = for {
+      n <- Gen.chooseNum(0, 12)
+      toks <- Gen.listOfN(n, tokGen)
+      seps <- Gen.listOfN(n + 1, sepGen)
+    } yield seps.zipAll(toks.map(Some(_)), " ", None)
+      .map { case (s, t) => s + t.getOrElse("") }.mkString
+    GraftExpressions.register(spark)
+    forAll(Gen.listOfN(60, textGen)) { strs =>
+      val SH = TextHash.ShingleMult
+      val P = TextHash.P
+      val both = strs.toDF("text")
+        .selectExpr("text", s"${TextHash.tokensSpark} as toks")
+        .selectExpr(
+          "token_hashes60(text) as th_native",
+          s"transform(toks, tk -> ${TextHash.tokenHash60Spark("tk")}) as th_hof",
+          "shingle_hashes(text) as sh_native",
+          s"""case when size(toks) < 3 then cast(array() as array<bigint>)
+             |else transform(sequence(0, size(toks) - 3), sj ->
+             |  ((poly_hash(element_at(toks, sj + 1)) * $SH
+             |    + poly_hash(element_at(toks, sj + 2))) % $P
+             |   * $SH + poly_hash(element_at(toks, sj + 3))) % $P)
+             |end as sh_hof""".stripMargin)
+      assert(both.where(expr("th_native != th_hof or sh_native != sh_hof")).isEmpty)
+    }
+  }
+
   test("vec_dot native == HOF fold for arbitrary double vectors") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 7.0))
     forAll(Gen.listOfN(20, vecGen)) { vecs =>
