@@ -1,0 +1,62 @@
+package graft
+
+import graft.sources.ParquetSink
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sink layer's scale claims, verified on the plans themselves:
+  * partition pruning actually prunes, bucketed joins actually skip the
+  * exchange.
+  */
+class ParquetSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val sf = SparkTestBase.sf
+
+  import spark.implicits._
+
+  test("date-partitioned write: filters prune partitions at plan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graftsink").toString
+    val events = Tables.events(spark, sf).withColumn("day", to_date($"ts"))
+    ParquetSink.writePartitioned(events, dir, Seq("day"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == events.count())
+    val oneDay = back.where($"day" === "2024-01-05")
+    // partition filter must reach the scan (directory pruning), not a
+    // post-scan Filter
+    val scan = oneDay.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-05"),
+      s"partition filter not pushed:\n$scan")
+    assert(oneDay.count() ==
+      events.where($"day" === "2024-01-05").count())
+  }
+
+  test("bucketed tables join with no exchange on either side") {
+    val wh = java.nio.file.Files.createTempDirectory("graftwh").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_sink_test LOCATION '$wh'")
+    try {
+      val orders = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val lineitem = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+      ParquetSink.writeBucketed(orders, "graft_sink_test.orders_b", "o_orderkey", 8)
+      ParquetSink.writeBucketed(lineitem, "graft_sink_test.lineitem_b", "l_orderkey", 8)
+      // force the shuffle-join path (at sf0.001 the planner would
+      // broadcast instead — which also avoids a shuffle, but the claim
+      // under test is the bucket co-location)
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table("graft_sink_test.orders_b")
+          .join(spark.table("graft_sink_test.lineitem_b"),
+            $"o_orderkey" === $"l_orderkey")
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin") && !plan.contains("ShuffleExchange"),
+          s"bucketed join still shuffles:\n$plan")
+        val want = Tables.orders(spark, sf)
+          .join(Tables.lineitem(spark, sf), $"o_orderkey" === $"l_orderkey")
+          .count()
+        assert(j.count() == want)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS graft_sink_test CASCADE")
+    }
+  }
+}
