@@ -56,6 +56,8 @@ object SparkEntry {
     "lang_id"           -> ((s, d) => TextStats.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextStats.docFingerprint(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.multimodalDecode(s, d)),
+    "multimodal_resize" -> ((s, d) => Multimodal.multimodalResize(s, d)),
+    "multimodal_framesample" -> ((s, d) => Multimodal.multimodalFrameSample(s, d)),
     "props_extract"     -> ((s, d) => Multimodal.propsExtract(s, d)),
   )
 
@@ -316,6 +318,8 @@ object SparkEntry {
     "lang_id"             -> TextStats.langIdOracle,
     "doc_fingerprint"     -> TextStats.docFingerprintOracle,
     "multimodal_decode"   -> Multimodal.multimodalDecodeOracle,
+    "multimodal_resize"   -> Multimodal.multimodalResizeOracle,
+    "multimodal_framesample" -> Multimodal.multimodalFrameSampleOracle,
     "props_extract"       -> Multimodal.propsExtractOracle,
   )
 }

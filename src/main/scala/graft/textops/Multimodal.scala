@@ -75,6 +75,68 @@ object Multimodal {
        |       checksum
        |FROM b ORDER BY doc_id""".stripMargin
 
+  /** Resize stage: fit the (stub) frame into a 224×224 box preserving
+    * aspect ratio — pure integer arithmetic on the decoded metadata,
+    * the planning shape of a real resize (the pixel work would live in
+    * the decode stage's partition iterator). Zero-dimension stubs are
+    * clamped to 1 first, as a real decoder would reject them.
+    */
+  def multimodalResize(spark: SparkSession, sfDir: String, box: Int = 224): DataFrame = {
+    import spark.implicits._
+    multimodalDecode(spark, sfDir)
+      .selectExpr("doc_id", "greatest(width, 1) as w", "greatest(height, 1) as h")
+      .selectExpr("doc_id", "w", "h",
+        s"cast(greatest(w * $box div greatest(w, h), 1) as int) as out_w",
+        s"cast(greatest(h * $box div greatest(w, h), 1) as int) as out_h")
+      .orderBy($"doc_id")
+  }
+
+  val multimodalResizeOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         greatest(octet_length(encode(text)) % 640, 1) AS w,
+      |         greatest((octet_length(encode(text)) * 7) % 480, 1) AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+      |       CAST(greatest(w * 224 // greatest(w, h), 1) AS INT) AS out_w,
+      |       CAST(greatest(h * 224 // greatest(w, h), 1) AS INT) AS out_h
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  /** Frame-sampling stage: k evenly-spaced frame indices per media
+    * file (one input row → ≤ k output rows, the real frame-sample
+    * fan-out shape, expressed as a codegen'd posexplode — no UDF), with
+    * a per-frame stub feature derived from the payload checksum.
+    */
+  def multimodalFrameSample(spark: SparkSession, sfDir: String, k: Int = 4): DataFrame = {
+    import spark.implicits._
+    multimodalDecode(spark, sfDir)
+      .selectExpr("doc_id", "n_frames", "checksum",
+        s"least(n_frames, $k) as kk")
+      .selectExpr("doc_id", "n_frames", "checksum",
+        "posexplode(sequence(0, kk - 1)) as (sample_no, j)")
+      .selectExpr("doc_id", "sample_no",
+        s"cast(j * n_frames div least(n_frames, $k) as int) as frame_idx",
+        s"(checksum * 31 + j * n_frames div least(n_frames, $k)) % ${TextHash.P} as frame_hash")
+      .orderBy($"doc_id", $"sample_no")
+  }
+
+  val multimodalFrameSampleOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |         octet_length(encode(text)) % 30 + 1 AS n_frames,
+       |         ${TextHash.phDuck("text", "c")} AS checksum
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, n_frames, checksum,
+       |         unnest(range(least(n_frames, 4))) AS j
+       |  FROM b
+       |)
+       |SELECT doc_id, CAST(j AS INT) AS sample_no,
+       |       CAST(j * n_frames // least(n_frames, 4) AS INT) AS frame_idx,
+       |       (checksum * 31 + j * n_frames // least(n_frames, 4)) % ${TextHash.P} AS frame_hash
+       |FROM s ORDER BY doc_id, sample_no""".stripMargin
+
   /** JSON props extraction — the dynamic-payload column surface
     * (`get_json_object` over the events `props` JSON). REF analog:
     * none (the reference hand-splits CSVs); this is the schema-on-read
