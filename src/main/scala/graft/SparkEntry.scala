@@ -26,6 +26,7 @@ object SparkEntry {
     "unique_visitors" -> ((s, d) => UserBehaviorAnalytics.uniqueVisitors(s, d)),
     "uv_approx"       -> ((s, d) => UserBehaviorAnalytics.uvApprox(s, d)),
     "uv_approx_kmv"   -> ((s, d) => UserBehaviorAnalytics.uvApproxKmv(s, d)),
+    "user_sessions"   -> ((s, d) => UserBehaviorAnalytics.userSessions(s, d)),
     "marketing_by_channel" -> ((s, d) => MarketingAnalytics.marketingByChannel(s, d)),
     "ad_stats_province"    -> ((s, d) => MarketingAnalytics.adStatsByProvince(s, d)),
     "blacklist_users"      -> ((s, d) => MarketingAnalytics.blacklistUsers(s, d)),
@@ -128,6 +129,7 @@ object SparkEntry {
     // uv_approx_kmv is the hash-oracled approx-distinct: a KMV sketch
     // over the portable poly_hash is replayable exactly in DuckDB.
     "uv_approx_kmv" -> UserBehaviorAnalytics.uvApproxKmvOracle,
+    "user_sessions" -> UserBehaviorAnalytics.userSessionsOracle,
     "marketing_by_channel" ->
       """WITH base AS (
         |  SELECT 'ch_' || CAST(user_id % 4 AS VARCHAR) AS channel,

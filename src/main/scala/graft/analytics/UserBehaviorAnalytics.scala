@@ -198,6 +198,46 @@ object UserBehaviorAnalytics {
       .orderBy($"window_end")
   }
 
+  /** Gap-based sessionization (beyond the reference — Flink's session
+    * windows exist but the course project never uses them; a
+    * user-session rollup is a core behavior-analytics primitive).
+    * Spark-native `session_window(ts, gap)`: sessions merge while
+    * events are < gap apart; window end = last event + gap. Same
+    * operator runs under Structured Streaming with a watermark
+    * (state-merging session aggregation) — parity-tested.
+    *
+    * Scale shape: one shuffle on user_id with partial session merging
+    * map-side; no per-user window sort (contrast the islands/gaps SQL
+    * form the oracle replays, which needs two window passes).
+    */
+  def userSessions(spark: SparkSession, sfDir: String, gap: String = "24 hours"): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(session_window($"ts", gap).as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val userSessionsOracle: String =
+    """WITH m AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |              OR ts - lag(ts) OVER w > INTERVAL 24 HOUR THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), g AS (
+      |  SELECT user_id, ts,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m
+      |)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 24 HOUR AS session_end,
+      |       count(*) AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val uvApproxKmvOracle: String = {
     import graft.textops.TextHash.{phDuck, P}
     s"""WITH v AS (

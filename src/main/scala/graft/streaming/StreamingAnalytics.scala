@@ -269,6 +269,19 @@ object StreamingAnalytics {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.end").as("window_end"), col("url"), col("cnt"))
 
+  /** Session windows under a watermark: Spark merges per-user session
+    * state as events arrive and finalizes a session once the watermark
+    * passes its end (append mode) — the streaming form of
+    * UserBehaviorAnalytics.userSessions, parity-tested.
+    */
+  def userSessionsStream(events: DataFrame, gap: String = "24 hours",
+                         watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** R1 production shape (REF: HotItems.scala § TopNHotItems onTimer —
     * reconstructed): rank-after-agg is unsupported inside a streaming
     * query, so the per-window Top-N is applied per micro-batch in

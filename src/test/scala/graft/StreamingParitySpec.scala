@@ -209,6 +209,30 @@ class StreamingParitySpec extends AnyFunSuite {
     m.map(_.group(1).toLong).getOrElse(0L)
   }
 
+  test("session windows: streaming merge (append) == batch session_window") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    val q = StreamingAnalytics.userSessionsStream(toEventsDF(ms))
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: sessions straddling the boundary must merge
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(flush("view")) // advance watermark → finalize all
+      q.processAllAvailable()
+      val want = UserBehaviorAnalytics.userSessions(spark, sf)
+        .select($"user_id", $"session_start", $"session_end", $"n_events")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      val got = spark.table("sess_stream")
+        .where($"user_id" =!= -1L)
+        .select($"user_id", $"session_start", $"session_end", $"n_events")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("tx-match: stream-stream join matches batch pair join") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[EvFull]
