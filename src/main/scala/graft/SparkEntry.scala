@@ -53,6 +53,7 @@ object SparkEntry {
     "similarity_topk"   -> ((s, d) => Similarity.similarityTopK(s, d)),
     "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     "similarity_ivf"    -> ((s, d) => Similarity.similarityIvf(s, d)),
+    "similarity_lsh"    -> ((s, d) => Similarity.similarityLsh(s, d)),
     "text_stats"        -> ((s, d) => TextStats.textStats(s, d)),
     "lang_id"           -> ((s, d) => TextStats.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextStats.docFingerprint(s, d)),
@@ -316,6 +317,7 @@ object SparkEntry {
     "similarity_topk"     -> Similarity.similarityTopKOracle,
     "dedup_embedding"     -> Similarity.dedupEmbeddingOracle,
     "similarity_ivf"      -> Similarity.similarityIvfOracle,
+    "similarity_lsh"      -> Similarity.similarityLshOracle,
     "text_stats"          -> TextStats.textStatsOracle,
     "lang_id"             -> TextStats.langIdOracle,
     "doc_fingerprint"     -> TextStats.docFingerprintOracle,

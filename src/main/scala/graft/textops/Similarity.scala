@@ -213,4 +213,97 @@ object Similarity {
        |)
        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  // ------------------------------------------------------- SRP-LSH variant
+
+  /** Signed-random-projection LSH parameters: L tables × b hyperplanes.
+    * Hyperplane components are DETERMINISTIC ±1s from an LCG over the
+    * (plane, dim) index — generated once here and inlined as literals
+    * into BOTH the Spark expressions and the DuckDB oracle, so the two
+    * engines share the exact hash family by construction.
+    */
+  private val LshTables = 4
+  private val LshBits = 8
+  private val Dim = 64
+  private lazy val lshPlanes: IndexedSeq[IndexedSeq[Double]] =
+    IndexedSeq.tabulate(LshTables * LshBits) { p =>
+      IndexedSeq.tabulate(Dim) { d =>
+        val x = (1103515245L * (p * Dim + d + 1) + 12345L) % 2147483647L
+        if (x % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  private def lshSigSpark(t: Int): String =
+    (0 until LshBits).map { i =>
+      // "D" suffix: bare 1.0 parses as DECIMAL(2,1) in Spark SQL and
+      // VecDot reads doubles
+      val arr = lshPlanes(t * LshBits + i).map(_.toString + "D")
+        .mkString("array(", ",", ")")
+      s"(case when vec_dot(v, $arr) > 0 then ${1 << i} else 0 end)"
+    }.mkString(" + ")
+
+  private def lshSigDuck(t: Int, sfx: String): String =
+    (0 until LshBits).map { i =>
+      val arr = lshPlanes(t * LshBits + i).map(_.toString)
+        .mkString("CAST([", ",", "] AS DOUBLE[])")
+      s"(CASE WHEN ${dotDuck("v", arr, s"$sfx$i")} > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** LSH-bucketed ANN — the second scale path next to IVF: vectors
+    * whose signs agree on all b hyperplanes of SOME table land in the
+    * same (table, signature) bucket; candidates come from bucket
+    * equi-joins only (~L·n²/2^b pairs instead of n²), then exact-cosine
+    * rank. Near-uniform synthetic vectors are SRP's worst case, hence
+    * b = 8 and L = 4; clustered real embeddings bucket far more
+    * sharply. Recall is partial by design — the oracle replays the
+    * same candidate generation, keeping the gate exact.
+    */
+  def similarityLsh(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, sfDir)
+    val stackExpr = (0 until LshTables)
+      .map(t => s"$t, ${lshSigSpark(t)}").mkString(", ")
+    val buckets = e.selectExpr("vec_id", "v", "nrm",
+      s"stack($LshTables, $stackExpr) as (tbl, sig)")
+    val q = buckets.select($"vec_id".as("query_id"), $"v".as("qv"),
+      $"nrm".as("qn"), $"tbl", $"sig")
+    val c = buckets.select($"vec_id".as("neighbor_id"), $"v".as("cv"),
+      $"nrm".as("cn"), $"tbl", $"sig")
+    q.join(c, Seq("tbl", "sig"))
+      .where($"query_id" =!= $"neighbor_id")
+      // a pair can collide in several tables — dedup BEFORE ranking
+      .select($"query_id", $"neighbor_id", $"qv", $"qn", $"cv", $"cn")
+      .distinct()
+      .withColumn("cosine", expr(s"${dotSpark("qv", "cv", "d")} / (qn * cn)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)))
+      .where($"rnk" <= k)
+      .select($"query_id", $"neighbor_id", $"cosine", $"rnk".cast("int").as("rnk"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val similarityLshOracle: String = {
+    val tableSelects = (0 until LshTables).map(t =>
+      s"SELECT vec_id, v, nrm, $t AS tbl, ${lshSigDuck(t, s"t$t")} AS sig FROM n")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), buckets AS (
+       |  $tableSelects
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${dotDuck("q.v", "c.v", "d")} / (q.nrm * c.nrm) AS cosine
+       |  FROM buckets q JOIN buckets c
+       |    ON q.tbl = c.tbl AND q.sig = c.sig AND q.vec_id <> c.vec_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |  FROM cand
+       |)
+       |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
 }
