@@ -44,6 +44,8 @@ object SparkEntry {
     "top_customers"     -> ((s, d) => RelationalAnalytics.topCustomers(s, d)),
     "events_union"      -> ((s, d) => RelationalAnalytics.eventsUnion(s, d)),
     "revenue_by_region" -> ((s, d) => RelationalAnalytics.revenueByRegion(s, d)),
+    "revenue_rollup"    -> ((s, d) => RelationalAnalytics.revenueRollup(s, d)),
+    "events_pivot"      -> ((s, d) => RelationalAnalytics.eventsPivot(s, d)),
     "part_supplier_stats" -> ((s, d) => RelationalAnalytics.partSupplierStats(s, d)),
     "value_by_type_daily" -> ((s, d) => RelationalAnalytics.valueByTypeDaily(s, d)),
     "dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
@@ -285,6 +287,8 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'view'
         |      UNION ALL SELECT * FROM events WHERE event_type = 'click')
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "revenue_rollup" -> RelationalAnalytics.revenueRollupOracle,
+    "events_pivot"   -> RelationalAnalytics.eventsPivotOracle,
     "revenue_by_region" ->
       """SELECT r.r_name AS region,
         |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -132,6 +132,64 @@ object RelationalAnalytics {
       .orderBy($"day", $"event_type")
   }
 
+  /** ROLLUP hierarchy totals (region → nation → grand total): Catalyst
+    * expands the grouping sets into one Expand + single aggregate —
+    * one shuffle for all three levels, not three passes. NULL group
+    * rows are the subtotal markers, ordered NULLS FIRST on both
+    * engines for the hash gate.
+    */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir).select($"o_custkey", $"o_totalprice")
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val n = Tables.nation(spark, sfDir)
+      .select($"n_nationkey", $"n_regionkey", $"n_name".as("nation"))
+    val r = Tables.region(spark, sfDir).select($"r_regionkey", $"r_name".as("region"))
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .rollup($"region", $"nation")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("order_cnt"))
+      .orderBy($"region".asc_nulls_first, $"nation".asc_nulls_first)
+  }
+
+  val revenueRollupOracle: String =
+    """SELECT r.r_name AS region, n.n_name AS nation,
+      |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       count(*) AS order_cnt
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY ROLLUP(region, nation)
+      |ORDER BY region NULLS FIRST, nation NULLS FIRST""".stripMargin
+
+  /** Pivot (wide counts): days × fixed event-type columns. Spark's
+    * `.pivot` with explicit values is a single aggregate (deterministic
+    * column set — never an extra distinct-values job); absent cells are
+    * 0 like the oracle's FILTER form.
+    */
+  def eventsPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select($"day" +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy($"day")
+  }
+
+  val eventsPivotOracle: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |       count(*) FILTER (WHERE event_type = 'click') AS click,
+      |       count(*) FILTER (WHERE event_type = 'error') AS error,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |       count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   /** Union + distinct surface (absent from the reference — SURVEY.md
     * §2.10): view and click slices unioned, then per-type exact counts
     * and distinct users.
