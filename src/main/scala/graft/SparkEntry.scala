@@ -48,6 +48,7 @@ object SparkEntry {
     "events_pivot"      -> ((s, d) => RelationalAnalytics.eventsPivot(s, d)),
     "part_supplier_stats" -> ((s, d) => RelationalAnalytics.partSupplierStats(s, d)),
     "value_by_type_daily" -> ((s, d) => RelationalAnalytics.valueByTypeDaily(s, d)),
+    "value_percentiles"   -> ((s, d) => RelationalAnalytics.valuePercentiles(s, d)),
     "dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhashDedup(s, d)),
@@ -288,6 +289,7 @@ object SparkEntry {
         |      UNION ALL SELECT * FROM events WHERE event_type = 'click')
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "revenue_rollup" -> RelationalAnalytics.revenueRollupOracle,
+    "value_percentiles" -> RelationalAnalytics.valuePercentilesOracle,
     "events_pivot"   -> RelationalAnalytics.eventsPivotOracle,
     "revenue_by_region" ->
       """SELECT r.r_name AS region,

@@ -132,6 +132,30 @@ object RelationalAnalytics {
       .orderBy($"day", $"event_type")
   }
 
+  /** Exact percentiles of the value measure per event type. Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the type-7 linear
+    * interpolation (`lower + frac·(higher−lower)` at rank p·(n−1)) —
+    * verified bit-identical on this data, so the hash gate holds on
+    * raw doubles. (`approx_percentile` is the sketch form for
+    * shuffle-free scale; it is not oracle-able, like uv_approx.)
+    */
+  def valuePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"))
+      .orderBy($"event_type")
+  }
+
+  val valuePercentilesOracle: String =
+    """SELECT event_type,
+      |       quantile_cont(value, 0.5) AS p50,
+      |       quantile_cont(value, 0.9) AS p90,
+      |       quantile_cont(value, 0.99) AS p99
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** ROLLUP hierarchy totals (region → nation → grand total): Catalyst
     * expands the grouping sets into one Expand + single aggregate —
     * one shuffle for all three levels, not three passes. NULL group
