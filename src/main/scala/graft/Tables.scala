@@ -35,6 +35,18 @@ object Tables {
         "timestamp_micros(ts div 1000)"))
   }
 
+  /** Register every table as a temp view so the whole surface is
+    * reachable from `spark.sql(...)` (the oracle SQL in SparkEntry runs
+    * near-verbatim this way — DuckDB↔Spark SQL differences are mostly
+    * `time_bucket`/`json_extract_string` spellings).
+    */
+  def createViews(spark: SparkSession, sfDir: String): Unit = {
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    events(spark, sfDir).createOrReplaceTempView("events")
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

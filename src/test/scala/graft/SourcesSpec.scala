@@ -166,4 +166,13 @@ class SourcesSpec extends AnyFunSuite {
       assert(got.get() == want)
     } finally q.stop()
   }
+
+  test("Tables.createViews: whole surface reachable from spark.sql") {
+    Tables.createViews(spark, SparkTestBase.sf)
+    val r = spark.sql(
+      """SELECT (SELECT count(*) FROM lineitem) AS l,
+        |       (SELECT count(*) FROM events WHERE event_type = 'view') AS v,
+        |       (SELECT count(*) FROM documents) AS d""".stripMargin).head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0 && r.getLong(2) > 0)
+  }
 }
