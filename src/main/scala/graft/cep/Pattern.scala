@@ -140,10 +140,16 @@ case class Pattern(rawSteps: Seq[Step], withinUs: Long, strict: Boolean = true) 
       ord.cast("long").as("ord"), mask.as("mask")).as[PatternEv]
   }
 
-  /** Streaming compile: the per-key NFA. Partial matches carry
-    * (step reached, start ts, start ord); strict contiguity means every
-    * event either advances or kills each partial. State is bounded by
-    * the event-time timeout at the earliest `start + within`.
+  /** Streaming compile: the per-key NFA, with Flink-CEP event-time
+    * semantics: arriving events are BUFFERED in state until the
+    * watermark passes them, then processed in (ts, ord) order — so
+    * out-of-order arrival (within the watermark) cannot mis-sequence a
+    * strict pattern; rows later than the watermark are dropped, like
+    * any watermarked operator. Partial matches carry (step reached,
+    * start ts, start ord). State is bounded two ways: the buffer
+    * drains at the watermark, and partials die at `start + within`
+    * (the pattern-timeout timer). Event-time timeouts both flush
+    * buffered events for keys with no new data and GC dead partials.
     */
   def compileStream(events: Dataset[PatternEv], watermark: String = "1 hour")
                    (implicit spark: SparkSession): Dataset[PatternMatch] = {
@@ -156,48 +162,50 @@ case class Pattern(rawSteps: Seq[Step], withinUs: Long, strict: Boolean = true) 
       .withWatermark("ts", watermark)
       .as[(Long, Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[List[(Int, Long, Long)], PatternMatch](
+      // state: (buffered not-yet-ripe events, live partial matches)
+      .flatMapGroupsWithState[
+        (List[(Long, Long, Long)], List[(Int, Long, Long)]), PatternMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key, it, state: GroupState[List[(Int, Long, Long)]]) =>
-          if (state.hasTimedOut) {
-            // only partials past their deadline are dead; keep the rest
-            val wmUs = state.getCurrentWatermarkMs() * 1000
-            val live = state.getOption.getOrElse(Nil)
-              .filter { case (_, s, _) => s + win >= wmUs }
-            if (live.isEmpty) state.remove()
-            else {
-              state.update(live)
-              state.setTimeoutTimestamp((live.map(_._2).min + win) / 1000 + 1)
-            }
-            Iterator.empty
-          } else {
-            var partials = state.getOption.getOrElse(Nil)
-            val out = scala.collection.mutable.ListBuffer.empty[PatternMatch]
-            for (e <- it.toSeq.sortBy(x => (x._2, x._3))) {
-              val (ts, ord, mask) = (e._2, e._3, e._4)
-              def bit(i: Int) = ((mask >> i) & 1L) == 1L
-              val advanced = partials.flatMap { case p @ (j, s, so) =>
-                if (ts - s > win) None // expired: no later event can fit either
-                else if (bit(j + 1)) {
-                  if (j + 2 == kk) { out += PatternMatch(key, s, so, ts, ord); None }
-                  else Some((j + 1, s, so))
-                }
-                else if (isStrict) None // strict: non-match kills the partial
-                else Some(p)            // relaxed: skip and keep waiting
+        (key, it,
+         state: GroupState[(List[(Long, Long, Long)], List[(Int, Long, Long)])]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (prevBuf, prevPartials) = state.getOption.getOrElse((Nil, Nil))
+          // new arrivals already behind the watermark are late → dropped
+          val incoming =
+            if (state.hasTimedOut) Nil
+            else it.toSeq.map(e => (e._2, e._3, e._4)).filter(_._1 > wmUs)
+          val (ready, held) = (prevBuf ++ incoming).partition(_._1 <= wmUs)
+          var partials = prevPartials
+          val out = scala.collection.mutable.ListBuffer.empty[PatternMatch]
+          for ((ts, ord, mask) <- ready.sortBy(e => (e._1, e._2))) {
+            def bit(i: Int) = ((mask >> i) & 1L) == 1L
+            val advanced = partials.flatMap { case p @ (j, s, so) =>
+              if (ts - s > win) None // expired: no later event can fit either
+              else if (bit(j + 1)) {
+                if (j + 2 == kk) { out += PatternMatch(key, s, so, ts, ord); None }
+                else Some((j + 1, s, so))
               }
-              val started =
-                if (!bit(0)) Nil
-                else if (kk == 1) { out += PatternMatch(key, ts, ord, ts, ord); Nil }
-                else List((0, ts, ord))
-              partials = advanced ++ started
+              else if (isStrict) None // strict: non-match kills the partial
+              else Some(p)            // relaxed: skip and keep waiting
             }
-            if (partials.isEmpty) state.remove()
-            else {
-              state.update(partials)
-              state.setTimeoutTimestamp((partials.map(_._2).min + win) / 1000 + 1)
-            }
-            out.iterator
+            val started =
+              if (!bit(0)) Nil
+              else if (kk == 1) { out += PatternMatch(key, ts, ord, ts, ord); Nil }
+              else List((0, ts, ord))
+            partials = advanced ++ started
           }
+          // a partial whose deadline the watermark passed can never
+          // complete (every future ready event has ts > wm > s + win)
+          partials = partials.filter { case (_, s, _) => s + win >= wmUs }
+          if (held.isEmpty && partials.isEmpty) state.remove()
+          else {
+            state.update((held, partials))
+            // wake when the watermark passes the earliest held event
+            // or the earliest partial deadline — whichever is sooner
+            val wakeUs = (held.map(_._1) ++ partials.map { case (_, s, _) => s + win }).min
+            state.setTimeoutTimestamp(math.max(wakeUs / 1000 + 1, wmUs / 1000 + 1))
+          }
+          out.iterator
       }
   }
 }

@@ -17,6 +17,13 @@ class CepSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  /** Far-future zero-mask event: advances the watermark so the NFA's
+    * event-time buffer drains (the Flink-CEP ordering semantics — see
+    * Pattern.compileStream); mask 0 starts nothing, key −1 is filtered.
+    */
+  private def flushEv(afterUs: Long) =
+    PatternEv(-1L, afterUs + 40L * 86400 * 1000000, -1L, 0L)
+
   test("times(2) quantifier over error stream == loginFailDetect lag pairs") {
     // Flink's begin("fail").times(2): one quantified step, expanded to 2
     val p = Pattern(Seq(Step("fail", lit(true), times = 2)),
@@ -60,6 +67,7 @@ class CepSpec extends AnyFunSuite {
     try {
       ms.addData(p.toPatternEvents(evs, $"user_id", $"ts_us", $"event_id").collect().toSeq)
       q.processAllAvailable()
+      ms.addData(flushEv(90 * us)); q.processAllAvailable()
       val sgot = spark.table("cep_tiny")
         .select($"key", $"start_ord", $"end_ord")
         .as[(Long, Long, Long)].collect().toSet
@@ -98,6 +106,7 @@ class CepSpec extends AnyFunSuite {
     try {
       ms.addData(p.toPatternEvents(evs, $"user_id", $"ts_us", $"event_id").collect().toSeq)
       q.processAllAvailable()
+      ms.addData(flushEv(90 * us)); q.processAllAvailable()
       val sgot = spark.table("cep_relaxed_tiny")
         .select($"key", $"start_ord", $"end_ord")
         .as[(Long, Long, Long)].collect().toSet
@@ -120,7 +129,9 @@ class CepSpec extends AnyFunSuite {
       val (b1, b2) = rows.splitAt(rows.size / 2)
       ms.addData(b1); q.processAllAvailable()
       ms.addData(b2); q.processAllAvailable()
+      ms.addData(flushEv(rows.map(_.ts_us).max)); q.processAllAvailable()
       val got = spark.table("cep_relaxed_stream")
+        .where($"key" =!= -1L)
         .select($"key", $"start_ord", $"end_ord")
         .as[(Long, Long, Long)].collect().toSet
       val want = DetectionAnalytics.cepFunnelRelaxed(spark, sf)
@@ -146,7 +157,41 @@ class CepSpec extends AnyFunSuite {
       val (b1, b2) = rows.splitAt(rows.size / 2)
       ms.addData(b1); q.processAllAvailable()
       ms.addData(b2); q.processAllAvailable()
+      ms.addData(flushEv(rows.map(_.ts_us).max)); q.processAllAvailable()
       val got = spark.table("cep_funnel_stream")
+        .where($"key" =!= -1L)
+        .select($"key", $"start_ord", $"end_ord")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = DetectionAnalytics.cepFunnel(spark, sf)
+        .select($"user_id", $"start_event", $"end_event")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
+  test("NFA buffers out-of-order arrivals: shuffled micro-batches == batch compile") {
+    implicit val ss = spark
+    implicit val ctx = spark.sqlContext
+    val p = DetectionAnalytics.funnelPattern
+    val rows = p.toPatternEvents(Tables.events(spark, sf),
+        $"user_id", unix_micros($"ts"), $"event_id")
+      .collect().toSeq
+    // deterministic shuffle WITHIN each batch (arrival order ≠ event
+    // time); batches still advance in time so the 1 h watermark admits
+    // every row (bounded out-of-orderness, like a multi-partition
+    // ingest)
+    val sorted = rows.sortBy(e => (e.ts_us, e.ord))
+    val batches = sorted.grouped(math.max(sorted.size / 5, 1)).toSeq
+      .map(b => new scala.util.Random(42).shuffle(b))
+    val ms = MemoryStream[PatternEv]
+    val q = p.compileStream(ms.toDS())
+      .writeStream.format("memory").queryName("cep_ooo_stream")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      ms.addData(flushEv(rows.map(_.ts_us).max)); q.processAllAvailable()
+      val got = spark.table("cep_ooo_stream")
+        .where($"key" =!= -1L)
         .select($"key", $"start_ord", $"end_ord")
         .as[(Long, Long, Long)].collect().toSet
       val want = DetectionAnalytics.cepFunnel(spark, sf)
