@@ -37,7 +37,6 @@ object StreamingAnalytics {
   case class Ev(event_id: Long, ts_us: Long, user_id: Long, event_type: String)
 
   case class FailPair(user_id: Long, first_fail_us: Long, last_fail_us: Long)
-  case class FailState(lastUs: Long)
 
   case class OrderResult(order_id: Long, user_id: Long, create_us: Long,
                          pay_us: Option[Long], status: String)
@@ -120,42 +119,24 @@ object StreamingAnalytics {
     UserBehaviorAnalytics.itemWindowCountsFrom(events.withWatermark("ts", watermark))
 
   /** L1/L2 analog (REF: LoginFail.scala § LoginFailWarning,
-    * LoginFailAdvance.scala — reconstructed): per-user state machine
-    * pairing consecutive 'error' events within `deadlineUs`. ListState +
-    * 2 s timer in the reference; here GroupState[lastTs] + event-time
-    * timeout for state GC. Same output as the batch lag()-based
-    * loginFailDetect on in-order input.
+    * LoginFailAdvance.scala — reconstructed): consecutive 'error'
+    * events within `deadlineUs`, per user — exactly
+    * `Pattern(fail.times(2), within)` over the error-filtered stream,
+    * so it delegates to the generic buffered NFA
+    * (graft.cep.Pattern.compileStream). That upgrade also fixes the
+    * caveat the reference's own basic version has (mis-pairing
+    * out-of-order events — the course discusses it): events are
+    * buffered and processed in event-time order at the watermark.
     */
   def loginFailPairs(events: Dataset[Ev], deadlineUs: Long = 30L * 60 * 1000000)
                     (implicit spark: SparkSession): Dataset[FailPair] = {
     import spark.implicits._
-    events.filter(_.event_type == "error")
-      .withColumn("ts", expr("timestamp_micros(ts_us)"))
-      .withWatermark("ts", "1 hour")
-      .as[(Long, Long, Long, String, java.sql.Timestamp)]
-      .groupByKey(_._3) // user_id
-      .flatMapGroupsWithState[FailState, FailPair](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user, it, state: GroupState[FailState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val sorted = it.toSeq.sortBy(e => (e._2, e._1)) // (ts_us, event_id)
-            val out = scala.collection.mutable.ListBuffer.empty[FailPair]
-            var last = state.getOption.map(_.lastUs)
-            for (e <- sorted) {
-              val t = e._2
-              last.foreach { l =>
-                if (t - l <= deadlineUs) out += FailPair(user, l, t)
-              }
-              last = Some(t)
-            }
-            last.foreach { l =>
-              state.update(FailState(l))
-              state.setTimeoutTimestamp(l / 1000 + 2 * deadlineUs / 1000)
-            }
-            out.iterator
-          }
-      }
+    import graft.cep.{Pattern, Step}
+    val p = Pattern(Seq(Step("fail", lit(true), times = 2)), deadlineUs)
+    p.compileStream(
+        p.toPatternEvents(events.filter(_.event_type == "error").toDF(),
+          col("user_id"), col("ts_us"), col("event_id")))
+      .map(m => FailPair(m.key, m.start_us, m.end_us))
   }
 
   /** O2 analog (REF: OrderTimeoutWithoutCep.scala § OrderPayMatch —
