@@ -40,7 +40,6 @@ object StreamingAnalytics {
 
   case class OrderResult(order_id: Long, user_id: Long, create_us: Long,
                          pay_us: Option[Long], status: String)
-  case class OrderState(pending: List[(Long, Long)]) // (order_id, create_us)
 
   case class ClickEv(event_id: Long, ts_us: Long, user_id: Long, ad_id: Int)
   case class BlackWarn(user_id: Long, ad_id: Int, day_us: Long)
@@ -143,7 +142,9 @@ object StreamingAnalytics {
     * reconstructed): per-user pending-order state; a purchase pays the
     * oldest qualifying signup; watermark passing create+deadline emits
     * the timeout — the event-time-timer semantics of the reference,
-    * driven by GroupStateTimeout.EventTimeTimeout.
+    * driven by GroupStateTimeout.EventTimeTimeout. Like the CEP NFA,
+    * events buffer in state until the watermark and apply in (ts, id)
+    * order, so out-of-order arrival can't pay the wrong order.
     */
   def orderTimeoutStream(events: Dataset[Ev], deadlineUs: Long = 24L * 3600 * 1000000)
                         (implicit spark: SparkSession): Dataset[OrderResult] = {
@@ -153,17 +154,23 @@ object StreamingAnalytics {
       .withWatermark("ts", "1 hour")
       .as[(Long, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._3)
-      .flatMapGroupsWithState[OrderState, OrderResult](
+      // state: (buffered (id, ts, type) not yet ripe, pending orders)
+      .flatMapGroupsWithState[
+        (List[(Long, Long, String)], List[(Long, Long)]), OrderResult](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user, it, state: GroupState[OrderState]) =>
+        (user, it,
+         state: GroupState[(List[(Long, Long, String)], List[(Long, Long)])]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000
-          var pending = state.getOption.map(_.pending).getOrElse(Nil)
+          val (prevBuf, prevPending) = state.getOption.getOrElse((Nil, Nil))
+          val incoming =
+            if (state.hasTimedOut) Nil
+            else it.toSeq.map(e => (e._1, e._2, e._4)).filter(_._2 > wmUs)
+          val (ready, held) = (prevBuf ++ incoming).partition(_._2 <= wmUs)
+          var pending = prevPending
           val out = scala.collection.mutable.ListBuffer.empty[OrderResult]
-          val sorted = it.toSeq.sortBy(e => (e._2, e._1))
-          for (e <- sorted) e._4 match {
-            case "signup" => pending = pending :+ (e._1, e._2)
+          for ((eid, t, typ) <- ready.sortBy(e => (e._2, e._1))) typ match {
+            case "signup" => pending = pending :+ (eid, t)
             case "purchase" =>
-              val t = e._2
               val (paid, rest) = pending.partition { case (_, c) =>
                 t > c && t <= c + deadlineUs
               }
@@ -180,10 +187,11 @@ object StreamingAnalytics {
           expired.foreach { case (oid, c) =>
             out += OrderResult(oid, user, c, None, "timeout")
           }
-          if (live.isEmpty) state.remove()
+          if (held.isEmpty && live.isEmpty) state.remove()
           else {
-            state.update(OrderState(live))
-            state.setTimeoutTimestamp((live.map(_._2).min + deadlineUs) / 1000 + 1)
+            state.update((held, live))
+            val wakeUs = (held.map(_._2) ++ live.map(_._2 + deadlineUs)).min
+            state.setTimeoutTimestamp(math.max(wakeUs / 1000 + 1, wmUs / 1000 + 1))
           }
           out.iterator
       }
@@ -206,29 +214,38 @@ object StreamingAnalytics {
       .withWatermark("ts", "1 hour")
       .as[(Long, Long, Long, Int, java.sql.Timestamp)]
       .groupByKey(e => (e._3, e._4)) // (user_id, ad_id)
-      .flatMapGroupsWithState[ClickState, BlackWarn](
+      // state: (buffered (id, ts) not yet ripe, day counter)
+      .flatMapGroupsWithState[
+        (List[(Long, Long)], Option[ClickState]), BlackWarn](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case ((user, ad), it, state) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val sorted = it.toSeq.sortBy(e => (e._2, e._1))
-            val out = scala.collection.mutable.ListBuffer.empty[BlackWarn]
-            var st = state.getOption.getOrElse(ClickState(-1L, 0L, warned = false))
-            for (e <- sorted) {
-              val day = e._2 / DayUs * DayUs
-              if (day != st.dayUs) st = ClickState(day, 0L, warned = false)
-              st = st.copy(cnt = st.cnt + 1)
-              if (st.cnt >= threshold && !st.warned) {
-                out += BlackWarn(user, ad, st.dayUs)
-                st = st.copy(warned = true)
-              }
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (prevBuf, prevSt) = state.getOption.getOrElse((Nil, None))
+          val incoming =
+            if (state.hasTimedOut) Nil
+            else it.toSeq.map(e => (e._1, e._2)).filter(_._2 > wmUs)
+          val (ready, held) = (prevBuf ++ incoming).partition(_._2 <= wmUs)
+          val out = scala.collection.mutable.ListBuffer.empty[BlackWarn]
+          var st = prevSt.getOrElse(ClickState(-1L, 0L, warned = false))
+          for ((_, t) <- ready.sortBy(e => (e._2, e._1))) {
+            val day = t / DayUs * DayUs
+            if (day != st.dayUs) st = ClickState(day, 0L, warned = false)
+            st = st.copy(cnt = st.cnt + 1)
+            if (st.cnt >= threshold && !st.warned) {
+              out += BlackWarn(user, ad, st.dayUs)
+              st = st.copy(warned = true)
             }
-            state.update(st)
-            // the reference's midnight-reset timer: clear state when the
-            // watermark passes the next midnight
-            state.setTimeoutTimestamp((st.dayUs + DayUs) / 1000)
-            out.iterator
           }
+          // the reference's midnight-reset timer: the counter is dead
+          // once the watermark passes its day's end
+          val liveSt = Option(st).filter(s => s.dayUs >= 0 && s.dayUs + DayUs > wmUs)
+          if (held.isEmpty && liveSt.isEmpty) state.remove()
+          else {
+            state.update((held, liveSt))
+            val wakeUs = (held.map(_._2) ++ liveSt.map(_.dayUs + DayUs)).min
+            state.setTimeoutTimestamp(math.max(wakeUs / 1000 + 1, wmUs / 1000 + 1))
+          }
+          out.iterator
       }
   }
 

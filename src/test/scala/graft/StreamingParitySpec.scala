@@ -156,7 +156,13 @@ class StreamingParitySpec extends AnyFunSuite {
     try {
       ms.addData(clickRows)
       q.processAllAvailable()
+      // flush: advance the watermark past every real click so the
+      // buffered state machines drain (single click → no warning row)
+      ms.addData(StreamingAnalytics.ClickEv(-1L,
+        clickRows.map(_.ts_us).max + 30L * 86400 * 1000000, -1L, 0))
+      q.processAllAvailable()
       val got = spark.table("bl_stream")
+        .where($"user_id" =!= -1L)
         .select($"user_id", $"ad_id", (col("day_us") / 1000000).cast("long"))
         .as[(Long, Int, Long)].collect().toSet
       val want = MarketingAnalytics.blacklistUsers(spark, sf)
