@@ -143,6 +143,36 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("order-timeout under out-of-order arrival: shuffled micro-batches == batch join") {
+    implicit val ctx = spark.sqlContext
+    implicit val ss = spark
+    val ms = MemoryStream[EvFull]
+    val q = StreamingAnalytics.orderTimeoutStream(
+        ms.toDS().map(e => Ev(e.event_id, e.ts_us, e.user_id, e.event_type)))
+      .writeStream.format("memory").queryName("ot_ooo_stream")
+      .outputMode("append").start()
+    try {
+      // shuffle WITHIN time-contiguous batches (bounded out-of-orderness
+      // the 1 h watermark admits); the buffered machine must still pay
+      // the right orders
+      val batches = rows.grouped(math.max(rows.size / 5, 1)).toSeq
+        .map(b => new scala.util.Random(7).shuffle(b))
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      ms.addData(flush("purchase"))
+      q.processAllAvailable()
+      val got = spark.table("ot_ooo_stream")
+        .where($"user_id" =!= -1L)
+        .select($"order_id", $"user_id", $"create_us",
+          coalesce($"pay_us", lit(-1L)), $"status")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val want = DetectionAnalytics.orderTimeout(spark, sf)
+        .select($"order_id", $"user_id", unix_micros($"create_ts"),
+          coalesce(unix_micros($"pay_ts"), lit(-1L)), $"status")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("blacklist state machine: stream warnings == batch (user, ad, day) set") {
     implicit val ctx = spark.sqlContext
     implicit val ss = spark
