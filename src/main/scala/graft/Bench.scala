@@ -34,10 +34,12 @@ object Bench {
     val results = sorted.map { case (name, fn) =>
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        // a crash must read as a failure (-1), never as a fast timing
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }.sorted
-      name -> reps(1) // median of 3
+      name -> (if (reps.exists(_.isNaN)) -1.0 else reps(1)) // median of 3
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

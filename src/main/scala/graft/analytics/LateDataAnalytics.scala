@@ -92,8 +92,7 @@ object LateDataAnalytics {
     import spark.implicits._
     withArrivalWatermark(Tables.events(spark, sfDir))
       .filter($"event_type" === "click")
-      .select(concat(lit("/page/"), get_json_object($"props", "$.k")).as("url"),
-        $"ts", $"late")
+      .select(UserBehaviorAnalytics.pageUrl($"props").as("url"), $"ts", $"late")
       .groupBy(window($"ts", "10 minutes").getField("end").as("window_end"), $"url")
       .agg(count(when(!$"late", 1)).as("cnt_ontime"),
         count(when($"late", 1)).as("cnt_late"))

@@ -34,6 +34,13 @@ object UserBehaviorAnalytics {
   private def itemId(c: org.apache.spark.sql.Column) =
     get_json_object(c, "$.k").cast("bigint")
 
+  /** Click URL proxy — ONE definition shared by hot-pages batch,
+    * streaming update-mode, and the late-split reconstruction (their
+    * parity depends on deriving the url identically).
+    */
+  def pageUrl(props: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("/page/"), get_json_object(props, "$.k"))
+
   // ---- shared batch/stream transforms (unified DataFrame API) ----
   // Each takes the events DataFrame (batch scan OR readStream source)
   // and returns the un-sorted aggregation; batch entry points add the
@@ -89,7 +96,7 @@ object UserBehaviorAnalytics {
     import spark.implicits._
     val clicks = Tables.events(spark, sfDir)
       .filter($"event_type" === "click")
-      .select(concat(lit("/page/"), get_json_object($"props", "$.k")).as("url"), $"ts")
+      .select(pageUrl($"props").as("url"), $"ts")
     // two-level sliding window: the naive window(ts, 10 min, 1 min)
     // expands EVERY event 10× before the first aggregate. Instead
     // pre-aggregate per (url, 1-minute tumbling bucket) — partial agg

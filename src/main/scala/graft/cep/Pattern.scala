@@ -164,26 +164,33 @@ case class Pattern(rawSteps: Seq[Step], withinUs: Long, strict: Boolean = true) 
       .groupByKey(_._1)
       // state: (buffered not-yet-ripe events, live partial matches)
       .flatMapGroupsWithState[
-        (List[(Long, Long, Long)], List[(Int, Long, Long)]), PatternMatch](
+        (List[(Long, Long, Long)], List[(Int, Long, Long, Long)]), PatternMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, it,
-         state: GroupState[(List[(Long, Long, Long)], List[(Int, Long, Long)])]) =>
+         state: GroupState[(List[(Long, Long, Long)], List[(Int, Long, Long, Long)])]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000
           val (prevBuf, prevPartials) = state.getOption.getOrElse((Nil, Nil))
-          // new arrivals already behind the watermark are late → dropped
+          // new arrivals strictly behind the watermark are late →
+          // dropped (>=: a row AT the watermark is still admitted, the
+          // same boundary Spark's own stateful late-row filter uses —
+          // it becomes ready in this very invocation)
           val incoming =
             if (state.hasTimedOut) Nil
-            else it.toSeq.map(e => (e._2, e._3, e._4)).filter(_._1 > wmUs)
+            else it.toSeq.map(e => (e._2, e._3, e._4)).filter(_._1 >= wmUs)
           val (ready, held) = (prevBuf ++ incoming).partition(_._1 <= wmUs)
+          // partial: (step reached, start ts, start ord, last-event ts)
           var partials = prevPartials
           val out = scala.collection.mutable.ListBuffer.empty[PatternMatch]
           for ((ts, ord, mask) <- ready.sortBy(e => (e._1, e._2))) {
             def bit(i: Int) = ((mask >> i) & 1L) == 1L
-            val advanced = partials.flatMap { case p @ (j, s, so) =>
+            val advanced = partials.flatMap { case p @ (j, s, so, lastTs) =>
               if (ts - s > win) None // expired: no later event can fit either
-              else if (bit(j + 1)) {
+              // relaxed mode requires STRICTLY increasing event time —
+              // the batch as-of chain binds t_i > t_{i-1}, and the two
+              // compilers must agree on ts ties
+              else if (bit(j + 1) && (isStrict || ts > lastTs)) {
                 if (j + 2 == kk) { out += PatternMatch(key, s, so, ts, ord); None }
-                else Some((j + 1, s, so))
+                else Some((j + 1, s, so, ts))
               }
               else if (isStrict) None // strict: non-match kills the partial
               else Some(p)            // relaxed: skip and keep waiting
@@ -191,18 +198,18 @@ case class Pattern(rawSteps: Seq[Step], withinUs: Long, strict: Boolean = true) 
             val started =
               if (!bit(0)) Nil
               else if (kk == 1) { out += PatternMatch(key, ts, ord, ts, ord); Nil }
-              else List((0, ts, ord))
+              else List((0, ts, ord, ts))
             partials = advanced ++ started
           }
           // a partial whose deadline the watermark passed can never
           // complete (every future ready event has ts > wm > s + win)
-          partials = partials.filter { case (_, s, _) => s + win >= wmUs }
+          partials = partials.filter { case (_, s, _, _) => s + win >= wmUs }
           if (held.isEmpty && partials.isEmpty) state.remove()
           else {
             state.update((held, partials))
             // wake when the watermark passes the earliest held event
             // or the earliest partial deadline — whichever is sooner
-            val wakeUs = (held.map(_._1) ++ partials.map { case (_, s, _) => s + win }).min
+            val wakeUs = (held.map(_._1) ++ partials.map { case (_, s, _, _) => s + win }).min
             state.setTimeoutTimestamp(math.max(wakeUs / 1000 + 1, wmUs / 1000 + 1))
           }
           out.iterator

@@ -283,8 +283,12 @@ object GraftExpressions {
     * regex `\s+` split, empties dropped, space-joined n-grams,
     * distinct in first-occurrence order (what array_distinct keeps).
     */
+  private val WsRegex = java.util.regex.Pattern.compile("\\s+")
+
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
-    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
+    // pre-compiled pattern: String.split(regex) recompiles per call —
+    // this runs once per document on the dedup hot path
+    val toks = WsRegex.split(text.toString).filter(_.nonEmpty)
     if (toks.length < n)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()

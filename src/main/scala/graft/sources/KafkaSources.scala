@@ -114,7 +114,11 @@ object KafkaSources {
     * reference's keyed streams rely on downstream.
     */
   def encodeCsv(df: DataFrame, keyCol: Option[String] = None): DataFrame = {
-    val value = concat_ws(",", df.columns.map(c => col(c).cast("string")): _*)
+    // coalesce each field: concat_ws SKIPS nulls, which would drop the
+    // field entirely and shift every later column on re-parse (the
+    // OrderLog layout legitimately has an empty txId on 'create' rows)
+    val value = concat_ws(",",
+      df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
     keyCol match {
       case Some(k) => df.select(col(k).cast("string").as("key"), value.as("value"))
       case None => df.select(value.as("value"))

@@ -261,8 +261,7 @@ object StreamingAnalytics {
   def hotPagesUpdateStream(events: DataFrame, lateness: String = "5 minutes"): DataFrame =
     events.withWatermark("ts", lateness)
       .filter(col("event_type") === "click")
-      .select(concat(lit("/page/"), get_json_object(col("props"), "$.k")).as("url"),
-        col("ts"))
+      .select(UserBehaviorAnalytics.pageUrl(col("props")).as("url"), col("ts"))
       .groupBy(window(col("ts"), "10 minutes").as("w"), col("url"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.end").as("window_end"), col("url"), col("cnt"))

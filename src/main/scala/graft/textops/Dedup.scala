@@ -245,7 +245,12 @@ object Dedup {
         .sortWithinPartitions($"freq".asc, $"sh".asc)
         .select($"sh").rdd
       sortedRdd.zipWithIndex()
-        .map { case (r, i) => (r.getString(0), (i + 1).toInt) }
+        .map { case (r, i) =>
+          // rid feeds int arrays (sorted_intersect_count); fail fast
+          // rather than wrap silently past 2^31 distinct shingles
+          require(i < Int.MaxValue - 1, "shingle dictionary exceeds Int ids")
+          (r.getString(0), (i + 1).toInt)
+        }
         .toDF("sh", "rid")
     }
     // docs re-encoded as rarity-sorted int arrays; localCheckpoint

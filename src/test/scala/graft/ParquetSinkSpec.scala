@@ -48,7 +48,10 @@ class ParquetSinkSpec extends AnyFunSuite {
           .join(spark.table("graft_sink_test.lineitem_b"),
             $"o_orderkey" === $"l_orderkey")
         val plan = j.queryExecution.executedPlan.toString
-        assert(plan.contains("SortMergeJoin") && !plan.contains("ShuffleExchange"),
+        // shuffle exchanges print as "Exchange hashpartitioning(...)" —
+        // ShuffleExchangeExec.nodeName is the bare "Exchange", so match
+        // the full spelling (BroadcastExchange would not match either way)
+        assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning"),
           s"bucketed join still shuffles:\n$plan")
         val want = Tables.orders(spark, sf)
           .join(Tables.lineitem(spark, sf), $"o_orderkey" === $"l_orderkey")

@@ -142,6 +142,14 @@ class SourcesSpec extends AnyFunSuite {
       kafkaShaped(enc.select($"value").as[String].collect().toSeq))
       .collect().sortBy(_.userId).toSeq
     assert(back == rows.sortBy(_.userId))
+    // null field must keep its comma slot (concat_ws alone would skip
+    // it and shift every later column)
+    val createRow = Seq(CsvSources.OrderEvent(34729L, "create", null, 1558430842L))
+    val encNull = sources.KafkaSources.encodeCsv(createRow.toDF())
+      .select($"value").as[String].head()
+    assert(encNull == "34729,create,,1558430842")
+    assert(sources.KafkaSources.parseOrderLog(kafkaShaped(Seq(encNull))).head()
+      == createRow.head)
   }
 
   test("foreachBatch streaming top-N == batch rank on final state") {
