@@ -164,7 +164,8 @@ object StreamingAnalytics {
           val (prevBuf, prevPending) = state.getOption.getOrElse((Nil, Nil))
           val incoming =
             if (state.hasTimedOut) Nil
-            else it.toSeq.map(e => (e._1, e._2, e._4)).filter(_._2 > wmUs)
+            // >=: a row AT the watermark is admitted (ready this batch)
+            else it.toSeq.map(e => (e._1, e._2, e._4)).filter(_._2 >= wmUs)
           val (ready, held) = (prevBuf ++ incoming).partition(_._2 <= wmUs)
           var pending = prevPending
           val out = scala.collection.mutable.ListBuffer.empty[OrderResult]
@@ -223,7 +224,8 @@ object StreamingAnalytics {
           val (prevBuf, prevSt) = state.getOption.getOrElse((Nil, None))
           val incoming =
             if (state.hasTimedOut) Nil
-            else it.toSeq.map(e => (e._1, e._2)).filter(_._2 > wmUs)
+            // >=: a row AT the watermark is admitted (ready this batch)
+            else it.toSeq.map(e => (e._1, e._2)).filter(_._2 >= wmUs)
           val (ready, held) = (prevBuf ++ incoming).partition(_._2 <= wmUs)
           val out = scala.collection.mutable.ListBuffer.empty[BlackWarn]
           var st = prevSt.getOrElse(ClickState(-1L, 0L, warned = false))
