@@ -38,6 +38,7 @@ object SparkEntry {
     "asof_attribution"  -> ((s, d) => DetectionAnalytics.asofAttribution(s, d)),
     "cep_funnel"        -> ((s, d) => DetectionAnalytics.cepFunnel(s, d)),
     "cep_funnel_relaxed" -> ((s, d) => DetectionAnalytics.cepFunnelRelaxed(s, d)),
+    "cep_absence"        -> ((s, d) => DetectionAnalytics.cepAbsence(s, d)),
     "late_events"       -> ((s, d) => LateDataAnalytics.lateEvents(s, d)),
     "hot_pages_late_split" -> ((s, d) => LateDataAnalytics.hotPagesLateSplit(s, d)),
     "pricing_summary"   -> ((s, d) => RelationalAnalytics.pricingSummary(s, d)),
@@ -245,6 +246,7 @@ object SparkEntry {
         |ORDER BY view_id""".stripMargin,
     "cep_funnel"           -> DetectionAnalytics.cepFunnelOracle,
     "cep_funnel_relaxed"   -> DetectionAnalytics.cepFunnelRelaxedOracle,
+    "cep_absence"          -> DetectionAnalytics.cepAbsenceOracle,
     "late_events"          -> graft.analytics.LateDataAnalytics.lateEventsOracle,
     "hot_pages_late_split" -> graft.analytics.LateDataAnalytics.hotPagesLateSplitOracle,
     "interval_join" ->

@@ -181,6 +181,34 @@ object DetectionAnalytics {
       |       o2 AS end_event, t2 AS end_ts
       |FROM j2 ORDER BY user_id, start_event""".stripMargin
 
+  /** Absence instance (Flink `notFollowedBy`): signups with no purchase
+    * in the following 24 h — the order-timeout side output expressed
+    * through the generic pattern API (its rows are exactly
+    * `order_timeout WHERE status = 'timeout'`; the independent
+    * NOT EXISTS oracle keeps the check honest).
+    */
+  val absencePattern: graft.cep.Pattern = graft.cep.Pattern(Seq(
+    graft.cep.Step("signup", col("event_type") === "signup"),
+    graft.cep.Step("purchase", col("event_type") === "purchase")),
+    withinUs = 24L * 3600 * 1000000, strict = false)
+
+  def cepAbsence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    absencePattern
+      .compileBatchAbsence(Tables.events(spark, sfDir), $"user_id", $"ts", $"event_id")
+      .withColumnRenamed("key", "user_id")
+      .orderBy($"event")
+  }
+
+  val cepAbsenceOracle: String =
+    """SELECT s.user_id, s.event_id AS event, s.ts
+      |FROM events s WHERE s.event_type = 'signup' AND NOT EXISTS (
+      |  SELECT 1 FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+      |    AND p.ts > s.ts
+      |    AND epoch_us(p.ts) - epoch_us(s.ts) <= 86400000000)
+      |ORDER BY event""".stripMargin
+
   val cepFunnelOracle: String =
     """WITH l AS (
       |  SELECT user_id, ts, event_id, event_type,

@@ -127,6 +127,74 @@ case class Pattern(rawSteps: Seq[Step], withinUs: Long, strict: Boolean = true) 
         expr(s"timestamp_micros(t${k - 1})").as("end_ts"))
   }
 
+  /** Absence (Flink `begin(A).notFollowedBy(B).within(t)` — REF:
+    * OrderTimeout.scala § PatternTimeoutFunction, reconstructed): the A
+    * events with NO B event strictly after them within the window, per
+    * key. Requires exactly two steps and relaxed mode (absence over a
+    * strict-adjacent step is just `next` negation — use the lag form).
+    * Batch: one forward as-of to the EARLIEST following B (reusing
+    * AsOfJoinExec); absent ⟺ none found or found too late. Output
+    * (key, event, ts) per absent A.
+    */
+  def compileBatchAbsence(events: DataFrame, key: Column, ts: Column, ord: Column): DataFrame = {
+    require(k == 2 && !strict, "absence = 2 steps, relaxed mode")
+    val a = events.filter(steps(0).pred)
+      .select(key.as("k0"), unix_micros(ts).as("t0"), ord.as("o0"))
+      .withColumn("_nl", -(col("t0") + lit(1L)))
+    val b = events.filter(steps(1).pred)
+      .select(key.as("k1"), unix_micros(ts).as("t1"))
+      .withColumn("_nr", -col("t1"))
+    graft.plans.AsOfJoin.asof(a, b, "k0", "k1", "_nl", "_nr")
+      .filter(col("t1").isNull || col("t1") - col("t0") > withinUs)
+      .select(col("k0").as("key"), col("o0").as("event"),
+        expr("timestamp_micros(t0)").as("ts"))
+  }
+
+  /** Streaming absence: a partial that survives to its deadline
+    * unmatched emits — the pattern-timeout side output. Same buffered
+    * event-time ordering as [[compileStream]].
+    */
+  def compileStreamAbsence(events: Dataset[PatternEv], watermark: String = "1 hour")
+                          (implicit spark: SparkSession): Dataset[PatternMatch] = {
+    require(k == 2 && !strict, "absence = 2 steps, relaxed mode")
+    import spark.implicits._
+    val win = withinUs
+    events
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      // state: (buffered events, open A candidates (start ts, start ord))
+      .flatMapGroupsWithState[
+        (List[(Long, Long, Long)], List[(Long, Long)]), PatternMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state: GroupState[(List[(Long, Long, Long)], List[(Long, Long)])]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (prevBuf, prevOpen) = state.getOption.getOrElse((Nil, Nil))
+          val incoming =
+            if (state.hasTimedOut) Nil
+            else it.toSeq.map(e => (e._2, e._3, e._4)).filter(_._1 >= wmUs)
+          val (ready, held) = (prevBuf ++ incoming).partition(_._1 <= wmUs)
+          var open = prevOpen
+          val out = scala.collection.mutable.ListBuffer.empty[PatternMatch]
+          for ((ts, ord, mask) <- ready.sortBy(e => (e._1, e._2))) {
+            if (((mask >> 1) & 1L) == 1L)
+              open = open.filterNot { case (s, _) => ts > s && ts - s <= win }
+            if ((mask & 1L) == 1L) open = open :+ (ts, ord)
+          }
+          // deadline passed unmatched → the absence fires
+          val (absent, live) = open.partition { case (s, _) => s + win < wmUs }
+          absent.foreach { case (s, so) => out += PatternMatch(key, s, so, s, so) }
+          if (held.isEmpty && live.isEmpty) state.remove()
+          else {
+            state.update((held, live))
+            val wakeUs = (held.map(_._1) ++ live.map(_._1 + win)).min
+            state.setTimeoutTimestamp(math.max(wakeUs / 1000 + 1, wmUs / 1000 + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Evaluate the step predicates into the [[PatternEv]] mask (Catalyst
     * does the predicate work; the NFA sees only booleans).
     */

@@ -169,6 +169,33 @@ class CepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("absence (notFollowedBy) stream == batch forward-asof on sf0.001") {
+    implicit val ss = spark
+    implicit val ctx = spark.sqlContext
+    val p = DetectionAnalytics.absencePattern
+    val rows = p.toPatternEvents(Tables.events(spark, sf),
+        $"user_id", unix_micros($"ts"), $"event_id")
+      .collect().toSeq.sortBy(e => (e.ts_us, e.ord))
+    val ms = MemoryStream[PatternEv]
+    val q = p.compileStreamAbsence(ms.toDS())
+      .writeStream.format("memory").queryName("cep_absence_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(flushEv(rows.map(_.ts_us).max)); q.processAllAvailable()
+      val got = spark.table("cep_absence_stream")
+        .where($"key" =!= -1L)
+        .select($"key", $"start_ord")
+        .as[(Long, Long)].collect().toSet
+      val want = DetectionAnalytics.cepAbsence(spark, sf)
+        .select($"user_id", $"event")
+        .as[(Long, Long)].collect().toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("NFA buffers out-of-order arrivals: shuffled micro-batches == batch compile") {
     implicit val ss = spark
     implicit val ctx = spark.sqlContext
