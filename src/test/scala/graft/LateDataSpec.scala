@@ -93,8 +93,9 @@ class LateDataSpec extends AnyFunSuite {
       .as[EvFull].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
     val got = scala.collection.mutable
       .Map.empty[java.sql.Timestamp, Map[Long, (Long, Int)]]
+    val store = new StreamingAnalytics.InMemoryTopNStore
     val q = StreamingAnalytics.hotItemsTopNForeachBatch(
-        ms.toDF().withColumn("ts", expr("timestamp_micros(ts_us)")), 5) { ranked =>
+        ms.toDF().withColumn("ts", expr("timestamp_micros(ts_us)")), 5, store) { ranked =>
         // a re-fire replaces the window's WHOLE top-N (items can drop out)
         ranked.select($"window_end", $"item_id", $"cnt", $"rnk")
           .as[(java.sql.Timestamp, Long, Long, Int)].collect()
@@ -113,6 +114,14 @@ class LateDataSpec extends AnyFunSuite {
           w -> rows.map { case (_, i, c, r) => i -> (c, r) }.toMap
         }
       assert(got.toMap == want)
+      // bounded state: the retention prune must have dropped windows
+      // older than maxEnd - 75 min (the stream spans ~15 days)
+      val held = store.windows(spark,
+          got.keySet.toSet).select($"window_end").distinct().count()
+      val retained = got.keySet.count(w =>
+        w.getTime >= got.keySet.map(_.getTime).max - 75L * 60 * 1000)
+      assert(held <= retained,
+        s"store retained $held windows, expected <= $retained (75-min retention)")
     } finally q.stop()
   }
 }
