@@ -88,11 +88,15 @@ object AsOfJoin {
         val rKeyProj = UnsafeProjection.create(Seq(rKeyExpr), rOut)
         val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
         val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
-        // project with the node's declared output (right side forced
-        // nullable) — raw rOut attrs may claim non-nullable and codegen
-        // would then read the all-null row without null checks
-        val outProj = UnsafeProjection.create(
-          lOut ++ rOut.map(_.withNullability(true)), lOut ++ rOut)
+        // project with the right side forced nullable IN THE SCHEMA
+        // position too: BindReferences takes nullability from the
+        // input-schema attribute (not the projection expression), so
+        // nullable exprs over a non-nullable schema still skip the
+        // null checks and read the all-null row as zeros (caught by
+        // the CEP relaxed-chain property test: non-nullable right
+        // columns + unmatched left rows)
+        val outAttrs = lOut ++ rOut.map(_.withNullability(true))
+        val outProj = UnsafeProjection.create(outAttrs, outAttrs)
         val nullRight = new GenericInternalRow(rOut.length)
         val joined = new JoinedRow
         val keyType = lKeyExpr.dataType

@@ -136,6 +136,78 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CEP compilers == in-memory reference matcher on random sequences") {
+    import graft.cep.{Pattern, Step}
+    // random keyed event sequences over 3 types, unique (key, ts)
+    val seqGen = for {
+      nKeys <- Gen.chooseNum(1, 4)
+      evs <- Gen.listOfN(nKeys * 12, Gen.zip(
+        Gen.chooseNum(1L, nKeys.toLong), Gen.oneOf("a", "b", "c")))
+    } yield evs.zipWithIndex.map { case ((k, t), i) =>
+      (k, (i * 7 + k).toLong * 1000000, i.toLong + 100, t) // (key, ts_us, ord, type)
+    }
+    val withinUs = 40L * 1000000
+
+    // independent strict-next spec: anchor every position, demand
+    // adjacency
+    def refStrict(evs: Seq[(Long, Long, Long, String)], pat: Seq[String]) =
+      evs.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+        val s = es.sortBy(e => (e._2, e._3))
+        s.indices.collect {
+          case i if i + pat.size <= s.size &&
+            pat.indices.forall(j => s(i + j)._4 == pat(j)) &&
+            s(i + pat.size - 1)._2 - s(i)._2 <= withinUs =>
+            (k, s(i)._3, s(i + pat.size - 1)._3)
+        }
+      }.toSet
+
+    // independent relaxed spec: bind the earliest following occurrence
+    // of each next step (strictly later ts)
+    def refRelaxed(evs: Seq[(Long, Long, Long, String)], pat: Seq[String]) =
+      evs.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+        val s = es.sortBy(e => (e._2, e._3))
+        s.filter(_._4 == pat.head).flatMap { start =>
+          var cur = start
+          val ok = pat.tail.forall { step =>
+            s.find(e => e._2 > cur._2 && e._4 == step &&
+              e._2 - start._2 <= withinUs) match {
+              case Some(e) => cur = e; true
+              case None => false
+            }
+          }
+          if (ok) Some((k, start._3, cur._3)) else None
+        }
+      }.toSet
+
+    forAll(seqGen, n = 4) { evs =>
+      val df = evs.toDF("user_id", "ts_us", "event_id", "event_type")
+        .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      val pat = Seq("a", "b", "c")
+      def steps = pat.map(t => Step(t, col("event_type") === t))
+      val gotStrict = Pattern(steps, withinUs)
+        .compileBatch(df, col("user_id"), col("ts"), col("event_id"))
+        .select(col("key"), col("start_event"), col("end_event"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(gotStrict == refStrict(evs, pat), s"strict diverged on $evs")
+      val gotRelaxed = Pattern(steps, withinUs, strict = false)
+        .compileBatch(df, col("user_id"), col("ts"), col("event_id"))
+        .select(col("key"), col("start_event"), col("end_event"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(gotRelaxed == refRelaxed(evs, pat), s"relaxed diverged on $evs")
+      // absence: a-not-followed-by-b == the complement of binding b
+      val gotAbsent = Pattern(Seq(Step("a", col("event_type") === "a"),
+          Step("b", col("event_type") === "b")), withinUs, strict = false)
+        .compileBatchAbsence(df, col("user_id"), col("ts"), col("event_id"))
+        .select(col("key"), col("event")).as[(Long, Long)].collect().toSet
+      val wantAbsent = evs.filter(_._4 == "a").collect {
+        case (k, ts, ord, _) if !evs.exists(e =>
+          e._1 == k && e._4 == "b" && e._2 > ts && e._2 - ts <= withinUs) =>
+          (k, ord)
+      }.toSet
+      assert(gotAbsent == wantAbsent, s"absence diverged on $evs")
+    }
+  }
+
   test("vec_dot native == HOF fold for arbitrary double vectors") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 7.0))
     forAll(Gen.listOfN(20, vecGen)) { vecs =>
