@@ -68,4 +68,33 @@ class StreamingRecoverySpec extends AnyFunSuite {
       .filter(_._1.getTime <= maxEnd) // drop the sentinel's own window
     assert(got == want)
   }
+
+  test("Trigger.AvailableNow: drain everything then stop (A9 custom-trigger analog)") {
+    // the reference's FIRE_AND_PURGE custom trigger controls WHEN
+    // results emit; Spark's trigger surface is the analog — AvailableNow
+    // processes all pending input and terminates on its own
+    val root = java.nio.file.Files.createTempDirectory("graftanow").toString
+    val inDir = s"$root/in"
+    new java.io.File(inDir).mkdirs()
+    Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .write.parquet(s"$inDir/chunk1")
+    val schema = spark.read.parquet(s"$inDir/chunk1").schema
+    implicit val ctx = spark.sqlContext
+    val q = StreamingAnalytics.pageViewsStream(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(inDir))
+      .writeStream.format("memory").queryName("anow_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+      val got = spark.table("anow_stream").select($"window_end", $"pv")
+        .as[(java.sql.Timestamp, Long)].collect().toSet
+      val want = analytics.UserBehaviorAnalytics.pageViews(spark, sf)
+        .as[(java.sql.Timestamp, Long)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
 }
