@@ -224,10 +224,10 @@ object Dedup {
     val shingled = Tables.documents(spark, sfDir)
       .selectExpr("doc_id", "word_shingles(text, 3) as shingles")
       .where("size(shingles) >= 1")
-    // materialize the tokenize→shingle→explode pass ONCE: `inv` feeds
-    // both the rarity dictionary and the doc encoding join — without
-    // the checkpoint the interpreted-HOF shingle transform runs twice
-    // (the front end, not the pair join, dominates this query's cost)
+    // materialize the shingle→explode pass ONCE: `inv` feeds the rarity
+    // dictionary (twice — freq agg + zipWithIndex job) AND the doc
+    // encoding join; measured with the native word_shingles front end,
+    // the checkpoint still beats recomputing those three subtrees
     val inv = shingled.selectExpr("doc_id", "explode(shingles) as sh")
       .localCheckpoint()
     // global rarity order over the shingle dictionary — contiguous ids
