@@ -23,6 +23,7 @@ object SparkEntry {
     "hot_items_topn"  -> ((s, d) => UserBehaviorAnalytics.hotItemsTopN(s, d)),
     "hot_pages_topn"  -> ((s, d) => UserBehaviorAnalytics.hotPagesTopN(s, d)),
     "page_views"      -> ((s, d) => UserBehaviorAnalytics.pageViews(s, d)),
+    "page_views_salted" -> ((s, d) => UserBehaviorAnalytics.pageViewsSalted(s, d)),
     "unique_visitors" -> ((s, d) => UserBehaviorAnalytics.uniqueVisitors(s, d)),
     "uv_approx"       -> ((s, d) => UserBehaviorAnalytics.uvApprox(s, d)),
     "uv_approx_kmv"   -> ((s, d) => UserBehaviorAnalytics.uvApproxKmv(s, d)),
@@ -120,6 +121,12 @@ object SparkEntry {
         |SELECT window_end, url, cnt, CAST(rnk AS INT) AS rnk
         |FROM ranked WHERE rnk <= 3 ORDER BY window_end, rnk""".stripMargin,
     "page_views" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+        |       count(*) AS pv
+        |FROM events WHERE event_type = 'view'
+        |GROUP BY 1 ORDER BY window_end""".stripMargin,
+    // salted two-stage form is bit-identical to page_views — same oracle
+    "page_views_salted" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
         |       count(*) AS pv
         |FROM events WHERE event_type = 'view'

@@ -132,6 +132,35 @@ object UserBehaviorAnalytics {
     pageViewsFrom(Tables.events(spark, sfDir)).orderBy($"window_end")
   }
 
+  /** Hourly page views through the reference's EXPLICIT salt (P6).
+    * REF: PageView.scala § main (improved version) — reconstructed:
+    * `map(d => (Random.nextInt(8).toString, 1L)).keyBy(_._1)` fans the
+    * single "pv" key over 8 salted keys so the count parallelizes, then
+    * a second keyed stage re-merges per window. [[pageViews]] documents
+    * why Spark doesn't need this (partial aggregation IS the salt); this
+    * variant demonstrates the technique itself for the genuinely-skewed
+    * case partial agg can't save: a high-cardinality-state aggregate
+    * (think countDistinct or collect_set) on one hot key, where every
+    * partial buffer is as big as the final. Two-stage shape:
+    * stage 1 groups by (window, salt) — 8-way parallel, salt is a
+    * DETERMINISTIC hash of event_id (a `rand()` salt would make the
+    * query unreplayable; skew mitigation needs spread, not randomness) —
+    * stage 2 re-aggregates the 8 partials per window. Result is
+    * bit-identical to [[pageViews]], so it shares that oracle.
+    */
+  def pageViewsSalted(spark: SparkSession, sfDir: String, buckets: Int = 8): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === "view")
+      .select(window($"ts", "1 hour").getField("end").as("window_end"),
+        pmod(hash($"event_id"), lit(buckets)).as("salt"))
+      .groupBy($"window_end", $"salt")
+      .agg(count(lit(1)).as("partial_pv"))
+      .groupBy($"window_end")
+      .agg(sum($"partial_pv").cast("long").as("pv"))
+      .orderBy($"window_end")
+  }
+
   /** Hourly unique visitors — exact distinct.
     * REF: UniqueVisitor.scala § UvCountByWindow builds an in-memory
     * Set[Long] at parallelism 1; Spark's countDistinct is a distributed

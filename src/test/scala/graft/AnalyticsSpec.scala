@@ -43,6 +43,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(summed == total)
   }
 
+  test("page_views_salted: bit-identical to the unsalted aggregate") {
+    val plain = UserBehaviorAnalytics.pageViews(spark, sf)
+    val salted = UserBehaviorAnalytics.pageViewsSalted(spark, sf)
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // the salt spreads the hot key: stage-1 groups ≈ windows × buckets
+    val windows = plain.count()
+    val stage1 = events.where($"event_type" === "view")
+      .select(window($"ts", "1 hour").getField("end").as("w"),
+        pmod(hash($"event_id"), lit(8)).as("salt"))
+      .groupBy($"w", $"salt").count().count()
+    assert(stage1 > windows, "salt produced no key spread")
+  }
+
   test("unique_visitors <= page_views per window; uv_approx within 5% of exact") {
     val pv = UserBehaviorAnalytics.pageViews(spark, sf)
     val uv = UserBehaviorAnalytics.uniqueVisitors(spark, sf)
