@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhashDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_clusters"    -> ((s, d) => Dedup.dedupClusters(s, d)),
     "similarity_topk"   -> ((s, d) => Similarity.similarityTopK(s, d)),
     "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     "similarity_ivf"    -> ((s, d) => Similarity.similarityIvf(s, d)),
@@ -329,6 +330,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
     "dedup_simhash"       -> Dedup.simhashDedupOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "dedup_clusters"      -> Dedup.dedupClustersOracle,
     "similarity_topk"     -> Similarity.similarityTopKOracle,
     "dedup_embedding"     -> Similarity.dedupEmbeddingOracle,
     "similarity_ivf"      -> Similarity.similarityIvfOracle,

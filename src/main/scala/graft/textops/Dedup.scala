@@ -90,7 +90,11 @@ object Dedup {
       .orderBy($"doc1", $"doc2")
   }
 
-  val minhashLshOracle: String = {
+  /** Shared DuckDB CTE chain ending in `simpairs(doc1, doc2, sim)` —
+    * the minhash near-dup pairs at sim ≥ 0.5. Used by both the pair
+    * query's oracle and the connected-components clusters oracle.
+    */
+  private val minhashPairsCtes: String = {
     val sigCols = (0 until K).map(j =>
       s"list_min(list_transform(sh, v$j -> (v$j * ${MinhashA(j)} + ${MinhashB(j)}) % $P)) AS s$j")
       .mkString(",\n         ")
@@ -99,7 +103,7 @@ object Dedup {
       .mkString("\n  UNION ALL ")
     val simExpr = (0 until K)
       .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, $tokensDuck AS tokens FROM documents
        |), th AS (
        |  SELECT doc_id, list_transform(tokens, tk -> ${phDuck("tk", "h")}) AS tharr
@@ -112,16 +116,101 @@ object Dedup {
        |  SELECT doc_id, $sigCols FROM sh
        |), bands AS (
        |  $bandSelects
-       |), pairs AS (
+       |), lshpairs AS (
        |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
        |  FROM bands x JOIN bands y ON x.band_idx = y.band_idx
        |    AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
-       |)
-       |SELECT p.doc1, p.doc2, CAST(($simExpr) AS DOUBLE) / $K AS sim
-       |FROM pairs p JOIN sig a ON p.doc1 = a.doc_id JOIN sig b ON p.doc2 = b.doc_id
-       |WHERE CAST(($simExpr) AS DOUBLE) / $K >= 0.5
-       |ORDER BY doc1, doc2""".stripMargin
+       |), simpairs AS (
+       |  SELECT p.doc1, p.doc2, CAST(($simExpr) AS DOUBLE) / $K AS sim
+       |  FROM lshpairs p JOIN sig a ON p.doc1 = a.doc_id JOIN sig b ON p.doc2 = b.doc_id
+       |  WHERE CAST(($simExpr) AS DOUBLE) / $K >= 0.5
+       |)""".stripMargin
   }
+
+  val minhashLshOracle: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT doc1, doc2, sim FROM simpairs ORDER BY doc1, doc2""".stripMargin
+
+  // ------------------------------------------------- near-dup clustering
+
+  /** Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    * graph, plus canonical-document selection — the final stage of a
+    * real training-data dedup pipeline (pairs alone don't dedupe a
+    * corpus; you keep one doc per component and drop the rest).
+    *
+    * Algorithm: hash-min label propagation. Every doc starts labelled
+    * with its own id; each round every doc takes the min label among
+    * itself and its neighbors, until a fixpoint. Each round is one
+    * equi-join + partial-agg shuffle over the EDGE list (never
+    * all-pairs), and the round count is the component diameter —
+    * near-dup clusters are small and dense, so this converges in a
+    * handful of rounds. At extreme scale the same loop upgrades to
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") for O(log n) rounds; the per-round plan
+    * shape (join + min-agg) is identical.
+    *
+    * Convergence test: labels only ever decrease, so Σ labels strictly
+    * decreases on any change — one cheap agg per round instead of a
+    * change-count join. (Σ stays within Int64 up to ~1e9 docs; past
+    * that switch the test to a changed-row count.)
+    *
+    * Output: one row per document — its cluster id (min doc_id of the
+    * component), the component size, and whether it is the keeper.
+    * Singleton docs (no near-dup edge, incl. <3-token docs that have
+    * no minhash signature) are their own cluster.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id")
+    val pairs = minhashLsh(spark, sfDir).select($"doc1", $"doc2")
+    // symmetric edge list, materialized once — it is re-joined every round
+    val edges = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
+      .union(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
+      .localCheckpoint()
+    var labels = docs.select($"doc_id", $"doc_id".as("label")).localCheckpoint()
+    var prevSum = labels.agg(sum($"label")).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges
+        .join(labels.select($"doc_id".as("dst"), $"label".as("nbr_label")), "dst")
+        .groupBy($"src").agg(min($"nbr_label").as("nbr_min"))
+      val next = labels
+        .join(nbrMin.select($"src".as("doc_id"), $"nbr_min"), Seq("doc_id"), "left")
+        .select($"doc_id",
+          least($"label", coalesce($"nbr_min", $"label")).as("label"))
+        .localCheckpoint() // truncate lineage: plans stay O(1) per round
+      val s = next.agg(sum($"label")).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+    }
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select($"doc_id", $"label".as("cluster_id"), $"cluster_size",
+        ($"doc_id" === $"label").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: transitive closure by recursive CTE (min reachable id =
+    * component id) over the same simpairs edge set.
+    */
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes, edges AS (
+       |  SELECT doc1 AS src, doc2 AS dst FROM simpairs
+       |  UNION ALL SELECT doc2, doc1 FROM simpairs
+       |), reach AS (
+       |  SELECT doc_id AS doc, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.doc
+       |), cc AS (
+       |  SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc
+       |), sizes AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1
+       |)
+       |SELECT c.doc AS doc_id, c.cluster_id, s.cluster_size,
+       |       (c.doc = c.cluster_id) AS is_keeper
+       |FROM cc c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- simhash
 

@@ -146,6 +146,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(df.agg(sum($"dup_cnt")).as[Long].head() == docs)
   }
 
+  test("dedup_clusters: partition of all docs; labels = transitive closure of pairs") {
+    val docs = Tables.documents(spark, sf).select($"doc_id").cache()
+    val clusters = Dedup.dedupClusters(spark, sf).cache()
+    // every document appears exactly once
+    assert(clusters.count() == docs.count())
+    assert(clusters.select($"doc_id").except(docs).isEmpty)
+    // cluster_id is the min doc_id of its members; keeper iff doc == cluster
+    val badMin = clusters.groupBy($"cluster_id")
+      .agg(min($"doc_id").as("m"), count(lit(1)).as("n"))
+      .where($"cluster_id" =!= $"m")
+    assert(badMin.isEmpty)
+    assert(clusters.where($"is_keeper" =!= ($"doc_id" === $"cluster_id")).isEmpty)
+    // sizes are consistent
+    val badSize = clusters.groupBy($"cluster_id", $"cluster_size").count()
+      .where($"cluster_size" =!= $"count")
+    assert(badSize.isEmpty)
+    // every near-dup pair landed in one cluster (closure over the edge set)
+    val pairs = Dedup.minhashLsh(spark, sf).select($"doc1", $"doc2")
+    val split = pairs
+      .join(clusters.select($"doc_id".as("doc1"), $"cluster_id".as("c1")), "doc1")
+      .join(clusters.select($"doc_id".as("doc2"), $"cluster_id".as("c2")), "doc2")
+      .where($"c1" =!= $"c2")
+    assert(split.isEmpty)
+    // keepers = number of components; dropping non-keepers dedups the corpus
+    val keepers = clusters.where($"is_keeper").count()
+    val comps = clusters.select($"cluster_id").distinct().count()
+    assert(keepers == comps)
+  }
+
   test("dedup pairs are strictly ordered (doc1 < doc2), no self-pairs") {
     for (df <- Seq(Dedup.minhashLsh(spark, sf), Dedup.simhashDedup(spark, sf),
                    Dedup.ngramJaccard(spark, sf))) {
