@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     "similarity_ivf"    -> ((s, d) => Similarity.similarityIvf(s, d)),
     "similarity_lsh"    -> ((s, d) => Similarity.similarityLsh(s, d)),
+    "similarity_sq8"    -> ((s, d) => Similarity.similaritySq8(s, d)),
     "text_stats"        -> ((s, d) => TextStats.textStats(s, d)),
     "lang_id"           -> ((s, d) => TextStats.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextStats.docFingerprint(s, d)),
@@ -335,6 +336,7 @@ object SparkEntry {
     "dedup_embedding"     -> Similarity.dedupEmbeddingOracle,
     "similarity_ivf"      -> Similarity.similarityIvfOracle,
     "similarity_lsh"      -> Similarity.similarityLshOracle,
+    "similarity_sq8"      -> Similarity.similaritySq8Oracle,
     "text_stats"          -> TextStats.textStatsOracle,
     "lang_id"             -> TextStats.langIdOracle,
     "doc_fingerprint"     -> TextStats.docFingerprintOracle,

@@ -214,6 +214,93 @@ object Similarity {
        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  // --------------------------------------------- int8 scalar quantization
+
+  /** IVF + int8 scalar-quantized scoring with exact re-rank — the
+    * memory-bandwidth scale technique stacked on the IVF pruning path:
+    * at 100 TB the candidate scoring pass reads 1 byte/dim instead of
+    * 4–8, and only the k survivors per query are re-read at full
+    * precision for the exact cosine.
+    *
+    * Quantization is per-vector symmetric: scale s = max|v_i|,
+    * q_i = floor(v_i·127/s) ∈ [-127, 127]. `floor` (not `round`) so
+    * both engines agree bit-for-bit; the quantized dot is exact integer
+    * arithmetic inside doubles (|Σ q_i q_j| ≤ 64·127² ≪ 2^53), and the
+    * approx cosine rescales it by s₁s₂/(127²·‖v₁‖‖v₂‖). Candidates are
+    * RANKED by the approx score (that's the point — the cheap score
+    * decides the top-k), then the exact cosine rides along for the
+    * survivors.
+    */
+  def similaritySq8(spark: SparkSession, sfDir: String, k: Int = 5,
+                    nCentroids: Int = 16, nProbe: Int = 6): DataFrame = {
+    import spark.implicits._
+    val qtab = ivfRanked(spark, sfDir, nCentroids, nProbe)
+      .selectExpr("vec_id", "v", "nrm", "cell", "crk",
+        "array_max(transform(v, xa -> abs(xa))) as s")
+      .selectExpr("vec_id", "v", "nrm", "cell", "crk", "s",
+        "cast(transform(v, xq -> floor((xq * 127D) / s)) as array<double>) as q")
+    val assign = qtab.where($"crk" === 1)
+      .select($"vec_id", $"v", $"nrm", $"s", $"q", $"cell")
+    val probes = qtab
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"s".as("qs"), $"q".as("qq"), $"cell")
+    probes.join(assign, "cell")
+      .where($"query_id" =!= $"vec_id")
+      .withColumn("approx_cosine",
+        expr(s"(${dotSpark("qq", "q", "i")} * (qs * s)) / ((qn * nrm) * 16129D)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"approx_cosine".desc, $"vec_id".asc)))
+      .where($"rnk" <= k)
+      // exact re-rank column: full-precision cosine for survivors only
+      .withColumn("cosine", expr(s"${dotSpark("qv", "v", "d")} / (qn * nrm)"))
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"approx_cosine",
+        $"cosine", $"rnk".cast("int").as("rnk"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val similaritySq8Oracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), cent AS (
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < 16
+       |), rankedcells AS (
+       |  SELECT vec_id, v, nrm, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY
+       |           ${dotDuck("n.v", "c.centv", "a")} / (n.nrm * c.centn) DESC,
+       |           cent_id ASC) AS crk
+       |  FROM n CROSS JOIN cent c
+       |), scaled AS (
+       |  SELECT vec_id, v, nrm, cent_id, crk,
+       |         list_max(list_transform(v, xa -> abs(xa))) AS s
+       |  FROM rankedcells
+       |), qt AS (
+       |  SELECT vec_id, v, nrm, cent_id, crk, s,
+       |         list_transform(v, xq -> CAST(floor((xq * CAST(127 AS DOUBLE)) / s) AS DOUBLE)) AS q
+       |  FROM scaled
+       |), assign AS (
+       |  SELECT vec_id, v, nrm, s, q, cent_id AS cell FROM qt WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, s AS qs, q AS qq,
+       |         cent_id AS cell
+       |  FROM qt WHERE crk <= 6
+       |), cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, p.qv, p.qn, a.v, a.nrm,
+       |         (${dotDuck("p.qq", "a.q", "i")} * (p.qs * a.s))
+       |           / ((p.qn * a.nrm) * CAST(16129 AS DOUBLE)) AS approx_cosine
+       |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, qv, qn, v, nrm, approx_cosine,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY approx_cosine DESC, neighbor_id ASC) AS rnk
+       |  FROM cand
+       |)
+       |SELECT query_id, neighbor_id, approx_cosine,
+       |       ${dotDuck("qv", "v", "d")} / (qn * nrm) AS cosine,
+       |       CAST(rnk AS INT) AS rnk
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   // ------------------------------------------------------- SRP-LSH variant
 
   /** Signed-random-projection LSH parameters: L tables × b hyperplanes.

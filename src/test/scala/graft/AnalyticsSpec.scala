@@ -175,6 +175,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(keepers == comps)
   }
 
+  test("similarity_sq8: int8 approx score stays within quantization error of exact") {
+    val df = Similarity.similaritySq8(spark, sf).cache()
+    assert(df.count() > 0)
+    // per-vector symmetric int8: worst-case per-element error 1/127 of
+    // scale; with 64 dims and unit-normalized synthetic vectors the
+    // approx cosine lands well within 0.05 of exact in practice
+    val worst = df.select(max(abs($"approx_cosine" - $"cosine"))).as[Double].head()
+    assert(worst < 0.05, s"quantization error too large: $worst")
+    assert(df.where($"rnk" < 1 || $"rnk" > 5).isEmpty)
+  }
+
   test("dedup pairs are strictly ordered (doc1 < doc2), no self-pairs") {
     for (df <- Seq(Dedup.minhashLsh(spark, sf), Dedup.simhashDedup(spark, sf),
                    Dedup.ngramJaccard(spark, sf))) {
