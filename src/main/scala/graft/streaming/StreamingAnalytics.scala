@@ -3,7 +3,8 @@ package graft.streaming
 import graft.analytics.UserBehaviorAnalytics
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming parity layer.
@@ -280,6 +281,79 @@ object StreamingAnalytics {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
+
+  case class RankedItem(window_end: java.sql.Timestamp, item_id: Long,
+                        cnt: Long, rnk: Int)
+
+  /** R1, the reference's exact operator shape, on Spark 4's
+    * `transformWithState` (REF: HotItems.scala § TopNHotItems —
+    * reconstructed): keyed by windowEnd, every (item, cnt) row of the
+    * window buffers into ListState; an EVENT-TIME TIMER at
+    * windowEnd + 1 fires once the watermark passes and emits the
+    * sorted top-N, then clears the key's state. This is the
+    * `ListState + ctx.timerService().registerEventTimeTimer` +
+    * `onTimer` triple, 1:1 — the piece `flatMapGroupsWithState`
+    * approximates with timeouts and [[hotItemsTopNForeachBatch]]
+    * works around outside the query. State is bounded: one list per
+    * in-flight window, dropped at emission.
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — a transformWithState
+    * constraint, set by the caller/test before starting the query.
+    */
+  class TopNProcessor(n: Int) extends StatefulProcessor[
+      java.sql.Timestamp, (java.sql.Timestamp, Long, Long), RankedItem] {
+    @transient private var buf: ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState("items",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: java.sql.Timestamp,
+        rows: Iterator[(java.sql.Timestamp, Long, Long)],
+        tv: TimerValues): Iterator[RankedItem] = {
+      rows.foreach(r => buf.appendValue((r._2, r._3)))
+      // the reference's registerEventTimeTimer(windowEnd + 1); re-registering
+      // the same instant across micro-batches is idempotent
+      getHandle.registerTimer(key.getTime + 1)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: java.sql.Timestamp, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[RankedItem] = {
+      val items = buf.get().toSeq
+      buf.clear()
+      items.sortBy { case (item, cnt) => (-cnt, item) }.take(n).zipWithIndex
+        .map { case ((item, cnt), i) => RankedItem(key, item, cnt, i + 1) }
+        .iterator
+    }
+  }
+
+  /** Windowed counts (append) chained into [[TopNProcessor]]: two
+    * stateful operators in one query — the watermark finalizes each
+    * window in the agg, the rows flow to the keyed Top-N state, and
+    * the timer emits the ranked result inside the query (no
+    * foreachBatch divergence).
+    */
+  def hotItemsTopNStream(events: DataFrame, n: Int = 5)
+                        (implicit spark: SparkSession): Dataset[RankedItem] = {
+    import spark.implicits._
+    itemWindowCountsStream(events)
+      // null-safe, NOT a filter: an isNotNull filter here gets pushed
+      // through the agg and below the EventTimeWatermark node, so a
+      // corrupt-props row would be dropped BEFORE the watermark stats
+      // and silently pin the watermark. Unparsable items rank under a
+      // sentinel id instead.
+      .select(col("window_end"), coalesce(col("item_id"), lit(Long.MinValue))
+        .as("item_id"), col("cnt"))
+      .as[(java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TopNProcessor(n), TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 
   /** R1 production shape (REF: HotItems.scala § TopNHotItems onTimer —
     * reconstructed): rank-after-agg is unsupported inside a streaming

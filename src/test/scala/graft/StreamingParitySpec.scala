@@ -93,6 +93,48 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hot items Top-N via transformWithState: in-query event-time timers == batch topN") {
+    implicit val ctx = spark.sqlContext
+    implicit val ss = spark
+    // transformWithState requires the RocksDB state store
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[EvFull]
+      val q = StreamingAnalytics.hotItemsTopNStream(toEventsDF(ms))
+        .writeStream.format("memory").queryName("hi_tws_stream")
+        .outputMode("append").start()
+      try {
+        ms.addData(rows)
+        q.processAllAvailable()
+        // flush 1 finalizes most windows in the agg; the LAST windows
+        // (within the 10-min watermark delay of the data's max ts) only
+        // emit on flush 2 — and a timer registered in batch N fires in
+        // batch N+1, so flush 3 drives those final timers
+        for (day <- 0 to 2) {
+          ms.addData(flush("view").copy(
+            ts_us = flush("view").ts_us + day * 86400L * 1000000))
+          q.processAllAvailable()
+        }
+        val want = UserBehaviorAnalytics.hotItemsTopN(spark, sf)
+          .select($"window_end", $"item_id", $"cnt", $"rnk")
+          .as[(java.sql.Timestamp, Long, Long, Int)].collect().toSet
+        val maxEnd = want.map(_._1.getTime).max
+        val got = spark.table("hi_tws_stream")
+          .select($"window_end", $"item_id", $"cnt", $"rnk")
+          .as[(java.sql.Timestamp, Long, Long, Int)].collect().toSet
+          .filter(_._1.getTime <= maxEnd) // drop the sentinels' own windows
+        assert(got == want,
+          s"sizes got=${got.size} want=${want.size} " +
+            s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("login-fail state machine: stream == batch lag-based pairs") {
     implicit val ctx = spark.sqlContext
     implicit val ss = spark
