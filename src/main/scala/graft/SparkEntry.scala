@@ -68,6 +68,7 @@ object SparkEntry {
     "multimodal_resize" -> ((s, d) => Multimodal.multimodalResize(s, d)),
     "multimodal_framesample" -> ((s, d) => Multimodal.multimodalFrameSample(s, d)),
     "props_extract"     -> ((s, d) => Multimodal.propsExtract(s, d)),
+    "corpus_sample"     -> ((s, d) => Sampling.corpusSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -344,5 +345,6 @@ object SparkEntry {
     "multimodal_resize"   -> Multimodal.multimodalResizeOracle,
     "multimodal_framesample" -> Multimodal.multimodalFrameSampleOracle,
     "props_extract"       -> Multimodal.propsExtractOracle,
+    "corpus_sample"       -> Sampling.corpusSampleOracle,
   )
 }

@@ -186,6 +186,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(df.where($"rnk" < 1 || $"rnk" > 5).isEmpty)
   }
 
+  test("corpus_sample: deterministic split, quota respected, stable under re-run") {
+    val s1 = Sampling.corpusSample(spark, sf).cache()
+    // quota: at most 50 docs per (lang, split); ranks contiguous from 1
+    val over = s1.groupBy($"lang", $"split").agg(count(lit(1)).as("n"), max($"smp_rank").as("mx"))
+      .where($"n" > 50 || $"n" =!= $"mx")
+    assert(over.isEmpty)
+    assert(s1.where(!$"split".isin("train", "val", "test")).isEmpty)
+    // determinism: a second run selects the identical sample
+    val s2 = Sampling.corpusSample(spark, sf)
+    assert(s1.except(s2).isEmpty && s2.except(s1).isEmpty)
+    // the hash split is ~90/5/5 over the full corpus (before quota):
+    // loose bound only — 500 docs
+    val full = Tables.documents(spark, sf)
+      .selectExpr("poly_hash(cast(doc_id as string)) % 100 as b")
+    val trainFrac = full.where($"b" < 90).count().toDouble / full.count()
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+  }
+
   test("dedup pairs are strictly ordered (doc1 < doc2), no self-pairs") {
     for (df <- Seq(Dedup.minhashLsh(spark, sf), Dedup.simhashDedup(spark, sf),
                    Dedup.ngramJaccard(spark, sf))) {
