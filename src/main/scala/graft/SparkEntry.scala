@@ -69,6 +69,7 @@ object SparkEntry {
     "multimodal_framesample" -> ((s, d) => Multimodal.multimodalFrameSample(s, d)),
     "props_extract"     -> ((s, d) => Multimodal.propsExtract(s, d)),
     "corpus_sample"     -> ((s, d) => Sampling.corpusSample(s, d)),
+    "corpus_prep"       -> ((s, d) => Sampling.corpusPrep(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -346,5 +347,6 @@ object SparkEntry {
     "multimodal_framesample" -> Multimodal.multimodalFrameSampleOracle,
     "props_extract"       -> Multimodal.propsExtractOracle,
     "corpus_sample"       -> Sampling.corpusSampleOracle,
+    "corpus_prep"         -> Sampling.corpusPrepOracle,
   )
 }

@@ -191,11 +191,12 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** Oracle: transitive closure by recursive CTE (min reachable id =
-    * component id) over the same simpairs edge set.
+  /** Shared CTE chain (requires WITH RECURSIVE) ending in
+    * `cc(doc, cluster_id)` — the connected component (min reachable
+    * doc id) of every document. Reused by corpus_prep.
     */
-  val dedupClustersOracle: String =
-    s"""WITH RECURSIVE $minhashPairsCtes, edges AS (
+  val clusterCtes: String =
+    s"""$minhashPairsCtes, edges AS (
        |  SELECT doc1 AS src, doc2 AS dst FROM simpairs
        |  UNION ALL SELECT doc2, doc1 FROM simpairs
        |), reach AS (
@@ -204,7 +205,13 @@ object Dedup {
        |  SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.doc
        |), cc AS (
        |  SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc
-       |), sizes AS (
+       |)""".stripMargin
+
+  /** Oracle: transitive closure by recursive CTE (min reachable id =
+    * component id) over the same simpairs edge set.
+    */
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $clusterCtes, sizes AS (
        |  SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1
        |)
        |SELECT c.doc AS doc_id, c.cluster_id, s.cluster_size,

@@ -46,6 +46,41 @@ object Sampling {
       .orderBy($"doc_id")
   }
 
+  /** End-to-end training-corpus preparation — the pipeline the other
+    * textops are stages of, composed in one query:
+    *   keep a document iff it is (a) its near-dup cluster's canonical
+    *   keeper ([[Dedup.dedupClusters]]), (b) above the quality floor
+    *   ([[TextStats.textStats]]'s score), and (c) hash-bucketed into
+    *   the train split ([[corpusSample]]'s split rule).
+    * Output is the training corpus with its per-doc token counts —
+    * what a tokenizer run would consume next.
+    *
+    * Every stage is the already-verified operator; the oracle composes
+    * the same three CTE chains, so the composite is hash-gated
+    * end-to-end, not just per-stage.
+    */
+  def corpusPrep(spark: SparkSession, sfDir: String,
+                 minQuality: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val stats = TextStats.textStats(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_tokens", $"quality")
+    val keepers = Dedup.dedupClusters(spark, sfDir)
+      .where($"is_keeper").select($"doc_id")
+    stats.join(keepers, "doc_id")
+      .withColumn("h", expr("poly_hash(cast(doc_id as string))"))
+      .where($"quality" >= minQuality && expr("h % 100 < 90"))
+      .select($"doc_id", $"lang", $"n_tokens", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  val corpusPrepOracle: String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtes}, ${TextStats.textStatsCtes}
+       |SELECT q.doc_id, q.lang, q.n_tokens, q.quality
+       |FROM qual q JOIN cc ON q.doc_id = cc.doc AND cc.doc = cc.cluster_id
+       |WHERE q.quality >= 0.5
+       |  AND ${phDuck("CAST(q.doc_id AS VARCHAR)", "hh")} % 100 < 90
+       |ORDER BY q.doc_id""".stripMargin
+
   val corpusSampleOracle: String =
     s"""WITH hashed AS (
        |  SELECT doc_id, lang,

@@ -35,8 +35,12 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
-  val textStatsOracle: String =
-    s"""WITH base AS (
+  /** Shared DuckDB CTE chain ending in `qual(doc_id, lang, n_chars,
+    * n_tokens, bpe_tokens, stop_cnt, avg_tok_len, stop_ratio, quality)`
+    * — reused by the corpus_prep composite oracle.
+    */
+  val textStatsCtes: String =
+    s"""tsbase AS (
        |  SELECT doc_id, lang, length(text) AS n_chars,
        |         $tokensDuck AS tokens,
        |         len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens
@@ -48,14 +52,21 @@ object TextStats {
        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
        |           list_transform(tokens, tl -> CAST(length(tl) AS BIGINT))),
        |           (la, lb) -> la + lb) AS tok_chars
-       |  FROM base
-       |)
+       |  FROM tsbase
+       |), qual AS (
+       |  SELECT doc_id, lang, n_chars, n_tokens, bpe_tokens, stop_cnt,
+       |         CAST(tok_chars AS DOUBLE) / n_tokens AS avg_tok_len,
+       |         CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+       |         0.5 * least(n_tokens / 100.0, 1.0)
+       |           + 0.5 * (CAST(stop_cnt AS DOUBLE) / n_tokens) AS quality
+       |  FROM feat
+       |)""".stripMargin
+
+  val textStatsOracle: String =
+    s"""WITH $textStatsCtes
        |SELECT doc_id, lang, n_chars, n_tokens, bpe_tokens, stop_cnt,
-       |       CAST(tok_chars AS DOUBLE) / n_tokens AS avg_tok_len,
-       |       CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
-       |       0.5 * least(n_tokens / 100.0, 1.0)
-       |         + 0.5 * (CAST(stop_cnt AS DOUBLE) / n_tokens) AS quality
-       |FROM feat ORDER BY doc_id""".stripMargin
+       |       avg_tok_len, stop_ratio, quality
+       |FROM qual ORDER BY doc_id""".stripMargin
 
   private val Markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is", "to"),

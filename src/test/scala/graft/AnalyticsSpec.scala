@@ -204,6 +204,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
   }
 
+  test("corpus_prep: exactly the keeper ∩ quality ∩ train-split intersection") {
+    val prep = Sampling.corpusPrep(spark, sf).cache()
+    val stats = TextStats.textStats(spark, sf)
+      .where($"quality" >= 0.5).select($"doc_id")
+    val keepers = Dedup.dedupClusters(spark, sf)
+      .where($"is_keeper").select($"doc_id")
+    val train = Tables.documents(spark, sf)
+      .selectExpr("doc_id").where(expr("poly_hash(cast(doc_id as string)) % 100 < 90"))
+    val want = stats.intersect(keepers).intersect(train)
+    assert(prep.select($"doc_id").except(want).isEmpty)
+    assert(want.except(prep.select($"doc_id")).isEmpty)
+    assert(prep.count() > 0)
+  }
+
   test("dedup pairs are strictly ordered (doc1 < doc2), no self-pairs") {
     for (df <- Seq(Dedup.minhashLsh(spark, sf), Dedup.simhashDedup(spark, sf),
                    Dedup.ngramJaccard(spark, sf))) {
