@@ -426,6 +426,11 @@ object GraftExpressions {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // idempotence guard: every Tables.load calls register; re-registering
+    // logs a "function replaced" WARN per function per query, which at
+    // 50 queries floods the bench/verify logs
+    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
+      return
     reg.createOrReplaceTempFunction("vec_dot",
       es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("poly_hash",

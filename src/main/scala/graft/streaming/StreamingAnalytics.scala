@@ -439,6 +439,21 @@ object StreamingAnalytics {
       }
   }
 
+  /** Incremental exact dedup for a continuously-arriving corpus — the
+    * streaming form of the batch `dedup_exact` pipeline stage:
+    * `dropDuplicatesWithinWatermark` on the portable content hash
+    * keeps each content's FIRST arrival and GCs the dedup state once
+    * the watermark passes (bounded state on an unbounded stream). The
+    * tradeoff is explicit: a duplicate arriving later than the
+    * watermark delay after its twin is admitted again — at 100 TB/day
+    * ingest the delay bounds state to a day's distinct hashes, and the
+    * batch `Dedup.dedupExact` pass remains the exact backstop.
+    */
+  def docDedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("content_hash", expr("poly_hash(text)"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** J1 analog (REF: TxMatch.scala § TxPayMatch — reconstructed):
     * two-stream reconciliation as a watermarked stream-stream inner
     * join with a time-range bound — Spark's

@@ -311,6 +311,36 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("doc dedup stream: dropDuplicatesWithinWatermark keeps batch dedup_exact's keepers") {
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").orderBy($"doc_id")
+      .as[(Long, String)].collect().toSeq
+    // arrival order = doc_id order, so first-arrival == min doc_id:
+    // the streaming result must equal the batch keeper set
+    case class DocArr(doc_id: Long, text: String, ts_us: Long)
+    // +1: a ts of exactly epoch 0 sits ON the initial watermark and is
+    // dropped as late before reaching the dedup state
+    val arrivals = docs.map { case (id, t) => DocArr(id, t, (id + 1) * 1000000L) }
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.StreamingAnalytics.docDedupStream(
+        ms.toDF().toDF("doc_id", "text", "ts_us")
+          .withColumn("ts", expr("timestamp_micros(ts_us)")))
+      .writeStream.format("memory").queryName("dd_stream")
+      .outputMode("append").start()
+    try {
+      // feed across several batches: state must carry between them
+      arrivals.map(a => (a.doc_id, a.text, a.ts_us))
+        .grouped(math.max(arrivals.size / 4, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = spark.table("dd_stream").select($"doc_id")
+        .as[Long].collect().toSet
+      val want = graft.textops.Dedup.dedupExact(spark, sf).select($"keep_id")
+        .as[Long].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("tx-match: stream-stream join matches batch pair join") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[EvFull]
