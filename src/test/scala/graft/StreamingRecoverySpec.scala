@@ -69,6 +69,71 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("transformWithState Top-N restarts from checkpoint: RocksDB state + timers survive") {
+    val root = java.nio.file.Files.createTempDirectory("grafttws").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    new java.io.File(inDir).mkdirs()
+
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("props", StringType)))
+    val all = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"props")
+      .orderBy($"ts").collect()
+    def writeChunk(rows: Array[org.apache.spark.sql.Row], name: String): Unit =
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+        .write.parquet(s"$inDir/$name")
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ss = spark
+      // maxFilesPerTrigger=1: each chunk is its own micro-batch, so the
+      // sentinel chain drives watermark advances batch by batch (a timer
+      // registered in batch N fires in a later batch)
+      def start() = StreamingAnalytics.hotItemsTopNStream(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true").parquet(inDir))
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ck)
+        .outputMode("append").start()
+
+      val (h1, h2) = all.splitAt(all.length / 2)
+      writeChunk(h1, "chunk1")
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+
+      writeChunk(h2, "chunk2")
+      val maxTs = all.map(_.getTimestamp(1).getTime).max
+      // sentinels carry a PARSEABLE item (a {} props row would be
+      // filtered below the watermark node and never advance it)
+      for (d <- 1 to 3)
+        writeChunk(Array(org.apache.spark.sql.Row(-1L,
+          new java.sql.Timestamp(maxTs + d * 40L * 86400 * 1000), -1L,
+          "view", "{\"k\": 999999}")), s"sent$d")
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val want = analytics.UserBehaviorAnalytics.hotItemsTopN(spark, sf)
+        .select($"window_end", $"item_id", $"cnt", $"rnk")
+        .as[(java.sql.Timestamp, Long, Long, Int)].collect().toSet
+      val maxEnd = want.map(_._1.getTime).max
+      val got = spark.read.parquet(outDir)
+        .select($"window_end", $"item_id", $"cnt", $"rnk")
+        .as[(java.sql.Timestamp, Long, Long, Int)].collect().toSet
+        .filter(_._1.getTime <= maxEnd) // drop the sentinels' own windows
+      assert(got == want,
+        s"sizes got=${got.size} want=${want.size} " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Trigger.AvailableNow: drain everything then stop (A9 custom-trigger analog)") {
     // the reference's FIRE_AND_PURGE custom trigger controls WHEN
     // results emit; Spark's trigger surface is the analog — AvailableNow
