@@ -159,24 +159,32 @@ object Dedup {
     * Singleton docs (no near-dup edge, incl. <3-token docs that have
     * no minhash signature) are their own cluster.
     */
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Reusable connected components over an arbitrary undirected pair
+    * graph — the general operator [[dedupClusters]] instantiates.
+    * `nodes` must have a numeric `id` column; `pairs` columns `(a, b)`
+    * reference node ids. Returns `(id, component)` where component =
+    * min node id reachable. See [[dedupClusters]] for the algorithm
+    * and scale notes.
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir).select($"doc_id")
-    val pairs = minhashLsh(spark, sfDir).select($"doc1", $"doc2")
     // symmetric edge list, materialized once — it is re-joined every round
-    val edges = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
-      .union(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
+    val edges = pairs.toDF("a", "b")
+    val sym = edges.select($"a".as("src"), $"b".as("dst"))
+      .union(edges.select($"b".as("src"), $"a".as("dst")))
       .localCheckpoint()
-    var labels = docs.select($"doc_id", $"doc_id".as("label")).localCheckpoint()
+    var labels = nodes.toDF("id")
+      .select($"id", $"id".as("label")).localCheckpoint()
     var prevSum = labels.agg(sum($"label")).head.getLong(0)
     var converged = false
     while (!converged) {
-      val nbrMin = edges
-        .join(labels.select($"doc_id".as("dst"), $"label".as("nbr_label")), "dst")
+      val nbrMin = sym
+        .join(labels.select($"id".as("dst"), $"label".as("nbr_label")), "dst")
         .groupBy($"src").agg(min($"nbr_label").as("nbr_min"))
       val next = labels
-        .join(nbrMin.select($"src".as("doc_id"), $"nbr_min"), Seq("doc_id"), "left")
-        .select($"doc_id",
+        .join(nbrMin.select($"src".as("id"), $"nbr_min"), Seq("id"), "left")
+        .select($"id",
           least($"label", coalesce($"nbr_min", $"label")).as("label"))
         .localCheckpoint() // truncate lineage: plans stay O(1) per round
       val s = next.agg(sum($"label")).head.getLong(0)
@@ -184,10 +192,19 @@ object Dedup {
       prevSum = s
       labels = next
     }
-    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select($"doc_id", $"label".as("cluster_id"), $"cluster_size",
-        ($"doc_id" === $"label").as("is_keeper"))
+    labels.select($"id", $"label".as("component"))
+  }
+
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id")
+    val pairs = minhashLsh(spark, sfDir).select($"doc1", $"doc2")
+    val cc = connectedComponents(docs, pairs)
+      .select($"id".as("doc_id"), $"component".as("cluster_id"))
+    val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"cluster_size",
+        ($"doc_id" === $"cluster_id").as("is_keeper"))
       .orderBy($"doc_id")
   }
 
