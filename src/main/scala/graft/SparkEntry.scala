@@ -56,6 +56,7 @@ object SparkEntry {
     "dedup_simhash"     -> ((s, d) => Dedup.simhashDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_clusters"    -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_clusters_multi" -> ((s, d) => Dedup.dedupClustersMulti(s, d)),
     "similarity_topk"   -> ((s, d) => Similarity.similarityTopK(s, d)),
     "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     "similarity_ivf"    -> ((s, d) => Similarity.similarityIvf(s, d)),
@@ -334,6 +335,7 @@ object SparkEntry {
     "dedup_simhash"       -> Dedup.simhashDedupOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_clusters"      -> Dedup.dedupClustersOracle,
+    "dedup_clusters_multi" -> Dedup.dedupClustersMultiOracle,
     "similarity_topk"     -> Similarity.similarityTopKOracle,
     "dedup_embedding"     -> Similarity.dedupEmbeddingOracle,
     "similarity_ivf"      -> Similarity.similarityIvfOracle,

@@ -94,7 +94,7 @@ object Dedup {
     * the minhash near-dup pairs at sim ≥ 0.5. Used by both the pair
     * query's oracle and the connected-components clusters oracle.
     */
-  private val minhashPairsCtes: String = {
+  private lazy val minhashPairsCtes: String = {
     val sigCols = (0 until K).map(j =>
       s"list_min(list_transform(sh, v$j -> (v$j * ${MinhashA(j)} + ${MinhashB(j)}) % $P)) AS s$j")
       .mkString(",\n         ")
@@ -212,7 +212,7 @@ object Dedup {
     * `cc(doc, cluster_id)` — the connected component (min reachable
     * doc id) of every document. Reused by corpus_prep.
     */
-  val clusterCtes: String =
+  lazy val clusterCtes: String =
     s"""$minhashPairsCtes, edges AS (
        |  SELECT doc1 AS src, doc2 AS dst FROM simpairs
        |  UNION ALL SELECT doc2, doc1 FROM simpairs
@@ -229,6 +229,49 @@ object Dedup {
     */
   val dedupClustersOracle: String =
     s"""WITH RECURSIVE $clusterCtes, sizes AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1
+       |)
+       |SELECT c.doc AS doc_id, c.cluster_id, s.cluster_size,
+       |       (c.doc = c.cluster_id) AS is_keeper
+       |FROM cc c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Multi-evidence clustering: a production dedup pass unions EVERY
+    * near-dup signal before clustering — here the MinHash-Jaccard
+    * pairs and the SimHash-hamming pairs (each tier catches dups the
+    * other misses: token-set overlap vs weighted-bit similarity). Same
+    * [[connectedComponents]] loop, wider edge set; the oracle unions
+    * the two independently-verified pair CTE chains under the same
+    * recursive closure.
+    */
+  def dedupClustersMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id")
+    val pairs = minhashLsh(spark, sfDir).select($"doc1", $"doc2")
+      .union(simhashDedup(spark, sfDir).select($"doc1", $"doc2"))
+      .distinct()
+    val cc = connectedComponents(docs, pairs)
+      .select($"id".as("doc_id"), $"component".as("cluster_id"))
+    val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"cluster_size",
+        ($"doc_id" === $"cluster_id").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val dedupClustersMultiOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes, $simhashPairsCtes, edges AS (
+       |  SELECT doc1 AS src, doc2 AS dst FROM simpairs
+       |  UNION ALL SELECT doc2, doc1 FROM simpairs
+       |  UNION ALL SELECT doc1, doc2 FROM hampairs
+       |  UNION ALL SELECT doc2, doc1 FROM hampairs
+       |), reach AS (
+       |  SELECT doc_id AS doc, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.doc
+       |), cc AS (
+       |  SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc
+       |), sizes AS (
        |  SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1
        |)
        |SELECT c.doc AS doc_id, c.cluster_id, s.cluster_size,
@@ -276,35 +319,44 @@ object Dedup {
       .orderBy($"doc1", $"doc2")
   }
 
-  val simhashDedupOracle: String = {
+  /** Shared DuckDB CTE chain ending in `hampairs(doc1, doc2, hamming)`
+    * — the simhash near-dup pairs at hamming ≤ 3. CTE names are
+    * sm-prefixed so the chain composes with [[minhashPairsCtes]] in
+    * the multi-evidence clusters oracle.
+    */
+  private lazy val simhashPairsCtes: String = {
     val blockSelects = (0 until 4).map(blk =>
-      s"SELECT doc_id, $blk AS pos, (simhash >> ${15 * blk}) & 32767 AS byte_val FROM sig")
+      s"SELECT doc_id, $blk AS pos, (simhash >> ${15 * blk}) & 32767 AS byte_val FROM smsig")
       .mkString("\n  UNION ALL ")
-    s"""WITH toks AS (
+    s"""smtoks AS (
        |  SELECT doc_id, $tokensDuck AS tokens FROM documents
-       |), th AS (
+       |), smth AS (
        |  SELECT doc_id, list_transform(tokens, tk -> ${tokenHash60Duck("tk", "h")}) AS tharr
-       |  FROM toks WHERE len(tokens) >= 1
-       |), sig AS (
+       |  FROM smtoks WHERE len(tokens) >= 1
+       |), smsig AS (
        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(range(0, 60), bi ->
        |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
        |             list_transform(tharr, hb -> ((hb >> bi) & 1) * 2 - 1)),
        |             (ab, xb) -> ab + xb) > 0
        |      THEN (CAST(1 AS BIGINT) << bi) ELSE CAST(0 AS BIGINT) END)),
-       |    (sa, sx) -> sa + sx) AS simhash FROM th
-       |), blocks AS (
+       |    (sa, sx) -> sa + sx) AS simhash FROM smth
+       |), smblocks AS (
        |  $blockSelects
-       |), pairs AS (
+       |), smcand AS (
        |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-       |  FROM blocks x JOIN blocks y ON x.pos = y.pos
+       |  FROM smblocks x JOIN smblocks y ON x.pos = y.pos
        |    AND x.byte_val = y.byte_val AND x.doc_id < y.doc_id
-       |)
-       |SELECT p.doc1, p.doc2, bit_count(xor(a.simhash, b.simhash)) AS hamming
-       |FROM pairs p JOIN sig a ON p.doc1 = a.doc_id JOIN sig b ON p.doc2 = b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-       |ORDER BY doc1, doc2""".stripMargin
+       |), hampairs AS (
+       |  SELECT p.doc1, p.doc2, bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM smcand p JOIN smsig a ON p.doc1 = a.doc_id JOIN smsig b ON p.doc2 = b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |)""".stripMargin
   }
+
+  val simhashDedupOracle: String =
+    s"""WITH $simhashPairsCtes
+       |SELECT doc1, doc2, hamming FROM hampairs ORDER BY doc1, doc2""".stripMargin
 
   // ------------------------------------------------------------- 3-gram jaccard
 

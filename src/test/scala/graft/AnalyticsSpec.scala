@@ -173,6 +173,14 @@ class AnalyticsSpec extends AnyFunSuite {
     val keepers = clusters.where($"is_keeper").count()
     val comps = clusters.select($"cluster_id").distinct().count()
     assert(keepers == comps)
+    // multi-evidence clustering only MERGES single-evidence clusters
+    // (its edge set is a superset): no minhash cluster may split
+    val multi = Dedup.dedupClustersMulti(spark, sf)
+    val split2 = clusters.select($"doc_id", $"cluster_id".as("c1"))
+      .join(multi.select($"doc_id", $"cluster_id".as("c2")), "doc_id")
+      .groupBy($"c1").agg(countDistinct($"c2").as("n"))
+      .where($"n" > 1)
+    assert(split2.isEmpty)
   }
 
   test("similarity_sq8: int8 approx score stays within quantization error of exact") {
