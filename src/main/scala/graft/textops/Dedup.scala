@@ -182,10 +182,19 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select($"id".as("dst"), $"label".as("nbr_label")), "dst")
         .groupBy($"src").agg(min($"nbr_label").as("nbr_min"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin.select($"src".as("id"), $"nbr_min"), Seq("id"), "left")
         .select($"id",
           least($"label", coalesce($"nbr_min", $"label")).as("label"))
+      // pointer jumping (path halving): also adopt label(label) — one
+      // extra small self-join per round cuts the round count from the
+      // component diameter to ~log(diameter); on chained near-dup
+      // graphs the fixed per-round job overhead is the dominant cost
+      val next = stepped.as("n")
+        .join(stepped.select($"id".as("lid"), $"label".as("plabel")),
+          col("n.label") === col("lid"), "left")
+        .select(col("n.id").as("id"),
+          least(col("n.label"), coalesce($"plabel", col("n.label"))).as("label"))
         .localCheckpoint() // truncate lineage: plans stay O(1) per round
       val s = next.agg(sum($"label")).head.getLong(0)
       converged = s == prevSum
