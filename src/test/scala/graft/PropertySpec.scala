@@ -242,4 +242,54 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- connectedComponents ≡ in-memory union-find on random graphs ----
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-id representative per component (find compresses to the root,
+    // which IS the min because unions always attach the larger root)
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  private val graphGen: Gen[(Int, List[(Long, Long)])] = for {
+    n <- Gen.chooseNum(2, 60)
+    m <- Gen.chooseNum(0, 90)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(0, n - 1)
+      off <- Gen.chooseNum(1, n - 1) // b = a + off mod n: never a self-loop
+    } yield (a.toLong, ((a + off) % n).toLong))
+  } yield (n, edges)
+
+  test("connectedComponents ≡ union-find on random graphs (chains, stars, forests)") {
+    forAll(graphGen, n = 6) { case (n, edges) =>
+      val nodes = spark.range(n).toDF("id")
+      val pairs = if (edges.isEmpty)
+        Seq.empty[(Long, Long)].toDF("a", "b")
+      else edges.toDF("a", "b")
+      val got = graft.textops.Dedup.connectedComponents(nodes, pairs)
+        .as[(Long, Long)].collect().toMap
+      val want = unionFind(n, edges)
+      assert(got == want, s"n=$n edges=$edges")
+    }
+    // adversarial diameter: a pure chain 0-1-2-...-k exercises the
+    // pointer-jumping round reduction
+    val k = 40
+    val chain = (0 until k).map(i => (i.toLong, (i + 1).toLong))
+    val got = graft.textops.Dedup.connectedComponents(
+        spark.range(k + 1).toDF("id"), chain.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(0L), "chain must collapse to component 0")
+  }
 }
