@@ -65,6 +65,7 @@ object SparkEntry {
     "text_stats"        -> ((s, d) => TextStats.textStats(s, d)),
     "lang_id"           -> ((s, d) => TextStats.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextStats.docFingerprint(s, d)),
+    "doc_top_terms"     -> ((s, d) => TextStats.docTopTerms(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.multimodalDecode(s, d)),
     "multimodal_resize" -> ((s, d) => Multimodal.multimodalResize(s, d)),
     "multimodal_framesample" -> ((s, d) => Multimodal.multimodalFrameSample(s, d)),
@@ -344,6 +345,7 @@ object SparkEntry {
     "text_stats"          -> TextStats.textStatsOracle,
     "lang_id"             -> TextStats.langIdOracle,
     "doc_fingerprint"     -> TextStats.docFingerprintOracle,
+    "doc_top_terms"       -> TextStats.docTopTermsOracle,
     "multimodal_decode"   -> Multimodal.multimodalDecodeOracle,
     "multimodal_resize"   -> Multimodal.multimodalResizeOracle,
     "multimodal_framesample" -> Multimodal.multimodalFrameSampleOracle,

@@ -136,6 +136,71 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * tf·idf = (term_cnt / n_tokens) · (N / doc_freq). The idf uses the
+    * raw N/df ratio (no logarithm): log changes ranking monotonically
+    * per-term ONLY via df, and exact-division doubles are bit-identical
+    * across engines while `ln` rounding is libm-dependent — determinism
+    * is part of the operator's contract here.
+    *
+    * Shape notes for 100 TB: the doc-frequency dictionary is a
+    * vocabulary-sized aggregate joined back to the posting list — at
+    * this SF Spark broadcasts it; at corpus scale it becomes a
+    * shuffled equi-join on the term (both sides partial-aggregated),
+    * never a cross product. The per-doc top-3 is a rank that pushes
+    * down (WindowGroupLimit), so only 3 rows per doc survive the map
+    * side.
+    */
+  def docTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", s"$tokensSpark as tokens")
+      .where("size(tokens) >= 1")
+      .select($"doc_id", col("tokens"), explode(col("tokens")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("cnt"), first(size($"tokens")).as("n_tokens"))
+    val df = toks.groupBy($"term").agg(count(lit(1)).as("doc_freq"))
+    val n = toks.select($"doc_id").distinct().count()
+    toks.join(df, "term")
+      .withColumn("tfidf",
+        expr(s"(cast(cnt as double) / n_tokens) * (cast($n as double) / doc_freq)"))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy($"tfidf".desc, $"term".asc)))
+      .where($"rnk" <= k)
+      .select($"doc_id", $"term", $"tfidf", $"rnk".cast("int").as("rnk"))
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  val docTopTermsOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensDuck AS tokens FROM documents
+       |), nonempty AS (
+       |  SELECT doc_id, tokens FROM toks WHERE len(tokens) >= 1
+       |), posting AS (
+       |  SELECT doc_id, unnest(tokens) AS term, len(tokens) AS n_tokens
+       |  FROM nonempty
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS cnt, min(n_tokens) AS n_tokens
+       |  FROM posting GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1
+       |), n AS (
+       |  SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+       |), scored AS (
+       |  SELECT t.doc_id, t.term,
+       |         (CAST(t.cnt AS DOUBLE) / t.n_tokens)
+       |           * (CAST(n.n_docs AS DOUBLE) / d.doc_freq) AS tfidf
+       |  FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN n
+       |), ranked AS (
+       |  SELECT doc_id, term, tfidf,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY tfidf DESC, term ASC) AS rnk
+       |  FROM scored
+       |)
+       |SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val docFingerprintOracle: String =
     s"""SELECT doc_id,
        |       ${phDuck("text", "f")} AS fp_full,
