@@ -48,6 +48,8 @@ object SparkEntry {
     "revenue_by_region" -> ((s, d) => RelationalAnalytics.revenueByRegion(s, d)),
     "revenue_rollup"    -> ((s, d) => RelationalAnalytics.revenueRollup(s, d)),
     "events_pivot"      -> ((s, d) => RelationalAnalytics.eventsPivot(s, d)),
+    "events_cube"       -> ((s, d) => RelationalAnalytics.eventsCube(s, d)),
+    "user_running_value" -> ((s, d) => RelationalAnalytics.userRunningValue(s, d)),
     "part_supplier_stats" -> ((s, d) => RelationalAnalytics.partSupplierStats(s, d)),
     "value_by_type_daily" -> ((s, d) => RelationalAnalytics.valueByTypeDaily(s, d)),
     "value_percentiles"   -> ((s, d) => RelationalAnalytics.valuePercentiles(s, d)),
@@ -306,6 +308,8 @@ object SparkEntry {
     "revenue_rollup" -> RelationalAnalytics.revenueRollupOracle,
     "value_percentiles" -> RelationalAnalytics.valuePercentilesOracle,
     "events_pivot"   -> RelationalAnalytics.eventsPivotOracle,
+    "events_cube"    -> RelationalAnalytics.eventsCubeOracle,
+    "user_running_value" -> RelationalAnalytics.userRunningValueOracle,
     "revenue_by_region" ->
       """SELECT r.r_name AS region,
         |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

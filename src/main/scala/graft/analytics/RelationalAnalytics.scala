@@ -189,6 +189,59 @@ object RelationalAnalytics {
       |GROUP BY ROLLUP(region, nation)
       |ORDER BY region NULLS FIRST, nation NULLS FIRST""".stripMargin
 
+  /** CUBE over (event_type, day): all four grouping levels — detail,
+    * per-type, per-day, grand total — in ONE Expand + one shuffle
+    * (4× map-side row expansion collapsed immediately by the partial
+    * aggregate), the same single-pass shape as ROLLUP but with the
+    * full 2^k level lattice.
+    */
+  def eventsCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_type", to_date($"ts").as("day"),
+        $"value".cast("decimal(12,2)").as("v"))
+      .cube($"event_type", $"day")
+      .agg(sum($"v").cast("double").as("total_value"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"event_type".asc_nulls_first, $"day".asc_nulls_first)
+  }
+
+  val eventsCubeOracle: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |       count(*) AS cnt
+      |FROM events
+      |GROUP BY CUBE(event_type, day)
+      |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+
+  /** Window FRAME aggregation: per-user running value total in event
+    * order — `rowsBetween(unboundedPreceding, currentRow)`, the frame
+    * form of §2.11 the rank/lag queries don't exercise. Decimal
+    * accumulation (then one cast out) so the prefix sums are exact and
+    * engine-independent regardless of add order rounding.
+    */
+  def userRunningValue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts", $"value".cast("decimal(12,2)").as("v"))
+      .withColumn("running_value", sum($"v").over(w).cast("double"))
+      .select($"event_id", $"user_id", $"running_value")
+      .orderBy($"event_id")
+  }
+
+  val userRunningValueOracle: String =
+    """SELECT event_id, user_id,
+      |       CAST(sum(CAST(value AS DECIMAL(12,2)))
+      |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS DOUBLE) AS running_value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   /** Pivot (wide counts): days × fixed event-type columns. Spark's
     * `.pivot` with explicit values is a single aggregate (deterministic
     * column set — never an extra distinct-values job); absent cells are
