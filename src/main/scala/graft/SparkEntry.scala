@@ -45,6 +45,7 @@ object SparkEntry {
     "pricing_summary"   -> ((s, d) => RelationalAnalytics.pricingSummary(s, d)),
     "top_customers"     -> ((s, d) => RelationalAnalytics.topCustomers(s, d)),
     "events_union"      -> ((s, d) => RelationalAnalytics.eventsUnion(s, d)),
+    "user_segments"     -> ((s, d) => RelationalAnalytics.userSegments(s, d)),
     "revenue_by_region" -> ((s, d) => RelationalAnalytics.revenueByRegion(s, d)),
     "revenue_rollup"    -> ((s, d) => RelationalAnalytics.revenueRollup(s, d)),
     "events_pivot"      -> ((s, d) => RelationalAnalytics.eventsPivot(s, d)),
@@ -306,6 +307,7 @@ object SparkEntry {
         |      UNION ALL SELECT * FROM events WHERE event_type = 'click')
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "revenue_rollup" -> RelationalAnalytics.revenueRollupOracle,
+    "user_segments"  -> RelationalAnalytics.userSegmentsOracle,
     "value_percentiles" -> RelationalAnalytics.valuePercentilesOracle,
     "events_pivot"   -> RelationalAnalytics.eventsPivotOracle,
     "events_cube"    -> RelationalAnalytics.eventsCubeOracle,

@@ -189,6 +189,33 @@ object RelationalAnalytics {
       |GROUP BY ROLLUP(region, nation)
       |ORDER BY region NULLS FIRST, nation NULLS FIRST""".stripMargin
 
+  /** Set-op completion for §2.10: INTERSECT (viewers who bought) and
+    * EXCEPT (viewers who didn't) as real set operators — Catalyst
+    * plans both as aggregated semi/anti joins, so they scale like any
+    * keyed join (no distinct-then-collect).
+    */
+  def userSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val viewers = ev.filter($"event_type" === "view").select($"user_id").distinct()
+    val buyers = ev.filter($"event_type" === "purchase").select($"user_id").distinct()
+    viewers.intersect(buyers).withColumn("segment", lit("view_and_buy"))
+      .union(viewers.except(buyers).withColumn("segment", lit("view_only")))
+      .orderBy($"user_id", $"segment")
+  }
+
+  val userSegmentsOracle: String =
+    """SELECT user_id, 'view_and_buy' AS segment FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+      |  INTERSECT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |UNION ALL
+      |SELECT user_id, 'view_only' AS segment FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+      |  EXCEPT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |ORDER BY user_id, segment""".stripMargin
+
   /** CUBE over (event_type, day): all four grouping levels — detail,
     * per-type, per-day, grand total — in ONE Expand + one shuffle
     * (4× map-side row expansion collapsed immediately by the partial
