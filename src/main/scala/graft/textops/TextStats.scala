@@ -160,10 +160,13 @@ object TextStats {
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("cnt"), first(size($"tokens")).as("n_tokens"))
     val df = toks.groupBy($"term").agg(count(lit(1)).as("doc_freq"))
-    val n = toks.select($"doc_id").distinct().count()
-    toks.join(df, "term")
+    // corpus size as a broadcast 1-row join, NOT an eager .count():
+    // the query stays lazy and single-job (no driver-side action in a
+    // query path)
+    val nDf = toks.agg(countDistinct($"doc_id").as("n_docs"))
+    toks.join(df, "term").crossJoin(broadcast(nDf))
       .withColumn("tfidf",
-        expr(s"(cast(cnt as double) / n_tokens) * (cast($n as double) / doc_freq)"))
+        expr("(cast(cnt as double) / n_tokens) * (cast(n_docs as double) / doc_freq)"))
       .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
           .orderBy($"tfidf".desc, $"term".asc)))
