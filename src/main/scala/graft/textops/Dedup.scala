@@ -133,38 +133,26 @@ object Dedup {
 
   // ------------------------------------------------- near-dup clustering
 
-  /** Near-dup CLUSTERS: connected components over the MinHash-LSH pair
-    * graph, plus canonical-document selection — the final stage of a
-    * real training-data dedup pipeline (pairs alone don't dedupe a
-    * corpus; you keep one doc per component and drop the rest).
-    *
-    * Algorithm: hash-min label propagation. Every doc starts labelled
-    * with its own id; each round every doc takes the min label among
-    * itself and its neighbors, until a fixpoint. Each round is one
-    * equi-join + partial-agg shuffle over the EDGE list (never
-    * all-pairs), and the round count is the component diameter —
-    * near-dup clusters are small and dense, so this converges in a
-    * handful of rounds. At extreme scale the same loop upgrades to
-    * large-star/small-star (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond") for O(log n) rounds; the per-round plan
-    * shape (join + min-agg) is identical.
-    *
-    * Convergence test: labels only ever decrease, so Σ labels strictly
-    * decreases on any change — one cheap agg per round instead of a
-    * change-count join. (Σ stays within Int64 up to ~1e9 docs; past
-    * that switch the test to a changed-row count.)
-    *
-    * Output: one row per document — its cluster id (min doc_id of the
-    * component), the component size, and whether it is the keeper.
-    * Singleton docs (no near-dup edge, incl. <3-token docs that have
-    * no minhash signature) are their own cluster.
-    */
   /** Reusable connected components over an arbitrary undirected pair
     * graph — the general operator [[dedupClusters]] instantiates.
     * `nodes` must have a numeric `id` column; `pairs` columns `(a, b)`
     * reference node ids. Returns `(id, component)` where component =
-    * min node id reachable. See [[dedupClusters]] for the algorithm
-    * and scale notes.
+    * min node id reachable.
+    *
+    * Algorithm: hash-min label propagation with pointer jumping. Every
+    * node starts labelled with its own id; each round every node takes
+    * the min label among itself, its neighbors, and its label's label
+    * (path halving). Each round is one equi-join + partial-agg shuffle
+    * over the EDGE list (never all-pairs) plus a small label self-join,
+    * and the jump bounds the round count at ~log(diameter). At extreme
+    * scale the same loop upgrades to large-star/small-star (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond"); the
+    * per-round plan shape (join + min-agg) is identical.
+    *
+    * Convergence test: labels only ever decrease, so Σ labels strictly
+    * decreases on any change — one cheap agg per round instead of a
+    * change-count join. (Σ stays within Int64 up to ~1e9 nodes; past
+    * that switch the test to a changed-row count.)
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
@@ -211,6 +199,15 @@ object Dedup {
     labels.select($"id", $"label".as("component"))
   }
 
+  /** Near-dup CLUSTERS: [[connectedComponents]] over the MinHash-LSH
+    * pair graph, plus canonical-document selection — the final stage
+    * of a real training-data dedup pipeline (pairs alone don't dedupe
+    * a corpus; you keep one doc per component and drop the rest).
+    * Output: one row per document — cluster id (min doc_id of the
+    * component), component size, keeper flag. Singleton docs (no
+    * near-dup edge, incl. <3-token docs with no minhash signature) are
+    * their own cluster.
+    */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id")
