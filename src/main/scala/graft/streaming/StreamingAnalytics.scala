@@ -346,7 +346,9 @@ object StreamingAnalytics {
       // through the agg and below the EventTimeWatermark node, so a
       // corrupt-props row would be dropped BEFORE the watermark stats
       // and silently pin the watermark. Unparsable items rank under a
-      // sentinel id instead.
+      // sentinel id instead — a DOCUMENTED divergence from the batch
+      // rank, which keeps the null (batch has no watermark to protect;
+      // on corrupt-free data, e.g. the testdata, the two are identical).
       .select(col("window_end"), coalesce(col("item_id"), lit(Long.MinValue))
         .as("item_id"), col("cnt"))
       .as[(java.sql.Timestamp, Long, Long)]
@@ -450,7 +452,11 @@ object StreamingAnalytics {
     * batch `Dedup.dedupExact` pass remains the exact backstop.
     */
   def docDedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
-    docs.withColumn("content_hash", expr("poly_hash(text)"))
+    // xxhash64, not poly_hash: this operator is not DuckDB-oracled, so
+    // it can use the engine's full-width hash — poly_hash's ~2^30 range
+    // would birthday-collide (silently dropping distinct docs) within
+    // ~50k documents per watermark window
+    docs.withColumn("content_hash", expr("xxhash64(text)"))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 

@@ -164,7 +164,13 @@ object Dedup {
       .localCheckpoint()
     var labels = nodes.toDF("id")
       .select($"id", $"id".as("label")).localCheckpoint()
-    var prevSum = labels.agg(sum($"label")).head.getLong(0)
+    // sum over zero rows is null — an empty graph must return empty,
+    // not NPE (labelSum treats it as 0, which converges immediately)
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum($"label")).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     // one propagation: adopt the min neighbor label, then pointer-jump
     // (path halving — also adopt label(label)); the jump cuts the
@@ -191,7 +197,7 @@ object Dedup {
       // without a checkpoint re-evaluates the inner subtree 2^k times
       // — measured 50% slower at two steps despite fewer rounds
       val next = step(labels).localCheckpoint()
-      val s = next.agg(sum($"label")).head.getLong(0)
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next
@@ -208,10 +214,12 @@ object Dedup {
     * near-dup edge, incl. <3-token docs with no minhash signature) are
     * their own cluster.
     */
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared cluster → (doc_id, cluster_id, cluster_size, is_keeper)
+    * projection for the two evidence variants. */
+  private def clusterize(spark: SparkSession, sfDir: String,
+                         pairs: DataFrame): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id")
-    val pairs = minhashLsh(spark, sfDir).select($"doc1", $"doc2")
     val cc = connectedComponents(docs, pairs)
       .select($"id".as("doc_id"), $"component".as("cluster_id"))
     val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
@@ -219,6 +227,11 @@ object Dedup {
       .select($"doc_id", $"cluster_id", $"cluster_size",
         ($"doc_id" === $"cluster_id").as("is_keeper"))
       .orderBy($"doc_id")
+  }
+
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    clusterize(spark, sfDir, minhashLsh(spark, sfDir).select($"doc1", $"doc2"))
   }
 
   /** Shared CTE chain (requires WITH RECURSIVE) ending in
@@ -259,17 +272,10 @@ object Dedup {
     */
   def dedupClustersMulti(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir).select($"doc_id")
-    val pairs = minhashLsh(spark, sfDir).select($"doc1", $"doc2")
-      .union(simhashDedup(spark, sfDir).select($"doc1", $"doc2"))
-      .distinct()
-    val cc = connectedComponents(docs, pairs)
-      .select($"id".as("doc_id"), $"component".as("cluster_id"))
-    val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
-    cc.join(sizes, "cluster_id")
-      .select($"doc_id", $"cluster_id", $"cluster_size",
-        ($"doc_id" === $"cluster_id").as("is_keeper"))
-      .orderBy($"doc_id")
+    clusterize(spark, sfDir,
+      minhashLsh(spark, sfDir).select($"doc1", $"doc2")
+        .union(simhashDedup(spark, sfDir).select($"doc1", $"doc2"))
+        .distinct())
   }
 
   lazy val dedupClustersMultiOracle: String =

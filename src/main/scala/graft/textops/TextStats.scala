@@ -153,12 +153,18 @@ object TextStats {
     */
   def docTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
+    // n_tokens computed BEFORE the explode (carrying the whole token
+    // array on every posting row is O(tokens²) payload per doc), and
+    // the posting aggregate materialized once — it feeds three
+    // consumers (main join, doc_freq, n_docs) that Catalyst would
+    // otherwise each recompute from the tokenize+explode scan
     val toks = Tables.documents(spark, sfDir)
       .selectExpr("doc_id", s"$tokensSpark as tokens")
       .where("size(tokens) >= 1")
-      .select($"doc_id", col("tokens"), explode(col("tokens")).as("term"))
+      .selectExpr("doc_id", "size(tokens) as n_tokens", "explode(tokens) as term")
       .groupBy($"doc_id", $"term")
-      .agg(count(lit(1)).as("cnt"), first(size($"tokens")).as("n_tokens"))
+      .agg(count(lit(1)).as("cnt"), min($"n_tokens").as("n_tokens"))
+      .localCheckpoint()
     val df = toks.groupBy($"term").agg(count(lit(1)).as("doc_freq"))
     // corpus size as a broadcast 1-row join, NOT an eager .count():
     // the query stays lazy and single-job (no driver-side action in a

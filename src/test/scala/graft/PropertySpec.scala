@@ -283,6 +283,9 @@ class PropertySpec extends AnyFunSuite {
       val want = unionFind(n, edges)
       assert(got == want, s"n=$n edges=$edges")
     }
+    // degenerate: empty node set must return empty, not NPE on sum(null)
+    assert(graft.textops.Dedup.connectedComponents(
+      spark.range(0).toDF("id"), Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
     // adversarial diameter: a pure chain 0-1-2-...-k exercises the
     // pointer-jumping round reduction
     val k = 40
