@@ -424,12 +424,22 @@ object GraftExpressions {
     * poly_hash37, simhash60, minhash_sig, sorted_intersect_count,
     * word_shingles, token_hashes60, shingle_hashes.
     */
+  /** Every function this object registers — the idempotence guard below
+    * must cover all of them, not a single sentinel, or an unregistered
+    * subset silently stays missing for the rest of the session.
+    */
+  private val registeredNames = Seq("vec_dot", "poly_hash",
+    "rolling_min_hash", "poly_hash37", "simhash60", "minhash_sig",
+    "sorted_intersect_count", "word_shingles", "token_hashes60",
+    "shingle_hashes")
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     // idempotence guard: every Tables.load calls register; re-registering
     // logs a "function replaced" WARN per function per query, which at
     // 50 queries floods the bench/verify logs
-    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
+    if (registeredNames.forall(n =>
+        reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))))
       return
     reg.createOrReplaceTempFunction("vec_dot",
       es => VecDot(es(0), es(1)), "built-in")

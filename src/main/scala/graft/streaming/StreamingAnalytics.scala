@@ -455,10 +455,15 @@ object StreamingAnalytics {
     // xxhash64, not poly_hash: this operator is not DuckDB-oracled, so
     // it can use the engine's full-width hash — poly_hash's ~2^30 range
     // would birthday-collide (silently dropping distinct docs) within
-    // ~50k documents per watermark window
+    // ~50k documents per watermark window. The state key is composite
+    // (hash, byte length): a 64-bit collision alone no longer drops a
+    // distinct document — it would also need the same length, pushing
+    // the false-positive drop probability below any realistic corpus
+    // size while keeping state at 12 bytes/key.
     docs.withColumn("content_hash", expr("xxhash64(text)"))
+      .withColumn("content_len", expr("octet_length(text)"))
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash", "content_len")
 
   /** J1 analog (REF: TxMatch.scala § TxPayMatch — reconstructed):
     * two-stream reconciliation as a watermarked stream-stream inner
