@@ -59,14 +59,17 @@ object DetectionAnalytics {
     val ev = Tables.events(spark, sfDir)
     val creates = ev.filter($"event_type" === "signup")
       .select($"event_id".as("order_id"), $"user_id", $"ts".as("create_ts"))
+    // distinct name on the pay side: both legs derive from `ev`, so
+    // creates("user_id") === pays("user_id") resolves to the SAME
+    // attribute (Spark's "trivially true equals predicate" warning)
     val pays = ev.filter($"event_type" === "purchase")
-      .select($"user_id", $"ts".as("pay_ts"))
+      .select($"user_id".as("pay_user"), $"ts".as("pay_ts"))
     creates.join(pays,
-        creates("user_id") === pays("user_id") &&
+        $"user_id" === $"pay_user" &&
           $"pay_ts" > $"create_ts" &&
           $"pay_ts" <= $"create_ts" + expr("interval 24 hours"),
         "left_outer")
-      .groupBy($"order_id", creates("user_id").as("user_id"), $"create_ts")
+      .groupBy($"order_id", $"user_id", $"create_ts")
       .agg(min($"pay_ts").as("pay_ts"))
       .withColumn("status",
         when($"pay_ts".isNotNull, lit("payed successfully")).otherwise(lit("timeout")))

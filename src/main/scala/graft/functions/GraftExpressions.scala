@@ -424,48 +424,39 @@ object GraftExpressions {
     * poly_hash37, simhash60, minhash_sig, sorted_intersect_count,
     * word_shingles, token_hashes60, shingle_hashes.
     */
-  /** Every function this object registers — the idempotence guard below
-    * must cover all of them, not a single sentinel, or an unregistered
-    * subset silently stays missing for the rest of the session.
+  private def intArg(e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => other.eval().asInstanceOf[Int]
+  }
+
+  /** Single source of truth for the registered-function surface: the
+    * idempotence guard and the registrations both iterate this Seq, so
+    * a new function cannot be registered without also being guarded
+    * (or vice versa).
     */
-  private val registeredNames = Seq("vec_dot", "poly_hash",
-    "rolling_min_hash", "poly_hash37", "simhash60", "minhash_sig",
-    "sorted_intersect_count", "word_shingles", "token_hashes60",
-    "shingle_hashes")
+  private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "poly_hash" -> (es => PolyHash(es.head)),
+    "rolling_min_hash" -> (es => RollingMinHash(es(0), intArg(es(1)))),
+    "poly_hash37" -> (es => PolyHash(es.head, 37)),
+    "simhash60" -> (es => SimHash60(es.head)),
+    "minhash_sig" -> (es => MinHashSig(es.head)),
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
+    "word_shingles" -> (es => WordShingles(es(0), intArg(es(1)))),
+    "token_hashes60" -> (es => TokenHashes60(es.head)),
+    "shingle_hashes" -> (es => ShingleHashes(es.head))
+  )
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     // idempotence guard: every Tables.load calls register; re-registering
     // logs a "function replaced" WARN per function per query, which at
     // 50 queries floods the bench/verify logs
-    if (registeredNames.forall(n =>
-        reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))))
+    if (registrations.forall { case (n, _) =>
+        reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)) })
       return
-    reg.createOrReplaceTempFunction("vec_dot",
-      es => VecDot(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("poly_hash",
-      es => PolyHash(es.head), "built-in")
-    reg.createOrReplaceTempFunction("rolling_min_hash",
-      es => RollingMinHash(es(0), es(1) match {
-        case Literal(v: Int, IntegerType) => v
-        case other => other.eval().asInstanceOf[Int]
-      }), "built-in")
-    reg.createOrReplaceTempFunction("poly_hash37",
-      es => PolyHash(es.head, 37), "built-in")
-    reg.createOrReplaceTempFunction("simhash60",
-      es => SimHash60(es.head), "built-in")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      es => MinHashSig(es.head), "built-in")
-    reg.createOrReplaceTempFunction("sorted_intersect_count",
-      es => SortedIntersectCount(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("word_shingles",
-      es => WordShingles(es(0), es(1) match {
-        case Literal(v: Int, IntegerType) => v
-        case other => other.eval().asInstanceOf[Int]
-      }), "built-in")
-    reg.createOrReplaceTempFunction("token_hashes60",
-      es => TokenHashes60(es.head), "built-in")
-    reg.createOrReplaceTempFunction("shingle_hashes",
-      es => ShingleHashes(es.head), "built-in")
+    registrations.foreach { case (n, b) =>
+      reg.createOrReplaceTempFunction(n, b, "built-in")
+    }
   }
 }

@@ -464,6 +464,9 @@ object StreamingAnalytics {
       .withColumn("content_len", expr("octet_length(text)"))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash", "content_len")
+      // dedup-internal key columns are not part of the operator's
+      // contract — the output schema is exactly the input schema
+      .drop("content_hash", "content_len")
 
   /** J1 analog (REF: TxMatch.scala § TxPayMatch — reconstructed):
     * two-stream reconciliation as a watermarked stream-stream inner
