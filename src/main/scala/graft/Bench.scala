@@ -28,7 +28,12 @@ object Bench {
     // host-contention-sensitive cost. Then 3 timed reps per query,
     // reported as the per-query median.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // SPARK_GRAFT_ONLY="q1,q2" restricts the run for local perf loops;
+    // unset (the driver's invocation) benches the full surface
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     for ((_, fn) <- sorted)
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     val results = sorted.map { case (name, fn) =>

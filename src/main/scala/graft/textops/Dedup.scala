@@ -162,8 +162,22 @@ object Dedup {
     val sym = edges.select($"a".as("src"), $"b".as("dst"))
       .union(edges.select($"b".as("src"), $"a".as("dst")))
       .localCheckpoint()
-    var labels = nodes.toDF("id")
-      .select($"id", $"id".as("label")).localCheckpoint()
+    // Isolated nodes (no edge) can never change label — keep them out
+    // of the loop entirely and attach them at the end. In a dedup
+    // corpus the near-dup graph touches a small fraction of documents,
+    // so every round's join/agg/checkpoint runs over |V(E)| rows, not
+    // |V|: at 100 TB that is the difference between iterating over
+    // the whole corpus and iterating over the dup subgraph. One
+    // groupBy over the edge list (pairs reference node ids by
+    // contract) both derives the active set AND runs the first
+    // hash-min adoption in the same shuffle:
+    // label₀ = min(id, min neighbor id) — the neighbor's initial label
+    // is its own id, so no join against a label table is needed yet.
+    val allNodes = nodes.toDF("id")
+    var labels = sym.groupBy($"src").agg(min($"dst").as("m"))
+      .select($"src".as("id"), least($"src", $"m").as("label"))
+      .localCheckpoint()
+    val isolated = allNodes.join(labels.select($"id"), Seq("id"), "left_anti")
     // sum over zero rows is null — an empty graph must return empty,
     // not NPE (labelSum treats it as 0, which converges immediately)
     def labelSum(df: DataFrame): Long = {
@@ -203,6 +217,7 @@ object Dedup {
       labels = next
     }
     labels.select($"id", $"label".as("component"))
+      .union(isolated.select($"id", $"id".as("component")))
   }
 
   /** Near-dup CLUSTERS: [[connectedComponents]] over the MinHash-LSH
