@@ -54,6 +54,9 @@ object SparkEntry {
     "part_supplier_stats" -> ((s, d) => RelationalAnalytics.partSupplierStats(s, d)),
     "value_by_type_daily" -> ((s, d) => RelationalAnalytics.valueByTypeDaily(s, d)),
     "value_percentiles"   -> ((s, d) => RelationalAnalytics.valuePercentiles(s, d)),
+    "value_percentiles_sampled" -> ((s, d) => RelationalAnalytics.valuePercentilesSampled(s, d)),
+    "bloom_join"          -> ((s, d) => RelationalAnalytics.bloomJoin(s, d)),
+    "item_rank"           -> ((s, d) => GraphAnalytics.itemRank(s, d)),
     "dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhashDedup(s, d)),
@@ -309,6 +312,9 @@ object SparkEntry {
     "revenue_rollup" -> RelationalAnalytics.revenueRollupOracle,
     "user_segments"  -> RelationalAnalytics.userSegmentsOracle,
     "value_percentiles" -> RelationalAnalytics.valuePercentilesOracle,
+    "value_percentiles_sampled" -> RelationalAnalytics.valuePercentilesSampledOracle,
+    "bloom_join"        -> RelationalAnalytics.bloomJoinOracle,
+    "item_rank"         -> GraphAnalytics.itemRankOracle,
     "events_pivot"   -> RelationalAnalytics.eventsPivotOracle,
     "events_cube"    -> RelationalAnalytics.eventsCubeOracle,
     "user_running_value" -> RelationalAnalytics.userRunningValueOracle,

@@ -1,0 +1,101 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the star schema — the engine side the
+  * reference lacks entirely (its closest shape is keyed state folds;
+  * REF: MarketAnalysis/…/AdStatisticsByGeo.scala § keyed aggregates —
+  * reconstructed, SURVEY.md §0). PageRank here is the canonical
+  * "iterate a shuffle until fixpoint" workload: each round is one
+  * edge-list equi-join + partial-aggregated shuffle, the exact plan
+  * shape Pregel/GraphX lower to, so the operator scales the same way
+  * the dedup clustering loop does (join the EDGES, never materialize
+  * neighborhoods).
+  *
+  * Determinism: ranks are held in integer MICRO-units (1.0 = 1e6) and
+  * every division is integral. Floating-point PageRank cannot be
+  * hash-oracled across engines (float addition is non-associative, so
+  * partial-aggregation order changes low bits); integer arithmetic is
+  * associative and truncating division is identical in Spark (`div`)
+  * and DuckDB (`//`) for non-negative operands, so the DuckDB replay
+  * is bit-exact. The same trick is how any distributed engine makes
+  * iterative numeric results reproducible run-to-run.
+  */
+object GraphAnalytics {
+
+  /** Fixed iteration count — a convergence-threshold stop needs a
+    * float norm; fixed rounds keep the result exactly replayable. */
+  val Iters = 5
+  private val BaseMicro = 1000000L // rank 1.0
+  private val TeleportMicro = 150000L // damping (1-0.85) * 1e6
+
+  /** PageRank over the part co-purchase graph: parts appearing in the
+    * same order are linked (distinct directed pairs both ways).
+    * Dangling mass (parts with no out-edges) is dropped, the standard
+    * pruned-PageRank simplification — documented, deterministic.
+    *
+    * Plan: the self-join builds the edge list ONCE and checkpoints it
+    * (it is re-joined every round); degree is pre-joined into the edge
+    * list so each round is exactly one (edges ⋈ ranks) shuffle + one
+    * partial-agg shuffle + a broadcast-left-join back to the node set.
+    */
+  def itemRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_partkey")
+    val edges = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    // (src, dst, out-degree of src), materialized once for the loop
+    val edgesD = edges.join(deg, "src").localCheckpoint()
+    val nodes = Tables.part(spark, sfDir).select($"p_partkey".as("v"))
+    var ranks = nodes.select($"v", lit(BaseMicro).as("r"))
+    for (_ <- 1 to Iters) {
+      val contribs = edgesD
+        .join(ranks.select($"v".as("src"), $"r"), "src")
+        .select($"dst".as("v"), expr("r div d").as("c"))
+        .groupBy($"v").agg(sum($"c").as("c"))
+      ranks = nodes
+        .join(contribs, Seq("v"), "left")
+        .select($"v",
+          expr(s"$TeleportMicro + (85 * coalesce(c, cast(0 as bigint))) div 100")
+            .as("r"))
+    }
+    ranks.select($"v".as("part_id"), $"r".as("rank_micro"))
+      .orderBy($"part_id")
+  }
+
+  /** DuckDB replay: the same fixed-point arithmetic with the iteration
+    * unrolled into one CTE per round (`//` = floor division, identical
+    * to Spark's `div` on non-negative values; SUM is cast back from
+    * DuckDB's HUGEINT).
+    */
+  lazy val itemRankOracle: String = {
+    val iterCtes = (1 to Iters).map { t =>
+      s"""r$t AS (
+         |  SELECT n.v,
+         |         CAST($TeleportMicro + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS v, CAST(SUM(r.r // e.d) AS BIGINT) AS c
+         |    FROM edgesd e JOIN r${t - 1} r ON r.v = e.src GROUP BY e.dst
+         |  ) s ON s.v = n.v
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |), deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+       |edgesd AS (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d ON e.src = d.src),
+       |nodes AS (SELECT p_partkey AS v FROM part),
+       |r0 AS (SELECT v, CAST($BaseMicro AS BIGINT) AS r FROM nodes),
+       |$iterCtes
+       |SELECT v AS part_id, r AS rank_micro FROM r$Iters ORDER BY part_id""".stripMargin
+  }
+}

@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -308,4 +308,102 @@ object RelationalAnalytics {
       .agg(count(lit(1)).as("cnt"), countDistinct($"user_id").as("users"))
       .orderBy($"event_type")
   }
+
+  // ------------------------------------------------ bloom runtime filter
+
+  private val BloomBits = 1 << 17 // m: 131072 bits = 2048 longs
+  private val BloomHashes = 3 // k
+  private val HotOrderPrice = 490000.0 // ~2% of orders
+
+  /** Explicit Bloom-filter semi-join pre-filter: aggregate the hot-order
+    * keys into a 2048-long bit table (`bit_or` over per-key set bits),
+    * broadcast it, and drop fact rows whose key misses ANY of the k
+    * probe bits BEFORE the exact semi-join confirm. The final result is
+    * the plain semi-join (a Bloom filter has no false negatives and the
+    * confirm join removes its false positives), so the hash function is
+    * a free choice — engine-native xxhash64 — and the oracle is one
+    * `WHERE IN` subquery.
+    *
+    * This is the technique Spark's own InjectRuntimeFilter applies when
+    * it can (and AQE cannot when the build side is another query
+    * stage's output at 100 TB): the broadcast is CONSTANT-size (16 KiB
+    * here) no matter how large the dim grows past the broadcast-join
+    * threshold, while the shuffled fact shrinks by the filter's
+    * selectivity — at a 2%-selective dim that is a 50× cut in shuffle
+    * volume for the confirm join.
+    */
+  def bloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hot = Tables.orders(spark, sfDir)
+      .filter($"o_totalprice" > HotOrderPrice).select($"o_orderkey")
+    def pos(key: Column, i: Int): Column =
+      pmod(xxhash64(key, lit(i)), lit(BloomBits.toLong))
+    val bloom = hot
+      .select(explode(array((0 until BloomHashes).map(i => pos($"o_orderkey", i)): _*))
+        .as("pos"))
+      .select(expr("pos div 64").as("widx"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("mask"))
+      .groupBy($"widx").agg(expr("bit_or(mask)").as("bits"))
+    var fact = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice", $"l_returnflag")
+    for (i <- 0 until BloomHashes) {
+      fact = fact.withColumn("pos", pos($"l_orderkey", i))
+        .withColumn(s"widx$i", expr("pos div 64"))
+        .withColumn(s"mask$i",
+          expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))"))
+        .drop("pos")
+        // inner: a word with no set bits is absent from the bit table,
+        // and absence alone disqualifies the row — k map-side joins
+        .join(broadcast(bloom.select($"widx".as(s"widx$i"), $"bits".as(s"bits$i"))),
+          Seq(s"widx$i"))
+        .filter((col(s"bits$i").bitwiseAND(col(s"mask$i")) === col(s"mask$i")))
+        .drop(s"widx$i", s"bits$i", s"mask$i")
+    }
+    fact.join(hot, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("line_cnt"),
+        sum($"l_quantity".cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(12,2)")).cast("double").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Oracle = the exact semi-join: the Bloom stage is an optimization,
+    * not a semantics change. */
+  val bloomJoinOracle: String =
+    s"""SELECT l_returnflag, count(*) AS line_cnt,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+       |FROM lineitem
+       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+       |                     WHERE o_totalprice > $HotOrderPrice)
+       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  // ----------------------------------------- deterministic sampled stats
+
+  /** Percentiles on a 5% deterministic hash sample — the scale path for
+    * [[valuePercentiles]]: exact percentiles need a full sort per
+    * group, a sample's sort is 20× smaller, and hashing (not modulo on
+    * a sequential id, not `TABLESAMPLE`) makes the sample reproducible
+    * across engines, runs, AND data layout changes. The same portable
+    * poly_hash the dedup tier uses lets DuckDB replay the exact sample.
+    */
+  def valuePercentilesSampled(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .where(expr("poly_hash(cast(event_id as string)) % 20 = 0"))
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"))
+      .orderBy($"event_type")
+  }
+
+  lazy val valuePercentilesSampledOracle: String =
+    s"""SELECT event_type,
+       |       quantile_cont(value, 0.5) AS p50,
+       |       quantile_cont(value, 0.9) AS p90,
+       |       quantile_cont(value, 0.99) AS p99
+       |FROM events
+       |WHERE ${graft.textops.TextHash.phDuck("CAST(event_id AS VARCHAR)", "sm")} % 20 = 0
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
 }

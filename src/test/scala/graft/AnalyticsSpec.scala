@@ -322,4 +322,43 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(df.where(!$"pred_lang".isin("en", "de", "fr", "es", "und")).isEmpty)
     assert(df.count() == Tables.documents(spark, sf).count())
   }
+
+  test("bloom_join: bloom pre-filter + confirm equals the plain semi-join") {
+    val got = RelationalAnalytics.bloomJoin(spark, sf)
+      .as[(String, Long, Double, Double)].collect().toSet
+    val hot = Tables.orders(spark, sf)
+      .filter($"o_totalprice" > 490000.0).select($"o_orderkey")
+    val want = Tables.lineitem(spark, sf)
+      .join(hot, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("line_cnt"),
+        sum($"l_quantity".cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(12,2)")).cast("double").as("sum_price"))
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("item_rank: one node per part, ranks positive, edges raise rank") {
+    val ranks = GraphAnalytics.itemRank(spark, sf).cache()
+    assert(ranks.count() == Tables.part(spark, sf).count())
+    assert(ranks.where($"rank_micro" < 150000L).isEmpty)
+    // a part with in-edges must sit above the teleport-only floor
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
+    val linked = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("b.l_partkey").as("part_id")).distinct()
+    val floorOnly = ranks.join(linked, "part_id")
+      .where($"rank_micro" === 150000L).count()
+    assert(floorOnly == 0, s"$floorOnly linked parts stuck at teleport floor")
+    ranks.unpersist()
+  }
+
+  test("value_percentiles_sampled: sample is 5%-ish and percentiles ordered") {
+    val n = events.count()
+    val s = events.where(expr("poly_hash(cast(event_id as string)) % 20 = 0")).count()
+    assert(s > n / 40 && s < n / 10, s"sample $s of $n outside (2.5%, 10%)")
+    val df = RelationalAnalytics.valuePercentilesSampled(spark, sf)
+    assert(df.where($"p50" > $"p90" || $"p90" > $"p99").isEmpty)
+  }
 }
