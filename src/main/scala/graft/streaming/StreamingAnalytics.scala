@@ -492,4 +492,33 @@ object StreamingAnalytics {
       .select(col("tx_id"), col("pay_event"), col("receipt_event"),
         col("pay_ts"), col("receipt_ts"))
   }
+
+  /** The timeout side of the reconciliation (REF: TxMatch.scala §
+    * unmatchedPays side output — reconstructed): a LEFT OUTER
+    * stream-stream interval join. Spark holds the pay in join state
+    * and, once the watermark proves no receipt can still arrive inside
+    * the ±24 h bound, emits it with a null right side — the literal
+    * onTimer → side-output firing, without hand-written timer state.
+    * Matched rows stream out immediately; null-receipt rows arrive
+    * exactly one watermark delay later.
+    */
+  def txMatchOuterStream(events: DataFrame): DataFrame = {
+    val pays = events.filter(col("event_type") === "purchase")
+      .select(concat(col("user_id"), lit("-"),
+        get_json_object(col("props"), "$.k")).as("tx_id"),
+        col("ts").as("pay_ts"), col("event_id").as("pay_event"))
+      .withWatermark("pay_ts", "1 hour")
+    val receipts = events.filter(col("event_type") === "click")
+      .select(concat(col("user_id"), lit("-"),
+        get_json_object(col("props"), "$.k")).as("rc_tx_id"),
+        col("ts").as("receipt_ts"), col("event_id").as("receipt_event"))
+      .withWatermark("receipt_ts", "1 hour")
+    pays.join(receipts,
+        col("tx_id") === col("rc_tx_id") &&
+          col("receipt_ts") >= col("pay_ts") - expr("interval 24 hours") &&
+          col("receipt_ts") <= col("pay_ts") + expr("interval 24 hours"),
+        "left_outer")
+      .select(col("tx_id"), col("pay_event"), col("receipt_event"),
+        col("pay_ts"), col("receipt_ts"))
+  }
 }

@@ -341,6 +341,53 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tx-match outer: unmatched pays fire with null receipt after watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    val q = StreamingAnalytics.txMatchOuterStream(toEventsDF(ms))
+      .writeStream.format("memory").queryName("txo_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows); q.processAllAvailable()
+      // advance BOTH side watermarks past every pay's 24h bound so the
+      // join state for unmatched pays times out and emits null rows;
+      // eviction applies the watermark computed at the END of the prior
+      // batch, so one more batch runs after the last advance. The flush
+      // rows need a VALID join key: a null-keyed row on the right side
+      // suppresses the final outer-state eviction pass (observed on
+      // Spark 4.1 — tail nulls never emit when the watermark-advancing
+      // row carries a null key).
+      val fTs = rows.map(_.ts_us).max + 30L * 86400 * 1000000
+      ms.addData(EvFull(-1L, fTs, -1L, "purchase", "{\"k\":\"0\"}"))
+      q.processAllAvailable()
+      ms.addData(EvFull(-1L, fTs, -1L, "click", "{\"k\":\"0\"}"))
+      q.processAllAvailable()
+      ms.addData(EvFull(-1L, fTs, -1L, "purchase", "{\"k\":\"0\"}"))
+      q.processAllAvailable()
+      val got = spark.table("txo_stream")
+        .where($"pay_event" =!= -1L)
+        .select($"tx_id", $"pay_event", coalesce($"receipt_event", lit(-1L)))
+        .as[(String, Long, Long)].collect().toSet
+      val ev = batchEvents
+      val pays = ev.where($"event_type" === "purchase")
+        .select(concat($"user_id", lit("-"), get_json_object($"props", "$.k")).as("tx_id"),
+          $"ts".as("pay_ts"), $"event_id".as("pay_event"))
+      val receipts = ev.where($"event_type" === "click")
+        .select(concat($"user_id", lit("-"), get_json_object($"props", "$.k")).as("rc_tx_id"),
+          $"ts".as("receipt_ts"), $"event_id".as("receipt_event"))
+      val want = pays.join(receipts,
+          $"tx_id" === $"rc_tx_id" &&
+            $"receipt_ts" >= $"pay_ts" - expr("interval 24 hours") &&
+            $"receipt_ts" <= $"pay_ts" + expr("interval 24 hours"),
+          "left_outer")
+        .select($"tx_id", $"pay_event", coalesce($"receipt_event", lit(-1L)))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want)
+      // sanity: the timeout path actually fired (some pay has no receipt)
+      assert(got.exists(_._3 == -1L), "expected at least one unmatched pay")
+    } finally q.stop()
+  }
+
   test("tx-match: stream-stream join matches batch pair join") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[EvFull]
