@@ -71,6 +71,7 @@ object SparkEntry {
     "text_stats"        -> ((s, d) => TextStats.textStats(s, d)),
     "lang_id"           -> ((s, d) => TextStats.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextStats.docFingerprint(s, d)),
+    "doc_repetition"    -> ((s, d) => TextStats.docRepetition(s, d)),
     "doc_top_terms"     -> ((s, d) => TextStats.docTopTerms(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.multimodalDecode(s, d)),
     "multimodal_resize" -> ((s, d) => Multimodal.multimodalResize(s, d)),
@@ -357,6 +358,7 @@ object SparkEntry {
     "text_stats"          -> TextStats.textStatsOracle,
     "lang_id"             -> TextStats.langIdOracle,
     "doc_fingerprint"     -> TextStats.docFingerprintOracle,
+    "doc_repetition"      -> TextStats.docRepetitionOracle,
     "doc_top_terms"       -> TextStats.docTopTermsOracle,
     "multimodal_decode"   -> Multimodal.multimodalDecodeOracle,
     "multimodal_resize"   -> Multimodal.multimodalResizeOracle,

@@ -216,4 +216,54 @@ object TextStats {
        |       list_min(list_transform(range(1, greatest(length(text) - 15, 1) + 1), wi ->
        |         ${phDuck("substring(text, wi, 16)", "w")})) AS fp_winnow
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Repetition-ratio quality signal (the C4/Gopher-style "most
+    * frequent n-gram share"): a doc whose single most common 3-gram
+    * covers a large fraction of all its 3-grams is boilerplate or a
+    * generation loop, and training pipelines drop it. Shape is the
+    * distributed one — explode the native shingle array and count —
+    * so a single enormous document aggregates across partitions
+    * instead of building a per-row map; docs with <3 tokens have no
+    * 3-gram and are excluded (they're length-filtered upstream anyway).
+    */
+  def docRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "shingle_hashes(text) as sh")
+      .where("size(sh) >= 1")
+      .selectExpr("doc_id", "explode(sh) as h")
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_shingles"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .selectExpr("doc_id", "n_shingles", "n_distinct", "top_cnt",
+        "cast(top_cnt as double) / n_shingles as rep_ratio")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of the same shingle chain (identical arithmetic to
+    * the MinHash tier's) + unnest/count. */
+  lazy val docRepetitionOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensDuck AS tokens FROM documents
+       |), th AS (
+       |  SELECT doc_id, list_transform(tokens, tk -> ${phDuck("tk", "h")}) AS tharr
+       |  FROM toks WHERE len(tokens) >= 3
+       |), sh AS (
+       |  SELECT doc_id, list_transform(range(0, len(tharr) - 2), sj ->
+       |    ((tharr[sj + 1] * $ShingleMult + tharr[sj + 2]) % $P
+       |     * $ShingleMult + tharr[sj + 3]) % $P) AS sh FROM th
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS h FROM sh
+       |), cnts AS (
+       |  SELECT doc_id, h, count(*) AS cnt FROM ex GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_shingles,
+       |         count(*) AS n_distinct, max(cnt) AS top_cnt
+       |  FROM cnts GROUP BY 1
+       |)
+       |SELECT doc_id, n_shingles, n_distinct, top_cnt,
+       |       CAST(top_cnt AS DOUBLE) / n_shingles AS rep_ratio
+       |FROM agg ORDER BY doc_id""".stripMargin
 }

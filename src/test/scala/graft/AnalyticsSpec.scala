@@ -354,6 +354,18 @@ class AnalyticsSpec extends AnyFunSuite {
     ranks.unpersist()
   }
 
+  test("doc_repetition: ratio bounds and shingle accounting hold") {
+    val df = TextStats.docRepetition(spark, sf).cache()
+    assert(df.where($"rep_ratio" <= 0.0 || $"rep_ratio" > 1.0).isEmpty)
+    assert(df.where($"top_cnt" > $"n_shingles" || $"n_distinct" > $"n_shingles").isEmpty)
+    // n_shingles = tokens - 2 for every doc with >= 3 tokens
+    val want = TextStats.textStats(spark, sf)
+      .where($"n_tokens" >= 3)
+      .select($"doc_id", ($"n_tokens" - 2).as("expect"))
+    assert(df.join(want, "doc_id").where($"n_shingles" =!= $"expect").isEmpty)
+    df.unpersist()
+  }
+
   test("value_percentiles_sampled: sample is 5%-ish and percentiles ordered") {
     val n = events.count()
     val s = events.where(expr("poly_hash(cast(event_id as string)) % 20 = 0")).count()
