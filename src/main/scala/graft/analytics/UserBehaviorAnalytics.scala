@@ -83,8 +83,26 @@ object UserBehaviorAnalytics {
     */
   def hotItemsTopN(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame = {
     import spark.implicits._
-    rankTopN(itemWindowCountsFrom(Tables.events(spark, sfDir)), n)
-      .orderBy($"window_end", $"rnk")
+    // same two-level sliding window as hotPagesTopN: pre-aggregate per
+    // (item, 5-minute tumbling bucket) so the 12× window expansion
+    // applies to bucket COUNTS, not raw events (events in bucket
+    // [b, b+5m) belong to exactly the 1 h windows ending b+5m … b+60m).
+    // The streaming form (itemWindowCountsFrom) keeps the native
+    // window() — watermark bookkeeping needs it — and the parity test
+    // pins the two shapes equal.
+    val views = Tables.events(spark, sfDir)
+      .filter($"event_type" === "view")
+      .select(itemId($"props").as("item_id"), $"ts")
+    val perBucket = views
+      .groupBy(window($"ts", "5 minutes").as("b"), $"item_id")
+      .agg(count(lit(1)).as("bcnt"))
+    val counts = perBucket
+      .select($"item_id", $"bcnt", explode(expr(
+        "sequence(b.end, b.start + interval 60 minutes, interval 5 minutes)"))
+        .as("window_end"))
+      .groupBy($"window_end", $"item_id")
+      .agg(sum($"bcnt").as("cnt"))
+    rankTopN(counts, n).orderBy($"window_end", $"rnk")
   }
 
   /** Top-N hot pages per sliding window, url proxy = props.k of clicks.
