@@ -40,6 +40,7 @@ object SparkEntry {
     "cep_funnel"        -> ((s, d) => DetectionAnalytics.cepFunnel(s, d)),
     "cep_funnel_relaxed" -> ((s, d) => DetectionAnalytics.cepFunnelRelaxed(s, d)),
     "cep_absence"        -> ((s, d) => DetectionAnalytics.cepAbsence(s, d)),
+    "cep_bursts"         -> ((s, d) => DetectionAnalytics.cepBursts(s, d)),
     "late_events"       -> ((s, d) => LateDataAnalytics.lateEvents(s, d)),
     "hot_pages_late_split" -> ((s, d) => LateDataAnalytics.hotPagesLateSplit(s, d)),
     "pricing_summary"   -> ((s, d) => RelationalAnalytics.pricingSummary(s, d)),
@@ -267,6 +268,7 @@ object SparkEntry {
     "cep_funnel"           -> DetectionAnalytics.cepFunnelOracle,
     "cep_funnel_relaxed"   -> DetectionAnalytics.cepFunnelRelaxedOracle,
     "cep_absence"          -> DetectionAnalytics.cepAbsenceOracle,
+    "cep_bursts"           -> DetectionAnalytics.cepBurstsOracle,
     "late_events"          -> graft.analytics.LateDataAnalytics.lateEventsOracle,
     "hot_pages_late_split" -> graft.analytics.LateDataAnalytics.hotPagesLateSplitOracle,
     "interval_join" ->

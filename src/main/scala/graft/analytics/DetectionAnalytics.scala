@@ -228,6 +228,47 @@ object DetectionAnalytics {
       |  AND epoch_us(ts) - epoch_us(start_ts) <= 259200000000
       |ORDER BY user_id, end_event""".stripMargin
 
+  /** Kleene instance (Flink `timesOrMore(2).greedy().consecutive()`):
+    * maximal runs of ≥2 back-to-back errors per user whose span fits
+    * 24 h — the login-fail detector generalized from pairs to whole
+    * bursts (one row per burst with its length, not one per pair).
+    */
+  def cepBursts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.cep.Pattern.consecutiveRuns(
+        Tables.events(spark, sfDir), $"user_id", $"ts", $"event_id",
+        $"event_type" === "error", minTimes = 2,
+        withinUs = 24L * 3600 * 1000000)
+      .withColumnRenamed("key", "user_id")
+      .orderBy($"user_id", $"start_event")
+  }
+
+  /** Gaps-and-islands replay; events carry unique timestamps per key,
+    * so arg_min/arg_max on ts match the Spark struct-min tie-break. */
+  val cepBurstsOracle: String =
+    """WITH base AS (
+      |  SELECT user_id AS key, ts, event_id AS ord,
+      |         (event_type = 'error') AS m,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id) AS rn_all
+      |  FROM events
+      |), runs AS (
+      |  SELECT key, ts, ord,
+      |         rn_all - row_number() OVER (PARTITION BY key
+      |                                     ORDER BY ts, ord) AS grp
+      |  FROM base WHERE m
+      |), agg AS (
+      |  SELECT key, grp, count(*) AS times,
+      |         arg_min(ord, ts) AS start_event, min(ts) AS start_ts,
+      |         arg_max(ord, ts) AS end_event, max(ts) AS end_ts
+      |  FROM runs GROUP BY 1, 2
+      |)
+      |SELECT key AS user_id, start_event, start_ts, end_event, end_ts, times
+      |FROM agg
+      |WHERE times >= 2
+      |  AND epoch_us(end_ts) - epoch_us(start_ts) <= 86400000000
+      |ORDER BY user_id, start_event""".stripMargin
+
   /** Interval (range) join: lineitems shipped within 5 days of their
     * order date. REF: TxMatchByJoin.scala § intervalJoin.between(-5s,5s)
     * — equi key + bounded time range. On the relational side this is

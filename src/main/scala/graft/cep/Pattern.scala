@@ -55,6 +55,45 @@ case class PatternMatch(key: Long, start_us: Long, start_ord: Long,
   * view→click→purchase instance, hash-verified against a DuckDB lag
   * oracle.
   */
+object Pattern {
+  /** Kleene quantifier, Flink `timesOrMore(n).greedy().consecutive()`
+    * (REF: LoginFailWithCep.scala § Pattern…times — reconstructed;
+    * the reference stops at times(2), this is the unbounded form):
+    * MAXIMAL runs of consecutive pred-matching events per key — a run
+    * is delimited by a non-matching event of the same key (or the data
+    * boundary), emitted when it has ≥ minTimes events and its
+    * first-to-last span fits `within`. Greedy/maximal means sub-runs
+    * are NOT emitted separately, matching Flink's greedy contiguous
+    * semantics rather than the every-prefix default.
+    *
+    * Plan: classic gaps-and-islands — one per-key sort shared by both
+    * row_numbers (rank among all events minus rank among matching
+    * events is constant within a run), then a (key, island) aggregate.
+    * No state machine, no self-join; scales with the event shuffle.
+    */
+  def consecutiveRuns(events: DataFrame, key: Column, ts: Column,
+                      ord: Column, pred: Column, minTimes: Int,
+                      withinUs: Long): DataFrame = {
+    require(minTimes >= 1, "minTimes must be >= 1")
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("ord"))
+    events
+      .select(key.as("key"), ts.as("ts"), ord.as("ord"),
+        pred.cast("boolean").as("m"))
+      .withColumn("rn_all", row_number().over(w))
+      .filter(col("m"))
+      .withColumn("grp", col("rn_all") - row_number().over(w))
+      .groupBy(col("key"), col("grp"))
+      .agg(count(lit(1)).as("times"),
+        min(struct(col("ts"), col("ord"))).as("s"),
+        max(struct(col("ts"), col("ord"))).as("e"))
+      .filter(col("times") >= minTimes &&
+        unix_micros(col("e.ts")) - unix_micros(col("s.ts")) <= withinUs)
+      .select(col("key"), col("s.ord").as("start_event"),
+        col("s.ts").as("start_ts"), col("e.ord").as("end_event"),
+        col("e.ts").as("end_ts"), col("times"))
+  }
+}
+
 case class Pattern(rawSteps: Seq[Step], withinUs: Long, strict: Boolean = true) {
   require(rawSteps.nonEmpty, "pattern needs at least one step")
   /** quantifiers expanded: `Step(p, times = n)` → n copies */

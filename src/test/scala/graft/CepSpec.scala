@@ -227,4 +227,35 @@ class CepSpec extends AnyFunSuite {
       assert(want.nonEmpty && got == want)
     } finally q.stop()
   }
+
+  test("consecutiveRuns: bursts are maximal and internally all-matching") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+    val bursts = DetectionAnalytics.cepBursts(spark, sf).cache()
+    assert(bursts.count() > 0)
+    // neighbors just outside each burst must be non-error (maximality):
+    // tag every event with its prev/next event_type in the key's stream
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tagged = ev.select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+    val startViolations = bursts.join(tagged,
+        bursts("user_id") === tagged("user_id") &&
+          bursts("start_event") === tagged("event_id"))
+      .where($"prev_type" === "error").count()
+    val endViolations = bursts.join(tagged,
+        bursts("user_id") === tagged("user_id") &&
+          bursts("end_event") === tagged("event_id"))
+      .where($"next_type" === "error").count()
+    assert(startViolations == 0 && endViolations == 0)
+    // every burst's span holds >= `times` error events and no others
+    val spans = bursts.as("b").join(ev.as("e"),
+        col("b.user_id") === col("e.user_id") &&
+          col("e.ts") >= col("b.start_ts") && col("e.ts") <= col("b.end_ts"))
+      .groupBy(col("b.user_id"), col("b.start_event"), col("b.times"))
+      .agg(count(when(col("e.event_type") === "error", 1)).as("errs"),
+        count(when(col("e.event_type") =!= "error", 1)).as("others"))
+    assert(spans.where($"errs" =!= $"times" || $"others" =!= 0L).isEmpty)
+    bursts.unpersist()
+  }
 }
