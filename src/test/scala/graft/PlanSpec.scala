@@ -1,0 +1,68 @@
+package graft
+
+import graft.analytics._
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression pins for the claims in PLANS.md — the plan
+  * SHAPE is the scale contract, and a refactor that silently loses a
+  * pushdown, a broadcast, or an exchange reuse should fail loudly here
+  * long before a 100 TB run finds out.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val sf = SparkTestBase.sf
+  import spark.implicits._
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // force AQE to finalize the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("item_rank: edge subtree dedupes to ReusedExchange across iterations") {
+    val plan = planString(GraphAnalytics.itemRank(spark, sf))
+    // one real exchange for the edge build + a ReusedExchange per
+    // later round (the plan STRING prints referenced subtrees in
+    // full, so scan-counting the text would over-count; the reuse
+    // node count is the executable truth)
+    val reused = "ReusedExchange".r.findAllIn(plan).size
+    assert(reused >= 2,
+      s"$reused ReusedExchange nodes — edge subtree recomputed per round")
+  }
+
+  test("bloom_join: probe stage is broadcast-only (no shuffle before confirm)") {
+    val plan = planString(RelationalAnalytics.bloomJoin(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    // 3 bloom-word probes + the (broadcastable at test SF) confirm join
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+    assert(!plan.contains("SortMergeJoin"),
+      "bloom probe degraded to a sort-merge join")
+  }
+
+  test("pricing_summary: filter pushed to scan, columns pruned") {
+    val plan = planString(RelationalAnalytics.pricingSummary(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate filter not pushed to the parquet scan")
+    // projection needs 7 lineitem columns; the scan must not read more
+    val schema = "ReadSchema: [^\n]+".r.findFirstIn(plan).getOrElse("")
+    assert(!schema.contains("l_orderkey") && !schema.contains("l_partkey"),
+      s"scan reads unprojected columns: $schema")
+  }
+
+  test("hot_items_topn: rank filter pushes down as WindowGroupLimit") {
+    val plan = planString(
+      UserBehaviorAnalytics.hotItemsTopN(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      "per-window top-n rank not pushed below the full window sort")
+  }
+
+  test("revenue_rollup: single Expand + single aggregate pair, dims broadcast") {
+    val plan = planString(RelationalAnalytics.revenueRollup(spark, sf))
+    assert("Expand".r.findAllIn(plan).size >= 1 &&
+      "Expand".r.findAllIn(plan).size <= 2, "rollup not a single Expand")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      "dim chain not fully broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "a dim join degraded to sort-merge")
+  }
+}
