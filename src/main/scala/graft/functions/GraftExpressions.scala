@@ -430,11 +430,11 @@ object GraftExpressions {
   }
 
   /** Single source of truth for the registered-function surface: the
-    * idempotence guard and the registrations both iterate this Seq, so
-    * a new function cannot be registered without also being guarded
-    * (or vice versa).
+    * idempotence guard, the temp registrations, AND GraftExtensions'
+    * session injection all iterate this Seq, so a new function cannot
+    * appear in one surface and silently miss another.
     */
-  private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[graft] val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "poly_hash" -> (es => PolyHash(es.head)),
     "rolling_min_hash" -> (es => RollingMinHash(es(0), intArg(es(1)))),
