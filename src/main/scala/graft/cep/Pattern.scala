@@ -92,6 +92,72 @@ object Pattern {
         col("s.ts").as("start_ts"), col("e.ord").as("end_event"),
         col("e.ts").as("end_ts"), col("times"))
   }
+
+  /** Streaming twin of [[consecutiveRuns]]: per-key state holds the one
+    * open run; a run closes (and emits if length ≥ minTimes and span ≤
+    * within) when a non-matching event of the key arrives — the exact
+    * batch semantics — or when the watermark passes `last + within`
+    * with no further event (state bound; a batch over-span run is
+    * discarded whole, so the only divergence is emitting a still-valid
+    * prefix of a run the batch reading would drop — the stream cannot
+    * know the future extension exists, and the prefix IS a real burst).
+    * Events buffer until the watermark passes them and are processed in
+    * (ts, ord) order, like [[Pattern.compileStream]]. `mask` bit 0 =
+    * the predicate. Output `PatternMatch`; run length is end-start
+    * event count, recoverable by the caller if needed.
+    */
+  def consecutiveRunsStream(events: Dataset[PatternEv], minTimes: Int,
+                            withinUs: Long, watermark: String = "1 hour")
+                           (implicit spark: SparkSession): Dataset[PatternMatch] = {
+    import spark.implicits._
+    val win = withinUs
+    events
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      // state: (buffered events, open run (startTs, startOrd, lastTs, lastOrd, cnt))
+      .flatMapGroupsWithState[
+        (List[(Long, Long, Long)], Option[(Long, Long, Long, Long, Int)]), PatternMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it,
+         state: GroupState[(List[(Long, Long, Long)], Option[(Long, Long, Long, Long, Int)])]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (prevBuf, prevRun) = state.getOption.getOrElse((Nil, None))
+          val incoming =
+            if (state.hasTimedOut) Nil
+            else it.toSeq.map(e => (e._2, e._3, e._4)).filter(_._1 >= wmUs)
+          val (ready, held) = (prevBuf ++ incoming).partition(_._1 <= wmUs)
+          var run = prevRun
+          val out = scala.collection.mutable.ListBuffer.empty[PatternMatch]
+          def close(): Unit = {
+            run.foreach { case (s, so, l, lo, cnt) =>
+              if (cnt >= minTimes && l - s <= win)
+                out += PatternMatch(key, s, so, l, lo)
+            }
+            run = None
+          }
+          for ((ts, ord, mask) <- ready.sortBy(e => (e._1, e._2))) {
+            if ((mask & 1L) == 1L)
+              run = run match {
+                case Some((s, so, _, _, cnt)) => Some((s, so, ts, ord, cnt + 1))
+                case None => Some((ts, ord, ts, ord, 1))
+              }
+            else close()
+          }
+          // silence timeout: no event within `within` of the last match
+          // ⇒ any extension would overrun the span anyway — close now
+          if (run.exists { case (_, _, l, _, _) => l + win < wmUs }) close()
+          if (held.isEmpty && run.isEmpty) state.remove()
+          else {
+            state.update((held, run))
+            val wakeUs = (held.map(_._1) ++
+              run.map { case (_, _, l, _, _) => l + win }.toList).min
+            state.setTimeoutTimestamp(math.max(wakeUs / 1000 + 1, wmUs / 1000 + 1))
+          }
+          out.iterator
+      }
+  }
 }
 
 case class Pattern(rawSteps: Seq[Step], withinUs: Long, strict: Boolean = true) {

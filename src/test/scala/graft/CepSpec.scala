@@ -228,6 +228,64 @@ class CepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("consecutiveRunsStream: event-closed runs == batch cep_bursts") {
+    implicit val s = spark
+    implicit val ctx = spark.sqlContext
+    val p = Pattern(Seq(Step("err", $"event_type" === "error")),
+      withinUs = 24L * 3600 * 1000000)
+    val rows = p.toPatternEvents(Tables.events(spark, sf),
+      $"user_id", unix_micros($"ts"), $"event_id").collect().toSeq
+      .sortBy(e => (e.ts_us, e.ord))
+    val maxUs = rows.map(_.ts_us).max
+    // one non-matching event per key AFTER the data closes every open
+    // run by EVENT (batch semantics); the far-future flush then drains
+    val closers = rows.map(_.key).distinct
+      .map(k => PatternEv(k, maxUs + 3600L * 1000000, -900L - k, 0L))
+    val ms = MemoryStream[PatternEv]
+    val q = Pattern.consecutiveRunsStream(ms.toDS(), minTimes = 2,
+        withinUs = 24L * 3600 * 1000000)
+      .writeStream.format("memory").queryName("runs_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(closers); q.processAllAvailable()
+      ms.addData(flushEv(maxUs)); q.processAllAvailable()
+      val got = spark.table("runs_stream")
+        .where($"key" =!= -1L)
+        .select($"key", $"start_ord", $"end_ord")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = DetectionAnalytics.cepBursts(spark, sf)
+        .select($"user_id", $"start_event", $"end_event")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
+  test("consecutiveRunsStream: silence timeout closes and emits an open run") {
+    implicit val s = spark
+    implicit val ctx = spark.sqlContext
+    val us = 1000000L
+    val ms = MemoryStream[PatternEv]
+    val q = Pattern.consecutiveRunsStream(ms.toDS(), minTimes = 2,
+        withinUs = 60 * us, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("runs_timeout")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(PatternEv(1L, 1 * us, 101L, 1L),
+        PatternEv(1L, 2 * us, 102L, 1L)))
+      q.processAllAvailable()
+      // no closing event for key 1 — only the watermark moves on
+      ms.addData(flushEv(2 * us)); q.processAllAvailable()
+      ms.addData(flushEv(50L * 86400 * 1000000)); q.processAllAvailable()
+      val got = spark.table("runs_timeout")
+        .where($"key" === 1L)
+        .select($"start_ord", $"end_ord").as[(Long, Long)].collect().toSet
+      assert(got == Set((101L, 102L)))
+    } finally q.stop()
+  }
+
   test("consecutiveRuns: bursts are maximal and internally all-matching") {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, sf)
