@@ -21,31 +21,19 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * fallback so query builders work on sessions created without the
   * extension (e.g. the driver's own Verify/Bench sessions).
   *
-  * The function list is NOT duplicated here: both this injection and
-  * the temp registry iterate `GraftExpressions.registrations`, so the
-  * two surfaces cannot drift.
+  * The function list is NOT duplicated here: this injection iterates
+  * `GraftExpressions.registrations` — name, usage text, and builder
+  * all come from that one Seq, so the surfaces cannot drift.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private val usage = Map(
-    "vec_dot" -> "vec_dot(a, b) - dot product of two double arrays (left fold)",
-    "poly_hash" -> "poly_hash(s) - polynomial char-fold hash mod 1e9+7",
-    "poly_hash37" -> "poly_hash37(s) - independent char-fold hash (mult 37)",
-    "rolling_min_hash" -> "rolling_min_hash(s, w) - min over all w-char window hashes",
-    "simhash60" -> "simhash60(arr) - 60-bit SimHash of a token-hash array",
-    "minhash_sig" -> "minhash_sig(arr) - K-minima MinHash signature array",
-    "sorted_intersect_count" -> "sorted_intersect_count(a, b) - |A n B| of sorted int arrays",
-    "word_shingles" -> "word_shingles(text, n) - distinct whitespace n-gram shingles",
-    "token_hashes60" -> "token_hashes60(text) - packed 60-bit hash per whitespace token",
-    "shingle_hashes" -> "shingle_hashes(text) - 3-gram shingle hashes over token poly hashes")
-
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoin.AsOfJoinStrategy)
-    GraftExpressions.registrations.foreach { case (name, builder) =>
-      e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.GraftExpressions", null, name,
-          usage.getOrElse(name, name), ""),
-        builder))
+    GraftExpressions.registrations.foreach { r =>
+      e.injectFunction((FunctionIdentifier(r.name),
+        new ExpressionInfo("graft.functions.GraftExpressions", null, r.name,
+          r.usage, ""),
+        r.builder))
     }
   }
 }

@@ -71,38 +71,51 @@ object UserBehaviorAnalytics {
   /** Rank stage of hot-items (batch; streaming applies it per
     * micro-batch via foreachBatch — SURVEY.md §2.6 R1).
     */
-  def rankTopN(counts: DataFrame, n: Int): DataFrame =
+  def rankTopN(counts: DataFrame, n: Int, keyCol: String = "item_id"): DataFrame =
     counts.withColumn("rnk", row_number().over(
         Window.partitionBy(col("window_end"))
-          .orderBy(col("cnt").desc, col("item_id").asc)))
+          .orderBy(col("cnt").desc, col(keyCol).asc)))
       .filter(col("rnk") <= n)
+
+  /** Two-level sliding-window top-N, shared by the hot-items and
+    * hot-pages queries: the naive `window(ts, size, slide)` expands
+    * EVERY event size/slide× before the first aggregate. Instead
+    * pre-aggregate per (key, slide-length tumbling bucket) — partial
+    * agg collapses events map-side — then expand each bucket COUNT
+    * into the size/slide sliding windows containing its bucket and
+    * sum. Identical results (every event in bucket [b, b+slide)
+    * belongs to exactly the windows ending b+slide … b+size), but the
+    * expansion applies to distinct (key, bucket) rows, not events —
+    * which also tames hot-key skew before the wide shuffle.
+    */
+  private def slidingTopN(rows: DataFrame, keyCol: String, size: String,
+                          slide: String, n: Int): DataFrame = {
+    val perBucket = rows
+      .groupBy(window(col("ts"), slide).as("b"), col(keyCol))
+      .agg(count(lit(1)).as("bcnt"))
+    val counts = perBucket
+      .select(col(keyCol), col("bcnt"), explode(expr(
+        s"sequence(b.end, b.start + interval $size, interval $slide)"))
+        .as("window_end"))
+      .groupBy(col("window_end"), col(keyCol))
+      .agg(sum(col("bcnt")).as("cnt"))
+    rankTopN(counts, n, keyCol)
+      .orderBy(col("window_end"), col("rnk"))
+  }
 
   /** Top-N hot items per sliding window (flagship).
     * REF: HotItems.scala § main/CountAgg/TopNHotItems — 1h windows
-    * sliding 5m, top 5 items by view count per window.
+    * sliding 5m, top 5 items by view count per window. The streaming
+    * form (itemWindowCountsFrom) keeps the native window() — watermark
+    * bookkeeping needs it — and the parity test pins the shapes equal.
     */
   def hotItemsTopN(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame = {
     import spark.implicits._
-    // same two-level sliding window as hotPagesTopN: pre-aggregate per
-    // (item, 5-minute tumbling bucket) so the 12× window expansion
-    // applies to bucket COUNTS, not raw events (events in bucket
-    // [b, b+5m) belong to exactly the 1 h windows ending b+5m … b+60m).
-    // The streaming form (itemWindowCountsFrom) keeps the native
-    // window() — watermark bookkeeping needs it — and the parity test
-    // pins the two shapes equal.
-    val views = Tables.events(spark, sfDir)
-      .filter($"event_type" === "view")
-      .select(itemId($"props").as("item_id"), $"ts")
-    val perBucket = views
-      .groupBy(window($"ts", "5 minutes").as("b"), $"item_id")
-      .agg(count(lit(1)).as("bcnt"))
-    val counts = perBucket
-      .select($"item_id", $"bcnt", explode(expr(
-        "sequence(b.end, b.start + interval 60 minutes, interval 5 minutes)"))
-        .as("window_end"))
-      .groupBy($"window_end", $"item_id")
-      .agg(sum($"bcnt").as("cnt"))
-    rankTopN(counts, n).orderBy($"window_end", $"rnk")
+    slidingTopN(
+      Tables.events(spark, sfDir)
+        .filter($"event_type" === "view")
+        .select(itemId($"props").as("item_id"), $"ts"),
+      "item_id", "60 minutes", "5 minutes", n)
   }
 
   /** Top-N hot pages per sliding window, url proxy = props.k of clicks.
@@ -112,31 +125,11 @@ object UserBehaviorAnalytics {
     */
   def hotPagesTopN(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
     import spark.implicits._
-    val clicks = Tables.events(spark, sfDir)
-      .filter($"event_type" === "click")
-      .select(pageUrl($"props").as("url"), $"ts")
-    // two-level sliding window: the naive window(ts, 10 min, 1 min)
-    // expands EVERY event 10× before the first aggregate. Instead
-    // pre-aggregate per (url, 1-minute tumbling bucket) — partial agg
-    // collapses events map-side — then expand each bucket COUNT into
-    // the 10 sliding windows that contain its minute and sum. Identical
-    // results (every event in minute [m, m+1) belongs to exactly the
-    // sliding windows ending at m+1 … m+10 minutes), but the 10× row
-    // expansion applies to distinct (url, minute) buckets, not events.
-    val perMinute = clicks
-      .groupBy(window($"ts", "1 minute").as("m"), $"url")
-      .agg(count(lit(1)).as("mcnt"))
-    val counts = perMinute
-      .select($"url", $"mcnt", explode(expr(
-        "sequence(m.end, m.start + interval 10 minutes, interval 1 minute)"))
-        .as("window_end"))
-      .groupBy($"window_end", $"url")
-      .agg(sum($"mcnt").as("cnt"))
-    counts
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy($"window_end").orderBy($"cnt".desc, $"url".asc)))
-      .filter($"rnk" <= n)
-      .orderBy($"window_end", $"rnk")
+    slidingTopN(
+      Tables.events(spark, sfDir)
+        .filter($"event_type" === "click")
+        .select(pageUrl($"props").as("url"), $"ts"),
+      "url", "10 minutes", "1 minute", n)
   }
 
   /** Hourly page views (tumbling window count).

@@ -55,6 +55,40 @@ case class PatternMatch(key: Long, start_us: Long, start_ord: Long,
   * view→click→purchase instance, hash-verified against a DuckDB lag
   * oracle.
   */
+/** Shared event-time buffer machinery for the streaming CEP operators
+  * (the NFA, the absence detector, and the Kleene runs all buffer
+  * events until the watermark finalizes them, then drain in (ts, ord)
+  * order). One implementation so the boundary and timeout arithmetic
+  * cannot diverge between operators.
+  */
+private[cep] object EventBuffer {
+  /** Split previously-buffered + newly-arrived events into the
+    * watermark-finalized `ready` prefix (sorted by (ts, ord)) and the
+    * still-`held` remainder. The late filter is STRICT (`> wm`): an
+    * event AT the watermark was already finalized by the `<= wm` ready
+    * cut of an earlier batch, so admitting a same-instant arrival in a
+    * later batch would drain it out of (ts, ord) order relative to
+    * rows it should precede.
+    */
+  def drain(prevBuf: List[(Long, Long, Long)],
+            incoming: Seq[(Long, Long, Long)],
+            wmUs: Long): (Seq[(Long, Long, Long)], List[(Long, Long, Long)]) = {
+    val (ready, held) =
+      (prevBuf ++ incoming.filter(_._1 > wmUs)).partition(_._1 <= wmUs)
+    (ready.sortBy(e => (e._1, e._2)), held)
+  }
+
+  /** Arm the event-time timeout at the earliest of the held events and
+    * the operator deadlines, clamped strictly past the watermark.
+    * Callers guarantee the union is non-empty.
+    */
+  def arm(state: GroupState[_], heldTs: Iterable[Long],
+          deadlineUs: Iterable[Long], wmUs: Long): Unit = {
+    val wakeUs = (heldTs ++ deadlineUs).min
+    state.setTimeoutTimestamp(math.max(wakeUs / 1000 + 1, wmUs / 1000 + 1))
+  }
+}
+
 object Pattern {
   /** Kleene quantifier, Flink `timesOrMore(n).greedy().consecutive()`
     * (REF: LoginFailWithCep.scala § Pattern…times — reconstructed;
@@ -97,14 +131,17 @@ object Pattern {
     * open run; a run closes (and emits if length ≥ minTimes and span ≤
     * within) when a non-matching event of the key arrives — the exact
     * batch semantics — or when the watermark passes `last + within`
-    * with no further event (state bound; a batch over-span run is
+    * with no further event (state bound; a batch over-span island is
     * discarded whole, so the only divergence is emitting a still-valid
-    * prefix of a run the batch reading would drop — the stream cannot
-    * know the future extension exists, and the prefix IS a real burst).
-    * Events buffer until the watermark passes them and are processed in
-    * (ts, ord) order, like [[Pattern.compileStream]]. `mask` bit 0 =
-    * the predicate. Output `PatternMatch`; run length is end-start
-    * event count, recoverable by the caller if needed.
+    * PREFIX of an island the batch reading would drop). A silence-close
+    * marks the island DEAD: matching events that later continue the
+    * same island (no intervening non-match) are swallowed, not restarted
+    * — so later segments of an over-span island are never emitted, and
+    * the prefix really is the only divergence. The dead mark is cleared
+    * by the key's next non-matching event; it persists for a silent key
+    * (one boolean per key, the same cardinality bound as any keyed
+    * state). Events buffer until the watermark passes them and drain in
+    * (ts, ord) order via [[EventBuffer]]. `mask` bit 0 = the predicate.
     */
   def consecutiveRunsStream(events: Dataset[PatternEv], minTimes: Int,
                             withinUs: Long, watermark: String = "1 hour")
@@ -116,19 +153,25 @@ object Pattern {
       .withWatermark("ts", watermark)
       .as[(Long, Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      // state: (buffered events, open run (startTs, startOrd, lastTs, lastOrd, cnt))
+      // state: (buffered events,
+      //         open run (startTs, startOrd, lastTs, lastOrd, cnt),
+      //         island is dead — silence-closed, waiting for a break)
       .flatMapGroupsWithState[
-        (List[(Long, Long, Long)], Option[(Long, Long, Long, Long, Int)]), PatternMatch](
+        (List[(Long, Long, Long)], Option[(Long, Long, Long, Long, Int)], Boolean),
+        PatternMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, it,
-         state: GroupState[(List[(Long, Long, Long)], Option[(Long, Long, Long, Long, Int)])]) =>
+         state: GroupState[(List[(Long, Long, Long)],
+           Option[(Long, Long, Long, Long, Int)], Boolean)]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000
-          val (prevBuf, prevRun) = state.getOption.getOrElse((Nil, None))
+          val (prevBuf, prevRun, prevDead) =
+            state.getOption.getOrElse((Nil, None, false))
           val incoming =
             if (state.hasTimedOut) Nil
-            else it.toSeq.map(e => (e._2, e._3, e._4)).filter(_._1 >= wmUs)
-          val (ready, held) = (prevBuf ++ incoming).partition(_._1 <= wmUs)
+            else it.toSeq.map(e => (e._2, e._3, e._4))
+          val (ready, held) = EventBuffer.drain(prevBuf, incoming, wmUs)
           var run = prevRun
+          var dead = prevDead
           val out = scala.collection.mutable.ListBuffer.empty[PatternMatch]
           def close(): Unit = {
             run.foreach { case (s, so, l, lo, cnt) =>
@@ -137,23 +180,31 @@ object Pattern {
             }
             run = None
           }
-          for ((ts, ord, mask) <- ready.sortBy(e => (e._1, e._2))) {
-            if ((mask & 1L) == 1L)
-              run = run match {
-                case Some((s, so, _, _, cnt)) => Some((s, so, ts, ord, cnt + 1))
-                case None => Some((ts, ord, ts, ord, 1))
-              }
-            else close()
+          for ((ts, ord, mask) <- ready) {
+            if ((mask & 1L) == 1L) {
+              if (!dead)
+                run = run match {
+                  case Some((s, so, _, _, cnt)) => Some((s, so, ts, ord, cnt + 1))
+                  case None => Some((ts, ord, ts, ord, 1))
+                }
+              // dead: the over-span island continues — swallow
+            } else { close(); dead = false }
           }
           // silence timeout: no event within `within` of the last match
-          // ⇒ any extension would overrun the span anyway — close now
-          if (run.exists { case (_, _, l, _, _) => l + win < wmUs }) close()
-          if (held.isEmpty && run.isEmpty) state.remove()
+          // ⇒ any extension overruns the span anyway — emit the valid
+          // prefix now and mark the island dead until an event breaks it
+          if (run.exists { case (_, _, l, _, _) => l + win < wmUs }) {
+            close()
+            dead = true
+          }
+          if (held.isEmpty && run.isEmpty && !dead) state.remove()
           else {
-            state.update((held, run))
-            val wakeUs = (held.map(_._1) ++
-              run.map { case (_, _, l, _, _) => l + win }.toList).min
-            state.setTimeoutTimestamp(math.max(wakeUs / 1000 + 1, wmUs / 1000 + 1))
+            state.update((held, run, dead))
+            val deadlines = run.map { case (_, _, l, _, _) => l + win }.toList
+            if (held.nonEmpty || deadlines.nonEmpty)
+              EventBuffer.arm(state, held.map(_._1), deadlines, wmUs)
+            // dead-only state: nothing to wake for — the next event of
+            // the key (if any) revives processing
           }
           out.iterator
       }
@@ -278,11 +329,11 @@ case class Pattern(rawSteps: Seq[Step], withinUs: Long, strict: Boolean = true) 
           val (prevBuf, prevOpen) = state.getOption.getOrElse((Nil, Nil))
           val incoming =
             if (state.hasTimedOut) Nil
-            else it.toSeq.map(e => (e._2, e._3, e._4)).filter(_._1 >= wmUs)
-          val (ready, held) = (prevBuf ++ incoming).partition(_._1 <= wmUs)
+            else it.toSeq.map(e => (e._2, e._3, e._4))
+          val (ready, held) = EventBuffer.drain(prevBuf, incoming, wmUs)
           var open = prevOpen
           val out = scala.collection.mutable.ListBuffer.empty[PatternMatch]
-          for ((ts, ord, mask) <- ready.sortBy(e => (e._1, e._2))) {
+          for ((ts, ord, mask) <- ready) {
             if (((mask >> 1) & 1L) == 1L)
               open = open.filterNot { case (s, _) => ts > s && ts - s <= win }
             if ((mask & 1L) == 1L) open = open :+ (ts, ord)
@@ -293,8 +344,7 @@ case class Pattern(rawSteps: Seq[Step], withinUs: Long, strict: Boolean = true) 
           if (held.isEmpty && live.isEmpty) state.remove()
           else {
             state.update((held, live))
-            val wakeUs = (held.map(_._1) ++ live.map(_._1 + win)).min
-            state.setTimeoutTimestamp(math.max(wakeUs / 1000 + 1, wmUs / 1000 + 1))
+            EventBuffer.arm(state, held.map(_._1), live.map(_._1 + win), wmUs)
           }
           out.iterator
       }
@@ -343,18 +393,14 @@ case class Pattern(rawSteps: Seq[Step], withinUs: Long, strict: Boolean = true) 
          state: GroupState[(List[(Long, Long, Long)], List[(Int, Long, Long, Long)])]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000
           val (prevBuf, prevPartials) = state.getOption.getOrElse((Nil, Nil))
-          // new arrivals strictly behind the watermark are late →
-          // dropped (>=: a row AT the watermark is still admitted, the
-          // same boundary Spark's own stateful late-row filter uses —
-          // it becomes ready in this very invocation)
           val incoming =
             if (state.hasTimedOut) Nil
-            else it.toSeq.map(e => (e._2, e._3, e._4)).filter(_._1 >= wmUs)
-          val (ready, held) = (prevBuf ++ incoming).partition(_._1 <= wmUs)
+            else it.toSeq.map(e => (e._2, e._3, e._4))
+          val (ready, held) = EventBuffer.drain(prevBuf, incoming, wmUs)
           // partial: (step reached, start ts, start ord, last-event ts)
           var partials = prevPartials
           val out = scala.collection.mutable.ListBuffer.empty[PatternMatch]
-          for ((ts, ord, mask) <- ready.sortBy(e => (e._1, e._2))) {
+          for ((ts, ord, mask) <- ready) {
             def bit(i: Int) = ((mask >> i) & 1L) == 1L
             val advanced = partials.flatMap { case p @ (j, s, so, lastTs) =>
               if (ts - s > win) None // expired: no later event can fit either
@@ -382,8 +428,8 @@ case class Pattern(rawSteps: Seq[Step], withinUs: Long, strict: Boolean = true) 
             state.update((held, partials))
             // wake when the watermark passes the earliest held event
             // or the earliest partial deadline — whichever is sooner
-            val wakeUs = (held.map(_._1) ++ partials.map { case (_, s, _, _) => s + win }).min
-            state.setTimeoutTimestamp(math.max(wakeUs / 1000 + 1, wmUs / 1000 + 1))
+            EventBuffer.arm(state, held.map(_._1),
+              partials.map { case (_, s, _, _) => s + win }, wmUs)
           }
           out.iterator
       }

@@ -429,22 +429,48 @@ object GraftExpressions {
     case other => other.eval().asInstanceOf[Int]
   }
 
+  /** One registered function: name, DESCRIBE FUNCTION usage text, and
+    * the expression builder. */
+  private[graft] final case class Registration(
+      name: String, usage: String, builder: Seq[Expression] => Expression)
+
   /** Single source of truth for the registered-function surface: the
     * idempotence guard, the temp registrations, AND GraftExtensions'
-    * session injection all iterate this Seq, so a new function cannot
-    * appear in one surface and silently miss another.
+    * session injection (incl. its usage strings) all iterate this Seq,
+    * so a new function cannot appear in one surface and silently miss
+    * or degrade another.
     */
-  private[graft] val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> (es => VecDot(es(0), es(1))),
-    "poly_hash" -> (es => PolyHash(es.head)),
-    "rolling_min_hash" -> (es => RollingMinHash(es(0), intArg(es(1)))),
-    "poly_hash37" -> (es => PolyHash(es.head, 37)),
-    "simhash60" -> (es => SimHash60(es.head)),
-    "minhash_sig" -> (es => MinHashSig(es.head)),
-    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
-    "word_shingles" -> (es => WordShingles(es(0), intArg(es(1)))),
-    "token_hashes60" -> (es => TokenHashes60(es.head)),
-    "shingle_hashes" -> (es => ShingleHashes(es.head))
+  private[graft] val registrations: Seq[Registration] = Seq(
+    Registration("vec_dot",
+      "vec_dot(a, b) - dot product of two double arrays (left fold)",
+      es => VecDot(es(0), es(1))),
+    Registration("poly_hash",
+      "poly_hash(s) - polynomial char-fold hash mod 1e9+7",
+      es => PolyHash(es.head)),
+    Registration("rolling_min_hash",
+      "rolling_min_hash(s, w) - min over all w-char window hashes",
+      es => RollingMinHash(es(0), intArg(es(1)))),
+    Registration("poly_hash37",
+      "poly_hash37(s) - independent char-fold hash (mult 37)",
+      es => PolyHash(es.head, 37)),
+    Registration("simhash60",
+      "simhash60(arr) - 60-bit SimHash of a token-hash array",
+      es => SimHash60(es.head)),
+    Registration("minhash_sig",
+      "minhash_sig(arr) - K-minima MinHash signature array",
+      es => MinHashSig(es.head)),
+    Registration("sorted_intersect_count",
+      "sorted_intersect_count(a, b) - |A n B| of sorted int arrays",
+      es => SortedIntersectCount(es(0), es(1))),
+    Registration("word_shingles",
+      "word_shingles(text, n) - distinct whitespace n-gram shingles",
+      es => WordShingles(es(0), intArg(es(1)))),
+    Registration("token_hashes60",
+      "token_hashes60(text) - packed 60-bit hash per whitespace token",
+      es => TokenHashes60(es.head)),
+    Registration("shingle_hashes",
+      "shingle_hashes(text) - 3-gram shingle hashes over token poly hashes",
+      es => ShingleHashes(es.head))
   )
 
   def register(spark: SparkSession): Unit = {
@@ -452,11 +478,10 @@ object GraftExpressions {
     // idempotence guard: every Tables.load calls register; re-registering
     // logs a "function replaced" WARN per function per query, which at
     // 50 queries floods the bench/verify logs
-    if (registrations.forall { case (n, _) =>
-        reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)) })
+    if (registrations.forall(r =>
+        reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(r.name))))
       return
-    registrations.foreach { case (n, b) =>
-      reg.createOrReplaceTempFunction(n, b, "built-in")
-    }
+    registrations.foreach(r =>
+      reg.createOrReplaceTempFunction(r.name, r.builder, "built-in"))
   }
 }

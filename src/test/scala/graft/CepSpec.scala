@@ -286,6 +286,37 @@ class CepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("consecutiveRunsStream: over-span island emits only its prefix, never later segments") {
+    // errors at 0 and 1h, silence, errors at 30h and 31h, break at 32h.
+    // Batch: ONE island spanning 31h > within(24h) → nothing. Stream:
+    // the documented prefix (0, 1h) at silence-close; the dead-island
+    // mark must swallow the 30h/31h continuation (no second row).
+    implicit val s = spark
+    implicit val ctx = spark.sqlContext
+    val h = 3600L * 1000000
+    val ms = MemoryStream[PatternEv]
+    val q = Pattern.consecutiveRunsStream(ms.toDS(), minTimes = 2,
+        withinUs = 24 * h, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("runs_dead")
+      .outputMode("append").start()
+    try {
+      // start at 1h, not 0: an event AT the initial watermark (ts=0)
+      // is dropped by the strict late filter
+      ms.addData(Seq(PatternEv(1L, 1 * h, 101L, 1L), PatternEv(1L, 2 * h, 102L, 1L)))
+      q.processAllAvailable()
+      // advance wm past 2h+24h → silence-close fires, island marked dead
+      ms.addData(flushEv(3 * h)); q.processAllAvailable()
+      ms.addData(Seq(PatternEv(1L, 31 * h, 103L, 1L), PatternEv(1L, 32 * h, 104L, 1L),
+        PatternEv(1L, 33 * h, 105L, 0L)))
+      q.processAllAvailable()
+      ms.addData(flushEv(80L * 86400 * 1000000)); q.processAllAvailable()
+      val got = spark.table("runs_dead")
+        .where($"key" === 1L)
+        .select($"start_ord", $"end_ord").as[(Long, Long)].collect().toSet
+      assert(got == Set((101L, 102L)), s"expected prefix only, got $got")
+    } finally q.stop()
+  }
+
   test("consecutiveRuns: bursts are maximal and internally all-matching") {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, sf)
