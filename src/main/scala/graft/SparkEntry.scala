@@ -56,6 +56,7 @@ object SparkEntry {
     "value_by_type_daily" -> ((s, d) => RelationalAnalytics.valueByTypeDaily(s, d)),
     "value_percentiles"   -> ((s, d) => RelationalAnalytics.valuePercentiles(s, d)),
     "value_percentiles_sampled" -> ((s, d) => RelationalAnalytics.valuePercentilesSampled(s, d)),
+    "value_anomaly"       -> ((s, d) => RelationalAnalytics.valueAnomaly(s, d)),
     "bloom_join"          -> ((s, d) => RelationalAnalytics.bloomJoin(s, d)),
     "item_rank"           -> ((s, d) => GraphAnalytics.itemRank(s, d)),
     "dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
@@ -316,6 +317,7 @@ object SparkEntry {
     "user_segments"  -> RelationalAnalytics.userSegmentsOracle,
     "value_percentiles" -> RelationalAnalytics.valuePercentilesOracle,
     "value_percentiles_sampled" -> RelationalAnalytics.valuePercentilesSampledOracle,
+    "value_anomaly"     -> RelationalAnalytics.valueAnomalyOracle,
     "bloom_join"        -> RelationalAnalytics.bloomJoinOracle,
     "item_rank"         -> GraphAnalytics.itemRankOracle,
     "events_pivot"   -> RelationalAnalytics.eventsPivotOracle,

@@ -398,6 +398,67 @@ object RelationalAnalytics {
       .orderBy($"event_type")
   }
 
+  /** Trailing z-score anomaly detection: each (event_type, day) total
+    * scored against the mean/stddev of its 7 preceding days (frame
+    * excludes the current row — scoring a point against statistics
+    * that include it dilutes the signal). Cross-engine float
+    * determinism: the frame sums are exact DECIMAL (associative, no
+    * order sensitivity), cast to DOUBLE only for the final
+    * mean/variance/z expressions, which are written identically on
+    * both engines — IEEE arithmetic on identical inputs in identical
+    * order is bit-equal, so even the z column hash-gates.
+    */
+  def valueAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"ts".cast("date").as("day"), $"event_type")
+      .agg(sum($"value".cast("decimal(12,2)")).as("total_dec"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("n", count($"total_dec").over(w))
+      .withColumn("fsum", sum($"total_dec").over(w))
+      .withColumn("fsumsq", sum($"total_dec" * $"total_dec").over(w))
+      .selectExpr("day", "event_type",
+        "cast(total_dec as double) as total", "n",
+        "cast(fsum as double) as fsum_d", "cast(fsumsq as double) as fsumsq_d")
+      .selectExpr("day", "event_type", "total",
+        "case when n >= 3 then fsum_d / n end as mean",
+        "case when n >= 3 then (fsumsq_d / n) - (fsum_d / n) * (fsum_d / n) end as variance")
+      .selectExpr("day", "event_type", "total",
+        "case when variance > 0 then (total - mean) / sqrt(variance) end as z")
+      .withColumn("is_anomaly", coalesce(abs($"z") > 2.0, lit(false)))
+      .orderBy($"day", $"event_type")
+  }
+
+  val valueAnomalyOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |         sum(CAST(value AS DECIMAL(12,2))) AS total_dec
+      |  FROM events GROUP BY 1, 2
+      |), f AS (
+      |  SELECT day, event_type,
+      |         CAST(total_dec AS DOUBLE) AS total,
+      |         count(total_dec) OVER w AS n,
+      |         CAST(sum(total_dec) OVER w AS DOUBLE) AS fsum_d,
+      |         CAST(sum(total_dec * total_dec) OVER w AS DOUBLE) AS fsumsq_d
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |), g AS (
+      |  SELECT day, event_type, total,
+      |         CASE WHEN n >= 3 THEN fsum_d / n END AS mean,
+      |         CASE WHEN n >= 3 THEN (fsumsq_d / n) - (fsum_d / n) * (fsum_d / n) END AS variance
+      |  FROM f
+      |), h AS (
+      |  SELECT day, event_type, total,
+      |         CASE WHEN variance > 0 THEN (total - mean) / sqrt(variance) END AS z
+      |  FROM g
+      |)
+      |SELECT day, event_type, total, z,
+      |       COALESCE(abs(z) > 2.0, FALSE) AS is_anomaly
+      |FROM h ORDER BY day, event_type""".stripMargin
+
   lazy val valuePercentilesSampledOracle: String =
     s"""SELECT event_type,
        |       quantile_cont(value, 0.5) AS p50,

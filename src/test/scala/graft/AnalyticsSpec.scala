@@ -354,6 +354,24 @@ class AnalyticsSpec extends AnyFunSuite {
     ranks.unpersist()
   }
 
+  test("value_anomaly: z matches stddev_pop recomputation, early days null") {
+    val df = RelationalAnalytics.valueAnomaly(spark, sf).cache()
+    // one row per (day, type); the first 2 days of each type have no z
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day")
+    val idx = df.withColumn("i", row_number().over(w))
+    assert(idx.where($"i" <= 2 && $"z".isNotNull).isEmpty)
+    // recompute z independently via stddev_pop over the same frame
+    val frame = w.rowsBetween(-7, -1)
+    val recompute = df
+      .withColumn("m", avg($"total").over(frame))
+      .withColumn("sd", stddev_pop($"total").over(frame))
+      .where($"z".isNotNull && $"sd" > 0)
+      .withColumn("z2", ($"total" - $"m") / $"sd")
+    assert(recompute.where(abs($"z" - $"z2") > 1e-6).isEmpty)
+    df.unpersist()
+  }
+
   test("doc_repetition: ratio bounds and shingle accounting hold") {
     val df = TextStats.docRepetition(spark, sf).cache()
     assert(df.where($"rep_ratio" <= 0.0 || $"rep_ratio" > 1.0).isEmpty)
