@@ -74,6 +74,7 @@ object SparkEntry {
     "lang_id"           -> ((s, d) => TextStats.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextStats.docFingerprint(s, d)),
     "doc_repetition"    -> ((s, d) => TextStats.docRepetition(s, d)),
+    "decontamination"   -> ((s, d) => TextStats.decontamination(s, d)),
     "doc_top_terms"     -> ((s, d) => TextStats.docTopTerms(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.multimodalDecode(s, d)),
     "multimodal_resize" -> ((s, d) => Multimodal.multimodalResize(s, d)),
@@ -363,6 +364,7 @@ object SparkEntry {
     "lang_id"             -> TextStats.langIdOracle,
     "doc_fingerprint"     -> TextStats.docFingerprintOracle,
     "doc_repetition"      -> TextStats.docRepetitionOracle,
+    "decontamination"     -> TextStats.decontaminationOracle,
     "doc_top_terms"       -> TextStats.docTopTermsOracle,
     "multimodal_decode"   -> Multimodal.multimodalDecodeOracle,
     "multimodal_resize"   -> Multimodal.multimodalResizeOracle,

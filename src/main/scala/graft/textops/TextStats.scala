@@ -242,6 +242,68 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Train/eval contamination check — the decontamination pass every
+    * training-data pipeline runs before shipping an eval set: an eval
+    * document whose 3-gram shingles largely appear anywhere in the
+    * train split is leaked. Split assignment reuses corpus_sample's
+    * content-hash buckets (train < 90, eval = the ≥ 95 test slice);
+    * the check is an inverted-index equi-join on shingle hash — the
+    * train side builds the distinct-shingle index (the big side; at
+    * 100 TB this is the posting-list shuffle, never doc×doc pairs),
+    * the eval side probes per (doc, distinct shingle). Output per eval
+    * doc: distinct shingles, how many hit the train index, their
+    * ratio, and a ≥ 0.5 leak flag.
+    */
+  def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        "poly_hash(cast(doc_id as string)) % 100 as bucket",
+        "shingle_hashes(text) as sh")
+      .where("size(sh) >= 1")
+    val trainIndex = docs.where(col("bucket") < 90)
+      .selectExpr("explode(sh) as shingle").distinct()
+    val evalShingles = docs.where(col("bucket") >= 95)
+      .selectExpr("doc_id", "explode(sh) as shingle").distinct()
+    val totals = evalShingles.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = evalShingles.join(trainIndex, "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .selectExpr("doc_id", "n_shingles", "n_hit",
+        "cast(n_hit as double) / n_shingles as contamination")
+      .withColumn("flagged", col("contamination") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val decontaminationOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensDuck AS tokens FROM documents
+       |), th AS (
+       |  SELECT doc_id, list_transform(tokens, tk -> ${phDuck("tk", "h")}) AS tharr
+       |  FROM toks WHERE len(tokens) >= 3
+       |), sh AS (
+       |  SELECT doc_id,
+       |         ${phDuck("CAST(doc_id AS VARCHAR)", "b")} % 100 AS bucket,
+       |         list_transform(range(0, len(tharr) - 2), sj ->
+       |    ((tharr[sj + 1] * $ShingleMult + tharr[sj + 2]) % $P
+       |     * $ShingleMult + tharr[sj + 3]) % $P) AS sh FROM th
+       |), train AS (
+       |  SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE bucket < 90
+       |), ev AS (
+       |  SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM sh WHERE bucket >= 95
+       |), totals AS (
+       |  SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1
+       |), hits AS (
+       |  SELECT e.doc_id, count(*) AS n_hit
+       |  FROM ev e JOIN train t ON e.shingle = t.shingle GROUP BY 1
+       |)
+       |SELECT t.doc_id, t.n_shingles, COALESCE(h.n_hit, 0) AS n_hit,
+       |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_shingles AS contamination,
+       |       (CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_shingles) >= 0.5 AS flagged
+       |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   /** DuckDB replay of the same shingle chain (identical arithmetic to
     * the MinHash tier's) + unnest/count. */
   lazy val docRepetitionOracle: String =

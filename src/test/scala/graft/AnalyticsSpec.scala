@@ -372,6 +372,24 @@ class AnalyticsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("decontamination: bounds hold and exact cross-split dups score 1.0") {
+    val df = TextStats.decontamination(spark, sf).cache()
+    assert(df.where($"contamination" < 0.0 || $"contamination" > 1.0).isEmpty)
+    assert(df.where($"n_hit" > $"n_shingles").isEmpty)
+    // an eval doc whose exact text also appears in the train split must
+    // be fully contaminated (its every shingle is in the index)
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text",
+        "poly_hash(cast(doc_id as string)) % 100 as bucket")
+    val leaked = docs.where($"bucket" >= 95).as("e")
+      .join(docs.where($"bucket" < 90).as("t"), col("e.text") === col("t.text"))
+      .select(col("e.doc_id").as("doc_id")).distinct()
+    val full = df.join(leaked, "doc_id")
+    if (full.count() > 0)
+      assert(full.where($"contamination" < 1.0).isEmpty)
+    df.unpersist()
+  }
+
   test("doc_repetition: ratio bounds and shingle accounting hold") {
     val df = TextStats.docRepetition(spark, sf).cache()
     assert(df.where($"rep_ratio" <= 0.0 || $"rep_ratio" > 1.0).isEmpty)
