@@ -102,6 +102,25 @@ object StreamingAnalytics {
       .groupBy(col("w")).agg(count(lit(1)).as("uv"))
       .select(col("w.end").as("window_end"), col("uv"))
 
+  /** A5 analog: stream-STATIC broadcast enrichment — the canonical
+    * streaming dimension join (REF: AdStatisticsByGeo.scala § keyBy
+    * province — reconstructed; the reference carries the province on
+    * the event, a real pipeline joins a dim table). The static side is
+    * broadcast once and never holds join state: unlike stream-stream
+    * joins there is no watermark bookkeeping on the dim, so this stays
+    * a map-side hash join per micro-batch at any stream rate.
+    */
+  def adStatsStream(events: DataFrame, nation: DataFrame,
+                    watermark: String = "10 minutes"): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select((col("user_id") % 25).cast("int").as("nk"), col("ts"))
+      .withWatermark("ts", watermark)
+      .join(broadcast(nation.select(col("n_nationkey").as("nk"),
+        col("n_name").as("province"))), "nk")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("province"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.end").as("window_end"), col("province"), col("cnt"))
+
   /** A8 analog: approx distinct — the Bloom/Redis replacement. */
   def uvApproxStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

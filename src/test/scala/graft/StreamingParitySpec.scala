@@ -341,6 +341,25 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("adStats: stream-static broadcast dim join (complete mode) == batch") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    ms.addData(rows)
+    val q = StreamingAnalytics.adStatsStream(toEventsDF(ms), Tables.nation(spark, sf))
+      .writeStream.format("memory").queryName("ads_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ads_stream")
+        .select($"window_end", $"province", $"cnt")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      val want = graft.analytics.MarketingAnalytics.adStatsByProvince(spark, sf)
+        .select($"window_end", $"province", $"cnt")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("tx-match outer: unmatched pays fire with null receipt after watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[EvFull]
