@@ -134,6 +134,57 @@ class StreamingRecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("consecutiveRunsStream restarts from checkpoint: open runs + buffer survive") {
+    import graft.cep.{Pattern, PatternEv, Step}
+    implicit val ss = spark
+    val root = java.nio.file.Files.createTempDirectory("graftkleene").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    new java.io.File(inDir).mkdirs()
+
+    val p = Pattern(Seq(Step("err", $"event_type" === "error")),
+      withinUs = 24L * 3600 * 1000000)
+    val rows = p.toPatternEvents(Tables.events(spark, sf),
+        $"user_id", unix_micros($"ts"), $"event_id")
+      .collect().toSeq.sortBy(e => (e.ts_us, e.ord))
+    val maxUs = rows.map(_.ts_us).max
+    def writeChunk(evs: Seq[PatternEv], name: String): Unit =
+      spark.createDataset(evs).repartition(1).write.parquet(s"$inDir/$name")
+
+    val schema = org.apache.spark.sql.Encoders.product[PatternEv].schema
+    def start() = Pattern.consecutiveRunsStream(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(inDir).as[PatternEv],
+        minTimes = 2, withinUs = 24L * 3600 * 1000000)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ck)
+      .outputMode("append").start()
+
+    // phase 1: half the stream, hard stop — open runs and the event
+    // buffer must persist in the state store
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    writeChunk(h1, "chunk1")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2: restart, rest of the stream + per-key closers + sentinel
+    val closers = rows.map(_.key).distinct
+      .map(k => PatternEv(k, maxUs + 3600L * 1000000, -900L - k, 0L))
+    writeChunk(h2, "chunk2")
+    writeChunk(closers, "chunk3")
+    writeChunk(Seq(PatternEv(-1L, maxUs + 40L * 86400 * 1000000, -1L, 0L)), "chunk4")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .where($"key" =!= -1L)
+      .select($"key", $"start_ord", $"end_ord")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = analytics.DetectionAnalytics.cepBursts(spark, sf)
+      .select($"user_id", $"start_event", $"end_event")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("Trigger.AvailableNow: drain everything then stop (A9 custom-trigger analog)") {
     // the reference's FIRE_AND_PURGE custom trigger controls WHEN
     // results emit; Spark's trigger surface is the analog — AvailableNow
