@@ -56,6 +56,32 @@ class PlanSpec extends AnyFunSuite {
       "per-window top-n rank not pushed below the full window sort")
   }
 
+  test("value_anomaly: one window pass — frame aggs share a single sort") {
+    val raw = planString(RelationalAnalytics.valueAnomaly(spark, sf))
+    // AQE prints "== Final Plan ==" THEN "== Initial Plan ==" — slice
+    // out just the final section
+    val start = raw.indexOf("Final Plan") max 0
+    val end = raw.indexOf("Initial Plan") match {
+      case -1 => raw.length case i => i
+    }
+    val plan = raw.substring(start, end)
+    // Spark splits the fsumsq agg (projected _w0 input) into a second
+    // Window node, but both share (partitionBy, orderBy, frame): there
+    // must be NO re-sort or exchange between the two window passes
+    val idxs = "\\+- Window ".r.findAllMatchIn(plan).map(_.start).toSeq
+    assert(idxs.size == 2, s"${idxs.size} Window nodes in final plan")
+    val between = plan.substring(idxs.head, idxs.last)
+    assert(!between.contains("Sort ") && !between.contains("Exchange"),
+      "second window pass re-sorts or re-shuffles")
+  }
+
+  test("decontamination: inverted-index equi-join, never a pair blowup") {
+    val plan = planString(graft.textops.TextStats.decontamination(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "contamination probe degraded to an all-pairs join")
+  }
+
   test("revenue_rollup: single Expand + single aggregate pair, dims broadcast") {
     val plan = planString(RelationalAnalytics.revenueRollup(spark, sf))
     assert("Expand".r.findAllIn(plan).size >= 1 &&
