@@ -487,6 +487,24 @@ object StreamingAnalytics {
       // contract — the output schema is exactly the input schema
       .drop("content_hash", "content_len")
 
+  /** Streaming corpus preparation — the ingest-time form of the batch
+    * `corpus_prep` composite: first-arrival exact dedup
+    * ([[docDedupStream]], bounded state), the per-row quality gate
+    * (`TextStats.textStatsFrom` — narrow, stream-safe unchanged), and
+    * the content-hash train-split filter. Documented divergence from
+    * batch: the batch pipeline keeps near-dup CLUSTER canonicals
+    * (a global clustering no unbounded stream can finalize); the
+    * stream keeps exact-dup first arrivals and relies on the periodic
+    * batch cluster pass as the near-dup backstop — the standard
+    * lambda split for dedup at ingest.
+    */
+  def corpusPrepStream(docs: DataFrame, watermark: String = "1 hour",
+                       minQuality: Double = 0.5): DataFrame =
+    graft.textops.TextStats.textStatsFrom(docDedupStream(docs, watermark))
+      .where(col("quality") >= minQuality &&
+        expr("poly_hash(cast(doc_id as string)) % 100 < 90"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+
   /** J1 analog (REF: TxMatch.scala § TxPayMatch — reconstructed):
     * two-stream reconciliation as a watermarked stream-stream inner
     * join with a time-range bound — Spark's

@@ -17,10 +17,13 @@ object TextStats {
   private def inList(v: String, xs: Seq[String]) =
     xs.map(s => s"'$s'").mkString(s"$v in (", ", ", ")")
 
-  /** Token counts + quality features per document. */
-  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
+  /** Token counts + quality features, as a stream-safe narrow
+    * transform over any (doc_id, lang, text) frame — single-pass
+    * per-row expressions, no shuffle, so it applies unchanged to a
+    * readStream source (the ingest-time quality gate).
+    */
+  def textStatsFrom(docs: DataFrame): DataFrame =
+    docs
       .selectExpr("doc_id", "lang", "length(text) as n_chars",
         s"$tokensSpark as tokens",
         """size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)) as bpe_tokens""")
@@ -32,8 +35,10 @@ object TextStats {
         "cast(tok_chars as double) / n_tokens as avg_tok_len",
         "cast(stop_cnt as double) / n_tokens as stop_ratio",
         "0.5 * least(n_tokens / 100.0, 1.0) + 0.5 * (cast(stop_cnt as double) / n_tokens) as quality")
-      .orderBy(col("doc_id"))
-  }
+
+  /** Token counts + quality features per document. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    textStatsFrom(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
 
   /** Shared DuckDB CTE chain ending in `qual(doc_id, lang, n_chars,
     * n_tokens, bpe_tokens, stop_cnt, avg_tok_len, stop_ratio, quality)`

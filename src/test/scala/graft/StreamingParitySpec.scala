@@ -407,6 +407,42 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("corpusPrepStream: ingest-time dedup+quality+split == batch exact-dedup equivalent") {
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").orderBy($"doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    // arrival order = doc_id order → first arrival == min doc_id keeper
+    val arrivals = docs.map { case (id, lg, t) => (id, lg, t, (id + 1) * 1000000L) }
+    val ms = MemoryStream[(Long, String, String, Long)]
+    val q = graft.streaming.StreamingAnalytics.corpusPrepStream(
+        ms.toDF().toDF("doc_id", "lang", "text", "ts_us")
+          .withColumn("ts", expr("timestamp_micros(ts_us)")))
+      .writeStream.format("memory").queryName("prep_stream")
+      .outputMode("append").start()
+    try {
+      arrivals.grouped(math.max(arrivals.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      // unique far-future text advances the watermark and drains dedup
+      ms.addData((-1L, "en", "FLUSH-SENTINEL",
+        arrivals.map(_._4).max + 30L * 86400 * 1000000))
+      q.processAllAvailable()
+      val got = spark.table("prep_stream")
+        .where($"doc_id" =!= -1L)
+        .select($"doc_id", $"lang", $"n_tokens", $"quality")
+        .as[(Long, String, Long, Double)].collect().toSet
+      val keepers = graft.textops.Dedup.dedupExact(spark, sf)
+        .select($"keep_id".as("doc_id"))
+      val want = graft.textops.TextStats.textStats(spark, sf)
+        .join(keepers, "doc_id")
+        .where($"quality" >= 0.5 &&
+          expr("poly_hash(cast(doc_id as string)) % 100 < 90"))
+        .select($"doc_id", $"lang", $"n_tokens", $"quality")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("tx-match: stream-stream join matches batch pair join") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[EvFull]
