@@ -82,6 +82,8 @@ object SparkEntry {
     "props_extract"     -> ((s, d) => Multimodal.propsExtract(s, d)),
     "corpus_sample"     -> ((s, d) => Sampling.corpusSample(s, d)),
     "corpus_prep"       -> ((s, d) => Sampling.corpusPrep(s, d)),
+    "seq_pack"          -> ((s, d) => Packing.seqPack(s, d)),
+    "events_compact"    -> ((s, d) => RelationalAnalytics.eventsCompact(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -372,5 +374,7 @@ object SparkEntry {
     "props_extract"       -> Multimodal.propsExtractOracle,
     "corpus_sample"       -> Sampling.corpusSampleOracle,
     "corpus_prep"         -> Sampling.corpusPrepOracle,
+    "seq_pack"            -> Packing.seqPackOracle(),
+    "events_compact"      -> RelationalAnalytics.eventsCompactOracle,
   )
 }

@@ -467,4 +467,36 @@ object RelationalAnalytics {
        |FROM events
        |WHERE ${graft.textops.TextHash.phDuck("CAST(event_id AS VARCHAR)", "sm")} % 20 = 0
        |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** CDC/upsert compaction — latest state per key, the merge step of
+    * an incremental ingest (dedup-by-key keep-newest). row_number over
+    * (key, time desc) = 1 is keyed work that pushes down as
+    * WindowGroupLimit (partial per-partition top-1 before the
+    * shuffle), so the exchange carries one row per (partition, key),
+    * not the full history — the shape that survives a 100 TB changelog
+    * with a bounded key space. Tie-break on event_id makes "latest"
+    * total and engine-independent. Streaming analog:
+    * [[graft.streaming.StreamingAnalytics.eventsCompactStream]].
+    */
+  def eventsCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"user_id", $"event_id".as("last_event_id"),
+        $"event_type".as("last_event_type"), $"ts".as("last_ts"),
+        $"value".as("last_value"))
+      .orderBy($"user_id")
+  }
+
+  val eventsCompactOracle: String =
+    """SELECT user_id, event_id AS last_event_id,
+      |       event_type AS last_event_type, ts AS last_ts,
+      |       value AS last_value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                 ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
 }

@@ -505,6 +505,26 @@ object StreamingAnalytics {
         expr("poly_hash(cast(doc_id as string)) % 100 < 90"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
 
+  /** Streaming CDC compaction — the update-mode analog of
+    * [[graft.analytics.RelationalAnalytics.eventsCompact]]: per-key
+    * latest state maintained as an unwindowed `max(struct(ts,
+    * event_id, …))` aggregate. Struct ordering is lexicographic by
+    * field position, so (ts, event_id) leads and the payload fields
+    * ride along — the same total "latest" order as the batch
+    * row_number form, as a partial-aggregatable streaming state (one
+    * struct per key, merged map-side each micro-batch; a
+    * mapGroupsWithState latest-value would hold the same state with
+    * none of the partial aggregation).
+    */
+  def eventsCompactStream(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .select(col("user_id"), col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        col("last.ts").as("last_ts"), col("last.value").as("last_value"))
+
   /** J1 analog (REF: TxMatch.scala § TxPayMatch — reconstructed):
     * two-stream reconciliation as a watermarked stream-stream inner
     * join with a time-range bound — Spark's

@@ -1,0 +1,120 @@
+package graft.textops
+
+import graft.Tables
+import graft.textops.TextHash._
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the concat-and-chunk stage of a pretraining
+  * pipeline: concatenate all documents in a deterministic order and
+  * cut the token stream into fixed-capacity training sequences
+  * (chunks). Output is the per-chunk manifest: how many documents
+  * touch each chunk and how many of its tokens each contributes —
+  * what a tokenizer/writer stage would consume to emit packed
+  * examples. (No analog in the reference; part of the LLM-pipeline
+  * surface the build brief adds.)
+  *
+  * The core primitive is a GLOBAL running token offset per document.
+  * The naive form — `sum(n_tokens) over (order by doc_id)` with no
+  * partition key — is a correctness-preserving scale failure: Spark
+  * plans an empty-key window as a single-partition sort, so one task
+  * would stream 100 TB. Instead this implements the classic
+  * distributed prefix sum the way `RDD.zipWithIndex` does internally:
+  *
+  *   1. range-partition by doc_id (contiguous doc ranges per
+  *      partition) and materialize ONCE (localCheckpoint — both
+  *      passes share the sorted frame);
+  *   2. pass 1: per-partition token totals — O(numParts) rows to the
+  *      driver, never O(data);
+  *   3. pass 2: a narrow mapPartitions seeds each partition's running
+  *      sum with the broadcast exclusive-prefix offset.
+  *
+  * mapPartitions is justified here (build-brief order (d)): the
+  * per-partition running state is genuinely imperative and has no
+  * shuffle-free DataFrame form — a window over `spark_partition_id()`
+  * would re-shuffle the full corpus just to restore the partitioning
+  * the range exchange already produced.
+  *
+  * Chunk assignment after that is embarrassingly parallel arithmetic:
+  * a document spanning tokens [start, end) touches chunks
+  * floor(start/C)..floor((end-1)/C) (`sequence` + explode — bounded
+  * expansion: a doc touches ceil(n_tokens/C)+1 chunks), and
+  * contributes `min(end, (c+1)·C) − max(start, c·C)` tokens to chunk
+  * c. The final groupBy(chunk_id) partial-aggregates map-side, so the
+  * only full-data shuffles in the whole plan are the one range
+  * exchange and the one chunk aggregation.
+  */
+object Packing {
+
+  /** Per-chunk packing manifest at fixed token `capacity`. Every chunk
+    * except the last holds exactly `capacity` tokens (boundary docs
+    * straddle — the concat-and-chunk discipline, not first-fit
+    * bin-packing, so no token is dropped and no padding is inserted).
+    */
+  def seqPack(spark: SparkSession, sfDir: String, capacity: Long = 512,
+              numParts: Int = 8): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", s"cast(size($tokensSpark) as bigint) as n_tokens")
+      .where($"n_tokens" > 0)
+    val parts = toks
+      .repartitionByRange(numParts, $"doc_id")
+      .sortWithinPartitions($"doc_id")
+      .localCheckpoint()
+    val ptot: Array[(Int, Long)] = parts.as[(Long, Long)].mapPartitions { it =>
+      var s = 0L
+      it.foreach(s += _._2)
+      Iterator.single((TaskContext.getPartitionId(), s))
+    }.collect().sortBy(_._1)
+    val offsets = ptot.map(_._2).scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val spans = parts.as[(Long, Long)].mapPartitions { it =>
+      var run = bc.value(TaskContext.getPartitionId())
+      it.map { case (id, n) => val s = run; run += n; (id, n, s) }
+    }.toDF("doc_id", "n_tokens", "tok_start")
+    spans
+      .selectExpr("doc_id", "n_tokens", "tok_start",
+        "tok_start + n_tokens as tok_end")
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(tok_start div $capacity, (tok_end - 1) div $capacity)")))
+      .selectExpr("chunk_id", "doc_id",
+        s"least(tok_end, (chunk_id + 1) * $capacity) - " +
+          s"greatest(tok_start, chunk_id * $capacity) as tok")
+      .groupBy($"chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"chunk_id")
+  }
+
+  /** DuckDB replays the same packing with a plain global window — the
+    * single-node engine IS one partition, so the prefix sum is exact
+    * by construction and hash-gates the distributed two-pass form.
+    */
+  def seqPackOracle(capacity: Long = 512): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(len($tokensDuck) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |  WHERE len($tokensDuck) > 0
+       |), cum AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - n_tokens AS BIGINT) AS tok_start
+       |  FROM toks
+       |), spans AS (
+       |  SELECT doc_id, n_tokens, tok_start,
+       |         tok_start + n_tokens AS tok_end
+       |  FROM cum
+       |), chunks AS (
+       |  SELECT doc_id, tok_start, tok_end,
+       |         unnest(generate_series(tok_start // $capacity,
+       |                                (tok_end - 1) // $capacity)) AS chunk_id
+       |  FROM spans
+       |)
+       |SELECT chunk_id, count(*) AS n_docs,
+       |       sum(least(tok_end, (chunk_id + 1) * $capacity)
+       |             - greatest(tok_start, chunk_id * $capacity)) AS n_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM chunks GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+}

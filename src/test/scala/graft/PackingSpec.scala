@@ -1,0 +1,45 @@
+package graft
+
+import graft.textops.{Packing, TextHash}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the concat-and-chunk packer: no token dropped or
+  * duplicated, every non-final chunk exactly full, chunk ids dense,
+  * and — the distributed-prefix-sum contract — results independent of
+  * the partition count.
+  */
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val sf = SparkTestBase.sf
+  import spark.implicits._
+
+  private val Cap = 512L
+
+  test("seq_pack: full chunks, token conservation, dense chunk ids, monotone doc ranges") {
+    val rows = Packing.seqPack(spark, sf, Cap)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // ids dense from 0, in order (query sorts by chunk_id)
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong))
+    // every chunk except the last is exactly full; none exceeds capacity
+    assert(rows.init.forall(_._3 == Cap), "non-final chunk not full")
+    assert(rows.last._3 <= Cap && rows.last._3 > 0)
+    // conservation: chunk tokens sum to the corpus token count
+    val total = Tables.documents(spark, sf)
+      .selectExpr(s"cast(size(${TextHash.tokensSpark}) as bigint) as n")
+      .where($"n" > 0).agg(sum($"n")).as[Long].head()
+    assert(rows.map(_._3).sum == total)
+    // doc ranges are contiguous in doc order: consecutive chunks either
+    // straddle a doc (last_doc == next first_doc) or abut (next id)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 >= a._5, s"doc range went backwards: $a -> $b")
+    }
+  }
+
+  test("seq_pack: partition-count independent (two-pass prefix sum is exact)") {
+    val one = Packing.seqPack(spark, sf, Cap, numParts = 1).collect().toSeq
+    val many = Packing.seqPack(spark, sf, Cap, numParts = 7).collect().toSeq
+    assert(one == many)
+  }
+}

@@ -56,6 +56,12 @@ class PlanSpec extends AnyFunSuite {
       "per-window top-n rank not pushed below the full window sort")
   }
 
+  test("events_compact: keep-latest rank pushes down as WindowGroupLimit") {
+    val plan = planString(RelationalAnalytics.eventsCompact(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      "rn = 1 filter not pushed below the per-key window sort")
+  }
+
   test("value_anomaly: one window pass — frame aggs share a single sort") {
     val raw = planString(RelationalAnalytics.valueAnomaly(spark, sf))
     // AQE prints "== Final Plan ==" THEN "== Initial Plan ==" — slice

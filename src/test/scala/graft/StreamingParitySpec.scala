@@ -15,6 +15,9 @@ import org.scalatest.funsuite.AnyFunSuite
 case class EvFull(event_id: Long, ts_us: Long, user_id: Long,
                   event_type: String, props: String)
 
+case class EvVal(event_id: Long, ts_us: Long, user_id: Long,
+                 event_type: String, value: Double)
+
 class StreamingParitySpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   val sf = SparkTestBase.sf
@@ -27,6 +30,11 @@ class StreamingParitySpec extends AnyFunSuite {
     .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id",
       $"event_type", $"props")
     .as[EvFull].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
+
+  lazy val valRows: Seq[EvVal] = batchEvents
+    .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id",
+      $"event_type", $"value")
+    .as[EvVal].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
 
   private def flush(kind: String) =
     EvFull(-1L, rows.map(_.ts_us).max + 30L * 86400 * 1000000, -1L, kind, "{}")
@@ -356,6 +364,25 @@ class StreamingParitySpec extends AnyFunSuite {
       val want = graft.analytics.MarketingAnalytics.adStatsByProvince(spark, sf)
         .select($"window_end", $"province", $"cnt")
         .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
+  test("eventsCompact: streaming max-struct latest state (complete) == batch row_number") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvVal]
+    ms.addData(valRows)
+    val q = StreamingAnalytics.eventsCompactStream(
+        ms.toDF().withColumn("ts", expr("timestamp_micros(ts_us)")))
+      .writeStream.format("memory").queryName("compact_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val cols = Seq($"user_id", $"last_event_id", $"last_event_type",
+        $"last_ts", $"last_value")
+      val got = spark.table("compact_stream").select(cols: _*).collect().toSet
+      val want = RelationalAnalytics.eventsCompact(spark, sf)
+        .select(cols: _*).collect().toSet
       assert(want.nonEmpty && got == want)
     } finally q.stop()
   }
