@@ -84,6 +84,7 @@ object SparkEntry {
     "corpus_prep"       -> ((s, d) => Sampling.corpusPrep(s, d)),
     "seq_pack"          -> ((s, d) => Packing.seqPack(s, d)),
     "events_compact"    -> ((s, d) => RelationalAnalytics.eventsCompact(s, d)),
+    "table_profile"     -> ((s, d) => RelationalAnalytics.tableProfile(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -376,5 +377,6 @@ object SparkEntry {
     "corpus_prep"         -> Sampling.corpusPrepOracle,
     "seq_pack"            -> Packing.seqPackOracle(),
     "events_compact"      -> RelationalAnalytics.eventsCompactOracle,
+    "table_profile"       -> RelationalAnalytics.tableProfileOracle,
   )
 }

@@ -499,4 +499,50 @@ object RelationalAnalytics {
       |                 ORDER BY ts DESC, event_id DESC) AS rn
       |      FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** Data profiling — the per-column stats sweep (count / nulls /
+    * distinct / min / max / exact sum) an ingest pipeline runs before
+    * trusting a new drop. ONE aggregation over the scan: the three
+    * count-distincts make Catalyst plan a single Expand (4 grouping
+    * streams: one per distinct column + one for the plain aggs), so
+    * the corpus is read once and every stream partial-aggregates
+    * map-side; `stack` unpivots the 1-row result driver-side widths,
+    * never touching data rows. Sums accumulate in decimal and cast
+    * out once — exact, engine-independent.
+    */
+  def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"),
+        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        sum(col(c).cast("decimal(18,2)")).cast("double").as(s"${c}_sum"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${ProfileCols.size}, " + ProfileCols.map(c =>
+        s"'$c', ${c}_n, ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max, ${c}_sum")
+        .mkString(", ") +
+        ") as (column_name, n, n_nulls, n_distinct, min_v, max_v, sum_v)")
+      .orderBy(col("column_name"))
+  }
+
+  val tableProfileOracle: String = {
+    val stats = ProfileCols.map { c =>
+      s"""count($c) AS ${c}_n,
+         |       count(*) - count($c) AS ${c}_nulls,
+         |       count(DISTINCT $c) AS ${c}_distinct,
+         |       min($c) AS ${c}_min, max($c) AS ${c}_max,
+         |       CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS ${c}_sum""".stripMargin
+    }.mkString(",\n       ")
+    val rows = ProfileCols.map { c =>
+      s"""SELECT '$c' AS column_name, ${c}_n AS n, ${c}_nulls AS n_nulls,
+         |       ${c}_distinct AS n_distinct, ${c}_min AS min_v,
+         |       ${c}_max AS max_v, ${c}_sum AS sum_v FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH s AS (\n  SELECT $stats\n  FROM lineitem\n)\n$rows\nORDER BY column_name"
+  }
 }
