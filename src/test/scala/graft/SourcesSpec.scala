@@ -175,6 +175,24 @@ class SourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("JSONL: documents round-trip losslessly; corrupt lines side-output") {
+    val dir = java.nio.file.Files.createTempDirectory("graftjsonl").toString
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    sources.JsonlSources.write(docs, s"$dir/docs")
+    val back = sources.JsonlSources.documents(spark, s"$dir/docs/*.txt")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      docs.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().toSet == docs.collect().toSet)
+    // inject a malformed line next to valid ones
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/docs/zz_bad.txt"),
+      "{not json\n".getBytes("UTF-8"))
+    val all = sources.JsonlSources.documents(spark, s"$dir/docs/*.txt")
+    val bad = sources.JsonlSources.corruptLines(spark, s"$dir/docs/*.txt")
+    assert(all.count() == docs.count())
+    assert(bad.as[String].collect().toSeq == Seq("{not json"))
+  }
+
   test("Tables.createViews: whole surface reachable from spark.sql") {
     Tables.createViews(spark, SparkTestBase.sf)
     val r = spark.sql(
