@@ -57,6 +57,24 @@ object JsonlSources {
       .select(col("value").as("raw_line"))
   }
 
+  /** Streaming ingest of a JSONL drop directory — the file-source
+    * form of S2: each new shard landed in `path` becomes (part of) a
+    * micro-batch, tracked exactly-once in the checkpoint's file log.
+    * `maxFilesPerTrigger` bounds batch size the way
+    * `maxOffsetsPerTrigger` does for Kafka, so a 100 TB backlog
+    * drains in bounded batches instead of one giant batch 0.
+    * Composes with the ingest pipeline:
+    * `StreamingAnalytics.corpusPrepStream(documentsStream(spark, dir))`.
+    */
+  def documentsStream(spark: SparkSession, path: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+      .schema(documentsSchema)
+      .option("mode", "DROPMALFORMED")
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n.toString))
+      .json(path)
+  }
+
   /** Emit any frame as JSONL, one shard per partition. Column order
     * in each object follows the frame's schema (deterministic for a
     * given plan, so round-trips are stable).

@@ -193,6 +193,55 @@ class SourcesSpec extends AnyFunSuite {
     assert(bad.as[String].collect().toSeq == Seq("{not json"))
   }
 
+  test("JSONL drop-dir stream: sharded ingest through corpusPrepStream == batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graftjdrop").toString
+    // shards written in doc_id order with ordered names/mtimes so the
+    // file source's (mtime, path) ordering matches arrival order
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+      .orderBy($"doc_id")
+      .select(to_json(struct(
+        $"doc_id", $"text", $"lang", $"source", $"n_chars"))).as[String]
+      .collect()
+    val maxTs = (docs.length + 1) * 1000000L
+    docs.grouped(math.max(docs.length / 3, 1)).zipWithIndex.foreach {
+      case (lines, i) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"$dir/shard_$i%03d.jsonl"),
+          (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        Thread.sleep(5) // distinct mtimes keep shard order stable
+    }
+    val stream = sources.JsonlSources
+      .documentsStream(spark, s"$dir/*.jsonl", maxFilesPerTrigger = Some(1))
+      .withColumn("ts", expr("timestamp_micros((doc_id + 1) * 1000000)"))
+    val q = streaming.StreamingAnalytics.corpusPrepStream(stream)
+      .writeStream.format("memory").queryName("jsonl_prep")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // sentinel shard with far-future doc_id -> far-future ts:
+      // advances the watermark and drains dedup state
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/zz_flush.jsonl"),
+        (s"""{"doc_id":10000000,"text":"FLUSH-SENTINEL","lang":"en","source":"s","n_chars":14}""" + "\n")
+          .getBytes("UTF-8"))
+      q.processAllAvailable()
+      val got = spark.table("jsonl_prep").where($"doc_id" =!= 10000000L)
+        .select($"doc_id", $"lang", $"n_tokens", $"quality")
+        .as[(Long, String, Long, Double)].collect().toSet
+      val keepers = textops.Dedup.dedupExact(spark, SparkTestBase.sf)
+        .select($"keep_id".as("doc_id"))
+      val want = textops.TextStats.textStats(spark, SparkTestBase.sf)
+        .join(keepers, "doc_id")
+        .where($"quality" >= 0.5 &&
+          expr("poly_hash(cast(doc_id as string)) % 100 < 90"))
+        .select($"doc_id", $"lang", $"n_tokens", $"quality")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(want.nonEmpty && got == want)
+      // maxFilesPerTrigger=1 must have produced one batch per shard
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+    } finally q.stop()
+  }
+
   test("Tables.createViews: whole surface reachable from spark.sql") {
     Tables.createViews(spark, SparkTestBase.sf)
     val r = spark.sql(
