@@ -63,8 +63,10 @@ object JsonlSources {
     * `maxFilesPerTrigger` bounds batch size the way
     * `maxOffsetsPerTrigger` does for Kafka, so a 100 TB backlog
     * drains in bounded batches instead of one giant batch 0.
-    * Composes with the ingest pipeline:
-    * `StreamingAnalytics.corpusPrepStream(documentsStream(spark, dir))`.
+    * Composes with the ingest pipeline once an event-time column is
+    * attached (the JSONL schema carries none, and the dedup stage
+    * watermarks on `ts`):
+    * `corpusPrepStream(documentsStream(spark, dir).withColumn("ts", …))`.
     */
   def documentsStream(spark: SparkSession, path: String,
                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {

@@ -202,7 +202,6 @@ class SourcesSpec extends AnyFunSuite {
       .select(to_json(struct(
         $"doc_id", $"text", $"lang", $"source", $"n_chars"))).as[String]
       .collect()
-    val maxTs = (docs.length + 1) * 1000000L
     docs.grouped(math.max(docs.length / 3, 1)).zipWithIndex.foreach {
       case (lines, i) =>
         java.nio.file.Files.write(
