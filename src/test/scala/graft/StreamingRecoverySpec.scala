@@ -213,4 +213,37 @@ class StreamingRecoverySpec extends AnyFunSuite {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("docDedupStream restarts from checkpoint: dedup state survives, twin still dropped") {
+    val root = java.nio.file.Files.createTempDirectory("graftddr").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    new java.io.File(inDir).mkdirs()
+    def shard(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/$name"),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s","n_chars":${text.length}}"""
+    def start() = StreamingAnalytics.docDedupStream(
+        sources.JsonlSources.documentsStream(spark, s"$inDir/*.jsonl")
+          .withColumn("ts", expr("timestamp_micros((doc_id + 1) * 1000000)")))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ck)
+      .outputMode("append").start()
+
+    // phase 1: originals, then hard stop
+    shard("a_one.jsonl", Seq(doc(1, "alpha beta gamma"), doc(2, "unique one")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart; the twin of doc 1 arrives within the watermark
+    // delay — only checkpointed dedup state can know to drop it
+    shard("b_two.jsonl", Seq(doc(3, "alpha beta gamma"), doc(4, "unique two")))
+    shard("c_flush.jsonl", Seq(doc(10000000, "FLUSH-SENTINEL")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .where($"doc_id" =!= 10000000L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 4L), s"expected twin 3 dropped, got $got")
+  }
 }
