@@ -76,6 +76,7 @@ object SparkEntry {
     "doc_repetition"    -> ((s, d) => TextStats.docRepetition(s, d)),
     "decontamination"   -> ((s, d) => TextStats.decontamination(s, d)),
     "doc_top_terms"     -> ((s, d) => TextStats.docTopTerms(s, d)),
+    "vocab_topv"        -> ((s, d) => TextStats.vocabTopV(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.multimodalDecode(s, d)),
     "multimodal_resize" -> ((s, d) => Multimodal.multimodalResize(s, d)),
     "multimodal_framesample" -> ((s, d) => Multimodal.multimodalFrameSample(s, d)),
@@ -369,6 +370,7 @@ object SparkEntry {
     "doc_repetition"      -> TextStats.docRepetitionOracle,
     "decontamination"     -> TextStats.decontaminationOracle,
     "doc_top_terms"       -> TextStats.docTopTermsOracle,
+    "vocab_topv"          -> TextStats.vocabTopVOracle(),
     "multimodal_decode"   -> Multimodal.multimodalDecodeOracle,
     "multimodal_resize"   -> Multimodal.multimodalResizeOracle,
     "multimodal_framesample" -> Multimodal.multimodalFrameSampleOracle,

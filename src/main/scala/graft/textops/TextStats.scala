@@ -215,6 +215,59 @@ object TextStats {
        |SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk
        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** Vocabulary induction — the tokenizer-prep pass: the top-V corpus
+    * tokens by frequency, with each prefix's cumulative coverage of
+    * all token occurrences (what vocab size V buys you, the curve a
+    * BPE trainer starts from). Token counts are one explode +
+    * partial-aggregated groupBy; the top-V cut is orderBy+limit —
+    * TakeOrderedAndProject, per-partition top-V then a merge of
+    * V-sized heaps, never a global sort. The windowed cumsum and rank
+    * run AFTER the limit, over exactly V rows — the single-partition
+    * window is bounded by the parameter, not the data. Corpus total
+    * rides in as a broadcast 1-row cross join off the SAME
+    * materialized counts (vocabulary-sized, localCheckpoint'd once —
+    * Catalyst would otherwise re-tokenize the corpus for each
+    * consumer). (cnt desc, token) is a total order, so the V-boundary
+    * and the cumsum are deterministic under ties.
+    */
+  def vocabTopV(spark: SparkSession, sfDir: String, v: Int = 100): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"cnt".desc, $"token".asc)
+    val counts = Tables.documents(spark, sfDir)
+      .selectExpr(s"explode($tokensSpark) as token")
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val total = counts.agg(sum($"cnt").as("total"))
+    counts.orderBy($"cnt".desc, $"token".asc).limit(v)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("cum_share",
+        sum($"cnt").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)).cast("double")
+          / $"total".cast("double"))
+      .select($"rank", $"token", $"cnt", $"cum_share")
+      .orderBy($"rank")
+  }
+
+  def vocabTopVOracle(v: Int = 100): String =
+    s"""WITH toks AS (
+       |  SELECT unnest($tokensDuck) AS token FROM documents
+       |), counts AS (
+       |  SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts
+       |), topv AS (
+       |  SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT $v
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+       |       token, cnt,
+       |       CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |         / CAST(total AS DOUBLE) AS cum_share
+       |FROM topv CROSS JOIN tot ORDER BY rank""".stripMargin
+
   val docFingerprintOracle: String =
     s"""SELECT doc_id,
        |       ${phDuck("text", "f")} AS fp_full,

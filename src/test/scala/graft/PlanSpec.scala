@@ -62,6 +62,12 @@ class PlanSpec extends AnyFunSuite {
       "rn = 1 filter not pushed below the per-key window sort")
   }
 
+  test("vocab_topv: top-V cut is TakeOrderedAndProject, not a global sort") {
+    val plan = planString(graft.textops.TextStats.vocabTopV(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "orderBy+limit degraded to a full global Sort")
+  }
+
   test("value_anomaly: one window pass — frame aggs share a single sort") {
     val raw = planString(RelationalAnalytics.valueAnomaly(spark, sf))
     // AQE prints "== Final Plan ==" THEN "== Initial Plan ==" — slice
