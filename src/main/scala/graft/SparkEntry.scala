@@ -77,6 +77,8 @@ object SparkEntry {
     "decontamination"   -> ((s, d) => TextStats.decontamination(s, d)),
     "doc_top_terms"     -> ((s, d) => TextStats.docTopTerms(s, d)),
     "vocab_topv"        -> ((s, d) => TextStats.vocabTopV(s, d)),
+    "ngram_next"        -> ((s, d) => TextStats.ngramNext(s, d)),
+    "value_histogram"   -> ((s, d) => RelationalAnalytics.valueHistogram(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.multimodalDecode(s, d)),
     "multimodal_resize" -> ((s, d) => Multimodal.multimodalResize(s, d)),
     "multimodal_framesample" -> ((s, d) => Multimodal.multimodalFrameSample(s, d)),
@@ -371,6 +373,8 @@ object SparkEntry {
     "decontamination"     -> TextStats.decontaminationOracle,
     "doc_top_terms"       -> TextStats.docTopTermsOracle,
     "vocab_topv"          -> TextStats.vocabTopVOracle(),
+    "ngram_next"          -> TextStats.ngramNextOracle(),
+    "value_histogram"     -> RelationalAnalytics.valueHistogramOracle,
     "multimodal_decode"   -> Multimodal.multimodalDecodeOracle,
     "multimodal_resize"   -> Multimodal.multimodalResizeOracle,
     "multimodal_framesample" -> Multimodal.multimodalFrameSampleOracle,

@@ -500,6 +500,47 @@ object RelationalAnalytics {
       |      FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Equi-depth histogram over `value`: exact quartile boundaries
+    * (same `percentile` agg the percentile queries bit-match against
+    * `quantile_cont`), broadcast back as a 1-row cross join, then a
+    * single bucket-assign + count pass. The boundary compute and the
+    * bucketing are each one shuffle; bucket assignment itself is a
+    * narrow case expression, so at 100 TB the cost is two scans —
+    * there is no global sort anywhere (the classic NTILE form would
+    * be one). Buckets are closed on the right; identical double
+    * boundaries on both engines make the edge comparisons replay
+    * exactly.
+    */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).select($"value")
+    val bounds = ev.agg(
+      expr("percentile(value, 0.25)").as("q1"),
+      expr("percentile(value, 0.5)").as("q2"),
+      expr("percentile(value, 0.75)").as("q3"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        expr("case when value <= q1 then 0 when value <= q2 then 1 " +
+          "when value <= q3 then 2 else 3 end"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("cnt"), min($"value").as("lo"),
+        max($"value").as("hi"))
+      .orderBy($"bucket")
+  }
+
+  val valueHistogramOracle: String =
+    """WITH b AS (
+      |  SELECT quantile_cont(value, 0.25) AS q1,
+      |         quantile_cont(value, 0.5) AS q2,
+      |         quantile_cont(value, 0.75) AS q3
+      |  FROM events
+      |)
+      |SELECT CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1
+      |            WHEN value <= q3 THEN 2 ELSE 3 END AS bucket,
+      |       count(*) AS cnt, min(value) AS lo, max(value) AS hi
+      |FROM events CROSS JOIN b
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
   /** Data profiling — the per-column stats sweep (count / nulls /

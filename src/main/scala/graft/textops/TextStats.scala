@@ -268,6 +268,57 @@ object TextStats {
        |         / CAST(total AS DOUBLE) AS cum_share
        |FROM topv CROSS JOIN tot ORDER BY rank""".stripMargin
 
+  /** Bigram successor table — per-token top-k next-token counts and
+    * conditional probability (the n-gram-LM table quick evals and
+    * contamination probes are built from). Bigrams are a narrow
+    * array-transform explode (guarded `size >= 2` BEFORE the
+    * transform: Spark's `sequence(1, 0)` counts DOWN, so an unguarded
+    * 1-token doc would fabricate a reversed pair); one keyed
+    * aggregation, then both the rank cut (WindowGroupLimit) and the
+    * per-w1 total share the same (w1)-partitioned sort. prob is
+    * cnt/total on exact bigints — engine-portable division.
+    */
+  def ngramNext(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"w1")
+    val counts = Tables.documents(spark, sfDir)
+      .selectExpr(s"$tokensSpark as tokens")
+      .where("size(tokens) >= 2")
+      .selectExpr("explode(transform(sequence(1, size(tokens) - 1), " +
+        "bi -> struct(element_at(tokens, bi) as w1, element_at(tokens, bi + 1) as w2))) as bg")
+      .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("total", sum($"cnt").over(w))
+      .withColumn("rnk", row_number().over(
+        w.orderBy($"cnt".desc, $"w2".asc)).cast("int"))
+      .where($"rnk" <= k)
+      .withColumn("prob", $"cnt".cast("double") / $"total".cast("double"))
+      .select($"w1", $"w2", $"cnt", $"prob", $"rnk")
+      .orderBy($"w1", $"rnk")
+  }
+
+  def ngramNextOracle(k: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT $tokensDuck AS tokens FROM documents
+       |), nonempty AS (
+       |  SELECT tokens FROM toks WHERE len(tokens) >= 2
+       |), bigrams AS (
+       |  SELECT tokens[bi] AS w1, tokens[bi + 1] AS w2
+       |  FROM nonempty, UNNEST(range(1, len(tokens))) t(bi)
+       |), counts AS (
+       |  SELECT w1, w2, count(*) AS cnt FROM bigrams GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT w1, w2, cnt,
+       |         CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS total,
+       |         CAST(row_number() OVER (PARTITION BY w1
+       |                ORDER BY cnt DESC, w2 ASC) AS INT) AS rnk
+       |  FROM counts
+       |)
+       |SELECT w1, w2, cnt,
+       |       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS prob, rnk
+       |FROM ranked WHERE rnk <= $k ORDER BY w1, rnk""".stripMargin
+
   val docFingerprintOracle: String =
     s"""SELECT doc_id,
        |       ${phDuck("text", "f")} AS fp_full,
