@@ -545,13 +545,12 @@ object RelationalAnalytics {
 
   /** Data profiling — the per-column stats sweep (count / nulls /
     * distinct / min / max / exact sum) an ingest pipeline runs before
-    * trusting a new drop. ONE aggregation over the scan: the three
-    * count-distincts make Catalyst plan a single Expand (4 grouping
-    * streams: one per distinct column + one for the plain aggs), so
-    * the corpus is read once and every stream partial-aggregates
-    * map-side; `stack` unpivots the 1-row result driver-side widths,
-    * never touching data rows. Sums accumulate in decimal and cast
-    * out once — exact, engine-independent.
+    * trusting a new drop. Two single-purpose passes over the
+    * column-pruned scan, recombined by a free 1-row cross join (see
+    * the inline comment for why the obvious one-pass form is 2.3×
+    * slower); `stack` unpivots the 1-row result, never touching data
+    * rows. Sums accumulate in decimal and cast out once — exact,
+    * engine-independent.
     */
   def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)

@@ -274,9 +274,12 @@ object TextStats {
     * array-transform explode (guarded `size >= 2` BEFORE the
     * transform: Spark's `sequence(1, 0)` counts DOWN, so an unguarded
     * 1-token doc would fabricate a reversed pair); one keyed
-    * aggregation, then both the rank cut (WindowGroupLimit) and the
-    * per-w1 total share the same (w1)-partitioned sort. prob is
-    * cnt/total on exact bigints — engine-portable division.
+    * aggregation, then the per-w1 total and the rank cut share ONE
+    * hash exchange on w1 (two in-partition sorts — the windows order
+    * differently — but the data moves once, and the rank filter
+    * prunes as WindowGroupLimit above the total window; plan-pinned
+    * in PlanSpec). prob is cnt/total on exact bigints —
+    * engine-portable division.
     */
   def ngramNext(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     import spark.implicits._

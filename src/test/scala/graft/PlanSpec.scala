@@ -62,6 +62,20 @@ class PlanSpec extends AnyFunSuite {
       "rn = 1 filter not pushed below the per-key window sort")
   }
 
+  test("ngram_next: one exchange feeds both windows; rank prunes as WindowGroupLimit") {
+    // pre-execution plan: the AQE final-plan STRING reprints child
+    // stages, so counting there over-counts the same exchange
+    val plan = graft.textops.TextStats.ngramNext(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank cut not pushed below the rank window")
+    // the total window and the rank window must reuse one hash
+    // exchange on EXACTLY (w1) — a second full-data exchange between
+    // them would double the shuffle volume of the whole query
+    val exchanges = "hashpartitioning\\(w1#\\d+, \\d+\\)".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 w1-only exchange, got $exchanges:\n$plan")
+  }
+
   test("vocab_topv: top-V cut is TakeOrderedAndProject, not a global sort") {
     val plan = planString(graft.textops.TextStats.vocabTopV(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),
