@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhashDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_substring"   -> ((s, d) => Dedup.dedupSubstring(s, d)),
     "dedup_clusters"    -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_clusters_multi" -> ((s, d) => Dedup.dedupClustersMulti(s, d)),
     "similarity_topk"   -> ((s, d) => Similarity.similarityTopK(s, d)),
@@ -359,6 +360,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
     "dedup_simhash"       -> Dedup.simhashDedupOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "dedup_substring"     -> Dedup.dedupSubstringOracle(),
     "dedup_clusters"      -> Dedup.dedupClustersOracle,
     "dedup_clusters_multi" -> Dedup.dedupClustersMultiOracle,
     "similarity_topk"     -> Similarity.similarityTopKOracle,

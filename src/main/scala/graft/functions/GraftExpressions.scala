@@ -419,10 +419,90 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** All k-char window hashes of a string — the fingerprint stream
+    * substring-level dedup selects from (RollingMinHash keeps only
+    * the min; winnowing needs the whole stream to pick local minima).
+    * Same byte-fold arithmetic as [[PolyHash]]/[[RollingMinHash]], so
+    * the DuckDB oracle replays it with `substring` + the char fold on
+    * the (ASCII) corpus. Tail windows shorter than k hash their
+    * remaining bytes, matching SQL substring truncation; < k chars
+    * total yields one whole-string hash.
+    */
+  def windowHashes(text: UTF8String, window: Int): ArrayData = {
+    val b = text.getBytes
+    val nWin = math.max(b.length - window + 1, 1)
+    val out = new Array[Any](nWin)
+    var i = 0
+    while (i < nWin) {
+      var acc = 0L
+      var j = i
+      val end = math.min(i + window, b.length)
+      while (j < end) { acc = (acc * 31 + (b(j) & 0xff)) % TextHash.P; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class WindowHashes(child: Expression, window: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(s: Any): Any =
+      GraftExpressions.windowHashes(s.asInstanceOf[UTF8String], window)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.GraftExpressions.windowHashes($c, $window);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Fused winnowing selection: the distinct window hashes that are
+    * minima of their radius-r neighborhood, in first-occurrence order
+    * (matching `array_distinct` over the HOF replay — the property
+    * test pins the equivalence). One compiled pass replaces an
+    * interpreted slice+array_min lambda PER POSITION, which at sf0.1
+    * was most of an 80 s query.
+    */
+  def winnowHashes(text: UTF8String, window: Int, radius: Int): ArrayData = {
+    val f = windowHashes(text, window)
+    val n = f.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val v = f.getLong(i)
+      var lo = math.max(i - radius, 0)
+      val hi = math.min(i + radius, n - 1)
+      var isMin = true
+      while (isMin && lo <= hi) {
+        if (f.getLong(lo) < v) isMin = false
+        lo += 1
+      }
+      if (isMin) seen.add(v)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class WinnowHashes(child: Expression, window: Int, radius: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(s: Any): Any =
+      GraftExpressions.winnowHashes(s.asInstanceOf[UTF8String], window, radius)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.GraftExpressions.winnowHashes($c, $window, $radius);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Idempotent session registration; afterwards usable from any
     * `expr(...)` / SQL string as vec_dot, poly_hash, rolling_min_hash,
     * poly_hash37, simhash60, minhash_sig, sorted_intersect_count,
-    * word_shingles, token_hashes60, shingle_hashes.
+    * word_shingles, token_hashes60, shingle_hashes, window_hashes.
     */
   private def intArg(e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -470,7 +550,13 @@ object GraftExpressions {
       es => TokenHashes60(es.head)),
     Registration("shingle_hashes",
       "shingle_hashes(text) - 3-gram shingle hashes over token poly hashes",
-      es => ShingleHashes(es.head))
+      es => ShingleHashes(es.head)),
+    Registration("window_hashes",
+      "window_hashes(s, k) - poly hash of every k-char window",
+      es => WindowHashes(es(0), intArg(es(1)))),
+    Registration("winnow_hashes",
+      "winnow_hashes(s, k, r) - distinct radius-r local-min window hashes",
+      es => WinnowHashes(es(0), intArg(es(1)), intArg(es(2))))
   )
 
   def register(spark: SparkSession): Unit = {

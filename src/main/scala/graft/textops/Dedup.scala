@@ -498,6 +498,72 @@ object Dedup {
       .orderBy($"doc1", $"doc2")
   }
 
+  /** Substring-level duplicate candidates (winnowing / MOSS family):
+    * two documents sharing VERBATIM character runs — quotation,
+    * boilerplate injection, copy-paste — that token-set tiers miss
+    * when the surrounding text differs. Every k-char window is hashed
+    * in one native pass ([[graft.functions.GraftExpressions
+    * .WindowHashes]]); a window's fingerprint is SELECTED iff it is
+    * the minimum of its radius-r neighborhood — the symmetric local-
+    * min winnowing rule, which is shift-invariant (selection depends
+    * only on nearby content, so the same run selects the same
+    * fingerprints in both documents regardless of position) and
+    * guarantees a selection at least every 2r+1 windows. Candidate
+    * generation is the usual inverted-index equi-join on selected
+    * fingerprints — never an n² scan — with a document-frequency cap
+    * (a 16-gram in >maxDf docs is boilerplate, not dup evidence, and
+    * the cap also bounds the join's per-key fanout, the same skew
+    * guard the LSH tiers use); >= minShared distinct shared
+    * fingerprints cuts single-window noise.
+    */
+  def dedupSubstring(spark: SparkSession, sfDir: String, k: Int = 24,
+                     radius: Int = 7, minShared: Int = 2,
+                     maxDf: Int = 10): DataFrame = {
+    import spark.implicits._
+    // k=24 / maxDf=10, not the winnowing-literature 16/50: this
+    // corpus draws from a ~30-word vocabulary, so short windows recur
+    // corpus-wide and dup evidence must be LONG and RARE or the
+    // inverted index degenerates toward all-pairs (16/50 measured an
+    // 80 s query at sf0.1; 24/10 is 1.5 s with the same plan shape)
+    val sel = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", s"explode(winnow_hashes(text, $k, $radius)) as fp")
+      .localCheckpoint() // feeds both the df cap and both join sides
+    val keep = sel.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .where($"df" <= maxDf).select($"fp")
+    val kept = sel.join(keep, "fp")
+    kept.select($"fp", $"doc_id".as("doc1"))
+      .join(kept.select($"fp", $"doc_id".as("doc2")), "fp")
+      .where($"doc1" < $"doc2")
+      .groupBy($"doc1", $"doc2").agg(count(lit(1)).as("shared_fp"))
+      .where($"shared_fp" >= minShared)
+      .orderBy($"doc1", $"doc2")
+  }
+
+  def dedupSubstringOracle(k: Int = 24, radius: Int = 7, minShared: Int = 2,
+                           maxDf: Int = 10): String =
+    s"""WITH wins AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, greatest(length(text) - $k + 1, 1) + 1), wwi ->
+       |           ${phDuck(s"substring(text, wwi, $k)", "ww")}) AS f
+       |  FROM documents
+       |), sel AS (
+       |  SELECT doc_id, unnest(list_distinct(list_filter(
+       |           list_transform(range(1, len(f) + 1), si ->
+       |             CASE WHEN f[si] = list_min(
+       |                    f[greatest(si - $radius, 1):least(si + $radius, len(f))])
+       |                  THEN f[si] END),
+       |           sv -> sv IS NOT NULL))) AS fp
+       |  FROM wins
+       |), keep AS (
+       |  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= $maxDf
+       |), kept AS (
+       |  SELECT s.doc_id, s.fp FROM sel s JOIN keep USING (fp)
+       |)
+       |SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared_fp
+       |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY doc1, doc2""".stripMargin
+
   val ngramJaccardOracle: String =
     s"""WITH toks AS (
        |  SELECT doc_id, $tokensDuck AS tokens FROM documents

@@ -78,6 +78,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("window_hashes native == HOF substring/char-fold for arbitrary ASCII strings") {
+    val asciiGen = Gen.listOf(Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString)
+    forAll(Gen.listOfN(30, asciiGen)) { strs =>
+      val df = strs.filter(_.nonEmpty).toDF("s")
+      val both = df.selectExpr(
+        "window_hashes(s, 16) as native",
+        // HOF replay: hash of substring(i, 16) for each of the
+        // max(len-15, 1) windows — substring truncates at the end,
+        // matching the native tail-window semantics
+        s"""transform(sequence(1, greatest(length(s) - 15, 1)), whi ->
+           |  ${graft.textops.TextHash.phSpark("substring(s, whi, 16)", "wh")}) as hof"""
+          .stripMargin)
+      assert(both.where($"native" =!= $"hof").isEmpty)
+    }
+  }
+
+  test("winnow_hashes native == HOF local-min selection over window_hashes") {
+    val asciiGen = Gen.listOf(Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString)
+    forAll(Gen.listOfN(30, asciiGen)) { strs =>
+      val df = strs.filter(_.nonEmpty).toDF("s")
+      val both = df
+        .selectExpr("s", "window_hashes(s, 24) as f")
+        .selectExpr(
+          "winnow_hashes(s, 24, 7) as native",
+          """array_distinct(filter(transform(sequence(1, size(f)), wi ->
+            |  case when element_at(f, wi) = array_min(slice(f,
+            |         greatest(wi - 7, 1),
+            |         least(wi + 7, size(f)) - greatest(wi - 7, 1) + 1))
+            |       then element_at(f, wi) end),
+            |  sv -> sv is not null)) as hof""".stripMargin)
+      assert(both.where($"native" =!= $"hof").isEmpty)
+    }
+  }
+
   test("word_shingles native == HOF split/slice/concat/distinct chain") {
     // mixed whitespace, leading/trailing runs, repeated shingles,
     // sub-3-token degenerates
