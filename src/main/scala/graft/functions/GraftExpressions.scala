@@ -428,10 +428,9 @@ object GraftExpressions {
     * remaining bytes, matching SQL substring truncation; < k chars
     * total yields one whole-string hash.
     */
-  def windowHashes(text: UTF8String, window: Int): ArrayData = {
-    val b = text.getBytes
+  private def windowHashArray(b: Array[Byte], window: Int): Array[Long] = {
     val nWin = math.max(b.length - window + 1, 1)
-    val out = new Array[Any](nWin)
+    val out = new Array[Long](nWin)
     var i = 0
     while (i < nWin) {
       var acc = 0L
@@ -441,8 +440,12 @@ object GraftExpressions {
       out(i) = acc
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    out
   }
+
+  def windowHashes(text: UTF8String, window: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      windowHashArray(text.getBytes, window))
 
   case class WindowHashes(child: Expression, window: Int)
       extends UnaryExpression {
@@ -464,17 +467,17 @@ object GraftExpressions {
     * was most of an 80 s query.
     */
   def winnowHashes(text: UTF8String, window: Int, radius: Int): ArrayData = {
-    val f = windowHashes(text, window)
-    val n = f.numElements()
+    val f = windowHashArray(text.getBytes, window)
+    val n = f.length
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
     while (i < n) {
-      val v = f.getLong(i)
+      val v = f(i)
       var lo = math.max(i - radius, 0)
       val hi = math.min(i + radius, n - 1)
       var isMin = true
       while (isMin && lo <= hi) {
-        if (f.getLong(lo) < v) isMin = false
+        if (f(lo) < v) isMin = false
         lo += 1
       }
       if (isMin) seen.add(v)
