@@ -525,6 +525,27 @@ object StreamingAnalytics {
         col("last.event_type").as("last_event_type"),
         col("last.ts").as("last_ts"), col("last.value").as("last_value"))
 
+  /** Materialized latest-state table: [[eventsCompactStream]] kept as
+    * a queryable parquet snapshot, refreshed per micro-batch through
+    * `foreachBatch` with a FULL overwrite — which makes the sink
+    * idempotent under micro-batch retry for free (a retried batch
+    * rewrites the identical complete-mode result; there is no
+    * append/merge to double-apply). That is the exactly-once
+    * materialization contract the reference's Redis sinks get from
+    * key-overwrite semantics. At 100 TB the same shape keeps the
+    * aggregate in update mode and overwrites only the key-range
+    * partitions the batch touched (`partitionBy` + dynamic partition
+    * overwrite); the complete-mode full rewrite here is the
+    * bounded-key-space instance.
+    */
+  def eventsCompactForeachBatch(events: DataFrame, snapshotDir: String) =
+    eventsCompactStream(events)
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(snapshotDir)
+      }
+
   /** J1 analog (REF: TxMatch.scala § TxPayMatch — reconstructed):
     * two-stream reconciliation as a watermarked stream-stream inner
     * join with a time-range bound — Spark's

@@ -387,6 +387,29 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("eventsCompact foreachBatch: parquet snapshot tracks latest state across batches") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graftsnap").toString
+    val ms = MemoryStream[EvVal]
+    val q = StreamingAnalytics.eventsCompactForeachBatch(
+        ms.toDF().withColumn("ts", expr("timestamp_micros(ts_us)")), dir)
+      .start()
+    try {
+      val (h1, h2) = valRows.splitAt(valRows.size / 2)
+      ms.addData(h1); q.processAllAvailable()
+      // mid-stream: snapshot is a consistent latest-state over h1
+      val mid = spark.read.parquet(dir)
+      assert(mid.count() == h1.map(_.user_id).distinct.size)
+      ms.addData(h2); q.processAllAvailable()
+      val cols = Seq($"user_id", $"last_event_id", $"last_event_type",
+        $"last_ts", $"last_value")
+      val got = spark.read.parquet(dir).select(cols: _*).collect().toSet
+      val want = RelationalAnalytics.eventsCompact(spark, sf)
+        .select(cols: _*).collect().toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("tx-match outer: unmatched pays fire with null receipt after watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[EvFull]
