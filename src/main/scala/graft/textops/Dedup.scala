@@ -516,16 +516,14 @@ object Dedup {
     * guard the LSH tiers use); >= minShared distinct shared
     * fingerprints cuts single-window noise.
     */
-  def dedupSubstring(spark: SparkSession, sfDir: String, k: Int = 24,
-                     radius: Int = 7, minShared: Int = 2,
-                     maxDf: Int = 10): DataFrame = {
-    import spark.implicits._
-    // k=24 / maxDf=10, not the winnowing-literature 16/50: this
-    // corpus draws from a ~30-word vocabulary, so short windows recur
-    // corpus-wide and dup evidence must be LONG and RARE or the
-    // inverted index degenerates toward all-pairs (16/50 measured an
-    // 80 s query at sf0.1; 24/10 is 1.5 s with the same plan shape)
-    val sel = Tables.documents(spark, sfDir)
+  /** Core over any (doc_id, text) frame — the query below binds it to
+    * the documents table; the planted-run property test drives it over
+    * synthetic corpora.
+    */
+  def dedupSubstringFrom(docs: DataFrame, k: Int, radius: Int,
+                         minShared: Int, maxDf: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sel = docs
       .selectExpr("doc_id", s"explode(winnow_hashes(text, $k, $radius)) as fp")
       .localCheckpoint() // feeds both the df cap and both join sides
     val keep = sel.groupBy($"fp").agg(count(lit(1)).as("df"))
@@ -538,6 +536,17 @@ object Dedup {
       .where($"shared_fp" >= minShared)
       .orderBy($"doc1", $"doc2")
   }
+
+  def dedupSubstring(spark: SparkSession, sfDir: String, k: Int = 24,
+                     radius: Int = 7, minShared: Int = 2,
+                     maxDf: Int = 10): DataFrame =
+    // k=24 / maxDf=10, not the winnowing-literature 16/50: this
+    // corpus draws from a ~30-word vocabulary, so short windows recur
+    // corpus-wide and dup evidence must be LONG and RARE or the
+    // inverted index degenerates toward all-pairs (16/50 measured an
+    // 80 s query at sf0.1; 24/10 is 1.5 s with the same plan shape)
+    dedupSubstringFrom(Tables.documents(spark, sfDir), k, radius,
+      minShared, maxDf)
 
   def dedupSubstringOracle(k: Int = 24, radius: Int = 7, minShared: Int = 2,
                            maxDf: Int = 10): String =

@@ -112,6 +112,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_substring detects planted verbatim runs and nothing else") {
+    // detection-power test (the DuckDB gate only pins engine parity):
+    // two random docs share one injected 10-word sentence at
+    // DIFFERENT offsets — shift-invariant winnowing must select the
+    // same fingerprints from the run in both docs
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 200).map(i => f"w$i%03dx")
+    def salad(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val run = "the quick brown fox jumps over the lazy sleeping dog"
+    val docs = (0L until 20L).map { id =>
+      val words = salad(80 + rnd.nextInt(40))
+      val text =
+        if (id == 3L || id == 11L) {
+          val at = 10 + rnd.nextInt(40)
+          (words.take(at) :+ run) ++ words.drop(at)
+        } else words
+      (id, text.mkString(" "))
+    }
+    val pairs = graft.textops.Dedup
+      .dedupSubstringFrom(docs.toDF("doc_id", "text"),
+        k = 24, radius = 7, minShared = 2, maxDf = 10)
+      .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 11L)),
+      s"expected exactly the planted pair (3,11), got $pairs")
+  }
+
   test("word_shingles native == HOF split/slice/concat/distinct chain") {
     // mixed whitespace, leading/trailing runs, repeated shingles,
     // sub-3-token degenerates
