@@ -333,9 +333,11 @@ object Dedup {
     * pigeonhole candidates (≤3 flipped bits over 4 blocks ⇒ at least
     * one block identical — candidate set provably complete).
     */
-  def simhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val sig = simhashSig(spark, sfDir)
+  /** Core over any (doc_id, simhash) frame — the completeness
+    * property test drives it over synthetic signatures.
+    */
+  def simhashPairsFrom(sig: DataFrame): DataFrame = {
+    import sig.sparkSession.implicits._
     val blockArray = (0 until 4)
       .map(blk => s"(shiftright(simhash, ${15 * blk}) & 32767)")
       .mkString("array(", ", ", ")")
@@ -352,6 +354,9 @@ object Dedup {
       .where($"hamming" <= 3)
       .orderBy($"doc1", $"doc2")
   }
+
+  def simhashDedup(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairsFrom(simhashSig(spark, sfDir))
 
   /** Shared DuckDB CTE chain ending in `hampairs(doc1, doc2, hamming)`
     * — the simhash near-dup pairs at hamming ≤ 3. CTE names are

@@ -112,6 +112,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("simhash pigeonhole candidates == brute-force hamming<=3 on random signatures") {
+    // the 4x15-bit block join must lose NO pair at hamming <= 3
+    // (pigeonhole: <=3 flips over 4 blocks leave one block intact) and
+    // the final filter makes it exact — so the distributed candidate
+    // path must EQUAL the all-pairs reference on any signature set
+    val rnd = new scala.util.Random(7)
+    val mask60 = (1L << 60) - 1
+    val base = Seq.fill(120)(rnd.nextLong() & mask60)
+    def flip(s: Long, n: Int): Long =
+      (0 until n).foldLeft(s)((acc, _) => acc ^ (1L << rnd.nextInt(60)))
+    // engineered near pairs at 1-4 flips (4 may still land <=3 by
+    // re-flipping the same bit — the reference computes the truth)
+    val sigs = (base ++ base.take(40).map(s => flip(s, 1 + rnd.nextInt(4))))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val got = graft.textops.Dedup.simhashPairsFrom(sigs.toDF("doc_id", "simhash"))
+      .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (a, ia) <- sigs; (b, ib) <- sigs
+      if a < b && java.lang.Long.bitCount(ia ^ ib) <= 3
+    } yield (a, b)).toSet
+    assert(got == want, s"missing: ${want -- got}; extra: ${got -- want}")
+  }
+
   test("dedup_substring detects planted verbatim runs and nothing else") {
     // detection-power test (the DuckDB gate only pins engine parity):
     // two random docs share one injected 10-word sentence at
