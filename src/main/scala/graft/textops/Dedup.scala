@@ -331,10 +331,10 @@ object Dedup {
 
   /** Near-dup pairs with hamming(simhash) ≤ 3 via 4×15-bit block
     * pigeonhole candidates (≤3 flipped bits over 4 blocks ⇒ at least
-    * one block identical — candidate set provably complete).
-    */
-  /** Core over any (doc_id, simhash) frame — the completeness
-    * property test drives it over synthetic signatures.
+    * one block identical — candidate set provably complete, pinned by
+    * the brute-force-equality property test). Core over any (doc_id,
+    * simhash) frame; [[simhashDedup]] binds it to the corpus
+    * signatures.
     */
   def simhashPairsFrom(sig: DataFrame): DataFrame = {
     import sig.sparkSession.implicits._
