@@ -71,6 +71,8 @@ object SparkEntry {
     "similarity_ivf"    -> ((s, d) => Similarity.similarityIvf(s, d)),
     "similarity_lsh"    -> ((s, d) => Similarity.similarityLsh(s, d)),
     "similarity_sq8"    -> ((s, d) => Similarity.similaritySq8(s, d)),
+    "similarity_recall" -> ((s, d) => Similarity.similarityRecall(s, d)),
+    "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     "text_stats"        -> ((s, d) => TextStats.textStats(s, d)),
     "lang_id"           -> ((s, d) => TextStats.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextStats.docFingerprint(s, d)),
@@ -87,6 +89,8 @@ object SparkEntry {
     "corpus_sample"     -> ((s, d) => Sampling.corpusSample(s, d)),
     "corpus_prep"       -> ((s, d) => Sampling.corpusPrep(s, d)),
     "seq_pack"          -> ((s, d) => Packing.seqPack(s, d)),
+    "doc_chunks"        -> ((s, d) => Packing.docChunks(s, d)),
+    "shipping_priority" -> ((s, d) => RelationalAnalytics.shippingPriority(s, d)),
     "events_compact"    -> ((s, d) => RelationalAnalytics.eventsCompact(s, d)),
     "table_profile"     -> ((s, d) => RelationalAnalytics.tableProfile(s, d)),
   )
@@ -368,6 +372,8 @@ object SparkEntry {
     "similarity_ivf"      -> Similarity.similarityIvfOracle,
     "similarity_lsh"      -> Similarity.similarityLshOracle,
     "similarity_sq8"      -> Similarity.similaritySq8Oracle,
+    "similarity_recall"   -> Similarity.similarityRecallOracle(),
+    "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
     "text_stats"          -> TextStats.textStatsOracle,
     "lang_id"             -> TextStats.langIdOracle,
     "doc_fingerprint"     -> TextStats.docFingerprintOracle,
@@ -384,6 +390,8 @@ object SparkEntry {
     "corpus_sample"       -> Sampling.corpusSampleOracle,
     "corpus_prep"         -> Sampling.corpusPrepOracle,
     "seq_pack"            -> Packing.seqPackOracle(),
+    "doc_chunks"          -> Packing.docChunksOracle(),
+    "shipping_priority"   -> RelationalAnalytics.shippingPriorityOracle(),
     "events_compact"      -> RelationalAnalytics.eventsCompactOracle,
     "table_profile"       -> RelationalAnalytics.tableProfileOracle,
   )

@@ -120,6 +120,55 @@ object RelationalAnalytics {
       .orderBy($"s_name", $"p_brand")
   }
 
+  /** Unshipped-order shipping priority — the TPC-H Q3 shape: segment
+    * filter on the customer dim, date range splits on orders and
+    * lineitem, 3-way join, revenue top-N. The scale plan: both date
+    * filters push to the parquet scans (verified in PlanSpec), the
+    * segment-filtered customer dim broadcasts into orders, the
+    * orders⋈lineitem join hashes on orderkey, and the top-10 cut is
+    * TakeOrderedAndProject (per-partition heaps), never a global sort.
+    * Revenue sums decimal-exact (the partition-order-independent money
+    * pattern used across the relational surface) and casts to double
+    * at the edge.
+    */
+  def shippingPriority(spark: SparkSession, sfDir: String, n: Int = 10,
+                       cutoff: String = "1998-06-01"): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+      .where($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .where($"o_orderdate" < lit(cutoff).cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val l = Tables.lineitem(spark, sfDir)
+      .where($"l_shipdate" > lit(cutoff).cast("timestamp"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val price = $"l_extendedprice".cast("decimal(12,2)")
+    val oneMinusDisc = lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(3,2)")
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(price * oneMinusDisc).cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey".asc)
+      .limit(n)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority", $"revenue")
+  }
+
+  def shippingPriorityOracle(n: Int = 10, cutoff: String = "1998-06-01"): String =
+    s"""SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+       |                 * (CAST(1 AS DECIMAL(3,2))
+       |                    - CAST(l.l_discount AS DECIMAL(3,2))))
+       |            AS DOUBLE) AS revenue
+       |FROM orders o
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |WHERE c.c_mktsegment = 'BUILDING'
+       |  AND o.o_orderdate < TIMESTAMP '$cutoff 00:00:00'
+       |  AND l.l_shipdate > TIMESTAMP '$cutoff 00:00:00'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, o.o_orderkey ASC
+       |LIMIT $n""".stripMargin
+
   /** Daily value totals per event type — covers the events `value`
     * measure column with exact decimal summation.
     */

@@ -41,14 +41,19 @@ object GraftExpressions {
       acc
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      // scope block: two instances in one codegen stage (filter +
+      // projection) must not redeclare the same locals — Janino would
+      // reject the stage and drop it to interpreted.
       nullSafeCodeGen(ctx, ev, (a, b) =>
         s"""
+           |{
            |int vdN = java.lang.Math.min($a.numElements(), $b.numElements());
            |double vdAcc = 0.0;
            |for (int vdI = 0; vdI < vdN; vdI++) {
            |  vdAcc += $a.getDouble(vdI) * $b.getDouble(vdI);
            |}
            |${ev.value} = vdAcc;
+           |}
            |""".stripMargin)
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
@@ -72,12 +77,14 @@ object GraftExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
         s"""
+           |{
            |byte[] phB = $c.getBytes();
            |long phAcc = 0L;
            |for (int phI = 0; phI < phB.length; phI++) {
            |  phAcc = (phAcc * ${mult}L + (phB[phI] & 0xFF)) % ${TextHash.P}L;
            |}
            |${ev.value} = phAcc;
+           |}
            |""".stripMargin)
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -113,6 +120,7 @@ object GraftExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
         s"""
+           |{
            |byte[] rmB = $c.getBytes();
            |int rmWins = java.lang.Math.max(rmB.length - $window + 1, 1);
            |long rmMin = Long.MAX_VALUE;
@@ -125,6 +133,7 @@ object GraftExpressions {
            |  if (rmAcc < rmMin) rmMin = rmAcc;
            |}
            |${ev.value} = rmMin;
+           |}
            |""".stripMargin)
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -160,6 +169,7 @@ object GraftExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
         s"""
+           |{
            |int shN = $c.numElements();
            |long[] shW = new long[60];
            |for (int shJ = 0; shJ < shN; shJ++) {
@@ -173,6 +183,7 @@ object GraftExpressions {
            |  if (shW[shI] > 0) shAcc += 1L << shI;
            |}
            |${ev.value} = shAcc;
+           |}
            |""".stripMargin)
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -211,6 +222,7 @@ object GraftExpressions {
       val bConst = TextHash.MinhashB.mkString("{", "L,", "L}")
       nullSafeCodeGen(ctx, ev, c =>
         s"""
+           |{
            |int mhN = $c.numElements();
            |long[] mhA = new long[]$aConst;
            |long[] mhB = new long[]$bConst;
@@ -224,6 +236,7 @@ object GraftExpressions {
            |  }
            |}
            |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mhM);
+           |}
            |""".stripMargin)
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -257,20 +270,28 @@ object GraftExpressions {
       }
       cnt
     }
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // freshName per instance: two intersect counts in one codegen
+      // stage (e.g. a filter + projection pair) must not redeclare the
+      // same locals — Janino rejects the stage and the whole
+      // WholeStageCodegen span falls back to interpreted.
+      val (i, j, c) = (ctx.freshName("siI"), ctx.freshName("siJ"), ctx.freshName("siC"))
+      val (n, m) = (ctx.freshName("siN"), ctx.freshName("siM"))
+      val (x, y) = (ctx.freshName("siX"), ctx.freshName("siY"))
       nullSafeCodeGen(ctx, ev, (a, b) =>
         s"""
-           |int siI = 0, siJ = 0, siC = 0;
-           |int siN = $a.numElements(), siM = $b.numElements();
-           |while (siI < siN && siJ < siM) {
-           |  int siX = $a.getInt(siI);
-           |  int siY = $b.getInt(siJ);
-           |  if (siX == siY) { siC++; siI++; siJ++; }
-           |  else if (siX < siY) siI++;
-           |  else siJ++;
+           |int $i = 0, $j = 0, $c = 0;
+           |int $n = $a.numElements(), $m = $b.numElements();
+           |while ($i < $n && $j < $m) {
+           |  int $x = $a.getInt($i);
+           |  int $y = $b.getInt($j);
+           |  if ($x == $y) { $c++; $i++; $j++; }
+           |  else if ($x < $y) $i++;
+           |  else $j++;
            |}
-           |${ev.value} = siC;
+           |${ev.value} = $c;
            |""".stripMargin)
+    }
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)

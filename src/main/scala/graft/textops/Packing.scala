@@ -113,8 +113,65 @@ object Packing {
        |  FROM spans
        |)
        |SELECT chunk_id, count(*) AS n_docs,
-       |       sum(least(tok_end, (chunk_id + 1) * $capacity)
-       |             - greatest(tok_start, chunk_id * $capacity)) AS n_tokens,
+       |       CAST(sum(least(tok_end, (chunk_id + 1) * $capacity)
+       |             - greatest(tok_start, chunk_id * $capacity)) AS BIGINT)
+       |         AS n_tokens,
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM chunks GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+
+  /** RAG-style per-document chunking: cut each document's token stream
+    * into windows of `chunk` tokens advancing by `chunk − overlap`, so
+    * consecutive chunks share `overlap` tokens of context (the
+    * retrieval-index prep stage; seqPack is the PREtraining packer —
+    * this is its retrieval sibling that never crosses a document
+    * boundary). A start qualifies if it is 0 or still contributes at
+    * least one new token (start + overlap < n_tokens), which makes the
+    * cover exact: concat(chunk₀, chunkᵢ.drop(overlap)) rebuilds the
+    * document (pinned by the PackingSpec reconstruction property).
+    *
+    * Scale shape: one narrow map stage — `sequence`+`explode` fans each
+    * doc out to ceil(n/stride) rows and `slice` is per-row arithmetic;
+    * no shuffle anywhere except the presentation sort, so this runs at
+    * scan speed on any corpus size.
+    */
+  def docChunks(spark: SparkSession, sfDir: String, chunk: Int = 64,
+                overlap: Int = 16): DataFrame = {
+    val stride = chunk - overlap
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", s"$tokensSpark as toks")
+      .selectExpr("doc_id", "toks", "cast(size(toks) as bigint) as n")
+      .where(col("n") > 0)
+      .withColumn("strt", explode(expr(
+        s"sequence(cast(0 as bigint), greatest(n - $overlap - 1, cast(0 as bigint)), cast($stride as bigint))")))
+      .selectExpr("doc_id",
+        s"cast(strt div $stride as int) as chunk_idx",
+        s"least(n - strt, $chunk) as n_chunk_tokens",
+        s"array_join(slice(toks, cast(strt + 1 as int), $chunk), ' ') as chunk_text")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** DuckDB replay of [[docChunks]]: same start grid
+    * (generate_series step = stride, capped at n − overlap − 1) and
+    * 1-based clamped list slice, so chunk text matches byte-for-byte.
+    */
+  def docChunksOracle(chunk: Int = 64, overlap: Int = 16): String = {
+    val stride = chunk - overlap
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensDuck AS toks FROM documents
+       |), sized AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+       |  FROM toks WHERE len(toks) > 0
+       |), starts AS (
+       |  SELECT doc_id, toks, n,
+       |         unnest(generate_series(CAST(0 AS BIGINT),
+       |                greatest(n - $overlap - 1, 0), $stride)) AS strt
+       |  FROM sized
+       |)
+       |SELECT doc_id, CAST(strt // $stride AS INT) AS chunk_idx,
+       |       least(n - strt, $chunk) AS n_chunk_tokens,
+       |       array_to_string(toks[CAST(strt + 1 AS INT) :
+       |                            CAST(strt + $chunk AS INT)], ' ')
+       |         AS chunk_text
+       |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin
+  }
 }

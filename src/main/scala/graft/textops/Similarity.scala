@@ -345,6 +345,132 @@ object Similarity {
     * sharply. Recall is partial by design — the oracle replays the
     * same candidate generation, keeping the gate exact.
     */
+  // --------------------------------------------- centroids & recall eval
+
+  /** Per-label embedding centroids — the class-prototype aggregation a
+    * labelled-embedding pipeline runs (cluster summaries, nearest-class
+    * classification, drift monitoring). Float means are order-dependent,
+    * so a naive avg() would be nondeterministic under Spark's partial
+    * aggregation AND engine-divergent vs the oracle; instead each
+    * element is quantized to exact integer micro-units
+    * (floor(el·10⁶) — floor, not round, so both engines agree on every
+    * value), summed exactly as BIGINT (commutative ⇒ partition-order
+    * independent), and divided back out in one fixed double-op order.
+    *
+    * Scale shape: posexplode fans n vectors to n·d narrow rows; the
+    * (label, dim) groupBy partial-aggregates map-side, so the shuffle
+    * carries one row per (label, dim) per task — O(labels·d·tasks),
+    * never O(n·d).
+    */
+  def embeddingCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select($"label", posexplode($"embedding"))
+      .selectExpr("label", "cast(pos as int) as dim",
+        "cast(floor(cast(col as double) * 1000000) as bigint) as micro")
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"micro").as("sum_micro"))
+      .selectExpr("label", "dim", "n",
+        "cast(sum_micro as double) / n / 1000000.0 as centroid")
+      .orderBy($"label", $"dim")
+  }
+
+  /** DuckDB replay: the dim fan-out is an uncorrelated range(64) CROSS
+    * JOIN guarded by `k < len(embedding)` (DuckDB table functions can't
+    * take lateral column arguments), then the identical micro-unit
+    * floor/sum/divide chain.
+    */
+  val embeddingCentroidsOracle: String =
+    """WITH ex AS (
+      |  SELECT label, CAST(g.k AS INT) AS dim,
+      |         CAST(floor(CAST(embedding[CAST(g.k AS INT) + 1] AS DOUBLE)
+      |                    * 1000000) AS BIGINT) AS micro
+      |  FROM embeddings CROSS JOIN range(64) g(k)
+      |  WHERE g.k < len(embedding)
+      |)
+      |SELECT label, dim, count(*) AS n,
+      |       CAST(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0
+      |            AS DOUBLE) AS centroid
+      |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
+  /** ANN quality evaluation: recall@k of the IVF path against the
+    * exact brute-force top-k, on a deterministic 1-in-`sampleMod`
+    * query sample — the QA gate every approximate index ships with.
+    * The exact side is quadratic ONLY over the sample (n/mod × n
+    * pairs), which is the standard way recall is measured at scale:
+    * the full n² ground truth is exactly what the index exists to
+    * avoid computing.
+    */
+  def similarityRecall(spark: SparkSession, sfDir: String, k: Int = 5,
+                       nCentroids: Int = 16, nProbe: Int = 6,
+                       sampleMod: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, sfDir)
+    val q = e.where($"vec_id" % sampleMod === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
+    val exact = q.join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", expr(s"${dotSpark("qv", "cv", "d")} / (qn * cn)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)))
+      .where($"rnk" <= k)
+      .select($"query_id", $"neighbor_id")
+    val approx = similarityIvf(spark, sfDir, k, nCentroids, nProbe)
+      .where($"query_id" % sampleMod === 0)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("hits"))
+      .selectExpr("query_id", "hits",
+        s"cast(hits as double) / $k as recall")
+      .orderBy($"query_id")
+  }
+
+  def similarityRecallOracle(k: Int = 5, sampleMod: Int = 10): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ${dotDuck("a.v", "b.v", "d")} / (a.nrm * b.nrm)
+       |               DESC, b.vec_id ASC) AS rnk
+       |    FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id % $sampleMod = 0
+       |  ) WHERE rnk <= $k
+       |), cent AS (
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < 16
+       |), rankedcells AS (
+       |  SELECT vec_id, v, nrm, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY ${dotDuck("n.v", "c.centv", "a")} / (n.nrm * c.centn)
+       |             DESC, cent_id ASC) AS crk
+       |  FROM n CROSS JOIN cent c
+       |), assign AS (
+       |  SELECT vec_id, v, nrm, cent_id AS cell FROM rankedcells WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell
+       |  FROM rankedcells WHERE crk <= 6
+       |), approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY p.query_id
+       |             ORDER BY ${dotDuck("p.qv", "a.v", "d")} / (p.qn * a.nrm)
+       |               DESC, a.vec_id ASC) AS rnk
+       |    FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id
+       |  ) WHERE rnk <= $k AND query_id % $sampleMod = 0
+       |)
+       |SELECT x.query_id,
+       |       CAST(sum(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END)
+       |            AS BIGINT) AS hits,
+       |       CAST(CAST(sum(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END)
+       |            AS BIGINT) AS DOUBLE) / $k AS recall
+       |FROM exact x LEFT JOIN approx ap
+       |  ON x.query_id = ap.query_id AND x.neighbor_id = ap.neighbor_id
+       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+
   def similarityLsh(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, sfDir)

@@ -60,6 +60,26 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {sorted(gcols)} vs {sorted(wcols)}")
             n_bad += 1
             continue
+        # type drift (round-1 lesson): values can compare equal in
+        # Python while the driver's hash sees DECIMAL vs DOUBLE or
+        # HUGEINT vs BIGINT (both change the pandas/arrow value
+        # representation). Integer WIDTH drift (TINYINT..BIGINT) is
+        # proven benign — queries with it have passed the driver gate
+        # since round 1 — so it only warns.
+        int_widths = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+        gtypes = dict(zip(gcols, [str(t) for t in con.sql(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").types]))
+        wtypes = dict(zip(wcols, [str(t) for t in rel.types]))
+        drift = {c: (gtypes[c], wtypes[c]) for c in gtypes
+                 if gtypes[c] != wtypes[c]}
+        fatal = {c: p for c, p in drift.items()
+                 if not (p[0] in int_widths and p[1] in int_widths)}
+        if fatal:
+            print(f"FAIL {name}: type drift {fatal}")
+            n_bad += 1
+            continue
+        if drift:
+            print(f"WARN {name}: int-width drift {drift}")
         g = [tuple(norm(r[i]) for i in gidx) for r in got]
         w = [tuple(norm(r[i]) for i in widx) for r in want]
         if len(g) != len(w):
