@@ -409,4 +409,28 @@ class AnalyticsSpec extends AnyFunSuite {
     val df = RelationalAnalytics.valuePercentilesSampled(spark, sf)
     assert(df.where($"p50" > $"p90" || $"p90" > $"p99").isEmpty)
   }
+
+  test("similarity_recall: bounded, and probing every cell gives recall 1.0") {
+    val r = Similarity.similarityRecall(spark, sf)
+    assert(r.where($"recall" < 0 || $"recall" > 1 || $"hits" > 5).isEmpty)
+    // nProbe = nCentroids degenerates IVF to exact search over every
+    // cell — recall must be exactly 1 for every sampled query
+    val full = Similarity.similarityRecall(spark, sf, nProbe = 16)
+    assert(full.where($"recall" =!= 1.0).isEmpty,
+      "full-probe IVF missed an exact neighbor")
+  }
+
+  test("embedding_centroids: micro-unit mean within quantization error of float avg") {
+    val got = Similarity.embeddingCentroids(spark, sf)
+    // naive float mean (order-dependent, test-only reference) should
+    // agree to within the 1e-6 quantization + accumulation slack
+    val want = Tables.embeddings(spark, sf)
+      .select($"label", posexplode($"embedding"))
+      .groupBy($"label", $"pos".cast("int").as("dim"))
+      .agg(avg($"col".cast("double")).as("ref"), count(lit(1)).as("n_ref"))
+    val joined = got.join(want, Seq("label", "dim"))
+    assert(joined.count() == got.count())
+    assert(joined.where(abs($"centroid" - $"ref") > 2e-6 || $"n" =!= $"n_ref").isEmpty,
+      "centroid drifted beyond quantization error")
+  }
 }

@@ -43,4 +43,40 @@ class PackingSpec extends AnyFunSuite {
     val many = Packing.seqPack(spark, sf, Cap, numParts = 7).collect().toSeq
     assert(one == many)
   }
+
+  test("doc_chunks: overlap reconstruction — chunk0 + later chunks minus overlap rebuilds every doc") {
+    val chunk = 64
+    val overlap = 16
+    val byDoc = Packing.docChunks(spark, sf, chunk, overlap)
+      .as[(Long, Int, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", s"${TextHash.tokensSpark} as toks")
+      .as[(Long, Seq[String])].collect().toMap
+      .filter(_._2.nonEmpty)
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (id, chunks) =>
+      // chunk ids dense from 0
+      assert(chunks.map(_._2).toSeq == chunks.indices)
+      // every chunk's token count matches its text
+      chunks.foreach { case (_, _, n, txt) =>
+        assert(txt.split(" ").length.toLong == n)
+        assert(n <= chunk)
+      }
+      // reconstruction: first chunk whole, later chunks drop the shared
+      // overlap prefix — concatenation equals the original token stream
+      val rebuilt = chunks.head._4.split(" ").toSeq ++
+        chunks.tail.flatMap(_._4.split(" ").drop(overlap).toSeq)
+      assert(rebuilt == docs(id), s"doc $id reconstruction mismatch")
+      // consecutive chunks genuinely share the overlap
+      chunks.sliding(2).foreach {
+        case Array(a, b) =>
+          val at = a._4.split(" ")
+          assert(at.takeRight(math.min(overlap, at.length))
+            .mkString(" ") == b._4.split(" ").take(overlap).mkString(" ")
+            || at.length < chunk) // short tail chunk: no full overlap
+        case _ => ()
+      }
+    }
+  }
 }

@@ -117,4 +117,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       "a dim join degraded to sort-merge")
   }
+
+  test("shipping_priority: date filters pushed, dim broadcast, top-N is TakeOrdered") {
+    val plan = planString(RelationalAnalytics.shippingPriority(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      "orders date split not pushed to the parquet scan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      "lineitem date split not pushed to the parquet scan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
+      "segment-filtered customer dim not broadcast")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-N degraded to a global sort")
+  }
+
+  test("doc_chunks: narrow fan-out — no shuffle except the presentation sort") {
+    val plan = planString(graft.textops.Packing.docChunks(spark, sf))
+    // one range exchange for the ORDER BY; the chunk derivation itself
+    // (sequence/explode/slice) must not add a hash exchange
+    assert(!plan.contains("hashpartitioning"),
+      "chunking added a hash shuffle — should be scan-speed narrow")
+  }
+
+  test("embedding_centroids: partial aggregation before the (label,dim) exchange") {
+    val plan = planString(graft.textops.Similarity.embeddingCentroids(spark, sf))
+    // plan text prints top-down: the partial (map-side) aggregate must
+    // appear BELOW the hash exchange, i.e. after it in the string
+    val exchange = plan.indexOf("Exchange hashpartitioning")
+    assert(exchange >= 0, "no hash exchange found")
+    assert(plan.indexOf("HashAggregate", exchange) > exchange,
+      "no map-side partial aggregate below the centroid shuffle")
+  }
 }
