@@ -80,6 +80,8 @@ object SparkEntry {
     "decontamination"   -> ((s, d) => TextStats.decontamination(s, d)),
     "doc_top_terms"     -> ((s, d) => TextStats.docTopTerms(s, d)),
     "vocab_topv"        -> ((s, d) => TextStats.vocabTopV(s, d)),
+    "oov_rate"          -> ((s, d) => TextStats.oovRate(s, d)),
+    "quality_gopher"    -> ((s, d) => TextStats.qualityGopher(s, d)),
     "ngram_next"        -> ((s, d) => TextStats.ngramNext(s, d)),
     "value_histogram"   -> ((s, d) => RelationalAnalytics.valueHistogram(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.multimodalDecode(s, d)),
@@ -381,6 +383,8 @@ object SparkEntry {
     "decontamination"     -> TextStats.decontaminationOracle,
     "doc_top_terms"       -> TextStats.docTopTermsOracle,
     "vocab_topv"          -> TextStats.vocabTopVOracle(),
+    "oov_rate"            -> TextStats.oovRateOracle(),
+    "quality_gopher"      -> TextStats.qualityGopherOracle(),
     "ngram_next"          -> TextStats.ngramNextOracle(),
     "value_histogram"     -> RelationalAnalytics.valueHistogramOracle,
     "multimodal_decode"   -> Multimodal.multimodalDecodeOracle,

@@ -416,6 +416,111 @@ object TextStats {
        |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Vocabulary-coverage / OOV-rate evaluation: per document, the
+    * share of token occurrences outside the corpus top-`v` vocabulary
+    * — the tokenizer-coverage check run before committing a vocab
+    * (vocab_topv builds the candidate vocabulary; this evaluates it).
+    * Scale shape: the vocabulary is a TakeOrderedAndProject cut
+    * broadcast into the token stream (map-side membership probe — the
+    * token explode never shuffles), and the per-doc aggregate
+    * partial-aggregates to one row per document per task.
+    */
+  def oovRate(spark: SparkSession, sfDir: String, v: Int = 20): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", s"explode($tokensSpark) as token")
+    val vocab = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token".asc).limit(v)
+      .select($"token", lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .selectExpr("doc_id", "n_tokens", "n_oov",
+        "cast(n_oov as double) / n_tokens as oov_rate")
+      .orderBy($"doc_id")
+  }
+
+  def oovRateOracle(v: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($tokensDuck) AS token FROM documents
+       |), counts AS (
+       |  SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+       |), vocab AS (
+       |  SELECT token FROM counts ORDER BY cnt DESC, token LIMIT $v
+       |)
+       |SELECT t.doc_id, count(*) AS n_tokens,
+       |       CAST(sum(CASE WHEN vb.token IS NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_oov,
+       |       CAST(CAST(sum(CASE WHEN vb.token IS NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS DOUBLE) / count(*) AS oov_rate
+       |FROM toks t LEFT JOIN vocab vb ON t.token = vb.token
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** Gopher-style composite quality gate: the multi-rule document
+    * filter (length window, mean-token-length window, minimum stopword
+    * evidence, repetition ceiling) a pretraining pipeline applies
+    * before dedup. Rules are emitted as individual columns — a
+    * pipeline tunes thresholds by inspecting per-rule kill rates, not
+    * just the final verdict. Feature reuse: token features ride
+    * [[textStatsFrom]] (narrow single pass) and the repetition share
+    * rides the shingle chain shared with the MinHash tier; the doc_id
+    * join of the two per-doc aggregates is the only extra exchange.
+    * Thresholds tuned to THIS corpus's spread (n_tokens 10-99,
+    * rep_ratio 0.01-0.14) so each rule genuinely splits.
+    */
+  def qualityGopher(spark: SparkSession, sfDir: String,
+                    minTokens: Int = 30, maxTokens: Int = 10000,
+                    minTokLen: Double = 3.0, maxTokLen: Double = 10.0,
+                    minStop: Int = 2, maxRep: Double = 0.1): DataFrame = {
+    import spark.implicits._
+    val feats = textStatsFrom(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"n_tokens", $"avg_tok_len", $"stop_cnt")
+    val rep = docRepetition(spark, sfDir).select($"doc_id", $"rep_ratio")
+    feats.join(rep, Seq("doc_id"), "left_outer")
+      .withColumn("rep_ratio", coalesce($"rep_ratio", lit(0.0)))
+      .selectExpr("doc_id", "n_tokens", "avg_tok_len", "stop_cnt", "rep_ratio",
+        s"n_tokens >= $minTokens and n_tokens <= $maxTokens as r_len",
+        s"avg_tok_len >= $minTokLen and avg_tok_len <= $maxTokLen as r_tok_len",
+        s"stop_cnt >= $minStop as r_stop",
+        s"rep_ratio <= $maxRep as r_rep")
+      .withColumn("passes", $"r_len" && $"r_tok_len" && $"r_stop" && $"r_rep")
+      .orderBy($"doc_id")
+  }
+
+  /** Composes the textStats CTE chain with the repetition chain — the
+    * whole gate is hash-checked, not just its inputs. */
+  def qualityGopherOracle(minTokens: Int = 30, maxTokens: Int = 10000,
+                          minTokLen: Double = 3.0, maxTokLen: Double = 10.0,
+                          minStop: Int = 2, maxRep: Double = 0.1): String =
+    s"""WITH $textStatsCtes, th AS (
+       |  SELECT doc_id, list_transform(tokens, tk -> ${phDuck("tk", "h")}) AS tharr
+       |  FROM tsbase WHERE len(tokens) >= 3
+       |), shx AS (
+       |  SELECT doc_id, list_transform(range(0, len(tharr) - 2), sj ->
+       |    ((tharr[sj + 1] * $ShingleMult + tharr[sj + 2]) % $P
+       |     * $ShingleMult + tharr[sj + 3]) % $P) AS sh FROM th
+       |), excnt AS (
+       |  SELECT doc_id, h, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(sh) AS h FROM shx) GROUP BY 1, 2
+       |), rep AS (
+       |  SELECT doc_id,
+       |         CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS rep_ratio
+       |  FROM excnt GROUP BY 1
+       |)
+       |SELECT q.doc_id, q.n_tokens, q.avg_tok_len, q.stop_cnt,
+       |       COALESCE(r.rep_ratio, 0.0) AS rep_ratio,
+       |       q.n_tokens >= $minTokens AND q.n_tokens <= $maxTokens AS r_len,
+       |       q.avg_tok_len >= $minTokLen AND q.avg_tok_len <= $maxTokLen AS r_tok_len,
+       |       q.stop_cnt >= $minStop AS r_stop,
+       |       COALESCE(r.rep_ratio, 0.0) <= $maxRep AS r_rep,
+       |       (q.n_tokens >= $minTokens AND q.n_tokens <= $maxTokens)
+       |         AND (q.avg_tok_len >= $minTokLen AND q.avg_tok_len <= $maxTokLen)
+       |         AND q.stop_cnt >= $minStop
+       |         AND COALESCE(r.rep_ratio, 0.0) <= $maxRep AS passes
+       |FROM qual q LEFT JOIN rep r ON q.doc_id = r.doc_id
+       |ORDER BY q.doc_id""".stripMargin
+
   /** DuckDB replay of the same shingle chain (identical arithmetic to
     * the MinHash tier's) + unnest/count. */
   lazy val docRepetitionOracle: String =

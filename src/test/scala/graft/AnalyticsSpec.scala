@@ -410,6 +410,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(df.where($"p50" > $"p90" || $"p90" > $"p99").isEmpty)
   }
 
+  test("oov_rate: bounded, and a vocabulary covering every token gives rate 0") {
+    val r = TextStats.oovRate(spark, sf)
+    assert(r.where($"oov_rate" < 0 || $"oov_rate" > 1 || $"n_oov" > $"n_tokens").isEmpty)
+    assert(r.where($"n_oov" > 0).count() > 0, "top-20 vocab covers everything — rule has no bite")
+    // the synthetic vocabulary is ~31 tokens: a top-100 cut covers all
+    val full = TextStats.oovRate(spark, sf, v = 100)
+    assert(full.where($"n_oov" =!= 0L).isEmpty, "full vocab still reports OOV")
+  }
+
+  test("quality_gopher: passes is exactly the rule conjunction; every rule splits") {
+    val g = TextStats.qualityGopher(spark, sf)
+    assert(g.where($"passes" =!= ($"r_len" && $"r_tok_len" && $"r_stop" && $"r_rep")).isEmpty)
+    val n = g.count()
+    val p = g.where($"passes").count()
+    assert(p > 0 && p < n, s"gate passes $p of $n — thresholds don't split this corpus")
+    // rep_ratio column agrees with the standalone repetition query
+    val rep = TextStats.docRepetition(spark, sf).select($"doc_id", $"rep_ratio".as("want"))
+    assert(g.join(rep, "doc_id").where($"rep_ratio" =!= $"want").isEmpty)
+  }
+
   test("similarity_recall: bounded, and probing every cell gives recall 1.0") {
     val r = Similarity.similarityRecall(spark, sf)
     assert(r.where($"recall" < 0 || $"recall" > 1 || $"hits" > 5).isEmpty)
