@@ -135,9 +135,18 @@ object Packing {
     * scan speed on any corpus size.
     */
   def docChunks(spark: SparkSession, sfDir: String, chunk: Int = 64,
-                overlap: Int = 16): DataFrame = {
+                overlap: Int = 16): DataFrame =
+    docChunksFrom(Tables.documents(spark, sfDir), chunk, overlap)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Stream-safe core of [[docChunks]]: pure narrow per-row transforms
+    * (no sort, no shuffle), so it applies unchanged to a readStream
+    * source — chunking at ingest is the usual RAG-index shape.
+    */
+  def docChunksFrom(docs: DataFrame, chunk: Int = 64,
+                    overlap: Int = 16): DataFrame = {
     val stride = chunk - overlap
-    Tables.documents(spark, sfDir)
+    docs
       .selectExpr("doc_id", s"$tokensSpark as toks")
       .selectExpr("doc_id", "toks", "cast(size(toks) as bigint) as n")
       .where(col("n") > 0)
@@ -147,7 +156,6 @@ object Packing {
         s"cast(strt div $stride as int) as chunk_idx",
         s"least(n - strt, $chunk) as n_chunk_tokens",
         s"array_join(slice(toks, cast(strt + 1 as int), $chunk), ' ') as chunk_text")
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   /** DuckDB replay of [[docChunks]]: same start grid

@@ -521,4 +521,44 @@ class StreamingParitySpec extends AnyFunSuite {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("docChunksFrom on a stream == batch doc_chunks (narrow transform, no state)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.textops.Packing.docChunksFrom(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunks_stream")
+      .outputMode("append").start()
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      docs.grouped(math.max(docs.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = spark.table("chunks_stream")
+        .as[(Long, Int, Long, String)].collect().toSet
+      val want = graft.textops.Packing.docChunks(spark, sf)
+        .as[(Long, Int, Long, String)].collect().toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
+  test("Monitoring listener: per-batch progress rows match the fed stream") {
+    implicit val ctx = spark.sqlContext
+    val mon = graft.streaming.Monitoring.attach(spark)
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text")
+      .writeStream.format("memory").queryName("monitored_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq((1L, "a b c"), (2L, "d e")))
+      q.processAllAvailable()
+      ms.addData(Seq((3L, "f")))
+      q.processAllAvailable()
+      assert(mon.awaitBatches("monitored_stream", 2) >= 2,
+        "listener bus delivered fewer than 2 progress events")
+      val snap = mon.snapshot.where($"query" === "monitored_stream")
+      // all 3 fed rows accounted for across batches, batch ids distinct
+      assert(snap.agg(sum($"input_rows")).as[Long].head() == 3L)
+      assert(snap.select($"batch_id").distinct().count() == snap.count())
+    } finally { q.stop(); mon.detach() }
+  }
 }
