@@ -28,6 +28,8 @@ object SparkEntry {
     "uv_approx"       -> ((s, d) => UserBehaviorAnalytics.uvApprox(s, d)),
     "uv_approx_kmv"   -> ((s, d) => UserBehaviorAnalytics.uvApproxKmv(s, d)),
     "user_sessions"   -> ((s, d) => UserBehaviorAnalytics.userSessions(s, d)),
+    "user_retention"  -> ((s, d) => UserBehaviorAnalytics.userRetention(s, d)),
+    "lang_rebalance"  -> ((s, d) => Sampling.langRebalance(s, d)),
     "marketing_by_channel" -> ((s, d) => MarketingAnalytics.marketingByChannel(s, d)),
     "ad_stats_province"    -> ((s, d) => MarketingAnalytics.adStatsByProvince(s, d)),
     "blacklist_users"      -> ((s, d) => MarketingAnalytics.blacklistUsers(s, d)),
@@ -171,6 +173,8 @@ object SparkEntry {
     // over the portable poly_hash is replayable exactly in DuckDB.
     "uv_approx_kmv" -> UserBehaviorAnalytics.uvApproxKmvOracle,
     "user_sessions" -> UserBehaviorAnalytics.userSessionsOracle,
+    "user_retention" -> UserBehaviorAnalytics.userRetentionOracle,
+    "lang_rebalance" -> Sampling.langRebalanceOracle,
     "marketing_by_channel" ->
       """WITH base AS (
         |  SELECT 'ch_' || CAST(user_id % 4 AS VARCHAR) AS channel,

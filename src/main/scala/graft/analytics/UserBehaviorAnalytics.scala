@@ -223,26 +223,40 @@ object UserBehaviorAnalytics {
     * (window, h%64) buckets in parallel and level 2 ranks ≤ 64·K
     * survivors per window. A window with 10⁹ distinct users never
     * funnels through one task.
+    *
+    * Hash salting: a bare short user_id string's char fold never wraps
+    * the modulus (3 digits reach only ~8·10⁴ of the 10⁹ range), which
+    * would inflate the (K−1)·P/h_(K) estimate ~10⁴× the moment a
+    * window exceeds K distinct. The '-kmv' suffix pushes every input
+    * past the wrap so h is genuinely P-ranged uniform (sketch-regime
+    * accuracy is spec-pinned at 5 000 distinct).
     */
   def uvApproxKmv(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val distinctHashes = Tables.events(spark, sfDir)
+    kmvFrom(Tables.events(spark, sfDir)
       .filter($"event_type" === "view")
       .select(window($"ts", "1 hour").getField("end").as("window_end"),
-        expr("poly_hash(cast(user_id as string))").as("h"))
-      .distinct()
+        expr("poly_hash(concat(cast(user_id as string), '-kmv'))").as("h"))
+      .distinct())
+  }
+
+  /** KMV core over pre-deduped (window_end, h) rows — h must be a
+    * P-ranged uniform hash (see the salting note on [[uvApproxKmv]]).
+    */
+  private[graft] def kmvFrom(distinctHashes: DataFrame): DataFrame = {
     val bucketTopK = distinctHashes
       .withColumn("brnk", row_number().over(
-        Window.partitionBy($"window_end", pmod($"h", lit(64))).orderBy($"h".asc)))
-      .filter($"brnk" <= KmvK)
+        Window.partitionBy(col("window_end"), pmod(col("h"), lit(64)))
+          .orderBy(col("h").asc)))
+      .filter(col("brnk") <= KmvK)
     bucketTopK
       .withColumn("rnk", row_number().over(
-        Window.partitionBy($"window_end").orderBy($"h".asc)))
-      .filter($"rnk" <= KmvK)
-      .groupBy($"window_end")
-      .agg(count(lit(1)).as("cnt"), max($"h").as("kth"))
-      .select($"window_end", expr(KmvEstimate).as("uv_kmv"))
-      .orderBy($"window_end")
+        Window.partitionBy(col("window_end")).orderBy(col("h").asc)))
+      .filter(col("rnk") <= KmvK)
+      .groupBy(col("window_end"))
+      .agg(count(lit(1)).as("cnt"), max(col("h")).as("kth"))
+      .select(col("window_end"), expr(KmvEstimate).as("uv_kmv"))
+      .orderBy(col("window_end"))
   }
 
   /** Gap-based sessionization (beyond the reference — Flink's session
@@ -285,11 +299,57 @@ object UserBehaviorAnalytics {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Cohort retention matrix — the D0/D1/D7 analysis every behavior
+    * pipeline runs: users bucketed by first-activity day, and for each
+    * (cohort, day-offset) the distinct users still active, plus the
+    * retention rate against the cohort's size.
+    *
+    * Scale shape: (user, day) dedup and the per-user cohort min are
+    * both user-keyed — ONE shuffle on user_id serves the dedup, the
+    * min, and the join back (co-partitioned); the (cohort, offset)
+    * matrix aggregate then moves only the deduped activity rows, and
+    * the cohort-size join is a broadcast of O(days) rows.
+    */
+  def userRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val act = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val cohorts = act.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val matrix = act.join(cohorts, "user_id")
+      .groupBy($"cohort_day", datediff($"day", $"cohort_day").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = matrix.where($"day_offset" === 0)
+      .select($"cohort_day".as("c2"), $"n_users".as("cohort_size"))
+    matrix.join(broadcast(sizes), $"cohort_day" === $"c2")
+      .selectExpr("cohort_day", "day_offset", "n_users", "cohort_size",
+        "cast(n_users as double) / cohort_size as retention")
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val userRetentionOracle: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), cohorts AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1
+      |), matrix AS (
+      |  SELECT c.cohort_day, datediff('day', c.cohort_day, a.day) AS day_offset,
+      |         count(*) AS n_users
+      |  FROM act a JOIN cohorts c ON a.user_id = c.user_id
+      |  GROUP BY 1, 2
+      |), sizes AS (
+      |  SELECT cohort_day, n_users AS cohort_size FROM matrix WHERE day_offset = 0
+      |)
+      |SELECT m.cohort_day, CAST(m.day_offset AS INT) AS day_offset,
+      |       m.n_users, s.cohort_size,
+      |       CAST(m.n_users AS DOUBLE) / s.cohort_size AS retention
+      |FROM matrix m JOIN sizes s ON m.cohort_day = s.cohort_day
+      |ORDER BY m.cohort_day, day_offset""".stripMargin
+
   val uvApproxKmvOracle: String = {
     import graft.textops.TextHash.{phDuck, P}
     s"""WITH v AS (
        |  SELECT DISTINCT time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
-       |         ${phDuck("CAST(user_id AS VARCHAR)", "u")} AS h
+       |         ${phDuck("CAST(user_id AS VARCHAR) || '-kmv'", "u")} AS h
        |  FROM events WHERE event_type = 'view'
        |), r AS (
        |  SELECT window_end, h,

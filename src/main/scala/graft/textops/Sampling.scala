@@ -81,6 +81,93 @@ object Sampling {
        |  AND ${phDuck("CAST(q.doc_id AS VARCHAR)", "hh")} % 100 < 90
        |ORDER BY q.doc_id""".stripMargin
 
+  /** Temperature-based language rebalancing (α = 0.5) — the
+    * multilingual data-mixing pass: sampling proportional to
+    * √count flattens the language distribution (the standard
+    * mBERT/XLM-R temperature trick) so high-resource languages stop
+    * drowning the tail. Per language: target weight √c_l, keep
+    * probability p_l = min(1, K·w_l / Σw / c_l) for a K = N/2 kept
+    * budget, and the keep decision is a deterministic hash gate
+    * (poly_hash37 — a hash family INDEPENDENT of the split hash, so
+    * rebalancing never correlates with train/val/test assignment).
+    *
+    * Engine-exactness: √ is IEEE correctly-rounded (identical in both
+    * engines), but a float Σ√c over languages would be
+    * order-dependent — so weights are quantized to floor(√c·10⁶)
+    * BIGINT micro-units and summed exactly, and every division runs in
+    * one fixed double-op order. The keep gate compares exact bigints.
+    *
+    * Scale shape: the per-lang table is O(languages) rows (broadcast
+    * everywhere); the corpus is touched by one narrow map (hash gate)
+    * plus one partial-aggregated count — no shuffle of document rows.
+    */
+  def langRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // salt suffix: a bare short doc_id string folds to < ~80k (3 chars
+    // of mult-37 fold never reach the modulus), which would make the
+    // %1e6 gate vacuous — the suffix pushes every input past the
+    // wrap-around so r is uniform over the full gate range
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "lang",
+        "poly_hash37(concat(cast(doc_id as string), '-rebalance')) % 1000000 as r")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("wq",
+        expr("cast(floor(sqrt(cast(n_docs as double)) * 1000000) as bigint)"))
+      .localCheckpoint()
+    val totals = counts.agg(sum($"n_docs").as("n_total"),
+      sum($"wq").as("total_wq"))
+    val probs = counts.crossJoin(broadcast(totals))
+      .withColumn("p_keep", expr(
+        "least(cast(1 as double), cast(n_total div 2 as double) * cast(wq as double) / total_wq / n_docs)"))
+      .withColumn("thresh", expr("cast(floor(p_keep * 1000000) as bigint)"))
+    val kept = docs.join(broadcast(probs.select($"lang", $"thresh")), "lang")
+      .where($"r" < $"thresh")
+      .groupBy($"lang").agg(count(lit(1)).as("n_kept"))
+    val keptTotal = kept.agg(sum($"n_kept").as("kept_total"))
+    probs.join(kept, Seq("lang"), "left_outer")
+      .withColumn("n_kept", coalesce($"n_kept", lit(0L)))
+      .crossJoin(broadcast(keptTotal))
+      .selectExpr("lang", "n_docs", "p_keep", "n_kept",
+        "cast(n_docs as double) / n_total as share_before",
+        "cast(n_kept as double) / kept_total as share_after")
+      .orderBy($"lang")
+  }
+
+  val langRebalanceOracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang,
+       |         ${phDuck("CAST(doc_id AS VARCHAR) || '-rebalance'", "lr", 37)} % 1000000 AS r
+       |  FROM documents
+       |), counts AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+       |  FROM docs GROUP BY 1
+       |), totals AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+       |         CAST(sum(wq) AS BIGINT) AS total_wq FROM counts
+       |), probs AS (
+       |  SELECT lang, n_docs, n_total,
+       |         least(CAST(1 AS DOUBLE), CAST(n_total // 2 AS DOUBLE) * CAST(wq AS DOUBLE)
+       |                    / total_wq / n_docs) AS p_keep
+       |  FROM counts CROSS JOIN totals
+       |), gated AS (
+       |  SELECT lang, n_docs, n_total, p_keep,
+       |         CAST(floor(p_keep * 1000000) AS BIGINT) AS thresh
+       |  FROM probs
+       |), kept AS (
+       |  SELECT d.lang, count(*) AS n_kept
+       |  FROM docs d JOIN gated g ON d.lang = g.lang AND d.r < g.thresh
+       |  GROUP BY 1
+       |), kt AS (
+       |  SELECT CAST(sum(n_kept) AS BIGINT) AS kept_total FROM kept
+       |)
+       |SELECT g.lang, g.n_docs, g.p_keep,
+       |       COALESCE(k.n_kept, 0) AS n_kept,
+       |       CAST(g.n_docs AS DOUBLE) / g.n_total AS share_before,
+       |       CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / kt.kept_total AS share_after
+       |FROM gated g LEFT JOIN kept k ON g.lang = k.lang CROSS JOIN kt
+       |ORDER BY g.lang""".stripMargin
+
   val corpusSampleOracle: String =
     s"""WITH hashed AS (
        |  SELECT doc_id, lang,

@@ -103,6 +103,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(big.isEmpty)
   }
 
+  test("uv_approx_kmv sketch regime: estimate within 20% at 5000 distinct") {
+    // no test-SF window exceeds K=256 distinct, so the estimator branch
+    // needs synthetic ids — run the KMV core on 5000 salted hashes
+    val n = 5000
+    val hashes = spark.range(n).selectExpr(
+      "timestamp '2024-01-01 01:00:00' as window_end",
+      "poly_hash(concat(cast(id as string), '-kmv')) as h").distinct()
+    val est = UserBehaviorAnalytics.kmvFrom(hashes)
+      .select($"uv_kmv").as[Double].head()
+    assert(math.abs(est - n) < n * 0.2, s"sketch estimate $est for $n distinct")
+  }
+
   test("dedup_embedding (IVF candidates): precision 1 vs exact all-pairs") {
     // every reported pair must appear in the exact brute-force pair set
     // with the same cosine (IVF may MISS pairs, never invent them)
