@@ -304,20 +304,25 @@ object UserBehaviorAnalytics {
     * (cohort, day-offset) the distinct users still active, plus the
     * retention rate against the cohort's size.
     *
-    * Scale shape: (user, day) dedup and the per-user cohort min are
-    * both user-keyed — ONE shuffle on user_id serves the dedup, the
-    * min, and the join back (co-partitioned); the (cohort, offset)
-    * matrix aggregate then moves only the deduped activity rows, and
-    * the cohort-size join is a broadcast of O(days) rows.
+    * Scale shape: ONE user-keyed exchange total for the event data —
+    * `collect_set(day)` per user dedupes map-side and carries a
+    * bounded payload (≤ the date range), and cohort day + offsets are
+    * then per-row arithmetic on the set (array_min + explode), so the
+    * naive plan's three data-sized shuffles ((user,day) distinct,
+    * per-user min, activity⋈cohort join) collapse into one. The
+    * (cohort, offset) matrix is aggregated once, checkpointed, and the
+    * cohort-size join is a broadcast of O(days) rows against it — the
+    * plan pin in PlanSpec counts exactly two pre-sort exchanges.
     */
   def userRetention(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val act = Tables.events(spark, sfDir)
-      .select($"user_id", to_date($"ts").as("day")).distinct()
-    val cohorts = act.groupBy($"user_id").agg(min($"day").as("cohort_day"))
-    val matrix = act.join(cohorts, "user_id")
+    val matrix = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("day"))
+      .groupBy($"user_id").agg(collect_set($"day").as("days"))
+      .select(array_min($"days").as("cohort_day"), explode($"days").as("day"))
       .groupBy($"cohort_day", datediff($"day", $"cohort_day").as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
+      .localCheckpoint()
     val sizes = matrix.where($"day_offset" === 0)
       .select($"cohort_day".as("c2"), $"n_users".as("cohort_size"))
     matrix.join(broadcast(sizes), $"cohort_day" === $"c2")

@@ -130,6 +130,15 @@ class PlanSpec extends AnyFunSuite {
       "top-N degraded to a global sort")
   }
 
+  test("user_retention: one user exchange + one matrix exchange before the sort") {
+    val plan = planString(UserBehaviorAnalytics.userRetention(spark, sf))
+    // the matrix subtree is checkpointed, so the executed plan above it
+    // holds: broadcast sizes join + range sort only — no recompute
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      "sizes join or matrix recompute added a hash exchange above the checkpoint")
+    assert(plan.contains("BroadcastHashJoin"), "cohort-size join not broadcast")
+  }
+
   test("doc_chunks: narrow fan-out — no shuffle except the presentation sort") {
     val plan = planString(graft.textops.Packing.docChunks(spark, sf))
     // one range exchange for the ORDER BY; the chunk derivation itself
