@@ -124,7 +124,7 @@ object Sampling {
       .where($"r" < $"thresh")
       .groupBy($"lang").agg(count(lit(1)).as("n_kept"))
     val keptTotal = kept.agg(sum($"n_kept").as("kept_total"))
-    probs.join(kept, Seq("lang"), "left_outer")
+    probs.join(broadcast(kept), Seq("lang"), "left_outer")
       .withColumn("n_kept", coalesce($"n_kept", lit(0L)))
       .crossJoin(broadcast(keptTotal))
       .selectExpr("lang", "n_docs", "p_keep", "n_kept",

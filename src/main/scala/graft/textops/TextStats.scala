@@ -432,14 +432,25 @@ object TextStats {
     val vocab = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"token".asc).limit(v)
       .select($"token", lit(1L).as("in_vocab"))
-    toks.join(broadcast(vocab), Seq("token"), "left_outer")
-      .groupBy($"doc_id")
+    oovRateFrom(Tables.documents(spark, sfDir), vocab).orderBy($"doc_id")
+  }
+
+  /** Stream-safe core of [[oovRate]] against a PREcomputed vocabulary
+    * — the ingest-time form: the vocab is a static table broadcast
+    * into the document stream (stream-static join, no state), and the
+    * per-doc aggregate is append-able per micro-batch in complete /
+    * update mode. Batch [[oovRate]] derives the vocab and delegates
+    * here, so the two forms share the scoring path verbatim.
+    */
+  def oovRateFrom(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", s"explode($tokensSpark) as token")
+      .join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .selectExpr("doc_id", "n_tokens", "n_oov",
         "cast(n_oov as double) / n_tokens as oov_rate")
-      .orderBy($"doc_id")
-  }
 
   def oovRateOracle(v: Int = 20): String =
     s"""WITH toks AS (

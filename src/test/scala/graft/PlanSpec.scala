@@ -130,6 +130,19 @@ class PlanSpec extends AnyFunSuite {
       "top-N degraded to a global sort")
   }
 
+  test("oov_rate: vocabulary probe is broadcast — token stream never sort-merges") {
+    val plan = planString(graft.textops.TextStats.oovRate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "vocab probe not broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "token-vocab join degraded to sort-merge")
+  }
+
+  test("lang_rebalance: document rows see broadcast gates only, never a doc shuffle") {
+    val plan = planString(graft.textops.Sampling.langRebalance(spark, sf))
+    assert(!plan.contains("SortMergeJoin"),
+      "a per-lang table join degraded to sort-merge on document rows")
+  }
+
   test("user_retention: one user exchange + one matrix exchange before the sort") {
     val plan = planString(UserBehaviorAnalytics.userRetention(spark, sf))
     // the matrix subtree is checkpointed, so the executed plan above it

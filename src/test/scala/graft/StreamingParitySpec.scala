@@ -541,6 +541,33 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("oovRateFrom on a stream vs static vocab (complete mode) == batch oov_rate") {
+    implicit val ctx = spark.sqlContext
+    import graft.textops.TextStats
+    // the batch query's own vocabulary, as the static broadcast side
+    val toks = Tables.documents(spark, sf)
+      .selectExpr("doc_id", s"explode(${graft.textops.TextHash.tokensSpark}) as token")
+    val vocab = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token".asc).limit(20)
+      .select($"token", lit(1L).as("in_vocab"))
+      .cache()
+    val ms = MemoryStream[(Long, String)]
+    val q = TextStats.oovRateFrom(ms.toDF().toDF("doc_id", "text"), vocab)
+      .writeStream.format("memory").queryName("oov_stream")
+      .outputMode("complete").start()
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      docs.grouped(math.max(docs.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = spark.table("oov_stream")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val want = TextStats.oovRate(spark, sf)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(want.nonEmpty && got == want)
+    } finally { q.stop(); vocab.unpersist() }
+  }
+
   test("Monitoring listener: per-batch progress rows match the fed stream") {
     implicit val ctx = spark.sqlContext
     val mon = graft.streaming.Monitoring.attach(spark)
