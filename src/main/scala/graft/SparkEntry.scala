@@ -84,6 +84,7 @@ object SparkEntry {
     "vocab_topv"        -> ((s, d) => TextStats.vocabTopV(s, d)),
     "oov_rate"          -> ((s, d) => TextStats.oovRate(s, d)),
     "quality_gopher"    -> ((s, d) => TextStats.qualityGopher(s, d)),
+    "source_datacard"   -> ((s, d) => TextStats.sourceDatacard(s, d)),
     "ngram_next"        -> ((s, d) => TextStats.ngramNext(s, d)),
     "value_histogram"   -> ((s, d) => RelationalAnalytics.valueHistogram(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.multimodalDecode(s, d)),
@@ -389,6 +390,7 @@ object SparkEntry {
     "vocab_topv"          -> TextStats.vocabTopVOracle(),
     "oov_rate"            -> TextStats.oovRateOracle(),
     "quality_gopher"      -> TextStats.qualityGopherOracle(),
+    "source_datacard"     -> TextStats.sourceDatacardOracle,
     "ngram_next"          -> TextStats.ngramNextOracle(),
     "value_histogram"     -> RelationalAnalytics.valueHistogramOracle,
     "multimodal_decode"   -> Multimodal.multimodalDecodeOracle,

@@ -532,6 +532,68 @@ object TextStats {
        |FROM qual q LEFT JOIN rep r ON q.doc_id = r.doc_id
        |ORDER BY q.doc_id""".stripMargin
 
+  /** Per-source data card — the curation report a corpus ships with:
+    * document/token volume, mean quality, and the share passing the
+    * Gopher gate, per provenance source. Float means use the
+    * micro-unit trick (floor(q·10⁹) BIGINT sums — partition-order
+    * independent AND engine-exact; a plain avg(double) is neither).
+    * Scale shape: rides the same narrow feature passes as
+    * [[qualityGopher]]; the per-source aggregate partial-aggregates to
+    * O(sources) rows per task.
+    */
+  def sourceDatacard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gate = qualityGopher(spark, sfDir).select($"doc_id", $"passes")
+    val src = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    val feats = textStatsFrom(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"n_tokens", $"quality")
+    src.join(feats, "doc_id").join(gate, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        sum(expr("cast(floor(quality * 1000000000) as bigint)")).as("qsum"),
+        sum(when($"passes", 1L).otherwise(0L)).as("n_pass"))
+      .selectExpr("source", "n_docs", "total_tokens",
+        "cast(qsum as double) / n_docs / 1000000000.0 as mean_quality",
+        "n_pass", "cast(n_pass as double) / n_docs as pass_rate")
+      .orderBy($"source")
+  }
+
+  def sourceDatacardOracle: String =
+    s"""WITH $textStatsCtes, th AS (
+       |  SELECT doc_id, list_transform(tokens, tk -> ${phDuck("tk", "h")}) AS tharr
+       |  FROM tsbase WHERE len(tokens) >= 3
+       |), shx AS (
+       |  SELECT doc_id, list_transform(range(0, len(tharr) - 2), sj ->
+       |    ((tharr[sj + 1] * $ShingleMult + tharr[sj + 2]) % $P
+       |     * $ShingleMult + tharr[sj + 3]) % $P) AS sh FROM th
+       |), excnt AS (
+       |  SELECT doc_id, h, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(sh) AS h FROM shx) GROUP BY 1, 2
+       |), rep AS (
+       |  SELECT doc_id,
+       |         CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS rep_ratio
+       |  FROM excnt GROUP BY 1
+       |), gate AS (
+       |  SELECT q.doc_id,
+       |         (q.n_tokens >= 30 AND q.n_tokens <= 10000)
+       |           AND (q.avg_tok_len >= 3.0 AND q.avg_tok_len <= 10.0)
+       |           AND q.stop_cnt >= 2
+       |           AND COALESCE(r.rep_ratio, 0.0) <= 0.1 AS passes
+       |  FROM qual q LEFT JOIN rep r ON q.doc_id = r.doc_id
+       |)
+       |SELECT d.source, count(*) AS n_docs,
+       |       CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(CAST(sum(CAST(floor(q.quality * 1000000000) AS BIGINT))
+       |            AS DOUBLE) / count(*) / 1000000000.0 AS DOUBLE) AS mean_quality,
+       |       CAST(sum(CASE WHEN g.passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |       CAST(CAST(sum(CASE WHEN g.passes THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS DOUBLE) / count(*) AS pass_rate
+       |FROM documents d
+       |JOIN qual q ON d.doc_id = q.doc_id
+       |JOIN gate g ON d.doc_id = g.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** DuckDB replay of the same shingle chain (identical arithmetic to
     * the MinHash tier's) + unnest/count. */
   lazy val docRepetitionOracle: String =
