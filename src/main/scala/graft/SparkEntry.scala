@@ -85,6 +85,7 @@ object SparkEntry {
     "oov_rate"          -> ((s, d) => TextStats.oovRate(s, d)),
     "quality_gopher"    -> ((s, d) => TextStats.qualityGopher(s, d)),
     "source_datacard"   -> ((s, d) => TextStats.sourceDatacard(s, d)),
+    "bm25_rank"         -> ((s, d) => TextStats.bm25Rank(s, d)),
     "ngram_next"        -> ((s, d) => TextStats.ngramNext(s, d)),
     "value_histogram"   -> ((s, d) => RelationalAnalytics.valueHistogram(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.multimodalDecode(s, d)),
@@ -391,6 +392,7 @@ object SparkEntry {
     "oov_rate"            -> TextStats.oovRateOracle(),
     "quality_gopher"      -> TextStats.qualityGopherOracle(),
     "source_datacard"     -> TextStats.sourceDatacardOracle,
+    "bm25_rank"           -> TextStats.bm25RankOracle(),
     "ngram_next"          -> TextStats.ngramNextOracle(),
     "value_histogram"     -> RelationalAnalytics.valueHistogramOracle,
     "multimodal_decode"   -> Multimodal.multimodalDecodeOracle,

@@ -532,6 +532,91 @@ object TextStats {
        |FROM qual q LEFT JOIN rep r ON q.doc_id = r.doc_id
        |ORDER BY q.doc_id""".stripMargin
 
+  /** BM25 document ranking for a fixed query — the retrieval-eval op a
+    * corpus index ships with (doc_top_terms builds the TF-IDF surface;
+    * this scores and ranks against an actual query). Deviations from
+    * textbook BM25, both for engine-exactness:
+    *  - rational idf (N−df+½)/(df+½) instead of its log — ln is not
+    *    bit-portable across engines; the ranking is order-equivalent
+    *    per term (log is monotone) and hash-reproducible.
+    *  - per-term scores quantized to floor(score·10⁶) BIGINT before
+    *    the per-doc sum — a double sum across query terms would be
+    *    partition-order dependent.
+    *
+    * Scale shape: the explode is filtered to the query's tokens at the
+    * scan (pushed predicate), the 3-row df/N/avgdl dictionaries
+    * broadcast, and the top-k cut is TakeOrderedAndProject.
+    */
+  def bm25Rank(spark: SparkSession, sfDir: String,
+               query: Seq[String] = Seq("table", "spark", "join"),
+               k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val qList = inList("token", query)
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", s"$tokensSpark as tokens")
+      .selectExpr("doc_id", "tokens", "cast(size(tokens) as bigint) as dl")
+    val corpus = docs.agg(count(lit(1)).as("n_corpus"), sum($"dl").as("len_sum"))
+    val hits = docs
+      .selectExpr("doc_id", "dl", "explode(tokens) as token")
+      .where(expr(qList))
+      .groupBy($"doc_id", $"dl", $"token").agg(count(lit(1)).as("tf"))
+    val dfreq = hits.groupBy($"token").agg(count(lit(1)).as("df"))
+    hits.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", expr("cast(len_sum as double) / n_corpus"))
+      .withColumn("idfr", expr(
+        "(cast(n_corpus as double) - cast(df as double) + cast(0.5 as double)) / (cast(df as double) + cast(0.5 as double))"))
+      .withColumn("tfpart", expr(
+        "cast(tf as double) * cast(2.2 as double) / (cast(tf as double) + cast(1.2 as double) * (cast(0.25 as double) + cast(0.75 as double) * cast(dl as double) / avgdl))"))
+      .withColumn("term_micro", expr("cast(floor(idfr * tfpart * 1000000) as bigint)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum($"term_micro").as("score_micro"))
+      .selectExpr("doc_id", "n_terms",
+        "cast(score_micro as double) / 1000000.0 as score")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"score".desc, $"doc_id".asc)).cast("int"))
+      .select($"rank", $"doc_id", $"n_terms", $"score")
+  }
+
+  def bm25RankOracle(query: Seq[String] = Seq("table", "spark", "join"),
+                     k: Int = 20): String = {
+    val qList = inList("token", query)
+    s"""WITH docs AS (
+       |  SELECT doc_id, $tokensDuck AS tokens FROM documents
+       |), sized AS (
+       |  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl, tokens FROM docs
+       |), corpus AS (
+       |  SELECT count(*) AS n_corpus, CAST(sum(dl) AS BIGINT) AS len_sum FROM sized
+       |), hits AS (
+       |  SELECT doc_id, dl, token, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(tokens) AS token FROM sized)
+       |  WHERE $qList GROUP BY 1, 2, 3
+       |), dfreq AS (
+       |  SELECT token, count(*) AS df FROM hits GROUP BY 1
+       |), terms AS (
+       |  SELECT h.doc_id,
+       |         CAST(floor(
+       |           ((CAST(n_corpus AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |           * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE) / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(len_sum AS DOUBLE) / n_corpus))))
+       |           * 1000000) AS BIGINT) AS term_micro
+       |  FROM hits h JOIN dfreq USING (token) CROSS JOIN corpus
+       |), scored AS (
+       |  SELECT doc_id, count(*) AS n_terms,
+       |         CAST(CAST(sum(term_micro) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+       |  FROM terms GROUP BY 1
+       |), cut AS (
+       |  SELECT doc_id, n_terms, score FROM scored
+       |  ORDER BY score DESC, doc_id ASC LIMIT $k
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+       |         AS rank,
+       |       doc_id, n_terms, score
+       |FROM cut ORDER BY rank""".stripMargin
+  }
+
   /** Per-source data card — the curation report a corpus ships with:
     * document/token volume, mean quality, and the share passing the
     * Gopher gate, per provenance source. Float means use the

@@ -422,6 +422,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(df.where($"p50" > $"p90" || $"p90" > $"p99").isEmpty)
   }
 
+  test("bm25_rank: dense ranks, non-increasing scores, matched terms bounded by query size") {
+    val r = TextStats.bm25Rank(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.map(_.getInt(0)).toSeq == (1 to r.length))
+    val scores = r.map(_.getDouble(3)).toSeq
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores not non-increasing down the ranking")
+    assert(r.forall(_.getLong(2) <= 3), "more matched terms than query tokens")
+  }
+
   test("oov_rate: bounded, and a vocabulary covering every token gives rate 0") {
     val r = TextStats.oovRate(spark, sf)
     assert(r.where($"oov_rate" < 0 || $"oov_rate" > 1 || $"n_oov" > $"n_tokens").isEmpty)
