@@ -96,6 +96,7 @@ object SparkEntry {
     "corpus_prep"       -> ((s, d) => Sampling.corpusPrep(s, d)),
     "seq_pack"          -> ((s, d) => Packing.seqPack(s, d)),
     "doc_chunks"        -> ((s, d) => Packing.docChunks(s, d)),
+    "chunk_dedup"       -> ((s, d) => Packing.chunkDedup(s, d)),
     "shipping_priority" -> ((s, d) => RelationalAnalytics.shippingPriority(s, d)),
     "events_compact"    -> ((s, d) => RelationalAnalytics.eventsCompact(s, d)),
     "table_profile"     -> ((s, d) => RelationalAnalytics.tableProfile(s, d)),
@@ -403,6 +404,7 @@ object SparkEntry {
     "corpus_prep"         -> Sampling.corpusPrepOracle,
     "seq_pack"            -> Packing.seqPackOracle(),
     "doc_chunks"          -> Packing.docChunksOracle(),
+    "chunk_dedup"         -> Packing.chunkDedupOracle(),
     "shipping_priority"   -> RelationalAnalytics.shippingPriorityOracle(),
     "events_compact"      -> RelationalAnalytics.eventsCompactOracle,
     "table_profile"       -> RelationalAnalytics.tableProfileOracle,

@@ -158,6 +158,72 @@ object Packing {
         s"array_join(slice(toks, cast(strt + 1 as int), $chunk), ' ') as chunk_text")
   }
 
+  /** Cross-document duplicate chunks — the RAG-index hygiene pass:
+    * after [[docChunks]], identical chunks from near-dup or templated
+    * documents would enter the retrieval index multiple times; this
+    * reports each duplicated chunk group with its copy/document counts
+    * and the lexicographic-min (doc, idx) keeper. Grouping key is
+    * (content hash, token count) — the composite keeps a bare 10⁹-range
+    * hash collision from silently merging distinct chunks, same
+    * defense as the streaming dedup's (hash, length) state key.
+    *
+    * Scale shape: one narrow chunk pass (docChunksFrom), then a single
+    * hash-keyed aggregate with map-side partials; output is only the
+    * duplicated groups.
+    */
+  def chunkDedup(spark: SparkSession, sfDir: String, chunk: Int = 64,
+                 overlap: Int = 16): DataFrame =
+    docChunksFrom(Tables.documents(spark, sfDir), chunk, overlap)
+      .selectExpr("doc_id", "chunk_idx", "n_chunk_tokens",
+        "poly_hash(chunk_text) as h")
+      .groupBy(col("h"), col("n_chunk_tokens"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("keep"))
+      .where(col("n_copies") > 1)
+      .selectExpr("h", "n_chunk_tokens", "n_copies", "n_docs",
+        "keep.doc_id as keep_doc", "keep.chunk_idx as keep_idx")
+      .orderBy(col("h"), col("n_chunk_tokens"))
+
+  def chunkDedupOracle(chunk: Int = 64, overlap: Int = 16): String = {
+    val stride = chunk - overlap
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensDuck AS toks FROM documents
+       |), sized AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+       |  FROM toks WHERE len(toks) > 0
+       |), starts AS (
+       |  SELECT doc_id, toks, n,
+       |         unnest(generate_series(CAST(0 AS BIGINT),
+       |                greatest(n - $overlap - 1, 0), $stride)) AS strt
+       |  FROM sized
+       |), chunks AS (
+       |  SELECT doc_id, CAST(strt // $stride AS INT) AS chunk_idx,
+       |         least(n - strt, $chunk) AS n_chunk_tokens,
+       |         array_to_string(toks[CAST(strt + 1 AS INT) :
+       |                              CAST(strt + $chunk AS INT)], ' ')
+       |           AS chunk_text
+       |  FROM starts
+       |), hashed AS (
+       |  SELECT doc_id, chunk_idx, n_chunk_tokens,
+       |         ${TextHash.phDuck("chunk_text", "cd")} AS h
+       |  FROM chunks
+       |), grp AS (
+       |  SELECT h, n_chunk_tokens, count(*) AS n_copies,
+       |         count(DISTINCT doc_id) AS n_docs
+       |  FROM hashed GROUP BY 1, 2 HAVING count(*) > 1
+       |), keepers AS (
+       |  SELECT h, n_chunk_tokens, doc_id AS keep_doc, chunk_idx AS keep_idx
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY h, n_chunk_tokens
+       |                  ORDER BY doc_id, chunk_idx) AS rn FROM hashed)
+       |  WHERE rn = 1
+       |)
+       |SELECT g.h, g.n_chunk_tokens, g.n_copies, g.n_docs,
+       |       k.keep_doc, k.keep_idx
+       |FROM grp g JOIN keepers k USING (h, n_chunk_tokens)
+       |ORDER BY g.h, g.n_chunk_tokens""".stripMargin
+  }
+
   /** DuckDB replay of [[docChunks]]: same start grid
     * (generate_series step = stride, capped at n − overlap − 1) and
     * 1-based clamped list slice, so chunk text matches byte-for-byte.
