@@ -543,9 +543,13 @@ object TextStats {
     *    the per-doc sum — a double sum across query terms would be
     *    partition-order dependent.
     *
-    * Scale shape: the explode is filtered to the query's tokens at the
-    * scan (pushed predicate), the 3-row df/N/avgdl dictionaries
-    * broadcast, and the top-k cut is TakeOrderedAndProject.
+    * Scale shape: the token filter applies directly above the explode
+    * (no shuffle sees non-query tokens), the (doc, token) tf aggregate
+    * is materialized ONCE (localCheckpoint — both the scoring rows and
+    * the df dictionary read it; without the checkpoint Catalyst
+    * recomputes the whole explode+aggregate subtree per consumer), the
+    * 3-row df/N/avgdl dictionaries broadcast, and the top-k cut is
+    * TakeOrderedAndProject.
     */
   def bm25Rank(spark: SparkSession, sfDir: String,
                query: Seq[String] = Seq("table", "spark", "join"),
@@ -560,6 +564,7 @@ object TextStats {
       .selectExpr("doc_id", "dl", "explode(tokens) as token")
       .where(expr(qList))
       .groupBy($"doc_id", $"dl", $"token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = hits.groupBy($"token").agg(count(lit(1)).as("df"))
     hits.join(broadcast(dfreq), "token")
       .crossJoin(broadcast(corpus))

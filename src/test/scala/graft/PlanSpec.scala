@@ -130,6 +130,16 @@ class PlanSpec extends AnyFunSuite {
       "top-N degraded to a global sort")
   }
 
+  test("bm25_rank: tf subtree checkpointed once; top-k is TakeOrdered") {
+    val plan = planString(graft.textops.TextStats.bm25Rank(spark, sf))
+    // hits is localCheckpoint'd: the executed plan must not re-run the
+    // explode for the df dictionary branch
+    assert(!plan.contains("Generate"),
+      "explode recomputed above the checkpoint — tf subtree not shared")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k degraded to a global sort")
+  }
+
   test("oov_rate: vocabulary probe is broadcast — token stream never sort-merges") {
     val plan = planString(graft.textops.TextStats.oovRate(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), "vocab probe not broadcast")
