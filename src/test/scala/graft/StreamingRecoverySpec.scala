@@ -246,4 +246,41 @@ class StreamingRecoverySpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().toSet
     assert(got == Set(1L, 2L, 4L), s"expected twin 3 dropped, got $got")
   }
+
+  test("complete-mode agg (oovRateFrom) restarts from checkpoint: pre-restart docs still scored") {
+    val root = java.nio.file.Files.createTempDirectory("graftoovr").toString
+    val inDir = s"$root/in"; val ck = s"$root/ck"
+    new java.io.File(inDir).mkdirs()
+    def shard(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/$name"),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s","n_chars":${text.length}}"""
+    val vocab = Seq("alpha", "beta").toDF("token")
+      .withColumn("in_vocab", lit(1L)).cache()
+    def start(table: String) = graft.textops.TextStats.oovRateFrom(
+        sources.JsonlSources.documentsStream(spark, s"$inDir/*.jsonl"), vocab)
+      .writeStream.format("memory").queryName(table)
+      .option("checkpointLocation", ck)
+      .outputMode("complete").start()
+
+    // phase 1: two docs, hard stop
+    shard("a.jsonl", Seq(doc(1, "alpha beta gamma"), doc(2, "beta beta")))
+    val q1 = start("oov_recov1")
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart from the checkpoint; one more doc arrives. The
+    // complete-mode output must still carry docs 1-2 — only restored
+    // aggregation state can produce them (their file is already
+    // committed and never replayed)
+    shard("b.jsonl", Seq(doc(3, "delta delta alpha")))
+    val q2 = start("oov_recov2")
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("oov_recov2")
+        .select($"doc_id", $"n_tokens", $"n_oov")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 3L, 1L), (2L, 2L, 0L), (3L, 3L, 2L)),
+        s"state not restored: $got")
+    } finally { q2.stop(); vocab.unpersist() }
+  }
 }
