@@ -499,6 +499,44 @@ object TextStats {
       .orderBy($"doc_id")
   }
 
+  /** Stream-safe form of [[qualityGopher]]: the repetition share is
+    * computed NARROWLY per row — `rep_ratio = max multiplicity in the
+    * row's own shingle array / array size` — instead of the batch
+    * form's explode + two-level groupBy, so the whole gate applies
+    * unchanged to a readStream source (the full-Gopher ingest gate;
+    * corpusPrepStream's quality floor is the single-score version).
+    * O(distinct·n) lambda work per document — bounded by the document,
+    * irrelevant at ingest rates; the BATCH query keeps the distributed
+    * explode-count shape, and a parity spec pins the two equal.
+    */
+  def qualityGopherFrom(docs: DataFrame,
+                        minTokens: Int = 30, maxTokens: Int = 10000,
+                        minTokLen: Double = 3.0, maxTokLen: Double = 10.0,
+                        minStop: Int = 2, maxRep: Double = 0.1): DataFrame =
+    docs
+      // same feature arithmetic as textStatsFrom (the parity spec pins
+      // this equal to the batch gate, so any drift fails loudly), in
+      // one chain so the shingle array rides along — a join of two
+      // stream derivations would be a stream-stream self join
+      .selectExpr("doc_id", s"$tokensSpark as tokens",
+        "shingle_hashes(text) as sh")
+      .selectExpr("doc_id", "sh", "size(tokens) as n_tokens",
+        s"size(filter(tokens, sw -> ${inList("sw", Stopwords)})) as stop_cnt",
+        "aggregate(transform(tokens, tl -> cast(length(tl) as bigint)), cast(0 as bigint), (la, lb) -> la + lb) as tok_chars")
+      .selectExpr("doc_id", "n_tokens", "stop_cnt",
+        "cast(tok_chars as double) / n_tokens as avg_tok_len",
+        """case when size(sh) < 1 then cast(0.0 as double)
+          |else cast(array_max(transform(array_distinct(sh),
+          |       dh -> size(filter(sh, xh -> xh = dh)))) as double) / size(sh)
+          |end as rep_ratio""".stripMargin)
+      .selectExpr("doc_id", "n_tokens", "avg_tok_len", "stop_cnt", "rep_ratio",
+        s"n_tokens >= $minTokens and n_tokens <= $maxTokens as r_len",
+        s"avg_tok_len >= $minTokLen and avg_tok_len <= $maxTokLen as r_tok_len",
+        s"stop_cnt >= $minStop as r_stop",
+        s"rep_ratio <= $maxRep as r_rep")
+      .withColumn("passes",
+        col("r_len") && col("r_tok_len") && col("r_stop") && col("r_rep"))
+
   /** Composes the textStats CTE chain with the repetition chain — the
     * whole gate is hash-checked, not just its inputs. */
   def qualityGopherOracle(minTokens: Int = 30, maxTokens: Int = 10000,

@@ -568,6 +568,29 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally { q.stop(); vocab.unpersist() }
   }
 
+  test("qualityGopherFrom on a stream == batch quality_gopher (narrow rep_ratio form)") {
+    implicit val ctx = spark.sqlContext
+    import graft.textops.TextStats
+    val ms = MemoryStream[(Long, String)]
+    val q = TextStats.qualityGopherFrom(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      docs.grouped(math.max(docs.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = spark.table("gopher_stream")
+        .as[(Long, Long, Double, Long, Double, Boolean, Boolean, Boolean, Boolean, Boolean)]
+        .collect().toSet
+      val want = TextStats.qualityGopher(spark, sf)
+        .as[(Long, Long, Double, Long, Double, Boolean, Boolean, Boolean, Boolean, Boolean)]
+        .collect().toSet
+      assert(want.nonEmpty && got == want,
+        "narrow per-row rep_ratio diverged from the distributed explode-count form")
+    } finally q.stop()
+  }
+
   test("Monitoring listener: per-batch progress rows match the fed stream") {
     implicit val ctx = spark.sqlContext
     val mon = graft.streaming.Monitoring.attach(spark)
