@@ -54,7 +54,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // lossless artifact: the driver scrapes the log tail, which has
+    // truncated the (multi-KB, 80-query) JSON line before — persist the
+    // full record to a file too, so the bench result never depends on
+    // how much of the log survives
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

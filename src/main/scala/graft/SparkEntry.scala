@@ -74,6 +74,7 @@ object SparkEntry {
     "similarity_lsh"    -> ((s, d) => Similarity.similarityLsh(s, d)),
     "similarity_sq8"    -> ((s, d) => Similarity.similaritySq8(s, d)),
     "similarity_recall" -> ((s, d) => Similarity.similarityRecall(s, d)),
+    "similarity_recall_lsh" -> ((s, d) => Similarity.similarityRecallLsh(s, d)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     "text_stats"        -> ((s, d) => TextStats.textStats(s, d)),
     "lang_id"           -> ((s, d) => TextStats.langId(s, d)),
@@ -376,12 +377,13 @@ object SparkEntry {
     "dedup_substring"     -> Dedup.dedupSubstringOracle(),
     "dedup_clusters"      -> Dedup.dedupClustersOracle,
     "dedup_clusters_multi" -> Dedup.dedupClustersMultiOracle,
-    "similarity_topk"     -> Similarity.similarityTopKOracle,
+    "similarity_topk"     -> Similarity.similarityTopKOracle(),
     "dedup_embedding"     -> Similarity.dedupEmbeddingOracle,
     "similarity_ivf"      -> Similarity.similarityIvfOracle,
     "similarity_lsh"      -> Similarity.similarityLshOracle,
     "similarity_sq8"      -> Similarity.similaritySq8Oracle,
     "similarity_recall"   -> Similarity.similarityRecallOracle(),
+    "similarity_recall_lsh" -> Similarity.similarityRecallLshOracle(),
     "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
     "text_stats"          -> TextStats.textStatsOracle,
     "lang_id"             -> TextStats.langIdOracle,

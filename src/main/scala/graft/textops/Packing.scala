@@ -145,6 +145,11 @@ object Packing {
     */
   def docChunksFrom(docs: DataFrame, chunk: Int = 64,
                     overlap: Int = 16): DataFrame = {
+    // chunk == overlap would divide by zero (stride 0); chunk < overlap
+    // would step the start grid backwards — both produce malformed
+    // output deep in the plan instead of a readable precondition error
+    require(overlap >= 0 && chunk > overlap,
+      s"docChunks requires 0 <= overlap < chunk (got chunk=$chunk, overlap=$overlap)")
     val stride = chunk - overlap
     docs
       .selectExpr("doc_id", s"$tokensSpark as toks")
@@ -186,6 +191,8 @@ object Packing {
       .orderBy(col("h"), col("n_chunk_tokens"))
 
   def chunkDedupOracle(chunk: Int = 64, overlap: Int = 16): String = {
+    require(overlap >= 0 && chunk > overlap,
+      s"chunkDedup requires 0 <= overlap < chunk (got chunk=$chunk, overlap=$overlap)")
     val stride = chunk - overlap
     s"""WITH toks AS (
        |  SELECT doc_id, $tokensDuck AS toks FROM documents
@@ -229,6 +236,8 @@ object Packing {
     * 1-based clamped list slice, so chunk text matches byte-for-byte.
     */
   def docChunksOracle(chunk: Int = 64, overlap: Int = 16): String = {
+    require(overlap >= 0 && chunk > overlap,
+      s"docChunks requires 0 <= overlap < chunk (got chunk=$chunk, overlap=$overlap)")
     val stride = chunk - overlap
     s"""WITH toks AS (
        |  SELECT doc_id, $tokensDuck AS toks FROM documents

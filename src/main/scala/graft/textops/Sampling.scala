@@ -129,7 +129,10 @@ object Sampling {
       .crossJoin(broadcast(keptTotal))
       .selectExpr("lang", "n_docs", "p_keep", "n_kept",
         "cast(n_docs as double) / n_total as share_before",
-        "cast(n_kept as double) / kept_total as share_after")
+        // degenerate corpus where every thresh floors to 0 keeps nothing:
+        // kept_total is then NULL (sum over empty) — report 0.0 instead
+        // of a null/NaN whose engine representation could diverge
+        "case when coalesce(kept_total, 0) = 0 then cast(0.0 as double) else cast(n_kept as double) / kept_total end as share_after")
       .orderBy($"lang")
   }
 
@@ -164,7 +167,9 @@ object Sampling {
        |SELECT g.lang, g.n_docs, g.p_keep,
        |       COALESCE(k.n_kept, 0) AS n_kept,
        |       CAST(g.n_docs AS DOUBLE) / g.n_total AS share_before,
-       |       CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / kt.kept_total AS share_after
+       |       CASE WHEN COALESCE(kt.kept_total, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+       |            ELSE CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / kt.kept_total
+       |       END AS share_after
        |FROM gated g LEFT JOIN kept k ON g.lang = k.lang CROSS JOIN kt
        |ORDER BY g.lang""".stripMargin
 

@@ -42,11 +42,21 @@ object Similarity {
       .selectExpr("vec_id", "cast(embedding as array<double>) as v")
       .selectExpr("vec_id", "v", s"sqrt(${dotSpark("v", "v", "n")}) as nrm")
 
-  /** Brute-force cosine top-k per query vector. */
-  def similarityTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+  /** Brute-force cosine top-k, on a deterministic 1-in-`sampleMod`
+    * query sample. The exact all-pairs scan only ever runs as a QA
+    * baseline (the serving paths are the IVF/LSH/SQ8 tiers), and a QA
+    * baseline doesn't need every query: sampling the query side makes
+    * the cost (n/mod)×n instead of n² while staying exactly oracled —
+    * the same shape [[similarityRecall]] already uses for its ground
+    * truth. `sampleMod = 1` recovers the full n² form when a caller
+    * really wants it.
+    */
+  def similarityTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+                     sampleMod: Int = 10): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, sfDir)
-    val q = e.select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val q = e.where($"vec_id" % sampleMod === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val c = e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
     q.join(c, $"query_id" =!= $"neighbor_id")
       .withColumn("cosine", expr(s"${dotSpark("qv", "cv", "d")} / (qn * cn)"))
@@ -57,7 +67,7 @@ object Similarity {
       .orderBy($"query_id", $"rnk")
   }
 
-  val similarityTopKOracle: String =
+  def similarityTopKOracle(k: Int = 10, sampleMod: Int = 10): String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
@@ -66,6 +76,7 @@ object Similarity {
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |         ${dotDuck("a.v", "b.v", "d")} / (a.nrm * b.nrm) AS cosine
        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % $sampleMod = 0
        |), r AS (
        |  SELECT query_id, neighbor_id, cosine,
        |         row_number() OVER (PARTITION BY query_id
@@ -73,7 +84,7 @@ object Similarity {
        |  FROM p
        |)
        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
-       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
   /** Shared IVF stage: every vector scored against the C fixed
     * centroids (vec_id < C — deterministic, broadcastable), ranked once
@@ -320,8 +331,9 @@ object Similarity {
       }
     }
 
-  private def lshSigSpark(t: Int): String =
-    (0 until LshBits).map { i =>
+  private def lshSigSpark(t: Int, bits: Int = LshBits): String =
+    if (bits == 0) "0"  // degenerate: every vector in one bucket (test hook)
+    else (0 until bits).map { i =>
       // "D" suffix: bare 1.0 parses as DECIMAL(2,1) in Spark SQL and
       // VecDot reads doubles
       val arr = lshPlanes(t * LshBits + i).map(_.toString + "D")
@@ -426,7 +438,8 @@ object Similarity {
       .orderBy($"query_id")
   }
 
-  def similarityRecallOracle(k: Int = 5, sampleMod: Int = 10): String =
+  def similarityRecallOracle(k: Int = 5, nCentroids: Int = 16,
+                             nProbe: Int = 6, sampleMod: Int = 10): String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
@@ -441,7 +454,7 @@ object Similarity {
        |    WHERE a.vec_id % $sampleMod = 0
        |  ) WHERE rnk <= $k
        |), cent AS (
-       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < 16
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < $nCentroids
        |), rankedcells AS (
        |  SELECT vec_id, v, nrm, cent_id,
        |         row_number() OVER (PARTITION BY vec_id
@@ -452,7 +465,7 @@ object Similarity {
        |  SELECT vec_id, v, nrm, cent_id AS cell FROM rankedcells WHERE crk = 1
        |), probes AS (
        |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell
-       |  FROM rankedcells WHERE crk <= 6
+       |  FROM rankedcells WHERE crk <= $nProbe
        |), approx AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -471,13 +484,16 @@ object Similarity {
        |  ON x.query_id = ap.query_id AND x.neighbor_id = ap.neighbor_id
        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
 
-  def similarityLsh(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+  def similarityLsh(spark: SparkSession, sfDir: String, k: Int = 5,
+                    tables: Int = LshTables, bits: Int = LshBits): DataFrame = {
     import spark.implicits._
+    require(tables * bits <= LshTables * LshBits,
+      s"only ${LshTables * LshBits} deterministic hyperplanes generated")
     val e = vectors(spark, sfDir)
-    val stackExpr = (0 until LshTables)
-      .map(t => s"$t, ${lshSigSpark(t)}").mkString(", ")
+    val stackExpr = (0 until tables)
+      .map(t => s"$t, ${lshSigSpark(t, bits)}").mkString(", ")
     val buckets = e.selectExpr("vec_id", "v", "nrm",
-      s"stack($LshTables, $stackExpr) as (tbl, sig)")
+      s"stack($tables, $stackExpr) as (tbl, sig)")
     val q = buckets.select($"vec_id".as("query_id"), $"v".as("qv"),
       $"nrm".as("qn"), $"tbl", $"sig")
     val c = buckets.select($"vec_id".as("neighbor_id"), $"v".as("cv"),
@@ -521,5 +537,82 @@ object Similarity {
        |)
        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** ANN quality gate for the SRP-LSH tier — recall@k of
+    * [[similarityLsh]] against the exact brute-force top-k, on the same
+    * deterministic 1-in-`sampleMod` query sample [[similarityRecall]]
+    * uses for the IVF tier. Closes the round-6 QA gap: the LSH tier
+    * shipped ungraded, so a user tuning L×b had no quality signal.
+    * Same scale argument as the IVF gate: the exact side is quadratic
+    * only over the sample, which is how recall is measured at scale.
+    */
+  def similarityRecallLsh(spark: SparkSession, sfDir: String, k: Int = 5,
+                          sampleMod: Int = 10, tables: Int = LshTables,
+                          bits: Int = LshBits): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, sfDir)
+    val q = e.where($"vec_id" % sampleMod === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
+    val exact = q.join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", expr(s"${dotSpark("qv", "cv", "d")} / (qn * cn)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)))
+      .where($"rnk" <= k)
+      .select($"query_id", $"neighbor_id")
+    val approx = similarityLsh(spark, sfDir, k, tables, bits)
+      .where($"query_id" % sampleMod === 0)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("hits"))
+      .selectExpr("query_id", "hits",
+        s"cast(hits as double) / $k as recall")
+      .orderBy($"query_id")
+  }
+
+  def similarityRecallLshOracle(k: Int = 5, sampleMod: Int = 10): String = {
+    // oracle replays the DEFAULT L×b family only; non-default
+    // tables/bits invocations are test hooks with no oracle pairing
+    val tableSelects = (0 until LshTables).map(t =>
+      s"SELECT vec_id, v, nrm, $t AS tbl, ${lshSigDuck(t, s"t$t")} AS sig FROM n")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ${dotDuck("a.v", "b.v", "d")} / (a.nrm * b.nrm)
+       |               DESC, b.vec_id ASC) AS rnk
+       |    FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id % $sampleMod = 0
+       |  ) WHERE rnk <= $k
+       |), buckets AS (
+       |  $tableSelects
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${dotDuck("q.v", "c.v", "d")} / (q.nrm * c.nrm) AS cosine
+       |  FROM buckets q JOIN buckets c
+       |    ON q.tbl = c.tbl AND q.sig = c.sig AND q.vec_id <> c.vec_id
+       |), approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |    FROM cand
+       |  ) WHERE rnk <= $k AND query_id % $sampleMod = 0
+       |)
+       |SELECT x.query_id,
+       |       CAST(sum(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END)
+       |            AS BIGINT) AS hits,
+       |       CAST(CAST(sum(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END)
+       |            AS BIGINT) AS DOUBLE) / $k AS recall
+       |FROM exact x LEFT JOIN approx ap
+       |  ON x.query_id = ap.query_id AND x.neighbor_id = ap.neighbor_id
+       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
   }
 }

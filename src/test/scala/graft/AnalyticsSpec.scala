@@ -462,6 +462,17 @@ class AnalyticsSpec extends AnyFunSuite {
       "full-probe IVF missed an exact neighbor")
   }
 
+  test("similarity_recall_lsh: bounded, and an all-covering bucket gives recall 1.0") {
+    val r = Similarity.similarityRecallLsh(spark, sf)
+    assert(r.where($"recall" < 0 || $"recall" > 1 || $"hits" > 5).isEmpty)
+    // bits = 0 puts every vector in one bucket — LSH degenerates to
+    // exact search, so recall must be exactly 1 for every sampled query
+    // (the LSH analog of the IVF full-probe pin above)
+    val full = Similarity.similarityRecallLsh(spark, sf, tables = 1, bits = 0)
+    assert(full.where($"recall" =!= 1.0).isEmpty,
+      "zero-bit LSH (single all-covering bucket) missed an exact neighbor")
+  }
+
   test("embedding_centroids: micro-unit mean within quantization error of float avg") {
     val got = Similarity.embeddingCentroids(spark, sf)
     // naive float mean (order-dependent, test-only reference) should
