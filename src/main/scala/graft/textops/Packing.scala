@@ -53,13 +53,22 @@ object Packing {
     * bin-packing, so no token is dropped and no padding is inserted).
     */
   def seqPack(spark: SparkSession, sfDir: String, capacity: Long = 512,
-              numParts: Int = 8): DataFrame = {
+              numParts: Int = -1): DataFrame = {
     import spark.implicits._
+    // numParts < 0 → scale the prefix-sum partitioning with the corpus
+    // (~5k docs per range partition) instead of a fixed 8: the
+    // driver-side offsets array is O(numParts), so this stays tiny
+    // while keeping per-partition state bounded as the corpus grows.
+    // Output is partitioning-invariant (the two-pass prefix sum is
+    // exact for any split — pinned by PackingSpec), so the oracle
+    // doesn't care.
+    val np = if (numParts > 0) numParts
+             else math.max(8, (Tables.documents(spark, sfDir).count() / 5000L).toInt)
     val toks = Tables.documents(spark, sfDir)
       .selectExpr("doc_id", s"cast(size($tokensSpark) as bigint) as n_tokens")
       .where($"n_tokens" > 0)
     val parts = toks
-      .repartitionByRange(numParts, $"doc_id")
+      .repartitionByRange(np, $"doc_id")
       .sortWithinPartitions($"doc_id")
       .localCheckpoint()
     val ptot: Array[(Int, Long)] = parts.as[(Long, Long)].mapPartitions { it =>

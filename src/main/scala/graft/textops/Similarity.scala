@@ -42,6 +42,34 @@ object Similarity {
       .selectExpr("vec_id", "cast(embedding as array<double>) as v")
       .selectExpr("vec_id", "v", s"sqrt(${dotSpark("v", "v", "n")}) as nrm")
 
+  /** Embedding corpus size — parquet row-group metadata count, one
+    * cheap job per query invocation. */
+  private def nVecs(spark: SparkSession, sfDir: String): Long =
+    Tables.embeddings(spark, sfDir).count()
+
+  /** Scale-adaptive index parameters. Fixed constants are the classic
+    * flip-at-scale trap: C=16 cells over n vectors makes the IVF cell
+    * join Θ(n²/C) — fine at the oracle tier, quadratic at 10× (the sf1
+    * rehearsal measured exactly that). Every `-1` default below
+    * resolves from the corpus size with the standard rules: C ≈ √(n/2)
+    * cells (FAISS-style nlist ~ √n), b ≈ log₂n − 1 hyperplanes per LSH
+    * table (keeps per-bucket occupancy flat), and a fixed-size QA
+    * query panel (~50 queries) for the exact baselines.
+    *
+    * INVARIANT (pinned by AnalyticsSpec): at the correctness tier
+    * (n = 500) these resolve to EXACTLY the constants hardwired in the
+    * DuckDB oracles (C=16, b=8, mod=10), so the driver's hash gate
+    * compares the same computation it always has, while sf0.1+ gets
+    * the scaled index geometry.
+    */
+  private[graft] def autoCentroids(n: Long): Int =
+    math.max(16, math.round(math.sqrt(n / 2.0)).toInt)
+  private[graft] def autoBits(n: Long): Int =
+    math.min(MaxLshBits,
+      math.max(8, math.round(math.log(n.toDouble) / math.log(2.0)).toInt - 1))
+  private[graft] def autoSampleMod(n: Long): Int =
+    math.max(10, (n / 50L).toInt)
+
   /** Brute-force cosine top-k, on a deterministic 1-in-`sampleMod`
     * query sample. The exact all-pairs scan only ever runs as a QA
     * baseline (the serving paths are the IVF/LSH/SQ8 tiers), and a QA
@@ -52,10 +80,11 @@ object Similarity {
     * really wants it.
     */
   def similarityTopK(spark: SparkSession, sfDir: String, k: Int = 10,
-                     sampleMod: Int = 10): DataFrame = {
+                     sampleMod: Int = -1): DataFrame = {
     import spark.implicits._
+    val mod = if (sampleMod > 0) sampleMod else autoSampleMod(nVecs(spark, sfDir))
     val e = vectors(spark, sfDir)
-    val q = e.where($"vec_id" % sampleMod === 0)
+    val q = e.where($"vec_id" % mod === 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val c = e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
     q.join(c, $"query_id" =!= $"neighbor_id")
@@ -95,8 +124,10 @@ object Similarity {
   private def ivfRanked(spark: SparkSession, sfDir: String,
                         nCentroids: Int, nProbe: Int): DataFrame = {
     import spark.implicits._
+    val c = if (nCentroids > 0) nCentroids
+            else autoCentroids(nVecs(spark, sfDir))
     val e = vectors(spark, sfDir)
-    val cent = e.where($"vec_id" < nCentroids)
+    val cent = e.where($"vec_id" < c)
       .select($"vec_id".as("cent_id"), $"v".as("centv"), $"nrm".as("centn"))
     e.join(broadcast(cent), expr("true"))
       .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
@@ -121,7 +152,7 @@ object Similarity {
     * generation, so the gate stays a hash match.
     */
   def dedupEmbedding(spark: SparkSession, sfDir: String, threshold: Double = 0.4,
-                     nCentroids: Int = 16, nProbe: Int = 6): DataFrame = {
+                     nCentroids: Int = -1, nProbe: Int = 6): DataFrame = {
     import spark.implicits._
     val ranked = ivfRanked(spark, sfDir, nCentroids, nProbe)
     val assign = ranked.where($"crk" === 1)
@@ -171,7 +202,7 @@ object Similarity {
     * per query from the probed cells.
     */
   def similarityIvf(spark: SparkSession, sfDir: String, k: Int = 5,
-                    nCentroids: Int = 16, nProbe: Int = 6): DataFrame = {
+                    nCentroids: Int = -1, nProbe: Int = 6): DataFrame = {
     import spark.implicits._
     val ranked = ivfRanked(spark, sfDir, nCentroids, nProbe)
     // cell assignment = rank-1 row; probes = all nProbe rows
@@ -243,7 +274,7 @@ object Similarity {
     * survivors.
     */
   def similaritySq8(spark: SparkSession, sfDir: String, k: Int = 5,
-                    nCentroids: Int = 16, nProbe: Int = 6): DataFrame = {
+                    nCentroids: Int = -1, nProbe: Int = 6): DataFrame = {
     import spark.implicits._
     val qtab = ivfRanked(spark, sfDir, nCentroids, nProbe)
       .selectExpr("vec_id", "v", "nrm", "cell", "crk",
@@ -321,29 +352,39 @@ object Similarity {
     * engines share the exact hash family by construction.
     */
   private val LshTables = 4
-  private val LshBits = 8
+  private val LshBits = 8       // oracle-default bits per table
+  private val MaxLshBits = 16   // pool ceiling for the adaptive tier
   private val Dim = 64
   private lazy val lshPlanes: IndexedSeq[IndexedSeq[Double]] =
-    IndexedSeq.tabulate(LshTables * LshBits) { p =>
+    IndexedSeq.tabulate(LshTables * MaxLshBits) { p =>
       IndexedSeq.tabulate(Dim) { d =>
         val x = (1103515245L * (p * Dim + d + 1) + 12345L) % 2147483647L
         if (x % 2 == 0) 1.0 else -1.0
       }
     }
 
+  /** Pool index for (table, bit). The first 8 bits of every table keep
+    * their original pool positions (p = t·8 + i), so the oracle-default
+    * b=8 hash family is bit-identical to every previous round; the
+    * adaptive tier's extension bits (i ≥ 8) draw from the pool tail.
+    */
+  private def planeIdx(t: Int, i: Int): Int =
+    if (i < LshBits) t * LshBits + i
+    else LshTables * LshBits + t * LshBits + (i - LshBits)
+
   private def lshSigSpark(t: Int, bits: Int = LshBits): String =
     if (bits == 0) "0"  // degenerate: every vector in one bucket (test hook)
     else (0 until bits).map { i =>
       // "D" suffix: bare 1.0 parses as DECIMAL(2,1) in Spark SQL and
       // VecDot reads doubles
-      val arr = lshPlanes(t * LshBits + i).map(_.toString + "D")
+      val arr = lshPlanes(planeIdx(t, i)).map(_.toString + "D")
         .mkString("array(", ",", ")")
       s"(case when vec_dot(v, $arr) > 0 then ${1 << i} else 0 end)"
     }.mkString(" + ")
 
   private def lshSigDuck(t: Int, sfx: String): String =
     (0 until LshBits).map { i =>
-      val arr = lshPlanes(t * LshBits + i).map(_.toString)
+      val arr = lshPlanes(planeIdx(t, i)).map(_.toString)
         .mkString("CAST([", ",", "] AS DOUBLE[])")
       s"(CASE WHEN ${dotDuck("v", arr, s"$sfx$i")} > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
@@ -414,11 +455,12 @@ object Similarity {
     * avoid computing.
     */
   def similarityRecall(spark: SparkSession, sfDir: String, k: Int = 5,
-                       nCentroids: Int = 16, nProbe: Int = 6,
-                       sampleMod: Int = 10): DataFrame = {
+                       nCentroids: Int = -1, nProbe: Int = 6,
+                       sampleMod: Int = -1): DataFrame = {
     import spark.implicits._
+    val mod = if (sampleMod > 0) sampleMod else autoSampleMod(nVecs(spark, sfDir))
     val e = vectors(spark, sfDir)
-    val q = e.where($"vec_id" % sampleMod === 0)
+    val q = e.where($"vec_id" % mod === 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val c = e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
     val exact = q.join(c, $"query_id" =!= $"neighbor_id")
@@ -428,7 +470,7 @@ object Similarity {
       .where($"rnk" <= k)
       .select($"query_id", $"neighbor_id")
     val approx = similarityIvf(spark, sfDir, k, nCentroids, nProbe)
-      .where($"query_id" % sampleMod === 0)
+      .where($"query_id" % mod === 0)
       .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
     exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy($"query_id")
@@ -485,13 +527,14 @@ object Similarity {
        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
 
   def similarityLsh(spark: SparkSession, sfDir: String, k: Int = 5,
-                    tables: Int = LshTables, bits: Int = LshBits): DataFrame = {
+                    tables: Int = LshTables, bits: Int = -1): DataFrame = {
     import spark.implicits._
-    require(tables * bits <= LshTables * LshBits,
-      s"only ${LshTables * LshBits} deterministic hyperplanes generated")
+    val b = if (bits >= 0) bits else autoBits(nVecs(spark, sfDir))
+    require(tables <= LshTables && b <= MaxLshBits,
+      s"only $LshTables tables x $MaxLshBits deterministic hyperplanes generated")
     val e = vectors(spark, sfDir)
     val stackExpr = (0 until tables)
-      .map(t => s"$t, ${lshSigSpark(t, bits)}").mkString(", ")
+      .map(t => s"$t, ${lshSigSpark(t, b)}").mkString(", ")
     val buckets = e.selectExpr("vec_id", "v", "nrm",
       s"stack($tables, $stackExpr) as (tbl, sig)")
     val q = buckets.select($"vec_id".as("query_id"), $"v".as("qv"),
@@ -548,11 +591,12 @@ object Similarity {
     * only over the sample, which is how recall is measured at scale.
     */
   def similarityRecallLsh(spark: SparkSession, sfDir: String, k: Int = 5,
-                          sampleMod: Int = 10, tables: Int = LshTables,
-                          bits: Int = LshBits): DataFrame = {
+                          sampleMod: Int = -1, tables: Int = LshTables,
+                          bits: Int = -1): DataFrame = {
     import spark.implicits._
+    val mod = if (sampleMod > 0) sampleMod else autoSampleMod(nVecs(spark, sfDir))
     val e = vectors(spark, sfDir)
-    val q = e.where($"vec_id" % sampleMod === 0)
+    val q = e.where($"vec_id" % mod === 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val c = e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
     val exact = q.join(c, $"query_id" =!= $"neighbor_id")
@@ -562,7 +606,7 @@ object Similarity {
       .where($"rnk" <= k)
       .select($"query_id", $"neighbor_id")
     val approx = similarityLsh(spark, sfDir, k, tables, bits)
-      .where($"query_id" % sampleMod === 0)
+      .where($"query_id" % mod === 0)
       .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
     exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy($"query_id")

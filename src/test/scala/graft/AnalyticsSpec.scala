@@ -462,6 +462,23 @@ class AnalyticsSpec extends AnyFunSuite {
       "full-probe IVF missed an exact neighbor")
   }
 
+  test("auto scale params resolve to the oracle constants at the correctness tier") {
+    // n = 500 (sf0.001/sf0.01 embeddings AND documents): the adaptive
+    // defaults MUST equal the constants hardwired in the DuckDB oracle
+    // SQL, or the driver's hash gate would silently compare different
+    // computations. Larger corpora get scaled geometry.
+    assert(Similarity.autoCentroids(500) == 16)
+    assert(Similarity.autoBits(500) == 8)
+    assert(Similarity.autoSampleMod(500) == 10)
+    assert(Dedup.autoMaxDf(500) == 10)
+    assert(Dedup.autoMaxDf(5000) == 10) // sf0.1: bench tier unchanged too
+    // and the scale-up shapes at the sf1 rehearsal tier
+    assert(Similarity.autoCentroids(20000) == 100)
+    assert(Similarity.autoBits(20000) == 13)
+    assert(Similarity.autoSampleMod(20000) == 400)
+    assert(Dedup.autoMaxDf(50000) == 100)
+  }
+
   test("similarity_recall_lsh: bounded, and an all-covering bucket gives recall 1.0") {
     val r = Similarity.similarityRecallLsh(spark, sf)
     assert(r.where($"recall" < 0 || $"recall" > 1 || $"hits" > 5).isEmpty)
