@@ -374,13 +374,15 @@ object Similarity {
 
   private def lshSigSpark(t: Int, bits: Int = LshBits): String =
     if (bits == 0) "0"  // degenerate: every vector in one bucket (test hook)
-    else (0 until bits).map { i =>
-      // "D" suffix: bare 1.0 parses as DECIMAL(2,1) in Spark SQL and
-      // VecDot reads doubles
-      val arr = lshPlanes(planeIdx(t, i)).map(_.toString + "D")
-        .mkString("array(", ",", ")")
-      s"(case when vec_dot(v, $arr) > 0 then ${1 << i} else 0 end)"
-    }.mkString(" + ")
+    else {
+      // one native srp_sig over the flattened (bits × 64) plane matrix:
+      // the per-bit `case when vec_dot(...)` sum blew the generated
+      // method size at b ≥ 10 and fell out of whole-stage codegen
+      // ("D" suffix: bare 1.0 parses as DECIMAL(2,1) in Spark SQL)
+      val flat = (0 until bits).flatMap(i => lshPlanes(planeIdx(t, i)))
+        .map(_.toString + "D").mkString("array(", ",", ")")
+      s"srp_sig(v, $flat)"
+    }
 
   private def lshSigDuck(t: Int, sfx: String): String =
     (0 until LshBits).map { i =>

@@ -303,6 +303,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("srp_sig native == per-bit vec_dot case-when sum for arbitrary vectors") {
+    // planes flattened row-major (bits × d); strict > 0 sign rule must
+    // match the per-bit formulation bit-for-bit (same left-fold dots)
+    val d = 8
+    val vecGen = Gen.listOfN(d, Gen.chooseNum(-1000, 1000).map(_ / 7.0))
+    val bitsGen = Gen.chooseNum(1, 12)
+    forAll(Gen.zip(bitsGen, Gen.listOfN(10, vecGen))) { case (bits, vecs) =>
+      // deterministic ±1 planes from the vector index (LCG like the prod pool)
+      val planes = IndexedSeq.tabulate(bits * d) { p =>
+        if ((1103515245L * (p + 1) + 12345L) % 2 == 0) 1.0 else -1.0
+      }
+      val flat = planes.map(_.toString + "D").mkString("array(", ",", ")")
+      val perBit = (0 until bits).map { j =>
+        val plane = planes.slice(j * d, (j + 1) * d)
+          .map(_.toString + "D").mkString("array(", ",", ")")
+        s"(case when vec_dot(v, $plane) > 0 then ${1 << j} else 0 end)"
+      }.mkString(" + ")
+      val both = vecs.toDF("v").selectExpr(
+        s"srp_sig(v, $flat) as native", s"$perBit as perbit")
+      assert(both.where($"native" =!= $"perbit").isEmpty)
+    }
+  }
+
   test("minhash_sig: estimated similarity bounded and symmetric-invariant") {
     forAll(Gen.zip(docGen, docGen)) { case (d1, d2) =>
       whenever(d1.size >= 3 && d2.size >= 3) {
