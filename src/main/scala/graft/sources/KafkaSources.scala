@@ -125,6 +125,22 @@ object KafkaSources {
     }
   }
 
+  /** Wire-format encoder for the apache.log layout — the one layout
+    * whose wire form is NOT the typed row (space-separated, timestamp
+    * as `dd/MM/yyyy:HH:mm:ss` text). Inverse of [[parseApacheLog]] up
+    * to the wire format's 1-second timestamp resolution.
+    */
+  def encodeApacheLog(df: DataFrame, keyCol: Option[String] = None): DataFrame = {
+    val value = concat_ws(" ",
+      col("ip"), col("userId"),
+      date_format(timestamp_millis(col("eventTime")), "dd/MM/yyyy:HH:mm:ss"),
+      col("method"), col("url"))
+    keyCol match {
+      case Some(k) => df.select(col(k).cast("string").as("key"), value.as("value"))
+      case None => df.select(value.as("value"))
+    }
+  }
+
   /** Configured streaming writer (S4 — the KafkaProducerUtil analog).
     * Caller picks the trigger/checkpoint and calls `.start()`.
     */

@@ -252,8 +252,8 @@ object Dedup {
     */
   /** Shared cluster → (doc_id, cluster_id, cluster_size, is_keeper)
     * projection for the two evidence variants. */
-  private def clusterize(spark: SparkSession, sfDir: String,
-                         pairs: DataFrame): DataFrame = {
+  private[textops] def clusterize(spark: SparkSession, sfDir: String,
+                                  pairs: DataFrame): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id")
     val cc = connectedComponents(docs, pairs)

@@ -1,0 +1,104 @@
+package graft.textops
+
+import graft.Tables
+import graft.sources.ParquetSink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized dedup pipeline — compute the near-dup evidence ONCE,
+  * persist it, and let every downstream consumer read the parquet
+  * instead of re-deriving signatures and pair joins per query.
+  *
+  * Why this exists: `dedup_minhash_lsh`, `dedup_simhash`,
+  * `dedup_clusters`, `dedup_clusters_multi` and `corpus_prep` are
+  * independent queries, so each one re-runs the shingle → signature →
+  * banded-join pipeline it needs. That per-query independence is right
+  * for the oracle gate but wrong for production: at 100 TB the
+  * signature+pair stage is hours of cluster time, and a real curation
+  * pipeline runs it once per corpus snapshot, then serves clustering,
+  * keeper selection, and corpus prep from the stored evidence.
+  *
+  * Layout (all under one snapshot directory):
+  *   - `dedup_pairs/` — near-dup edges, **partitioned by `tier`**
+  *     (`minhash` | `simhash`): a consumer that wants one evidence
+  *     tier prunes the other's directory at plan time (zero I/O),
+  *     and new tiers (embedding, substring) append as new partitions
+  *     without rewriting existing evidence.
+  *   - `clusters/` — connected components over the minhash tier
+  *     (what `corpus_prep` keys on).
+  *   - `clusters_multi/` — components over all tiers unioned.
+  *
+  * Pairs are doc-id edges (~16 bytes/row) and clusters one row per
+  * doc — both tiny next to the corpus, so the snapshot is cheap to
+  * store and broadcast-friendly to join back against `documents`.
+  */
+object Pipelines {
+
+  /** Run the pair pipelines once and persist evidence + clusters.
+    * Clusters are derived FROM the freshly-written pairs parquet (not
+    * the in-memory frames) so the whole downstream chain provably
+    * serves from storage.
+    */
+  def materialize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    import spark.implicits._
+    val mh = Dedup.minhashLsh(spark, sfDir)
+      .select($"doc1", $"doc2", lit("minhash").as("tier"))
+    val sh = Dedup.simhashDedup(spark, sfDir)
+      .select($"doc1", $"doc2", lit("simhash").as("tier"))
+    ParquetSink.writePartitioned(mh.union(sh), s"$outDir/dedup_pairs",
+      Seq("tier"))
+    Dedup.clusterize(spark, sfDir, pairs(spark, outDir, Seq("minhash")))
+      .write.mode("overwrite").parquet(s"$outDir/clusters")
+    Dedup.clusterize(spark, sfDir,
+        pairs(spark, outDir, Seq("minhash", "simhash")).distinct())
+      .write.mode("overwrite").parquet(s"$outDir/clusters_multi")
+  }
+
+  /** Materialized near-dup edges for the given evidence tiers.
+    * `tier` is the partition column, so the filter prunes whole
+    * directories (PartitionFilters, not a data scan).
+    */
+  def pairs(spark: SparkSession, outDir: String,
+            tiers: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$outDir/dedup_pairs")
+      .where($"tier".isin(tiers: _*))
+      .select($"doc1", $"doc2")
+  }
+
+  /** Served form of [[Dedup.dedupClusters]] — same rows, zero
+    * recompute. Order is re-applied on read (parquet has no order).
+    */
+  def clusters(spark: SparkSession, outDir: String): DataFrame =
+    served(spark, s"$outDir/clusters")
+
+  /** Served form of [[Dedup.dedupClustersMulti]]. */
+  def clustersMulti(spark: SparkSession, outDir: String): DataFrame =
+    served(spark, s"$outDir/clusters_multi")
+
+  private def served(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select($"doc_id", $"cluster_id", $"cluster_size", $"is_keeper")
+      .orderBy($"doc_id")
+  }
+
+  /** [[Sampling.corpusPrep]] served from the snapshot: keeper set from
+    * the clusters parquet instead of re-running signatures + LSH +
+    * label propagation. The quality/lang stats remain live (they're a
+    * narrow single-pass map); only the expensive evidence is cached.
+    */
+  def corpusPrepFrom(spark: SparkSession, sfDir: String, outDir: String,
+                     minQuality: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val stats = TextStats.textStats(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_tokens", $"quality")
+    val keepers = clusters(spark, outDir)
+      .where($"is_keeper").select($"doc_id")
+    stats.join(keepers, "doc_id")
+      .withColumn("h", expr("poly_hash(cast(doc_id as string))"))
+      .where($"quality" >= minQuality && expr("h % 100 < 90"))
+      .select($"doc_id", $"lang", $"n_tokens", $"quality")
+      .orderBy($"doc_id")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.textops.{Dedup, Pipelines, Sampling}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Materialized-pipeline mode: the snapshot written once by
+  * [[Pipelines.materialize]] must serve byte-identical results to the
+  * per-query recomputation it replaces.
+  */
+class PipelinesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  private val sf = SparkTestBase.sf
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("materialized snapshot == recomputed (pairs, clusters, corpus_prep)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftmat").toString
+    Pipelines.materialize(spark, sf, dir)
+
+    // evidence tiers round-trip exactly
+    assert(
+      Pipelines.pairs(spark, dir, Seq("minhash"))
+        .as[(Long, Long)].collect().toSet ==
+      Dedup.minhashLsh(spark, sf)
+        .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet)
+    assert(
+      Pipelines.pairs(spark, dir, Seq("simhash"))
+        .as[(Long, Long)].collect().toSet ==
+      Dedup.simhashDedup(spark, sf)
+        .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet)
+
+    // served clusters == the live queries, row-for-row (both ordered)
+    assert(rows(Pipelines.clusters(spark, dir)) ==
+      rows(Dedup.dedupClusters(spark, sf)))
+    assert(rows(Pipelines.clustersMulti(spark, dir)) ==
+      rows(Dedup.dedupClustersMulti(spark, sf)))
+
+    // downstream composite served from the snapshot == live pipeline
+    assert(rows(Pipelines.corpusPrepFrom(spark, sf, dir)) ==
+      rows(Sampling.corpusPrep(spark, sf)))
+
+    // tier filter is a partition filter (directory pruning, no data
+    // scan of the other tier)
+    val plan = Pipelines.pairs(spark, dir, Seq("minhash"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tier"),
+      s"tier filter must prune partitions, plan:\n$plan")
+  }
+}

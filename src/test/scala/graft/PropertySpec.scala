@@ -401,4 +401,96 @@ class PropertySpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got.values.toSet == Set(0L), "chain must collapse to component 0")
   }
+
+  test("uv_approx HLL++ error: |approx - exact| <= 3·rsd·exact across cardinalities") {
+    // uv_approx is the one unoracled query (HLL++ is not replayable in
+    // DuckDB); this pins its accuracy quantitatively instead. The
+    // aggregation below is the exact shape uvApprox runs per hour
+    // window (approx_count_distinct at rsd = 0.01), over generated
+    // per-window cardinalities spanning sparse → dense HLL regimes.
+    // HLL++ is deterministic for a given input set, so this is a
+    // stable gate, not a flaky statistical one.
+    val rsd = 0.01
+    val cardsGen = for {
+      base <- Gen.oneOf(40, 700, 6000, 30000)
+      offset <- Gen.chooseNum(0L, 1000000L)
+    } yield (base, offset)
+    forAll(cardsGen, n = 4) { case (base, offset) =>
+      val windows = Seq(("w1", base.toLong), ("w2", base * 3L), ("w3", 7L))
+      val rows = windows.flatMap { case (w, n) =>
+        (0L until n).map(i => (w, s"u${offset + i}"))
+      }
+      val got = rows.toDF("window_end", "user_id")
+        .groupBy($"window_end")
+        .agg(approx_count_distinct($"user_id", rsd).as("uv_approx"))
+        .as[(String, Long)].collect().toMap
+      for ((w, n) <- windows) {
+        val err = math.abs(got(w) - n).toDouble / n
+        assert(err <= 3 * rsd,
+          s"window $w: exact=$n approx=${got(w)} relErr=$err > ${3 * rsd}")
+      }
+    }
+  }
+
+  // ---- Kafka S2/S4 integration honesty: no broker in this container,
+  // so the whole encode→wire-bytes→parse path runs through an actual
+  // file (bytes on disk, read back cold) instead of an in-memory frame
+  // — everything but the broker itself.
+
+  /** One wire round-trip: encoded (key,value) rows → text file on disk
+    * → read back → Kafka-shaped frame → layout parser. Returns the
+    * parsed typed rows.
+    */
+  private def fileRoundTrip[T: org.apache.spark.sql.Encoder](
+      enc: org.apache.spark.sql.DataFrame,
+      parse: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[T]): Seq[T] = {
+    val dir = java.nio.file.Files.createTempDirectory("graftkafka").toString
+    enc.select($"value").write.mode("overwrite").text(dir)
+    val kafkaShaped = spark.read.text(dir).select(
+      lit(null).cast("binary").as("key"),
+      $"value".cast("binary").as("value"),
+      lit("t").as("topic"), lit(0).as("partition"),
+      monotonically_increasing_id().as("offset"),
+      current_timestamp().as("timestamp"),
+      lit(0).as("timestampType"))
+    parse(kafkaShaped).collect().toSeq
+  }
+
+  private val csvToken = Gen.oneOf( // unquoted CSV wire format: no , or \n
+    "pv", "buy", "cart", "fav", "beijing", "shanghai", "-", "tx42", "a_b.c")
+  private val secMillis = Gen.chooseNum(0L, 4102444800L).map(_ * 1000L)
+
+  test("kafka wire round-trip through a file: all six layouts") {
+    import graft.sources.{CsvSources => C, KafkaSources => K}
+    val gen = for {
+      ids <- Gen.listOfN(8, Gen.chooseNum(0L, 999999L))
+      toks <- Gen.listOfN(8, csvToken)
+      ts <- Gen.listOfN(8, secMillis)
+    } yield (ids, toks, ts)
+    forAll(gen, n = 3) { case (ids, toks, ts) =>
+      val rows3 = ids.zip(toks).zip(ts).map { case ((i, t), s) => (i, t, s) }
+      // multiset compare (generated ids may collide; file read order is
+      // arbitrary) — wire round-trip must preserve the bag of rows
+      def bag[T](xs: Seq[T]) = xs.groupBy(identity).view.mapValues(_.size).toMap
+      val ub = rows3.map { case (i, t, s) => C.UserBehavior(i, i * 7, i.toInt, t, s) }
+      assert(bag(fileRoundTrip(K.encodeCsv(ub.toDF()), K.parseUserBehavior)) == bag(ub))
+      val ad = rows3.map { case (i, t, s) => C.AdClickLog(i, i * 3, t, t, s) }
+      assert(bag(fileRoundTrip(K.encodeCsv(ad.toDF(), keyCol = Some("userId")),
+        K.parseAdClickLog)) == bag(ad))
+      val lg = rows3.map { case (i, t, s) => C.LoginEvent(i, "10.0.0." + (i % 255), t, s) }
+      assert(bag(fileRoundTrip(K.encodeCsv(lg.toDF()), K.parseLoginLog)) == bag(lg))
+      // OrderEvent: null txId on create rows MUST hold its comma slot
+      val or = rows3.map { case (i, t, s) =>
+        C.OrderEvent(i, if (i % 2 == 0) "create" else "pay",
+          if (i % 2 == 0) null else t, s) }
+      assert(bag(fileRoundTrip(K.encodeCsv(or.toDF()), K.parseOrderLog)) == bag(or))
+      val rc = rows3.map { case (i, t, s) => C.ReceiptEvent(t + i, "wechat", s) }
+      assert(bag(fileRoundTrip(K.encodeCsv(rc.toDF()), K.parseReceiptLog)) == bag(rc))
+      // apache.log: space-separated wire form with formatted timestamp
+      // (1 s wire resolution — generator emits second-aligned millis)
+      val ap = rows3.map { case (i, t, s) =>
+        C.ApacheLogEvent("83.149.9." + (i % 255), "-", s, "GET", "/" + t) }
+      assert(bag(fileRoundTrip(K.encodeApacheLog(ap.toDF()), K.parseApacheLog)) == bag(ap))
+    }
+  }
 }
