@@ -75,6 +75,9 @@ object SparkEntry {
     "similarity_sq8"    -> ((s, d) => Similarity.similaritySq8(s, d)),
     "similarity_recall" -> ((s, d) => Similarity.similarityRecall(s, d)),
     "similarity_recall_lsh" -> ((s, d) => Similarity.similarityRecallLsh(s, d)),
+    "similarity_lsh_multiprobe" -> ((s, d) => Similarity.similarityLshMultiprobe(s, d)),
+    "similarity_recall_lshmp" -> ((s, d) =>
+      Similarity.similarityRecallLsh(s, d, multiprobe = true)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     "text_stats"        -> ((s, d) => TextStats.textStats(s, d)),
     "lang_id"           -> ((s, d) => TextStats.langId(s, d)),
@@ -384,6 +387,8 @@ object SparkEntry {
     "similarity_sq8"      -> Similarity.similaritySq8Oracle,
     "similarity_recall"   -> Similarity.similarityRecallOracle(),
     "similarity_recall_lsh" -> Similarity.similarityRecallLshOracle(),
+    "similarity_lsh_multiprobe" -> Similarity.similarityLshMultiprobeOracle,
+    "similarity_recall_lshmp" -> Similarity.similarityRecallLshOracle(multiprobe = true),
     "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
     "text_stats"          -> TextStats.textStatsOracle,
     "lang_id"             -> TextStats.langIdOracle,

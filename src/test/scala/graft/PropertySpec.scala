@@ -402,6 +402,36 @@ class PropertySpec extends AnyFunSuite {
     assert(got.values.toSet == Set(0L), "chain must collapse to component 0")
   }
 
+  test("srp_probes ≡ reference margin selection; T=b recovers the full Hamming-1 set") {
+    GraftExpressions.register(spark)
+    val dimGen = for {
+      d <- Gen.oneOf(4, 8, 16)
+      bits <- Gen.chooseNum(1, 12)
+      v <- Gen.listOfN(d, Gen.chooseNum(-1000, 1000).map(_ / 250.0))
+      planes <- Gen.listOfN(bits * d, Gen.oneOf(-1.0, 1.0))
+    } yield (d, bits, v, planes)
+    forAll(dimGen, n = 6) { case (d, bits, v, planes) =>
+      // scala reference: dots, sig, argsort by (|dot|, idx)
+      val dots = (0 until bits).map(j =>
+        (0 until d).foldLeft(0.0)((a, i) => a + v(i) * planes(j * d + i)))
+      val sig = dots.zipWithIndex.foldLeft(0) { case (s, (x, j)) =>
+        if (x > 0) s | (1 << j) else s }
+      for (t <- Seq(3, bits)) {
+        val want = sig +: dots.zipWithIndex
+          .sortBy { case (x, j) => (math.abs(x), j) }.take(math.min(t, bits))
+          .map { case (_, j) => sig ^ (1 << j) }
+        val vArr = v.map(_.toString + "D").mkString("array(", ",", ")")
+        val pArr = planes.map(_.toString + "D").mkString("array(", ",", ")")
+        val got = spark.range(1)
+          .selectExpr(s"srp_probes($vArr, $pArr, $t) as ps")
+          .selectExpr("ps").as[Seq[Int]].head()
+        assert(got == want, s"d=$d bits=$bits t=$t")
+        if (t >= bits) // full budget ⇒ the complete Hamming-1 ball
+          assert(got.toSet == (sig +: (0 until bits).map(j => sig ^ (1 << j))).toSet)
+      }
+    }
+  }
+
   test("uv_approx HLL++ error: |approx - exact| <= 3·rsd·exact across cardinalities") {
     // uv_approx is the one unoracled query (HLL++ is not replayable in
     // DuckDB); this pins its accuracy quantitatively instead. The
