@@ -76,6 +76,7 @@ object SparkEntry {
     "similarity_recall" -> ((s, d) => Similarity.similarityRecall(s, d)),
     "similarity_recall_lsh" -> ((s, d) => Similarity.similarityRecallLsh(s, d)),
     "similarity_lsh_multiprobe" -> ((s, d) => Similarity.similarityLshMultiprobe(s, d)),
+    "pii_scrub"         -> ((s, d) => Scrub.piiScrub(s, d)),
     "similarity_recall_lshmp" -> ((s, d) =>
       Similarity.similarityRecallLsh(s, d, multiprobe = true)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
@@ -388,6 +389,7 @@ object SparkEntry {
     "similarity_recall"   -> Similarity.similarityRecallOracle(),
     "similarity_recall_lsh" -> Similarity.similarityRecallLshOracle(),
     "similarity_lsh_multiprobe" -> Similarity.similarityLshMultiprobeOracle,
+    "pii_scrub"           -> Scrub.piiScrubOracle,
     "similarity_recall_lshmp" -> Similarity.similarityRecallLshOracle(multiprobe = true),
     "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
     "text_stats"          -> TextStats.textStatsOracle,

@@ -523,4 +523,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(joined.where(abs($"centroid" - $"ref") > 2e-6 || $"n" =!= $"n_ref").isEmpty,
       "centroid drifted beyond quantization error")
   }
+
+  test("pii_scrub: planted PII detected + redacted; chain order claims dotted phones") {
+    // the synthetic corpus carries no PII, so the oracle hash only pins
+    // engine parity — detection power needs planted spans
+    val docs = Seq(
+      (1L, "contact a.user@example.com or backup bob+x@mail.co today"),
+      (2L, "call 415-555-1234 or 123.456.7890 now"),
+      (3L, "server at 10.0.0.1 and 255.255.255.255 up"),
+      (4L, "clean text with nothing to hide")
+    ).toDF("doc_id", "text")
+    val r = Scrub.piiScrubFrom(docs).orderBy($"doc_id")
+      .select($"n_emails", $"n_phones", $"n_ips", $"scrubbed")
+      .as[(Int, Int, Int, String)].collect()
+    assert(r(0) == (2, 0, 0, "contact <EMAIL> or backup <EMAIL> today"))
+    // a dotted phone is ALSO a syntactic IPv4 — the fixed
+    // email->phone->IP chain must claim it as a phone exactly once
+    assert(r(1) == (0, 2, 0, "call <PHONE> or <PHONE> now"))
+    assert(r(2) == (0, 0, 2, "server at <IP> and <IP> up"))
+    assert(r(3) == (0, 0, 0, "clean text with nothing to hide"))
+  }
 }
