@@ -77,6 +77,7 @@ object SparkEntry {
     "similarity_recall_lsh" -> ((s, d) => Similarity.similarityRecallLsh(s, d)),
     "similarity_lsh_multiprobe" -> ((s, d) => Similarity.similarityLshMultiprobe(s, d)),
     "pii_scrub"         -> ((s, d) => Scrub.piiScrub(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.dedupContainment(s, d)),
     "similarity_recall_lshmp" -> ((s, d) =>
       Similarity.similarityRecallLsh(s, d, multiprobe = true)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
@@ -390,6 +391,7 @@ object SparkEntry {
     "similarity_recall_lsh" -> Similarity.similarityRecallLshOracle(),
     "similarity_lsh_multiprobe" -> Similarity.similarityLshMultiprobeOracle,
     "pii_scrub"           -> Scrub.piiScrubOracle,
+    "dedup_containment"   -> Dedup.dedupContainmentOracle,
     "similarity_recall_lshmp" -> Similarity.similarityRecallLshOracle(multiprobe = true),
     "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
     "text_stats"          -> TextStats.textStatsOracle,

@@ -441,7 +441,12 @@ object Dedup {
     * corpora this becomes a shuffled join on doc_id — flip the
     * broadcast() hint).
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.2): DataFrame = {
+  /** Shared n-gram front end: documents → rarity-sorted shingle-id
+    * arrays, localCheckpoint-materialized (feeds multiple join sides in
+    * every consumer — [[ngramJaccard]]'s two self-join sides + two
+    * verify join-backs, [[dedupContainment]]'s prefix + index + verify).
+    */
+  private def shingleEncoded(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // native one-pass shingling (word_shingles ≡ the HOF chain
     // filter(split)→transform(slice+concat_ws)→array_distinct, pinned
@@ -485,10 +490,15 @@ object Dedup {
     // the query's cost). Unlike cache(), checkpoint blocks are dropped
     // by the ContextCleaner once the query's RDDs are unreachable, so
     // nothing leaks across a long session.
-    val enc = inv.join(broadcast(ranked), "sh")
+    inv.join(broadcast(ranked), "sh")
       .groupBy($"doc_id")
       .agg(sort_array(collect_list($"rid")).as("ids"))
       .localCheckpoint()
+  }
+
+  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val enc = shingleEncoded(spark, sfDir)
     // candidate pairs from rarest-prefix inverted index only, with the
     // PPJoin length + positional filters (exact pruning: a pruned pair
     // provably cannot reach the threshold, and every surviving pair is
@@ -607,6 +617,75 @@ object Dedup {
        |SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared_fp
        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY doc1, doc2""".stripMargin
+
+  /** Asymmetric containment near-dups: C(A→B) = |A∩B| / |A| ≥ t —
+    * the dup mode Jaccard structurally misses: a short document pasted
+    * verbatim inside a much longer one has tiny Jaccard (the union is
+    * dominated by B) and is pruned by the PPJoin length filter before
+    * scoring, but its containment is ~1. This is quotation/boilerplate/
+    * subset-republication detection, run as its own evidence tier.
+    *
+    * Exact candidate rule (prefix pigeonhole on the CONTAINED side
+    * only): if C ≥ t then A∩B must touch the first
+    * ⌊(1−t)·|A|⌋+1 rarest ids of A — missing all of them caps the
+    * intersection below t·|A|. So the query side explodes only that
+    * prefix while the index side posts every shingle (linear in the
+    * corpus; the rarity sort biases joins toward low-df ids, and a
+    * dedup_substring-style df cap is the knob for boilerplate-heavy
+    * corpora). Verify is the exact sorted-merge intersection; same
+    * broadcast→shuffle verify flip as [[ngramJaccard]].
+    */
+  def dedupContainment(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val enc = shingleEncoded(spark, sfDir)
+    val pref = enc.selectExpr("doc_id", "size(ids) as n",
+      s"explode(slice(ids, 1, cast(floor((1.0 - $threshold) * size(ids)) as int) + 1)) as pid")
+    val index = enc.selectExpr("doc_id as doc2", "explode(ids) as pid")
+    val pairs = pref.as("x")
+      .join(index.as("y"),
+        col("x.pid") === col("y.pid") && col("x.doc_id") =!= col("y.doc2"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc2"))
+      .distinct()
+    val e1 = enc.select($"doc_id".as("doc1"), $"ids".as("ids1"))
+    val e2 = enc.select($"doc_id".as("doc2"), $"ids".as("ids2"))
+    val small = enc.count() <= BroadcastVerifyMaxDocs
+    pairs
+      .join(if (small) broadcast(e1) else e1, "doc1")
+      .join(if (small) broadcast(e2) else e2, "doc2")
+      .selectExpr("doc1", "doc2",
+        "sorted_intersect_count(ids1, ids2) as inter_cnt", "size(ids1) as n1")
+      .withColumn("containment", expr("cast(inter_cnt as double) / n1"))
+      .where($"containment" >= threshold)
+      .select($"doc1", $"doc2", $"inter_cnt", $"containment")
+      .orderBy($"doc1", $"doc2")
+  }
+
+  /** Oracle: full exact set arithmetic, directional pairs (doc1 = the
+    * contained side), same shingle chain as the Jaccard oracle.
+    */
+  val dedupContainmentOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensDuck AS tokens FROM documents
+       |), shingled AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(0, len(tokens) - 2), gi ->
+       |    array_to_string(tokens[gi + 1 : gi + 3], ' '))) AS shingles
+       |  FROM toks WHERE len(tokens) >= 3
+       |), sizes AS (
+       |  SELECT doc_id, len(shingles) AS n_sh FROM shingled
+       |), inv AS (
+       |  SELECT doc_id, unnest(shingles) AS sh FROM shingled
+       |), inter AS (
+       |  SELECT x.doc_id AS doc1, y.doc_id AS doc2, count(*) AS inter_cnt
+       |  FROM inv x JOIN inv y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.doc1, i.doc2, i.inter_cnt,
+       |       CAST(i.inter_cnt AS DOUBLE) / s1.n_sh AS containment
+       |FROM inter i
+       |JOIN sizes s1 ON i.doc1 = s1.doc_id
+       |WHERE CAST(i.inter_cnt AS DOUBLE) / s1.n_sh >= 0.8
        |ORDER BY doc1, doc2""".stripMargin
 
   val ngramJaccardOracle: String =

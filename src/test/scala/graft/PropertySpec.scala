@@ -161,6 +161,34 @@ class PropertySpec extends AnyFunSuite {
       s"expected exactly the planted pair (3,11), got $pairs")
   }
 
+  test("dedup_containment catches the subset dup that Jaccard structurally misses") {
+    GraftExpressions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 300).map(i => f"w$i%03dq")
+    def salad(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    // doc 3 = the quote alone; doc 7 = the quote pasted inside 120
+    // tokens of salad → containment(3→7) = 1.0, Jaccard ≈ 10/118 ≈ 0.08
+    val docs = (0L until 12L).map { id =>
+      val text =
+        if (id == 3L) quote
+        else if (id == 7L) salad(60) + " " + quote + " " + salad(60)
+        else salad(80)
+      (id, text, "en", "src0", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graftcont").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = graft.textops.Dedup.dedupContainment(spark, dir)
+      .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+    assert(cont.contains((3L, 7L)), s"containment missed the planted quote: $cont")
+    assert(!cont.contains((7L, 3L)), "containment is directional — 7 is not inside 3")
+    val jac = graft.textops.Dedup.ngramJaccard(spark, dir)
+      .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((3L, 7L)) && !jac.contains((7L, 3L)),
+      "planted pair should sit below the Jaccard threshold — the tier exists for it")
+  }
+
   test("word_shingles native == HOF split/slice/concat/distinct chain") {
     // mixed whitespace, leading/trailing runs, repeated shingles,
     // sub-3-token degenerates
