@@ -541,6 +541,31 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("piiScrubFrom on a stream == batch pii_scrub (narrow transform, no state)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.textops.Scrub.piiScrubFrom(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSeq :+
+        (100000L, "leak me at a.user@example.com or 415-555-1234 / 10.0.0.7")
+      docs.grouped(math.max(docs.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = spark.table("pii_stream")
+        .as[(Long, Int, Int, Int, Int, String)].collect().toSet
+      val want = graft.textops.Scrub.piiScrubFrom(
+          docs.toDF("doc_id", "text"))
+        .as[(Long, Int, Int, Int, Int, String)].collect().toSet
+      assert(want.nonEmpty && got == want)
+      // the planted row actually scrubbed on the stream path
+      assert(got.exists { case (id, e, p, i, _, t) =>
+        id == 100000L && e == 1 && p == 1 && i == 1 &&
+          t == "leak me at <EMAIL> or <PHONE> / <IP>" })
+    } finally q.stop()
+  }
+
   test("oovRateFrom on a stream vs static vocab (complete mode) == batch oov_rate") {
     implicit val ctx = spark.sqlContext
     import graft.textops.TextStats

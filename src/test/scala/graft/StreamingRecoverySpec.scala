@@ -236,6 +236,55 @@ class StreamingRecoverySpec extends AnyFunSuite {
         s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("compileStreamAbsence restarts from checkpoint: open A-candidates survive to fire") {
+    import graft.cep.{Pattern, PatternEv}
+    implicit val ss = spark
+    val root = java.nio.file.Files.createTempDirectory("graftabs").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    new java.io.File(inDir).mkdirs()
+
+    // signup→(no purchase within 24h): signups arriving pre-restart
+    // whose deadlines expire post-restart can only fire if the open
+    // candidate list survives in the state store
+    val p = analytics.DetectionAnalytics.absencePattern
+    val rows = p.toPatternEvents(Tables.events(spark, sf),
+        $"user_id", unix_micros($"ts"), $"event_id")
+      .collect().toSeq.sortBy(e => (e.ts_us, e.ord))
+    val maxUs = rows.map(_.ts_us).max
+    def writeChunk(evs: Seq[PatternEv], name: String): Unit =
+      spark.createDataset(evs).repartition(1).write.parquet(s"$inDir/$name")
+
+    val schema = org.apache.spark.sql.Encoders.product[PatternEv].schema
+    def start() = p.compileStreamAbsence(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(inDir).as[PatternEv])
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ck)
+      .outputMode("append").start()
+
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    writeChunk(h1, "chunk1")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    writeChunk(h2, "chunk2")
+    writeChunk(Seq(PatternEv(-1L, maxUs + 40L * 86400 * 1000000, -1L, 0L)),
+      "chunk3")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .where($"key" =!= -1L)
+      .select($"key", $"start_ord")
+      .as[(Long, Long)].collect().toSet
+    val want = analytics.DetectionAnalytics.cepAbsence(spark, sf)
+      .select($"user_id", $"event")
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty && got == want,
+      s"sizes got=${got.size} want=${want.size} " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("Trigger.AvailableNow: drain everything then stop (A9 custom-trigger analog)") {
     // the reference's FIRE_AND_PURGE custom trigger controls WHEN
     // results emit; Spark's trigger surface is the analog — AvailableNow
