@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Layout (all under one snapshot directory):
   *   - `dedup_pairs/` — near-dup edges, **partitioned by `tier`**
-  *     (`minhash` | `simhash`): a consumer that wants one evidence
+  *     (`minhash` | `simhash` | `containment`): a consumer that wants one evidence
   *     tier prunes the other's directory at plan time (zero I/O),
   *     and new tiers (embedding, substring) append as new partitions
   *     without rewriting existing evidence.
@@ -45,7 +45,11 @@ object Pipelines {
       .select($"doc1", $"doc2", lit("minhash").as("tier"))
     val sh = Dedup.simhashDedup(spark, sfDir)
       .select($"doc1", $"doc2", lit("simhash").as("tier"))
-    ParquetSink.writePartitioned(mh.union(sh), s"$outDir/dedup_pairs",
+    // containment is directional (doc1 = contained side) — stored
+    // as-is; symmetric consumers (clustering) symmetrize on read
+    val ct = Dedup.dedupContainment(spark, sfDir)
+      .select($"doc1", $"doc2", lit("containment").as("tier"))
+    ParquetSink.writePartitioned(mh.union(sh).union(ct), s"$outDir/dedup_pairs",
       Seq("tier"))
     Dedup.clusterize(spark, sfDir, pairs(spark, outDir, Seq("minhash")))
       .write.mode("overwrite").parquet(s"$outDir/clusters")

@@ -31,6 +31,11 @@ class PipelinesSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().toSet ==
       Dedup.simhashDedup(spark, sf)
         .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet)
+    assert(
+      Pipelines.pairs(spark, dir, Seq("containment"))
+        .as[(Long, Long)].collect().toSet ==
+      Dedup.dedupContainment(spark, sf)
+        .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet)
 
     // served clusters == the live queries, row-for-row (both ordered)
     assert(rows(Pipelines.clusters(spark, dir)) ==

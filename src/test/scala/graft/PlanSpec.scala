@@ -179,4 +179,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.indexOf("HashAggregate", exchange) > exchange,
       "no map-side partial aggregate below the centroid shuffle")
   }
+
+  test("pii_scrub: three regex passes stay narrow — no hash shuffle, 2-column scan") {
+    val plan = planString(graft.textops.Scrub.piiScrub(spark, sf))
+    assert(!plan.contains("hashpartitioning"),
+      "scrubbing added a hash shuffle — should be scan-speed narrow")
+    val schema = "ReadSchema: [^\n]+".r.findFirstIn(plan).getOrElse("")
+    assert(!schema.contains("lang") && !schema.contains("source"),
+      s"scan reads unprojected columns: $schema")
+  }
+
+  test("dedup_containment: verify joins broadcast at small corpus; candidate join on pid") {
+    val plan = planString(graft.textops.Dedup.dedupContainment(spark, sf))
+    // the test corpus sits below BroadcastVerifyMaxDocs — both verify
+    // join-backs must be broadcast (the sf1 tier flips them, asserted
+    // by the plan probe in BASELINE §sf1)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "verify join-backs lost their small-corpus broadcast")
+  }
+
+  test("similarity_lsh_multiprobe: probe fan-out never touches the index side") {
+    val plan = planString(
+      graft.textops.Similarity.similarityLshMultiprobe(spark, sf))
+    // the query side stacks srp_probes arrays; the index side must stay
+    // on bare srp_sig signatures — probing an exploded index would
+    // multiply stored bucket rows at scale instead of query rows
+    assert(plan.contains("srpprobes("), "query side lost the probe expression")
+    assert(plan.contains("srpsig("),
+      "index side no longer computes bare signatures — probe fan-out leaked into the index")
+  }
 }
