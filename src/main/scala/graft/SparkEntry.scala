@@ -71,6 +71,7 @@ object SparkEntry {
     "similarity_topk"   -> ((s, d) => Similarity.similarityTopK(s, d)),
     "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     "similarity_ivf"    -> ((s, d) => Similarity.similarityIvf(s, d)),
+    "similarity_ivf_trained" -> ((s, d) => Similarity.similarityIvfTrained(s, d)),
     "similarity_lsh"    -> ((s, d) => Similarity.similarityLsh(s, d)),
     "similarity_sq8"    -> ((s, d) => Similarity.similaritySq8(s, d)),
     "similarity_recall" -> ((s, d) => Similarity.similarityRecall(s, d)),
@@ -385,6 +386,7 @@ object SparkEntry {
     "similarity_topk"     -> Similarity.similarityTopKOracle(),
     "dedup_embedding"     -> Similarity.dedupEmbeddingOracle,
     "similarity_ivf"      -> Similarity.similarityIvfOracle,
+    "similarity_ivf_trained" -> Similarity.similarityIvfTrainedOracle,
     "similarity_lsh"      -> Similarity.similarityLshOracle,
     "similarity_sq8"      -> Similarity.similaritySq8Oracle,
     "similarity_recall"   -> Similarity.similarityRecallOracle(),

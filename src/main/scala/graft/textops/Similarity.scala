@@ -147,13 +147,104 @@ object Similarity {
     val e = vectors(spark, sfDir)
     val cent = e.where($"vec_id" < c)
       .select($"vec_id".as("cent_id"), $"v".as("centv"), $"nrm".as("centn"))
+    ivfRankedFrom(e, cent, np)
+  }
+
+  /** The assign/probe rank against an arbitrary centroid table —
+    * shared by the seeded ([[ivfRanked]]) and k-means-trained
+    * ([[similarityIvfTrained]]) index builds.
+    */
+  private def ivfRankedFrom(e: DataFrame, cent: DataFrame,
+                            nProbe: Int): DataFrame = {
     e.join(broadcast(cent), expr("true"))
       .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
       .withColumn("crk", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)))
-      .where($"crk" <= np)
-      .select($"vec_id", $"v", $"nrm", $"cent_id".as("cell"), $"crk")
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cent_id").asc)))
+      .where(col("crk") <= nProbe)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cent_id").as("cell"), col("crk"))
       .localCheckpoint()
+  }
+
+  /** Lloyd-trained IVF centroids: `rounds` fixed unrolled k-means
+    * iterations (assign to nearest centroid by cosine, re-center),
+    * seeded by the first C vectors — the FAISS `train()` step the
+    * seeded index skips. Engine-exact so DuckDB replays training
+    * bit-for-bit: per-(cell,dim) sums run in floor(x·1e6) BIGINT
+    * micro-units (order-independent), counts are exact, and the mean
+    * divides in the one fixed order sum→/count→/1e6 (the item_rank
+    * unrolled-fixed-point and embedding_centroids micro-unit patterns
+    * composed). Empty cells keep their previous centroid. Fixed round
+    * count, not convergence-tested: at 100 TB each round is one
+    * broadcast-assign pass + one (cell,dim)-grain partial-aggregated
+    * shuffle — O(C·d) rows — and a data-dependent stopping rule would
+    * make the oracle unreplayable.
+    */
+  private[graft] def trainedCentroids(spark: SparkSession, sfDir: String,
+                                      c: Int, rounds: Int): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, sfDir)
+    var cent = e.where($"vec_id" < c)
+      .select($"vec_id".as("cent_id"), $"v".as("centv"), $"nrm".as("centn"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val assign = e.join(broadcast(cent), expr("true"))
+        .withColumn("csim", expr(s"${dotSpark("v", "centv", "t")} / (nrm * centn)"))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)))
+        .where($"crk" === 1)
+        .select($"cent_id".as("cell"), $"v")
+      val means = assign
+        .select($"cell", posexplode($"v"))
+        .selectExpr("cell", "cast(pos as int) as dim",
+          "cast(floor(col * 1000000) as bigint) as micro")
+        .groupBy($"cell", $"dim")
+        .agg(sum($"micro").as("sq"), count(lit(1)).as("cnt"))
+        .selectExpr("cell", "dim", "cast(sq as double) / cnt / 1000000.0 as m")
+        .groupBy($"cell")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), cs -> cs.m)")
+          .as("newv"))
+        .select($"cell".as("cent_id"), $"newv")
+      cent = cent.select($"cent_id", $"centv".as("oldv"))
+        .join(means, Seq("cent_id"), "left")
+        .selectExpr("cent_id", "coalesce(newv, oldv) as centv")
+        .selectExpr("cent_id", "centv",
+          s"sqrt(${dotSpark("centv", "centv", "cn")}) as centn")
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** IVF top-k over the k-means-trained index — same probe plan as
+    * [[similarityIvf]], better cells: training pulls centroids toward
+    * the data's density instead of wherever the first C vectors
+    * happened to sit, tightening cell occupancy balance (and, on
+    * clustered real embeddings, recall per probed fraction).
+    */
+  def similarityIvfTrained(spark: SparkSession, sfDir: String, k: Int = 5,
+                           nCentroids: Int = -1, nProbe: Int = -1,
+                           rounds: Int = 2): DataFrame = {
+    import spark.implicits._
+    val c = if (nCentroids > 0) nCentroids
+            else autoCentroids(nVecs(spark, sfDir))
+    val np = if (nProbe > 0) nProbe else autoNProbe(c)
+    val ranked = ivfRankedFrom(vectors(spark, sfDir),
+      trainedCentroids(spark, sfDir, c, rounds), np)
+    val assign = ranked.where($"crk" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+    val probes = ranked
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"cell")
+    probes.join(assign, "cell")
+      .where($"query_id" =!= $"vec_id")
+      .withColumn("cosine", expr(s"${dotSpark("qv", "v", "d")} / (qn * nrm)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)))
+      .where($"rnk" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cosine",
+        $"rnk".cast("int").as("rnk"))
+      .orderBy($"query_id", $"rnk")
   }
 
   /** Embedding-cosine near-duplicate pairs: (v1 < v2) with
@@ -273,6 +364,74 @@ object Similarity {
        |)
        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** DuckDB replay of [[similarityIvfTrained]]: the two Lloyd rounds
+    * unroll into assign/sum/mean/coalesce/norm CTE blocks (the
+    * item_rank unrolled-iteration idiom), then the standard IVF
+    * rankedcells/probe/top-k tail runs against the trained table.
+    */
+  lazy val similarityIvfTrainedOracle: String = {
+    def round(r: Int, prev: String): String =
+      s"""a$r AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT n.vec_id, n.v, c.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${dotDuck("n.v", "c.centv", s"tr$r")} / (n.nrm * c.centn) DESC,
+         |               c.cent_id ASC) AS crk
+         |    FROM n CROSS JOIN $prev c
+         |  ) WHERE crk = 1
+         |), s$r AS (
+         |  SELECT cell, CAST(g.k AS INT) AS dim,
+         |         sum(CAST(floor(v[CAST(g.k AS INT) + 1] * 1000000) AS BIGINT)) AS sq,
+         |         count(*) AS cnt
+         |  FROM a$r CROSS JOIN range(64) g(k)
+         |  WHERE g.k < len(v)
+         |  GROUP BY 1, 2
+         |), m$r AS (
+         |  SELECT cell AS cent_id,
+         |         list(CAST(sq AS DOUBLE) / cnt / 1000000.0 ORDER BY dim) AS newv
+         |  FROM s$r GROUP BY cell
+         |), c$r AS (
+         |  SELECT p.cent_id, COALESCE(m$r.newv, p.centv) AS centv
+         |  FROM $prev p LEFT JOIN m$r ON p.cent_id = m$r.cent_id
+         |), c${r}n AS (
+         |  SELECT cent_id, centv,
+         |         sqrt(${dotDuck("centv", "centv", s"cn$r")}) AS centn
+         |  FROM c$r
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), c0 AS (
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < 16
+       |), ${round(1, "c0")}, ${round(2, "c1n")}, scored AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+       |         ${dotDuck("n.v", "c.centv", "a")} / (n.nrm * c.centn) AS csim
+       |  FROM n CROSS JOIN c2n c
+       |), rankedcells AS (
+       |  SELECT vec_id, v, nrm, cent_id, csim,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY csim DESC, cent_id ASC) AS crk
+       |  FROM scored
+       |), assign AS (
+       |  SELECT vec_id, v, nrm, cent_id AS cell FROM rankedcells WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell
+       |  FROM rankedcells WHERE crk <= 6
+       |), cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         ${dotDuck("p.qv", "a.v", "d")} / (p.qn * a.nrm) AS cosine
+       |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |  FROM cand
+       |)
+       |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
 
   // --------------------------------------------- int8 scalar quantization
 
@@ -495,7 +654,8 @@ object Similarity {
     */
   def similarityRecall(spark: SparkSession, sfDir: String, k: Int = 5,
                        nCentroids: Int = -1, nProbe: Int = -1,
-                       sampleMod: Int = -1): DataFrame = {
+                       sampleMod: Int = -1,
+                       trained: Boolean = false): DataFrame = {
     import spark.implicits._
     val mod = if (sampleMod > 0) sampleMod else autoSampleMod(nVecs(spark, sfDir))
     val e = vectors(spark, sfDir)
@@ -508,7 +668,8 @@ object Similarity {
         Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)))
       .where($"rnk" <= k)
       .select($"query_id", $"neighbor_id")
-    val approx = similarityIvf(spark, sfDir, k, nCentroids, nProbe)
+    val approx = (if (trained) similarityIvfTrained(spark, sfDir, k, nCentroids, nProbe)
+                  else similarityIvf(spark, sfDir, k, nCentroids, nProbe))
       .where($"query_id" % mod === 0)
       .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
     exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")

@@ -524,6 +524,21 @@ class AnalyticsSpec extends AnyFunSuite {
       "centroid drifted beyond quantization error")
   }
 
+  test("trained IVF: C centroids survive training; recall does not regress vs seeded") {
+    val cent = Similarity.trainedCentroids(spark, sf, 16, 2)
+      .selectExpr("cent_id", "size(centv) as d", "centn").collect()
+    assert(cent.length == 16, "training lost or duplicated cells")
+    assert(cent.forall(r => r.getInt(1) == 64 &&
+      !r.getDouble(2).isNaN && r.getDouble(2) > 0), "degenerate trained centroid")
+    // deterministic corpus + deterministic training ⇒ stable aggregate;
+    // Lloyd rounds must not make the index WORSE than its seed here
+    def avgRecall(trained: Boolean): Double =
+      Similarity.similarityRecall(spark, sf, trained = trained)
+        .agg(avg($"recall")).head.getDouble(0)
+    val (seeded, trained) = (avgRecall(false), avgRecall(true))
+    assert(trained >= seeded - 1e-9, s"training regressed recall: $seeded -> $trained")
+  }
+
   test("pii_scrub: planted PII detected + redacted; chain order claims dotted phones") {
     // the synthetic corpus carries no PII, so the oracle hash only pins
     // engine parity — detection power needs planted spans
