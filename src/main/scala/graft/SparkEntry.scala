@@ -94,6 +94,7 @@ object SparkEntry {
     "source_datacard"   -> ((s, d) => TextStats.sourceDatacard(s, d)),
     "bm25_rank"         -> ((s, d) => TextStats.bm25Rank(s, d)),
     "ngram_next"        -> ((s, d) => TextStats.ngramNext(s, d)),
+    "ngram_lm_score"    -> ((s, d) => TextStats.ngramLmScore(s, d)),
     "value_histogram"   -> ((s, d) => RelationalAnalytics.valueHistogram(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.multimodalDecode(s, d)),
     "multimodal_resize" -> ((s, d) => Multimodal.multimodalResize(s, d)),
@@ -408,6 +409,7 @@ object SparkEntry {
     "source_datacard"     -> TextStats.sourceDatacardOracle,
     "bm25_rank"           -> TextStats.bm25RankOracle(),
     "ngram_next"          -> TextStats.ngramNextOracle(),
+    "ngram_lm_score"      -> TextStats.ngramLmScoreOracle,
     "value_histogram"     -> RelationalAnalytics.valueHistogramOracle,
     "multimodal_decode"   -> Multimodal.multimodalDecodeOracle,
     "multimodal_resize"   -> Multimodal.multimodalResizeOracle,

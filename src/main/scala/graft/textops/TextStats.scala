@@ -746,4 +746,111 @@ object TextStats {
        |SELECT doc_id, n_shingles, n_distinct, top_cnt,
        |       CAST(top_cnt AS DOUBLE) / n_shingles AS rep_ratio
        |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Corpus-trained bigram-LM document scoring — the CCNet/KenLM-style
+    * perplexity filter: train an add-1-smoothed bigram model on the
+    * train split (same poly_hash `% 100 < 90` gate as `corpus_sample`,
+    * so the LM's training slice is exactly the corpus the model would
+    * ship on), then score EVERY document by its mean bigram
+    * probability. Low scores flag out-of-distribution text (gibberish,
+    * wrong-language, boilerplate-free noise); val/test docs get true
+    * held-out scores. Two deliberate substitutions keep the oracle
+    * engine-exact:
+    *  - mean probability instead of perplexity — exp/log are not
+    *    bit-reproducible across engines (the bm25 rational-idf trick);
+    *    both rank documents identically for a threshold gate,
+    *  - each p(w2|w1) = (c₁₂+1)/(c₁+V) is quantized to floor(p·10⁶)
+    *    BIGINT micro-units before the per-doc sum, making the score
+    *    partition-order independent AND engine-exact.
+    *
+    * Scale shape: the bigram stream is materialized once
+    * (localCheckpoint) and feeds the model counts, the context counts,
+    * the vocab size, and the scoring join; counts partial-aggregate
+    * map-side; scoring is a (w1,w2) equi-join against the model —
+    * posting-list shape, broadcastable while the model is small,
+    * shuffle-hash at corpus scale — never a pair blowup.
+    */
+  def ngramLmScore(spark: SparkSession, sfDir: String): DataFrame =
+    ngramLmScoreFrom(Tables.documents(spark, sfDir))
+
+  /** Core of [[ngramLmScore]] over any (doc_id, text) frame. */
+  private[graft] def ngramLmScoreFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bigrams = docs
+      .selectExpr("doc_id", s"$tokensSpark as tokens",
+        "poly_hash(cast(doc_id as string)) % 100 < 90 as is_train")
+      .selectExpr("doc_id", "is_train", "tokens",
+        "cast(size(tokens) as bigint) as n")
+      .where($"n" >= 2)
+      .selectExpr("doc_id", "is_train",
+        "explode(transform(sequence(1, cast(n - 1 as int)), ig -> " +
+          "struct(element_at(tokens, ig) as w1, element_at(tokens, ig + 1) as w2))) as bg")
+      .selectExpr("doc_id", "is_train", "bg.w1 as w1", "bg.w2 as w2")
+      .localCheckpoint()
+    val train = bigrams.where($"is_train")
+    val model = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val ctx = train.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    // V = distinct train tokens participating in a bigram; greatest(,1)
+    // keeps the smoothing denominator alive on a degenerate corpus
+    // whose train split is empty (the langRebalance guard pattern)
+    val vsize = train.selectExpr("explode(array(w1, w2)) as tok")
+      .agg(greatest(countDistinct($"tok"), lit(1L)).as("v"))
+    bigrams
+      .join(model, Seq("w1", "w2"), "left_outer")
+      .join(ctx, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vsize))
+      .selectExpr("doc_id",
+        "case when c12 is null then 1L else 0L end as oov",
+        "cast(floor(cast(coalesce(c12, 0) + 1 as double) " +
+          "/ cast(coalesce(c1, 0) + v as double) * 1000000) as bigint) as p_micro")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"oov").as("oov_bigrams"),
+        sum($"p_micro").as("sum_micro"))
+      .selectExpr("doc_id", "n_bigrams", "oov_bigrams",
+        "cast(sum_micro as double) / n_bigrams / 1000000.0 as score")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB replay of [[ngramLmScore]]. The bigram fan-out uses the
+    * bounded-range idiom (`range(256)` + length filter — corpus max is
+    * ~100 tokens/doc) because DuckDB lacks Spark's per-row `sequence`
+    * explode without a lateral join.
+    */
+  lazy val ngramLmScoreOracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, $tokensDuck AS tokens,
+       |         ${phDuck("CAST(doc_id AS VARCHAR)", "lm")} % 100 < 90 AS is_train
+       |  FROM documents
+       |), sized AS (
+       |  SELECT doc_id, is_train, tokens, CAST(len(tokens) AS BIGINT) AS n
+       |  FROM docs WHERE len(tokens) >= 2
+       |), bg AS (
+       |  SELECT doc_id, is_train,
+       |         tokens[CAST(g.i AS INT) + 1] AS w1,
+       |         tokens[CAST(g.i AS INT) + 2] AS w2
+       |  FROM sized CROSS JOIN range(256) g(i)
+       |  WHERE g.i + 2 <= n
+       |), model AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM bg WHERE is_train GROUP BY 1, 2
+       |), ctx AS (
+       |  SELECT w1, count(*) AS c1 FROM bg WHERE is_train GROUP BY 1
+       |), vsize AS (
+       |  SELECT greatest(count(DISTINCT tok), 1) AS v FROM (
+       |    SELECT unnest([w1, w2]) AS tok FROM bg WHERE is_train)
+       |), scored AS (
+       |  SELECT b.doc_id,
+       |         CASE WHEN m.c12 IS NULL THEN 1 ELSE 0 END AS oov,
+       |         CAST(floor(CAST(COALESCE(m.c12, 0) + 1 AS DOUBLE)
+       |              / CAST(COALESCE(c.c1, 0) + v AS DOUBLE) * 1000000)
+       |           AS BIGINT) AS p_micro
+       |  FROM bg b
+       |  LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+       |  LEFT JOIN ctx c ON b.w1 = c.w1
+       |  CROSS JOIN vsize
+       |)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       CAST(sum(oov) AS BIGINT) AS oov_bigrams,
+       |       CAST(CAST(sum(p_micro) AS BIGINT) AS DOUBLE) / count(*)
+       |         / 1000000.0 AS score
+       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
 }

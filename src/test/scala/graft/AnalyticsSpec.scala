@@ -539,6 +539,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(trained >= seeded - 1e-9, s"training regressed recall: $seeded -> $trained")
   }
 
+  test("ngram_lm_score: OOD gibberish scores below in-distribution text; oov exact") {
+    // a corpus of templated docs sharing bigrams + one doc of unique
+    // never-repeated tokens: the gibberish doc's bigrams are all
+    // unseen-by-the-model (beyond its own contribution), so its mean
+    // bigram probability must land strictly below every templated doc
+    val template = (0 until 40).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val gibberish = Seq((997L, "zqx wvu tsr qpo nml kji hgf edc"))
+    val docs = spark.createDataFrame(template ++ gibberish)
+      .toDF("doc_id", "text")
+    val scored = TextStats.ngramLmScoreFrom(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (nb, _, gScore) = scored(997L)
+    assert(nb == 7, s"expected 7 bigrams in the 8-token doc, got $nb")
+    val templatedScores = scored.collect { case (k, v) if k != 997L => v._3 }
+    assert(templatedScores.forall(gScore < _),
+      s"gibberish score $gScore not below templated ${templatedScores.min}")
+    // every templated doc shares its bigrams with the train slice ⇒ no
+    // oov there; the gibberish doc is oov except where IT trains the model
+    assert(scored.collect { case (k, v) if k != 997L => v._2 }.forall(_ == 0L),
+      "templated doc flagged oov despite identical train text")
+  }
+
   test("pii_scrub: planted PII detected + redacted; chain order claims dotted phones") {
     // the synthetic corpus carries no PII, so the oracle hash only pins
     // engine parity — detection power needs planted spans
