@@ -198,6 +198,38 @@ class PlanSpec extends AnyFunSuite {
       "verify join-backs lost their small-corpus broadcast")
   }
 
+  test("similarity_ivf_trained: serve stage is an equi-join on cell + rank pushdown") {
+    val plan = planString(
+      graft.textops.Similarity.similarityIvfTrained(spark, sf))
+    // training is quarantined behind the ranked localCheckpoint: the
+    // SERVE plan must be the same shape as the seeded index — a hash
+    // equi-join of probes×assign on cell (never a nested-loop pair
+    // blowup) with the top-k cut pushed below the window sort
+    assert(!plan.contains("CartesianProduct"),
+      "trained-IVF serve stage degraded to a cartesian pair join")
+    assert(plan.contains("WindowGroupLimit"),
+      "per-query top-k not pushed below the window sort")
+  }
+
+  test("ngram_lm_score: scoring is equi-joins; counts partial-aggregate map-side") {
+    val plan = planString(graft.textops.TextStats.ngramLmScore(spark, sf))
+    // model/context lookups are (w1,w2)/(w1) hash joins — a nested-loop
+    // there would be an all-pairs token blowup at corpus scale; the only
+    // nested-loop allowed is the broadcast of the 1-row vocab size
+    assert(!plan.contains("CartesianProduct"),
+      "LM scoring degraded to a cartesian join")
+    // the plan string may print a node twice (AQE initial + final), so
+    // pin the KIND, not the count: every nested-loop occurrence must be
+    // the condition-free Cross of the 1-row vsize broadcast
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    val scalarCross = "BroadcastNestedLoopJoin [^\n]*Cross".r.findAllIn(plan).size
+    assert(bnlj == scalarCross,
+      s"a non-scalar nested-loop join appeared ($scalarCross of $bnlj are the vsize cross)")
+    // per-doc score aggregate must combine map-side before the doc_id exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "per-doc aggregate lost its partial (map-side) stage")
+  }
+
   test("similarity_lsh_multiprobe: probe fan-out never touches the index side") {
     val plan = planString(
       graft.textops.Similarity.similarityLshMultiprobe(spark, sf))
