@@ -3,6 +3,7 @@ package graft.textops
 import graft.Tables
 import graft.textops.TextHash._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines, over `documents`.
@@ -115,15 +116,14 @@ object Dedup {
     * the minhash near-dup pairs at sim ≥ 0.5. Used by both the pair
     * query's oracle and the connected-components clusters oracle.
     */
-  private lazy val minhashPairsCtes: String = {
+  /** DuckDB CTE chain ending in `sig(doc_id, s0..s{K-1})` — the shared
+    * MinHash signature build ([[minhashPairsCtes]] and the incremental
+    * oracle both extend it).
+    */
+  private lazy val minhashSigCtes: String = {
     val sigCols = (0 until K).map(j =>
       s"list_min(list_transform(sh, v$j -> (v$j * ${MinhashA(j)} + ${MinhashB(j)}) % $P)) AS s$j")
       .mkString(",\n         ")
-    val bandSelects = (0 until K / 2).map(b =>
-      s"SELECT doc_id, $b AS band_idx, (s${2 * b} * $SH + s${2 * b + 1}) % $P AS band_hash FROM sig")
-      .mkString("\n  UNION ALL ")
-    val simExpr = (0 until K)
-      .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
     s"""toks AS (
        |  SELECT doc_id, $tokensDuck AS tokens FROM documents
        |), th AS (
@@ -135,7 +135,16 @@ object Dedup {
        |     * $SH + tharr[sj + 3]) % $P) AS sh FROM th
        |), sig AS (
        |  SELECT doc_id, $sigCols FROM sh
-       |), bands AS (
+       |)""".stripMargin
+  }
+
+  private lazy val minhashPairsCtes: String = {
+    val bandSelects = (0 until K / 2).map(b =>
+      s"SELECT doc_id, $b AS band_idx, (s${2 * b} * $SH + s${2 * b + 1}) % $P AS band_hash FROM sig")
+      .mkString("\n  UNION ALL ")
+    val simExpr = (0 until K)
+      .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$minhashSigCtes, bands AS (
        |  $bandSelects
        |), lshpairs AS (
        |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
@@ -151,6 +160,113 @@ object Dedup {
   val minhashLshOracle: String =
     s"""WITH $minhashPairsCtes
        |SELECT doc1, doc2, sim FROM simpairs ORDER BY doc1, doc2""".stripMargin
+
+  // ------------------------------------------------- incremental dedup
+
+  /** Incremental near-dup dedup — the rolling-corpus operator: judge a
+    * NEW batch against the already-ingested base without recomputing
+    * any base×base pair. A deterministic ~1-in-10 doc slice (salted
+    * poly_hash37 gate, independent of the split/rebalance hashes)
+    * plays the "today's crawl" batch; every new doc is kept unless its
+    * MinHash band buckets collide with a base doc or an EARLIER new
+    * doc (smaller doc_id) at signature similarity ≥ 0.5 — the
+    * keep-first-occurrence rule, so a dup group arriving inside one
+    * batch keeps exactly its first member, matching what a day-by-day
+    * replay would have kept.
+    *
+    * Scale shape: candidates come from the band equi-join of the NEW
+    * side's bucket rows against the full bucket table — cost
+    * O(|batch| × bucket occupancy), never O(corpus²). At 100 TB the
+    * base side's (band_idx, band_hash) buckets are exactly what
+    * [[Pipelines.materialize]] snapshots: stored partitioned by band
+    * hash, a daily batch probes only the partitions its own bands
+    * touch. Docs too short to shingle (< 3 tokens) have no signature
+    * and are kept by construction (left join), not dropped by
+    * accident.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val newGate = "poly_hash37(concat(cast(doc_id as string), '-incr')) % 10 = 0"
+    val sig = minhashSig(spark, sfDir)
+      .withColumn("is_new", expr(newGate))
+    val bandArray = (0 until K / 2)
+      .map(b => s"(s${2 * b} * $SH + s${2 * b + 1}) % $P")
+      .mkString("array(", ", ", ")")
+    val bands = sig.selectExpr(
+      ((0 until K).map(j => s"s$j") :+ "doc_id" :+ "is_new" :+
+        s"posexplode($bandArray) as (band_idx, band_hash)"): _*)
+      .localCheckpoint()
+    val simExpr = (0 until K)
+      .map(j => s"(case when x.s$j = y.s$j then 1 else 0 end)").mkString(" + ")
+    val matches = bands.where($"is_new").as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") =!= col("y.doc_id") &&
+          // judged doc x duplicates y only if y was already in the
+          // corpus: base doc, or new doc that arrived earlier
+          (!col("y.is_new") || col("y.doc_id") < col("x.doc_id")))
+      .selectExpr("x.doc_id as doc_id", "y.doc_id as oid",
+        s"cast(($simExpr) as double) / $K as sim")
+      .distinct()
+      .where($"sim" >= 0.5)
+    val w = Window.partitionBy($"doc_id")
+    val best = matches
+      .withColumn("rnk", row_number().over(
+        w.orderBy($"sim".desc, $"oid".asc)))
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .where($"rnk" === 1)
+      .select($"doc_id", $"oid".as("dup_of"), $"sim".as("best_sim"), $"n_dups")
+    Tables.documents(spark, sfDir)
+      .where(expr(newGate)).select($"doc_id")
+      .join(best, Seq("doc_id"), "left_outer")
+      .selectExpr("doc_id", "dup_of is null as keep",
+        "cast(coalesce(n_dups, 0) as bigint) as n_dups",
+        "dup_of", "best_sim")
+      .orderBy($"doc_id")
+  }
+
+  lazy val dedupIncrementalOracle: String = {
+    val simExpr = (0 until K)
+      .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+    val bandSelects = (0 until K / 2).map(b =>
+      s"SELECT doc_id, $b AS band_idx, (s${2 * b} * $SH + s${2 * b + 1}) % $P AS band_hash FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $minhashSigCtes, tagged AS (
+       |  SELECT doc_id,
+       |         ${phDuck("CAST(doc_id AS VARCHAR) || '-incr'", "inc", 37)} % 10 = 0
+       |           AS is_new
+       |  FROM documents
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS oid
+       |  FROM bands x
+       |  JOIN tagged tx ON x.doc_id = tx.doc_id AND tx.is_new
+       |  JOIN bands y ON x.band_idx = y.band_idx
+       |    AND x.band_hash = y.band_hash AND x.doc_id <> y.doc_id
+       |  JOIN tagged ty ON y.doc_id = ty.doc_id
+       |    AND (NOT ty.is_new OR y.doc_id < x.doc_id)
+       |), m AS (
+       |  SELECT c.doc_id, c.oid, CAST(($simExpr) AS DOUBLE) / $K AS sim
+       |  FROM cand c JOIN sig a ON c.doc_id = a.doc_id
+       |              JOIN sig b ON c.oid = b.doc_id
+       |  WHERE CAST(($simExpr) AS DOUBLE) / $K >= 0.5
+       |), best AS (
+       |  SELECT doc_id, oid AS dup_of, sim AS best_sim, n_dups FROM (
+       |    SELECT doc_id, oid, sim,
+       |           row_number() OVER (PARTITION BY doc_id
+       |                              ORDER BY sim DESC, oid ASC) AS rnk,
+       |           count(*) OVER (PARTITION BY doc_id) AS n_dups
+       |    FROM m
+       |  ) WHERE rnk = 1
+       |)
+       |SELECT t.doc_id, b.dup_of IS NULL AS keep,
+       |       CAST(COALESCE(b.n_dups, 0) AS BIGINT) AS n_dups,
+       |       b.dup_of, b.best_sim
+       |FROM tagged t LEFT JOIN best b ON t.doc_id = b.doc_id
+       |WHERE t.is_new ORDER BY t.doc_id""".stripMargin
+  }
 
   // ------------------------------------------------- near-dup clustering
 

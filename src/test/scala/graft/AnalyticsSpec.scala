@@ -539,6 +539,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(trained >= seeded - 1e-9, s"training regressed recall: $seeded -> $trained")
   }
 
+  test("dedup_incremental: verdicts replay the full-batch pair set, keep-first") {
+    // ground truth: the FULL minhash pair set. A new doc must be
+    // flagged dup iff it has a >=0.5 partner that was already in the
+    // corpus (base doc, or new doc with smaller id) — i.e. incremental
+    // day-by-day replay loses nothing vs the all-at-once batch run
+    val gate = "poly_hash37(concat(cast(doc_id as string), '-incr')) % 10 = 0"
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", s"$gate as is_new")
+    val p = Dedup.minhashLsh(spark, sf)
+      .join(docs.toDF("doc1", "n1"), "doc1")
+      .join(docs.toDF("doc2", "n2"), "doc2").cache()
+    val expected = p.where($"n2").select($"doc2".as("doc_id"))
+      .union(p.where($"n1" && !$"n2").select($"doc1".as("doc_id")))
+      .distinct()
+    val incr = Dedup.dedupIncremental(spark, sf).cache()
+    val flagged = incr.where(!$"keep").select($"doc_id")
+    assert(flagged.count() > 0, "vacuous: no incremental dup at test SF")
+    assert(flagged.except(expected).isEmpty, "flagged a doc the batch run keeps")
+    assert(expected.except(flagged).isEmpty, "missed a dup the batch run catches")
+    // keep-first: a dup's keeper is never a LATER new arrival
+    val bad = incr.where(!$"keep")
+      .join(docs.toDF("dup_of", "keeper_new"), "dup_of")
+      .where($"keeper_new" && $"dup_of" > $"doc_id")
+    assert(bad.isEmpty, "a dup points at a keeper that arrived after it")
+  }
+
   test("ngram_lm_score: OOD gibberish scores below in-distribution text; oov exact") {
     // a corpus of templated docs sharing bigrams + one doc of unique
     // never-repeated tokens: the gibberish doc's bigrams are all
