@@ -103,6 +103,7 @@ object SparkEntry {
     "props_extract"     -> ((s, d) => Multimodal.propsExtract(s, d)),
     "corpus_sample"     -> ((s, d) => Sampling.corpusSample(s, d)),
     "corpus_prep"       -> ((s, d) => Sampling.corpusPrep(s, d)),
+    "cluster_split"     -> ((s, d) => Sampling.clusterSplit(s, d)),
     "seq_pack"          -> ((s, d) => Packing.seqPack(s, d)),
     "doc_chunks"        -> ((s, d) => Packing.docChunks(s, d)),
     "chunk_dedup"       -> ((s, d) => Packing.chunkDedup(s, d)),
@@ -419,6 +420,7 @@ object SparkEntry {
     "props_extract"       -> Multimodal.propsExtractOracle,
     "corpus_sample"       -> Sampling.corpusSampleOracle,
     "corpus_prep"         -> Sampling.corpusPrepOracle,
+    "cluster_split"       -> Sampling.clusterSplitOracle,
     "seq_pack"            -> Packing.seqPackOracle(),
     "doc_chunks"          -> Packing.docChunksOracle(),
     "chunk_dedup"         -> Packing.chunkDedupOracle(),

@@ -81,6 +81,54 @@ object Sampling {
        |  AND ${phDuck("CAST(q.doc_id AS VARCHAR)", "hh")} % 100 < 90
        |ORDER BY q.doc_id""".stripMargin
 
+  /** Leak-safe train/val/test split — the cluster-aware version of
+    * [[corpusSample]]'s hash split: the split bucket is
+    * `poly_hash(cluster_id) % 100`, so every document in a near-dup
+    * cluster lands in the SAME split and a near-duplicate of a
+    * training document can never leak into val/test (the standard
+    * eval-contamination guard; doc-level splitting silently breaks it
+    * for every non-trivial cluster). Same hash family and 90/5/5
+    * buckets as the doc-level split, and a singleton's cluster_id IS
+    * its doc_id — so the leak-safe split agrees with [[corpusSample]]
+    * everywhere except inside real clusters, and `moved` marks exactly
+    * the docs the guard re-assigned.
+    *
+    * Scale shape: one narrow map over [[Dedup.dedupClusters]]'s output
+    * (the clustering itself is the already-audited hash-min loop) —
+    * the split adds zero shuffles, and hash-of-cluster keeps the
+    * assignment reproducible across runs, engines and corpus growth.
+    */
+  def clusterSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val splitCase = (b: String) =>
+      s"case when $b % 100 < 90 then 'train' when $b % 100 < 95 then 'val' else 'test' end"
+    Dedup.dedupClusters(spark, sfDir)
+      .selectExpr("doc_id", "cluster_id", "cluster_size",
+        "poly_hash(cast(cluster_id as string)) as ch",
+        "poly_hash(cast(doc_id as string)) as dh")
+      .selectExpr("doc_id", "cluster_id", "cluster_size",
+        s"${splitCase("ch")} as split",
+        s"${splitCase("ch")} <> ${splitCase("dh")} as moved")
+      .orderBy($"doc_id")
+  }
+
+  lazy val clusterSplitOracle: String = {
+    val splitCase = (b: String) =>
+      s"CASE WHEN $b % 100 < 90 THEN 'train' WHEN $b % 100 < 95 THEN 'val' ELSE 'test' END"
+    s"""WITH RECURSIVE ${Dedup.clusterCtes}, sizes AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1
+       |), sp AS (
+       |  SELECT c.doc AS doc_id, c.cluster_id, s.cluster_size,
+       |         ${phDuck("CAST(c.cluster_id AS VARCHAR)", "cs")} % 100 AS cb,
+       |         ${phDuck("CAST(c.doc AS VARCHAR)", "ds")} % 100 AS db
+       |  FROM cc c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |)
+       |SELECT doc_id, cluster_id, cluster_size,
+       |       ${splitCase("cb")} AS split,
+       |       ${splitCase("cb")} <> ${splitCase("db")} AS moved
+       |FROM sp ORDER BY doc_id""".stripMargin
+  }
+
   /** Temperature-based language rebalancing (α = 0.5) — the
     * multilingual data-mixing pass: sampling proportional to
     * √count flattens the language distribution (the standard

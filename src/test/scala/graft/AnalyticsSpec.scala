@@ -564,6 +564,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bad.isEmpty, "a dup points at a keeper that arrived after it")
   }
 
+  test("cluster_split: no near-dup cluster straddles a split; singletons keep the doc split") {
+    val cs = Sampling.clusterSplit(spark, sf).cache()
+    // the leak guard itself: every cluster maps to exactly one split
+    val straddling = cs.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("n_splits"))
+      .where($"n_splits" > 1)
+    assert(straddling.isEmpty, "a near-dup cluster spans two splits")
+    // moved ⊆ non-trivial clusters, and the guard actually fires at test SF
+    assert(cs.where($"moved" && $"cluster_size" === 1).isEmpty,
+      "a singleton doc was moved — must agree with the doc-level split")
+    assert(cs.where($"moved").count() > 0, "vacuous: no doc re-assigned at test SF")
+    // outside real clusters the split IS corpus_sample's doc-level split
+    val docSplit = graft.Tables.documents(spark, sf).selectExpr("doc_id",
+      "case when poly_hash(cast(doc_id as string)) % 100 < 90 then 'train' " +
+        "when poly_hash(cast(doc_id as string)) % 100 < 95 then 'val' else 'test' end as dsplit")
+    val disagree = cs.where($"cluster_size" === 1)
+      .join(docSplit, "doc_id").where($"split" =!= $"dsplit")
+    assert(disagree.isEmpty, "singleton split diverged from the doc-level hash split")
+  }
+
   test("ngram_lm_score: OOD gibberish scores below in-distribution text; oov exact") {
     // a corpus of templated docs sharing bigrams + one doc of unique
     // never-repeated tokens: the gibberish doc's bigrams are all
