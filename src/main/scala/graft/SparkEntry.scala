@@ -75,6 +75,8 @@ object SparkEntry {
     "similarity_ivf_trained" -> ((s, d) => Similarity.similarityIvfTrained(s, d)),
     "similarity_lsh"    -> ((s, d) => Similarity.similarityLsh(s, d)),
     "similarity_sq8"    -> ((s, d) => Similarity.similaritySq8(s, d)),
+    "similarity_pq"     -> ((s, d) => Similarity.similarityPq(s, d)),
+    "similarity_recall_pq" -> ((s, d) => Similarity.similarityRecallPq(s, d)),
     "similarity_recall" -> ((s, d) => Similarity.similarityRecall(s, d)),
     "similarity_recall_lsh" -> ((s, d) => Similarity.similarityRecallLsh(s, d)),
     "similarity_lsh_multiprobe" -> ((s, d) => Similarity.similarityLshMultiprobe(s, d)),
@@ -393,6 +395,8 @@ object SparkEntry {
     "similarity_ivf_trained" -> Similarity.similarityIvfTrainedOracle,
     "similarity_lsh"      -> Similarity.similarityLshOracle,
     "similarity_sq8"      -> Similarity.similaritySq8Oracle,
+    "similarity_pq"       -> Similarity.similarityPqOracle,
+    "similarity_recall_pq" -> Similarity.similarityRecallPqOracle(),
     "similarity_recall"   -> Similarity.similarityRecallOracle(),
     "similarity_recall_lsh" -> Similarity.similarityRecallLshOracle(),
     "similarity_lsh_multiprobe" -> Similarity.similarityLshMultiprobeOracle,

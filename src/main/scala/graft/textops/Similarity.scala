@@ -520,6 +520,232 @@ object Similarity {
        |       CAST(rnk AS INT) AS rnk
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  // --------------------------------------------------- product quantization
+
+  /** PQ geometry: 64-dim vectors → `PqM` subspaces of `PqSub` dims,
+    * each with a `PqK`-entry codebook (seeded by the first PqK
+    * vectors' subvectors — same seeding convention as the IVF tier;
+    * real deployments train per-subspace k-means exactly like
+    * [[trainedCentroids]] and use PqK=256). The codebook size is
+    * INDEPENDENT of corpus size — that's PQ's point: the index stores
+    * m small codes per vector instead of the vector.
+    */
+  private val PqM = 8
+  private val PqSub = 8   // = 64 / PqM
+  private val PqK = 16
+
+  /** IVF + product-quantized ADC scoring with exact re-rank — the
+    * third compression rung of the ANN ladder (full-precision IVF →
+    * SQ8's 1 byte/dim → PQ's m codes/VECTOR, here 8 codes ≈ 8 B
+    * against 512 B of raw doubles). Each vector is encoded once:
+    * per subspace, the code of the nearest codebook entry by L2
+    * (argmax of dot(sub, cent) − ‖cent‖²/2 — same optimum, dot-only
+    * arithmetic both engines fold identically). A query never touches
+    * candidate vectors during scoring: it dots its own subvectors
+    * against the broadcast codebook once (the classic ADC lookup
+    * table, n×m×k rows), and a candidate's approximate score is the
+    * sum of m table lookups — relationally, an equi-join of the IVF
+    * candidate set against `codes` and `lut` on (query, subspace,
+    * code) plus a fixed-width sum. The m per-pair terms are floor-
+    * quantized to 1e-9 BIGINTs before summing so the aggregate is
+    * partition-order independent (the embedding_centroids micro-unit
+    * pattern); only the k ADC survivors per query are re-read at full
+    * precision for the exact cosine.
+    *
+    * Scale shape: codebook is O(m·k·d) — broadcast everywhere; codes
+    * and LUT build are narrow one-pass maps over the checkpointed IVF
+    * table; the ADC join shuffles on (query_id, j, code) with
+    * map-side partial sums. No stage touches raw vectors per
+    * candidate pair.
+    */
+  /** The PQ index build — (ranked, cent, codes, lut); exposed for the
+    * spec's ADC-identity check. */
+  private[graft] def pqIndex(spark: SparkSession, sfDir: String,
+                             nCentroids: Int = -1, nProbe: Int = -1)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val ranked = ivfRanked(spark, sfDir, nCentroids, nProbe)
+    val slices = (0 until PqM)
+      .map(j => s"slice(v, ${j * PqSub + 1}, $PqSub)")
+      .mkString("array(", ", ", ")")
+    val assign = ranked.where($"crk" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+    // one subspace row per (vector, j) — built once, feeds BOTH the
+    // encode side and the query-LUT side
+    val vsub = assign
+      .selectExpr("vec_id", s"posexplode($slices) as (j, subv)")
+      .localCheckpoint()
+    val cent = vsub.where($"vec_id" < PqK)
+      .selectExpr("j", "vec_id as cent_id", "subv as centv",
+        s"${dotSpark("subv", "subv", "pc")} / 2D as cn2h")
+      .localCheckpoint()
+    val codes = vsub.join(broadcast(cent), "j")
+      .withColumn("score", expr(s"${dotSpark("subv", "centv", "pe")} - cn2h"))
+      .withColumn("erk", row_number().over(
+        Window.partitionBy($"vec_id", $"j")
+          .orderBy($"score".desc, $"cent_id".asc)))
+      .where($"erk" === 1)
+      .select($"vec_id", $"j", $"cent_id".as("code"))
+    val lut = vsub.join(broadcast(cent), "j")
+      .selectExpr("vec_id as query_id", "j", "cent_id as code",
+        s"cast(floor(${dotSpark("subv", "centv", "pl")} * 1000000000D) as bigint) as pdot_q")
+    (ranked, cent, codes, lut)
+  }
+
+  def similarityPq(spark: SparkSession, sfDir: String, k: Int = 5,
+                   nCentroids: Int = -1, nProbe: Int = -1): DataFrame = {
+    import spark.implicits._
+    val (ranked, _, codes, lut) = pqIndex(spark, sfDir, nCentroids, nProbe)
+    val assign = ranked.where($"crk" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+    // ivfRanked is already cut to the nProbe head — every row is a probe
+    val cand = ranked
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"), $"cell")
+      .join(assign.select($"vec_id", $"v", $"nrm", $"cell"), "cell")
+      .where($"query_id" =!= $"vec_id")
+    val adc = cand.select($"query_id", $"vec_id")
+      .join(codes, "vec_id")
+      .join(lut, Seq("query_id", "j", "code"))
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"pdot_q").as("adc_q"))
+    cand.join(adc, Seq("query_id", "vec_id"))
+      .withColumn("approx_cosine",
+        expr("(cast(adc_q as double) / 1000000000D) / (qn * nrm)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"approx_cosine".desc, $"vec_id".asc)))
+      .where($"rnk" <= k)
+      .withColumn("cosine", expr(s"${dotSpark("qv", "v", "d")} / (qn * nrm)"))
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"approx_cosine",
+        $"cosine", $"rnk".cast("int").as("rnk"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** DuckDB CTE chain ending in `rk(query_id, neighbor_id,
+    * approx_cosine, qv, qn, v, nrm, rnk)` — the full PQ pipeline,
+    * shared by the result oracle and the recall-gate oracle.
+    */
+  private lazy val pqCtes: String = {
+    val jList = (0 until PqM).mkString("[", ", ", "]")
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), icent AS (
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < 16
+       |), rankedcells AS (
+       |  SELECT vec_id, v, nrm, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY
+       |           ${dotDuck("n.v", "c.centv", "a")} / (n.nrm * c.centn) DESC,
+       |           cent_id ASC) AS crk
+       |  FROM n CROSS JOIN icent c
+       |), assign AS (
+       |  SELECT vec_id, v, nrm, cent_id AS cell FROM rankedcells WHERE crk = 1
+       |), js AS (
+       |  SELECT unnest($jList) AS j
+       |), vsub AS (
+       |  SELECT a.vec_id, js.j,
+       |         list_slice(a.v, js.j * $PqSub + 1, js.j * $PqSub + $PqSub) AS subv
+       |  FROM assign a CROSS JOIN js
+       |), pcent AS (
+       |  SELECT j, vec_id AS cent_id, subv AS centv,
+       |         ${dotDuck("subv", "subv", "pc")} / CAST(2 AS DOUBLE) AS cn2h
+       |  FROM vsub WHERE vec_id < $PqK
+       |), codes AS (
+       |  SELECT vec_id, j, cent_id AS code FROM (
+       |    SELECT s.vec_id, s.j, c.cent_id,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+       |             ${dotDuck("s.subv", "c.centv", "pe")} - c.cn2h DESC,
+       |             c.cent_id ASC) AS erk
+       |    FROM vsub s JOIN pcent c ON s.j = c.j
+       |  ) WHERE erk = 1
+       |), lut AS (
+       |  SELECT s.vec_id AS query_id, s.j, c.cent_id AS code,
+       |         CAST(floor(${dotDuck("s.subv", "c.centv", "pl")}
+       |           * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS pdot_q
+       |  FROM vsub s JOIN pcent c ON s.j = c.j
+       |), cand AS (
+       |  SELECT p.vec_id AS query_id, p.v AS qv, p.nrm AS qn,
+       |         a.vec_id, a.v, a.nrm
+       |  FROM rankedcells p JOIN assign a
+       |    ON p.cent_id = a.cell AND p.crk <= 6 AND p.vec_id <> a.vec_id
+       |), adc AS (
+       |  SELECT c.query_id, c.vec_id, sum(l.pdot_q) AS adc_q
+       |  FROM cand c
+       |  JOIN codes k ON c.vec_id = k.vec_id
+       |  JOIN lut l ON l.query_id = c.query_id AND l.j = k.j AND l.code = k.code
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |         (CAST(a.adc_q AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+       |           / (c.qn * c.nrm) AS approx_cosine,
+       |         c.qv, c.qn, c.v, c.nrm
+       |  FROM cand c JOIN adc a ON c.query_id = a.query_id AND c.vec_id = a.vec_id
+       |), rk AS (
+       |  SELECT query_id, neighbor_id, approx_cosine, qv, qn, v, nrm,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY approx_cosine DESC, neighbor_id ASC) AS rnk
+       |  FROM r
+       |)""".stripMargin
+  }
+
+  lazy val similarityPqOracle: String =
+    s"""WITH $pqCtes
+       |SELECT query_id, neighbor_id, approx_cosine,
+       |       ${dotDuck("qv", "v", "d")} / (qn * nrm) AS cosine,
+       |       CAST(rnk AS INT) AS rnk
+       |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** recall@k of the PQ tier against the exact ground truth on the
+    * deterministic 1-in-`sampleMod` query sample — the same QA gate
+    * every other ANN tier ships ([[similarityRecall]] /
+    * [[similarityRecallLsh]]); without one, a PQ codebook change has
+    * no quality signal. */
+  def similarityRecallPq(spark: SparkSession, sfDir: String, k: Int = 5,
+                         sampleMod: Int = -1): DataFrame = {
+    import spark.implicits._
+    val mod = if (sampleMod > 0) sampleMod else autoSampleMod(nVecs(spark, sfDir))
+    val e = vectors(spark, sfDir)
+    val q = e.where($"vec_id" % mod === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
+    val exact = q.join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", expr(s"${dotSpark("qv", "cv", "d")} / (qn * cn)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)))
+      .where($"rnk" <= k)
+      .select($"query_id", $"neighbor_id")
+    val approx = similarityPq(spark, sfDir, k)
+      .where($"query_id" % mod === 0)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("hits"))
+      .selectExpr("query_id", "hits",
+        s"cast(hits as double) / $k as recall")
+      .orderBy($"query_id")
+  }
+
+  def similarityRecallPqOracle(k: Int = 5, sampleMod: Int = 10): String =
+    s"""WITH $pqCtes, exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ${dotDuck("a.v", "b.v", "x")} / (a.nrm * b.nrm)
+       |               DESC, b.vec_id ASC) AS rnk
+       |    FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id % $sampleMod = 0
+       |  ) WHERE rnk <= $k
+       |), approx AS (
+       |  SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS hit
+       |  FROM rk WHERE rnk <= $k AND query_id % $sampleMod = 0
+       |)
+       |SELECT e.query_id, CAST(sum(COALESCE(a.hit, 0)) AS BIGINT) AS hits,
+       |       CAST(sum(COALESCE(a.hit, 0)) AS DOUBLE) / $k AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   // ------------------------------------------------------- SRP-LSH variant
 
   /** Signed-random-projection LSH parameters: L tables × b hyperplanes.

@@ -584,6 +584,47 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(disagree.isEmpty, "singleton split diverged from the doc-level hash split")
   }
 
+  test("similarity_pq: ADC score == dot with the PQ reconstruction; codes complete") {
+    val out = Similarity.similarityPq(spark, sf).cache()
+    assert(out.count() > 0, "vacuous: PQ returned no neighbors at test SF")
+    val (_, cent, codes, _) = Similarity.pqIndex(spark, sf)
+    // every encoded vector has exactly one code per subspace
+    val badCard = codes.groupBy($"vec_id").count().where($"count" =!= 8)
+    assert(badCard.isEmpty, "a vector is missing subspace codes")
+    // ADC identity: the LUT-sum score must equal cosine(q, recon(v))
+    // up to the 8-term floor quantization (each term floors at 1e-9)
+    val recon = codes.join(cent.withColumnRenamed("cent_id", "code"), Seq("j", "code"))
+      .groupBy($"vec_id")
+      .agg(sort_array(collect_list(struct($"j", $"centv"))).as("sc"))
+      .selectExpr("vec_id as neighbor_id", "flatten(transform(sc, s -> s.centv)) as vq")
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .selectExpr("vec_id", "v", "sqrt(vec_dot(v, v)) as nrm")
+    val err = out.join(recon, "neighbor_id")
+      .join(vecs.selectExpr("vec_id as query_id", "v as qv", "nrm as qn"), "query_id")
+      .join(vecs.selectExpr("vec_id as neighbor_id", "nrm as nn"), "neighbor_id")
+      .selectExpr("abs(approx_cosine - vec_dot(qv, vq) / (qn * nn)) as e")
+      .agg(max($"e")).head.getDouble(0)
+    assert(err < 1e-6, s"ADC diverged from reconstruction dot: max err $err")
+  }
+
+  test("similarity_recall_pq: PQ recall bounded by the IVF ceiling, non-vacuous") {
+    // IVF ranks the SAME candidate set by exact cosine, so any ground-
+    // truth neighbor that survives cell pruning is an IVF hit — IVF
+    // recall is the per-query ceiling for any approximate scorer on
+    // that candidate set, PQ included
+    val pq = Similarity.similarityRecallPq(spark, sf)
+      .select($"query_id", $"recall".as("pq_recall"))
+    val ivf = Similarity.similarityRecall(spark, sf)
+      .select($"query_id", $"recall".as("ivf_recall"))
+    val both = pq.join(ivf, "query_id").cache()
+    assert(both.count() > 0, "vacuous: no sampled queries")
+    val viol = both.where($"pq_recall" > $"ivf_recall" + 1e-9)
+    assert(viol.isEmpty, "PQ recall exceeded the exact-re-rank ceiling")
+    val mean = both.agg(avg($"pq_recall")).head.getDouble(0)
+    assert(mean > 0.0, "vacuous: PQ found no true neighbors at test SF")
+  }
+
   test("ngram_lm_score: OOD gibberish scores below in-distribution text; oov exact") {
     // a corpus of templated docs sharing bigrams + one doc of unique
     // never-repeated tokens: the gibberish doc's bigrams are all
