@@ -596,21 +596,37 @@ object Similarity {
                    nCentroids: Int = -1, nProbe: Int = -1): DataFrame = {
     import spark.implicits._
     val (ranked, _, codes, lut) = pqIndex(spark, sfDir, nCentroids, nProbe)
+    // pack per-vector codes and the per-query LUT into fixed-layout
+    // arrays ONCE (n-row maps), so candidate scoring is a static
+    // m-term element_at sum inside the cell join — no per-pair
+    // explode, no (pair × subspace) shuffle, no re-aggregation. This
+    // is the relational form of PQ's actual serving loop: codes are
+    // m small ints per vector, the LUT is m·k entries per query, and
+    // a candidate's score is m table lookups.
+    val codesArr = codes.groupBy($"vec_id")
+      .agg(sort_array(collect_list(struct($"j", $"code"))).as("cs"))
+      .selectExpr("vec_id", "transform(cs, s -> s.code) as codes")
+    val lutArr = lut.groupBy($"query_id")
+      .agg(sort_array(collect_list(struct($"j", $"code", $"pdot_q"))).as("ls"))
+      .selectExpr("query_id", "transform(ls, s -> s.pdot_q) as lut")
     val assign = ranked.where($"crk" === 1)
       .select($"vec_id", $"v", $"nrm", $"cell")
+      .join(codesArr, "vec_id")
     // ivfRanked is already cut to the nProbe head — every row is a probe
-    val cand = ranked
+    val probes = ranked
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"), $"cell")
-      .join(assign.select($"vec_id", $"v", $"nrm", $"cell"), "cell")
+      .join(lutArr, "query_id")
+    // ADC: Σ_j lut[j·k + codes[j]] — fixed expression order, BIGINT
+    // adds, identical fold in the DuckDB oracle
+    val adcExpr = (0 until PqM)
+      .map(j => s"element_at(lut, cast(element_at(codes, ${j + 1}) + ${j * PqK + 1} as int))")
+      .mkString(" + ")
+    val cand = probes
+      .join(assign.select($"vec_id", $"v", $"nrm", $"cell", $"codes"), "cell")
       .where($"query_id" =!= $"vec_id")
-    val adc = cand.select($"query_id", $"vec_id")
-      .join(codes, "vec_id")
-      .join(lut, Seq("query_id", "j", "code"))
-      .groupBy($"query_id", $"vec_id")
-      .agg(sum($"pdot_q").as("adc_q"))
-    cand.join(adc, Seq("query_id", "vec_id"))
+    cand
       .withColumn("approx_cosine",
-        expr("(cast(adc_q as double) / 1000000000D) / (qn * nrm)"))
+        expr(s"(cast(($adcExpr) as double) / 1000000000D) / (qn * nrm)"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"query_id")
           .orderBy($"approx_cosine".desc, $"vec_id".asc)))
@@ -627,6 +643,9 @@ object Similarity {
     */
   private lazy val pqCtes: String = {
     val jList = (0 until PqM).mkString("[", ", ", "]")
+    val adcExprDuck = (0 until PqM)
+      .map(j => s"lut[codes[${j + 1}] + ${j * PqK + 1}]")
+      .mkString(" + ")
     s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
@@ -664,23 +683,25 @@ object Similarity {
        |         CAST(floor(${dotDuck("s.subv", "c.centv", "pl")}
        |           * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS pdot_q
        |  FROM vsub s JOIN pcent c ON s.j = c.j
+       |), codesarr AS (
+       |  SELECT vec_id, array_agg(code ORDER BY j) AS codes
+       |  FROM codes GROUP BY vec_id
+       |), lutarr AS (
+       |  SELECT query_id, array_agg(pdot_q ORDER BY j, code) AS lut
+       |  FROM lut GROUP BY query_id
        |), cand AS (
        |  SELECT p.vec_id AS query_id, p.v AS qv, p.nrm AS qn,
-       |         a.vec_id, a.v, a.nrm
+       |         a.vec_id, a.v, a.nrm, la.lut, ca.codes
        |  FROM rankedcells p JOIN assign a
        |    ON p.cent_id = a.cell AND p.crk <= 6 AND p.vec_id <> a.vec_id
-       |), adc AS (
-       |  SELECT c.query_id, c.vec_id, sum(l.pdot_q) AS adc_q
-       |  FROM cand c
-       |  JOIN codes k ON c.vec_id = k.vec_id
-       |  JOIN lut l ON l.query_id = c.query_id AND l.j = k.j AND l.code = k.code
-       |  GROUP BY 1, 2
+       |  JOIN lutarr la ON la.query_id = p.vec_id
+       |  JOIN codesarr ca ON ca.vec_id = a.vec_id
        |), r AS (
-       |  SELECT c.query_id, c.vec_id AS neighbor_id,
-       |         (CAST(a.adc_q AS DOUBLE) / CAST(1000000000 AS DOUBLE))
-       |           / (c.qn * c.nrm) AS approx_cosine,
-       |         c.qv, c.qn, c.v, c.nrm
-       |  FROM cand c JOIN adc a ON c.query_id = a.query_id AND c.vec_id = a.vec_id
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |         (CAST(($adcExprDuck) AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+       |           / (qn * nrm) AS approx_cosine,
+       |         qv, qn, v, nrm
+       |  FROM cand
        |), rk AS (
        |  SELECT query_id, neighbor_id, approx_cosine, qv, qn, v, nrm,
        |         row_number() OVER (PARTITION BY query_id
