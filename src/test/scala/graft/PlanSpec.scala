@@ -211,6 +211,28 @@ class PlanSpec extends AnyFunSuite {
       "per-query top-k not pushed below the window sort")
   }
 
+  test("similarity_pq: ADC scores inline in the cell join; rank prunes pre-exchange") {
+    val plan = planString(graft.textops.Similarity.similarityPq(spark, sf))
+    // candidate generation must stay a hash equi-join on cell, the
+    // ADC sum must NOT reintroduce a (pair × subspace) shuffle — no
+    // aggregate between the cell join and the rank — and the top-k
+    // must cut as a partial WindowGroupLimit before the query exchange
+    // (that pre-exchange cut is why slim rows buy nothing — see
+    // PLANS.md; a post-rank vector re-join measured slower at sf1)
+    assert(!plan.contains("CartesianProduct"),
+      "PQ candidate stage degraded to a cartesian pair join")
+    assert(plan.contains("WindowGroupLimit"),
+      "per-query top-k not pushed below the window sort")
+    val rankIdx = plan.indexOf("WindowGroupLimit")
+    // broadcast at test SF, shuffled at scale — match either join form
+    val cellJoinIdx = "Join \\[cell".r.findFirstMatchIn(plan).map(_.start).getOrElse(-1)
+    assert(cellJoinIdx > rankIdx,
+      "expected the cell join below the rank stage with no aggregate between")
+    assert(!plan.substring(rankIdx, cellJoinIdx).contains("HashAggregate"),
+      "an aggregate crept between the cell join and the rank — the " +
+        "exploded ADC shuffle shape is back (7.0 s vs 2.1 s at sf0.1)")
+  }
+
   test("ngram_lm_score: scoring is equi-joins; counts partial-aggregate map-side") {
     val plan = planString(graft.textops.TextStats.ngramLmScore(spark, sf))
     // model/context lookups are (w1,w2)/(w1) hash joins — a nested-loop
