@@ -184,24 +184,43 @@ object Dedup {
     * and are kept by construction (left join), not dropped by
     * accident.
     */
-  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val newGate = "poly_hash37(concat(cast(doc_id as string), '-incr')) % 10 = 0"
-    val sig = minhashSig(spark, sfDir)
-      .withColumn("is_new", expr(newGate))
+  /** The "today's crawl" gate — which docs play the incoming batch in
+    * the incremental-dedup replay (salted hash family, independent of
+    * the split/rebalance gates). */
+  private[textops] val IncrNewGate =
+    "poly_hash37(concat(cast(doc_id as string), '-incr')) % 10 = 0"
+
+  /** MinHash band-bucket rows `(s0..s{K-1}, doc_id, is_new, band_idx,
+    * band_hash)` — signatures ride along the bucket rows so the ≥ 0.5
+    * verify needs no join back to the signature table. This is the
+    * relation [[graft.textops.Pipelines.materialize]] snapshots (base
+    * side only) for the served probe path. */
+  private[textops] def minhashBuckets(spark: SparkSession,
+                                      sfDir: String): DataFrame = {
+    val sig = minhashSig(spark, sfDir).withColumn("is_new", expr(IncrNewGate))
     val bandArray = (0 until K / 2)
       .map(b => s"(s${2 * b} * $SH + s${2 * b + 1}) % $P")
       .mkString("array(", ", ", ")")
-    val bands = sig.selectExpr(
+    sig.selectExpr(
       ((0 until K).map(j => s"s$j") :+ "doc_id" :+ "is_new" :+
         s"posexplode($bandArray) as (band_idx, band_hash)"): _*)
-      .localCheckpoint()
+  }
+
+  /** The probe + verdict core shared by the live query and the
+    * served-from-snapshot path: x (the judged batch) equi-joins y
+    * (the already-ingested corpus view) on `keys`, verifies at sig
+    * similarity ≥ 0.5, and reduces to one keep/dup verdict per
+    * batch doc under keep-first. */
+  private[textops] def incrementalVerdicts(
+      spark: SparkSession, sfDir: String, xBands: DataFrame,
+      yBands: DataFrame,
+      keys: Seq[String] = Seq("band_idx", "band_hash")): DataFrame = {
+    import spark.implicits._
     val simExpr = (0 until K)
       .map(j => s"(case when x.s$j = y.s$j then 1 else 0 end)").mkString(" + ")
-    val matches = bands.where($"is_new").as("x")
-      .join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_hash") === col("y.band_hash") &&
+    val matches = xBands.as("x")
+      .join(yBands.as("y"),
+        keys.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
           col("x.doc_id") =!= col("y.doc_id") &&
           // judged doc x duplicates y only if y was already in the
           // corpus: base doc, or new doc that arrived earlier
@@ -218,12 +237,18 @@ object Dedup {
       .where($"rnk" === 1)
       .select($"doc_id", $"oid".as("dup_of"), $"sim".as("best_sim"), $"n_dups")
     Tables.documents(spark, sfDir)
-      .where(expr(newGate)).select($"doc_id")
+      .where(expr(IncrNewGate)).select($"doc_id")
       .join(best, Seq("doc_id"), "left_outer")
       .selectExpr("doc_id", "dup_of is null as keep",
         "cast(coalesce(n_dups, 0) as bigint) as n_dups",
         "dup_of", "best_sim")
       .orderBy($"doc_id")
+  }
+
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = minhashBuckets(spark, sfDir).localCheckpoint()
+    incrementalVerdicts(spark, sfDir, bands.where($"is_new"), bands)
   }
 
   lazy val dedupIncrementalOracle: String = {

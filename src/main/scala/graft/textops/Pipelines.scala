@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   *   - `clusters/` — connected components over the minhash tier
   *     (what `corpus_prep` keys on).
   *   - `clusters_multi/` — components over all tiers unioned.
+  *   - `minhash_buckets/` — the base corpus's MinHash band buckets
+  *     with signatures in-bucket, **partitioned by `pb`** (band-hash
+  *     prefix): the serving index for [[dedupIncrementalFrom]] — a
+  *     daily batch probes only the partitions its own bands touch.
   *
   * Pairs are doc-id edges (~16 bytes/row) and clusters one row per
   * doc — both tiny next to the corpus, so the snapshot is cheap to
@@ -56,6 +60,40 @@ object Pipelines {
     Dedup.clusterize(spark, sfDir,
         pairs(spark, outDir, Seq("minhash", "simhash")).distinct())
       .write.mode("overwrite").parquet(s"$outDir/clusters_multi")
+    // band buckets of the INGESTED base (signatures ride in-bucket),
+    // partitioned by a band-hash prefix: a daily batch's probe join
+    // touches only the pb partitions its own bands hash into —
+    // directory pruning, not a full-index scan
+    ParquetSink.writePartitioned(
+      Dedup.minhashBuckets(spark, sfDir).where(!col("is_new"))
+        .withColumn("pb", pmod(col("band_hash"), lit(BucketPartitions))),
+      s"$outDir/minhash_buckets", Seq("pb"))
+  }
+
+  /** Band-hash-prefix partition count for the bucket snapshot. 32 is
+    * the toy-tier value; at corpus scale this rises so each directory
+    * holds one task's worth of bucket rows. */
+  private val BucketPartitions = 32
+
+  /** [[Dedup.dedupIncremental]] served from the snapshot: the incoming
+    * batch computes its own signatures live (a narrow map over the
+    * batch — the cheap part) and probes the STORED base buckets
+    * instead of re-deriving the whole corpus index; intra-batch
+    * keep-first edges come from the batch's own buckets. `pb` joins as
+    * a leading key so the probe can prune bucket partitions. Must be
+    * row-identical to the live query (PipelinesSpec pins it).
+    */
+  def dedupIncrementalFrom(spark: SparkSession, sfDir: String,
+                           outDir: String): DataFrame = {
+    import spark.implicits._
+    val newBands = Dedup.minhashBuckets(spark, sfDir).where($"is_new")
+      .withColumn("pb", pmod($"band_hash", lit(BucketPartitions)))
+      .localCheckpoint()
+    val base = spark.read.parquet(s"$outDir/minhash_buckets")
+    val ySide = base.select(newBands.columns.map(col): _*)
+      .union(newBands)
+    Dedup.incrementalVerdicts(spark, sfDir, newBands, ySide,
+      keys = Seq("pb", "band_idx", "band_hash"))
   }
 
   /** Materialized near-dup edges for the given evidence tiers.

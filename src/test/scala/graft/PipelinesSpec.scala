@@ -53,5 +53,10 @@ class PipelinesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("tier"),
       s"tier filter must prune partitions, plan:\n$plan")
+
+    // served incremental dedup: probing the stored base buckets must
+    // replay the live query row-for-row (same verdicts, same keepers)
+    assert(rows(Pipelines.dedupIncrementalFrom(spark, sf, dir)) ==
+      rows(Dedup.dedupIncremental(spark, sf)))
   }
 }
