@@ -106,6 +106,7 @@ object SparkEntry {
     "corpus_sample"     -> ((s, d) => Sampling.corpusSample(s, d)),
     "corpus_prep"       -> ((s, d) => Sampling.corpusPrep(s, d)),
     "cluster_split"     -> ((s, d) => Sampling.clusterSplit(s, d)),
+    "bpe_train"         -> ((s, d) => Bpe.bpeTrain(s, d)),
     "seq_pack"          -> ((s, d) => Packing.seqPack(s, d)),
     "doc_chunks"        -> ((s, d) => Packing.docChunks(s, d)),
     "chunk_dedup"       -> ((s, d) => Packing.chunkDedup(s, d)),
@@ -425,6 +426,7 @@ object SparkEntry {
     "corpus_sample"       -> Sampling.corpusSampleOracle,
     "corpus_prep"         -> Sampling.corpusPrepOracle,
     "cluster_split"       -> Sampling.clusterSplitOracle,
+    "bpe_train"           -> Bpe.bpeTrainOracle,
     "seq_pack"            -> Packing.seqPackOracle(),
     "doc_chunks"          -> Packing.docChunksOracle(),
     "chunk_dedup"         -> Packing.chunkDedupOracle(),

@@ -625,6 +625,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(mean > 0.0, "vacuous: PQ found no true neighbors at test SF")
   }
 
+  test("bpe_train: hand-checked merges incl. overlapping-run greedy semantics") {
+    // vocab chosen so round 1 merges a SELF-OVERLAPPING pair (a,a):
+    // pair_count counts every adjacent occurrence (11) but greedy
+    // left-to-right only applies non-overlapping ones ("aaaa" -> 2
+    // merges, not 3), so n_symbols_after = 34 - 8 = 26, NOT 34 - 11 —
+    // the distinction a naive "subtract pair_count" model misses.
+    // Later rounds pin multi-char merges ((aa,aa) -> aaaa) and the
+    // (count desc, left, right) tie order.
+    val words = Seq(("aaaa", 3L), ("ab", 5L), ("ba", 4L), ("aa", 2L))
+      .toDF("word", "freq")
+    val got = Bpe.bpeTrainFrom(spark, words).collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4), r.getLong(5)))
+    assert(got == Seq(
+      (1, "a", "a", 11L, "aa", 26L),
+      (2, "a", "b", 5L, "ab", 21L),
+      (3, "b", "a", 4L, "ba", 17L),
+      (4, "aa", "aa", 3L, "aaaa", 14L)))
+  }
+
   test("ngram_lm_score: OOD gibberish scores below in-distribution text; oov exact") {
     // a corpus of templated docs sharing bigrams + one doc of unique
     // never-repeated tokens: the gibberish doc's bigrams are all
