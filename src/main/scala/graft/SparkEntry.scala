@@ -107,6 +107,7 @@ object SparkEntry {
     "corpus_prep"       -> ((s, d) => Sampling.corpusPrep(s, d)),
     "cluster_split"     -> ((s, d) => Sampling.clusterSplit(s, d)),
     "bpe_train"         -> ((s, d) => Bpe.bpeTrain(s, d)),
+    "bpe_encode"        -> ((s, d) => Bpe.bpeEncode(s, d)),
     "seq_pack"          -> ((s, d) => Packing.seqPack(s, d)),
     "doc_chunks"        -> ((s, d) => Packing.docChunks(s, d)),
     "chunk_dedup"       -> ((s, d) => Packing.chunkDedup(s, d)),
@@ -427,6 +428,7 @@ object SparkEntry {
     "corpus_prep"         -> Sampling.corpusPrepOracle,
     "cluster_split"       -> Sampling.clusterSplitOracle,
     "bpe_train"           -> Bpe.bpeTrainOracle,
+    "bpe_encode"          -> Bpe.bpeEncodeOracle,
     "seq_pack"            -> Packing.seqPackOracle(),
     "doc_chunks"          -> Packing.docChunksOracle(),
     "chunk_dedup"         -> Packing.chunkDedupOracle(),

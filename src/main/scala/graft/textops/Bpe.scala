@@ -146,6 +146,16 @@ object Bpe {
   private[graft] def bpeTrainFrom(spark: SparkSession,
                                   words: DataFrame): DataFrame = {
     import spark.implicits._
+    train(spark, words)._1
+      .selectExpr("cast(round as int) as round", "lft as `left`", "rgt as `right`",
+        "pair_count", "new_symbol", "n_symbols_after")
+      .orderBy($"round")
+  }
+
+  /** Runs the unrolled rounds; returns (merge rows, final re-encoded
+    * vocabulary `(word, freq, seq)`). */
+  private def train(spark: SparkSession,
+                    words: DataFrame): (DataFrame, DataFrame) = {
     var seqs = words
       .selectExpr("word", "freq",
         "transform(sequence(1, length(word)), ci -> substring(word, ci, 1)) as seq")
@@ -157,10 +167,7 @@ object Bpe {
         .agg(sum(expr("freq * size(seq)")).as("n_symbols_after"))
       best.crossJoin(broadcast(nAfter))
     }
-    rows.reduce(_ union _)
-      .selectExpr("cast(round as int) as round", "lft as `left`", "rgt as `right`",
-        "pair_count", "new_symbol", "n_symbols_after")
-      .orderBy($"round")
+    (rows.reduce(_ union _), seqs)
   }
 
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
@@ -170,7 +177,38 @@ object Bpe {
     bpeTrainFrom(spark, words)
   }
 
-  lazy val bpeTrainOracle: String = {
+  /** Encode the corpus with the trained merges — the tokenizer's
+    * apply side. Every word's encoded length is computed ONCE on the
+    * vocabulary (the training rounds already produced the final
+    * symbol sequences); documents then pay one broadcast-sized join
+    * of their token stream against the `(word, encoded length)`
+    * dictionary — the corpus is never re-folded per merge. Output per
+    * doc: raw token count, BPE symbol count, token character mass,
+    * and the compression ratio a tokenizer report quotes.
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, sfDir)
+      .selectExpr(s"explode($tokensSpark) as word")
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+    val enc = train(spark, words)._2
+      .selectExpr("word", "size(seq) as n_sym")
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", s"explode($tokensSpark) as word")
+      .join(broadcast(enc), "word")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"n_sym").as("n_symbols"),
+        sum(length($"word")).cast("long").as("n_chars_tok"))
+      .selectExpr("doc_id", "n_tokens", "n_symbols", "n_chars_tok",
+        "cast(n_symbols as double) / n_chars_tok as compression")
+      .orderBy($"doc_id")
+  }
+
+  /** Shared DuckDB CTE chain: tokenization → word counts → seqs0 →
+    * the unrolled rounds (ending in `seqs{Rounds}` and per-round
+    * `best\$r`/`after\$r`). */
+  private lazy val bpeCtes: String = {
     def roundCtes(r: Int, prevSeqs: String): String =
       s"""pairs$r AS (
          |  SELECT s.seq[g$r.i] AS lft, s.seq[g$r.i + 1] AS rgt,
@@ -186,13 +224,8 @@ object Bpe {
     val chain = (1 to Rounds)
       .map(r => roundCtes(r, if (r == 1) "seqs0" else s"seqs${r - 1}"))
       .mkString(",\n")
-    val unions = (1 to Rounds)
-      .map(r => s"SELECT b.round, b.lft AS \"left\", b.rgt AS \"right\", " +
-        s"b.pair_count, b.new_symbol, a.n_symbols_after " +
-        s"FROM best$r b CROSS JOIN after$r a")
-      .mkString("\n  UNION ALL ")
-    s"""WITH toks AS (
-       |  SELECT $tokensDuck AS tokens FROM documents
+    s"""toks AS (
+       |  SELECT doc_id, $tokensDuck AS tokens FROM documents
        |), wx AS (
        |  SELECT unnest(tokens) AS word FROM toks
        |), w AS (
@@ -202,9 +235,32 @@ object Bpe {
        |         list_transform(range(1, length(word) + 1), ci -> word[ci]) AS seq
        |  FROM w
        |),
-       |$chain
+       |$chain""".stripMargin
+  }
+
+  lazy val bpeTrainOracle: String = {
+    val unions = (1 to Rounds)
+      .map(r => s"SELECT b.round, b.lft AS \"left\", b.rgt AS \"right\", " +
+        s"b.pair_count, b.new_symbol, a.n_symbols_after " +
+        s"FROM best$r b CROSS JOIN after$r a")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $bpeCtes
        |SELECT CAST(round AS INT) AS round, "left", "right", pair_count,
        |       new_symbol, n_symbols_after
        |FROM ($unions) ORDER BY round""".stripMargin
   }
+
+  lazy val bpeEncodeOracle: String =
+    s"""WITH $bpeCtes, enc AS (
+       |  SELECT word, len(seq) AS n_sym FROM seqs$Rounds
+       |), dt AS (
+       |  SELECT doc_id, unnest(tokens) AS word FROM toks
+       |)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(e.n_sym) AS BIGINT) AS n_symbols,
+       |       CAST(sum(length(d.word)) AS BIGINT) AS n_chars_tok,
+       |       CAST(CAST(sum(e.n_sym) AS BIGINT) AS DOUBLE)
+       |         / CAST(sum(length(d.word)) AS BIGINT) AS compression
+       |FROM dt d JOIN enc e ON d.word = e.word
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 }

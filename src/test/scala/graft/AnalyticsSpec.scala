@@ -645,6 +645,23 @@ class AnalyticsSpec extends AnyFunSuite {
       (4, "aa", "aa", 3L, "aaaa", 14L)))
   }
 
+  test("bpe_encode: symbol conservation vs the trainer's compression curve") {
+    val enc = Bpe.bpeEncode(spark, sf).cache()
+    // every word encodes to >= 1 symbol and merges never grow a word
+    assert(enc.where($"n_symbols" < $"n_tokens" ||
+      $"n_symbols" > $"n_chars_tok").isEmpty,
+      "per-doc symbol count outside [n_tokens, n_chars_tok]")
+    assert(enc.where($"n_symbols" < $"n_chars_tok").count() > 0,
+      "vacuous: no merge ever applied to the corpus")
+    // Σ per-doc symbols == the trainer's final freq-weighted total —
+    // the encode join and the training vocabulary must agree exactly
+    val total = enc.agg(sum($"n_symbols")).head.getLong(0)
+    val curve = Bpe.bpeTrain(spark, sf)
+      .orderBy($"round".desc).select($"n_symbols_after").head.getLong(0)
+    assert(total == curve,
+      s"encoded corpus has $total symbols but the trainer reports $curve")
+  }
+
   test("ngram_lm_score: OOD gibberish scores below in-distribution text; oov exact") {
     // a corpus of templated docs sharing bigrams + one doc of unique
     // never-repeated tokens: the gibberish doc's bigrams are all
