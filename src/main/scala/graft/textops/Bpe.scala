@@ -186,22 +186,37 @@ object Bpe {
     * doc: raw token count, BPE symbol count, token character mass,
     * and the compression ratio a tokenizer report quotes.
     */
-  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** The `(word, n_sym)` encoding dictionary a trained tokenizer
+    * serves with — broadcast-sized (vocabulary grain). */
+  def encodeDict(spark: SparkSession, sfDir: String): DataFrame = {
     val words = Tables.documents(spark, sfDir)
       .selectExpr(s"explode($tokensSpark) as word")
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
-    val enc = train(spark, words)._2
-      .selectExpr("word", "size(seq) as n_sym")
-    Tables.documents(spark, sfDir)
+    train(spark, words)._2.selectExpr("word", "size(seq) as n_sym")
+  }
+
+  /** Encode an arbitrary `(doc_id, text)` relation against a trained
+    * dictionary — stream-safe (explode + broadcast join + per-doc
+    * aggregate; complete/update mode on a stream), the same shape as
+    * [[TextStats.oovRateFrom]]. Unknown words (not in the training
+    * vocabulary) fall back to character count — what a real tokenizer
+    * does with OOV input. */
+  def bpeEncodeFrom(docs: DataFrame, enc: DataFrame): DataFrame =
+    docs
       .selectExpr("doc_id", s"explode($tokensSpark) as word")
-      .join(broadcast(enc), "word")
-      .groupBy($"doc_id")
+      .join(broadcast(enc), Seq("word"), "left_outer")
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        sum($"n_sym").as("n_symbols"),
-        sum(length($"word")).cast("long").as("n_chars_tok"))
+        sum(coalesce(col("n_sym"), length(col("word")).cast("long")))
+          .as("n_symbols"),
+        sum(length(col("word"))).cast("long").as("n_chars_tok"))
       .selectExpr("doc_id", "n_tokens", "n_symbols", "n_chars_tok",
         "cast(n_symbols as double) / n_chars_tok as compression")
+
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bpeEncodeFrom(Tables.documents(spark, sfDir).select($"doc_id", $"text"),
+        encodeDict(spark, sfDir))
       .orderBy($"doc_id")
   }
 

@@ -593,6 +593,27 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally { q.stop(); vocab.unpersist() }
   }
 
+  test("bpeEncodeFrom on a stream vs static dictionary (complete mode) == batch bpe_encode") {
+    implicit val ctx = spark.sqlContext
+    import graft.textops.Bpe
+    val dict = Bpe.encodeDict(spark, sf).cache()
+    val ms = MemoryStream[(Long, String)]
+    val q = Bpe.bpeEncodeFrom(ms.toDF().toDF("doc_id", "text"), dict)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("complete").start()
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      docs.grouped(math.max(docs.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = spark.table("bpe_stream")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      val want = Bpe.bpeEncode(spark, sf)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(want.nonEmpty && got == want)
+    } finally { q.stop(); dict.unpersist() }
+  }
+
   test("qualityGopherFrom on a stream == batch quality_gopher (narrow rep_ratio form)") {
     implicit val ctx = spark.sqlContext
     import graft.textops.TextStats
