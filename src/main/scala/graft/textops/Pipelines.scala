@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   *   - `clusters/` — connected components over the minhash tier
   *     (what `corpus_prep` keys on).
   *   - `clusters_multi/` — components over all tiers unioned.
+  *   - `ann_centroids/` + `ann_assign/` — the IVF serving index
+  *     (assignments partitioned by cell prefix), written by
+  *     [[materializeAnn]]: [[annSearchFrom]] runs ARBITRARY query
+  *     vectors against storage.
   *   - `minhash_buckets/` — the base corpus's MinHash band buckets
   *     with signatures in-bucket, **partitioned by `pb`** (band-hash
   *     prefix): the serving index for [[dedupIncrementalFrom]] — a
@@ -123,6 +127,61 @@ object Pipelines {
     spark.read.parquet(path)
       .select($"doc_id", $"cluster_id", $"cluster_size", $"is_keeper")
       .orderBy($"doc_id")
+  }
+
+  /** Persist the IVF serving index: the centroid table plus the
+    * cell-assigned vectors, assignments **partitioned by `pc`** (cell
+    * prefix) — a query's probe join reads only the directories its
+    * nProbe cells hash into. This is the ANN analog of the
+    * `minhash_buckets` snapshot: index build (the expensive corpus
+    * pass) runs once per corpus snapshot; queries arrive later and
+    * probe storage.
+    */
+  def materializeAnn(spark: SparkSession, sfDir: String,
+                     outDir: String): Unit = {
+    val (cent, assign) = Similarity.ivfServingIndex(spark, sfDir)
+    cent.write.mode("overwrite").parquet(s"$outDir/ann_centroids")
+    ParquetSink.writePartitioned(
+      assign.withColumn("pc", pmod(col("cell"), lit(AnnPartitions))),
+      s"$outDir/ann_assign", Seq("pc"))
+  }
+
+  private val AnnPartitions = 64
+
+  /** ANN search for ARBITRARY query vectors against the stored index —
+    * the real serving signature (the `similarity_*` queries always
+    * search the corpus against itself; a production query set is new
+    * vectors). Queries rank the broadcast centroid table, probe the
+    * stored assignments on (pc, cell), and keep the exact top-k per
+    * query. `excludeSelfId` drops neighbor rows whose vec_id equals
+    * the query id — only meaningful when the query ids share the
+    * corpus id space (the parity test replays `similarity_ivf` that
+    * way); leave false for external queries.
+    */
+  def annSearchFrom(spark: SparkSession, outDir: String, queries: DataFrame,
+                    k: Int = 5, nProbe: Int = -1,
+                    excludeSelfId: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val cent = spark.read.parquet(s"$outDir/ann_centroids")
+    val np = if (nProbe > 0) nProbe
+             else Similarity.autoNProbe(cent.count().toInt)
+    val q = queries.selectExpr("vec_id", "cast(v as array<double>) as v")
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    val probes = Similarity.ivfRankedFrom(q, cent, np)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"), $"cell")
+      .withColumn("pc", pmod($"cell", lit(AnnPartitions)))
+    val assign = spark.read.parquet(s"$outDir/ann_assign")
+    val cand = probes.join(assign, Seq("pc", "cell"))
+    val kept = if (excludeSelfId) cand.where($"query_id" =!= $"vec_id") else cand
+    kept
+      .withColumn("cosine", expr("vec_dot(qv, v) / (qn * nrm)"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"cosine".desc, $"vec_id".asc)))
+      .where($"rnk" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cosine",
+        $"rnk".cast("int").as("rnk"))
+      .orderBy($"query_id", $"rnk")
   }
 
   /** [[Sampling.corpusPrep]] served from the snapshot: keeper set from

@@ -154,7 +154,7 @@ object Similarity {
     * shared by the seeded ([[ivfRanked]]) and k-means-trained
     * ([[similarityIvfTrained]]) index builds.
     */
-  private def ivfRankedFrom(e: DataFrame, cent: DataFrame,
+  private[textops] def ivfRankedFrom(e: DataFrame, cent: DataFrame,
                             nProbe: Int): DataFrame = {
     e.join(broadcast(cent), expr("true"))
       .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
@@ -165,6 +165,23 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"),
         col("cent_id").as("cell"), col("crk"))
       .localCheckpoint()
+  }
+
+  /** The persistable IVF serving index: (centroid table, cell-assigned
+    * vectors) under the scale-adaptive default geometry — what
+    * [[graft.textops.Pipelines.materializeAnn]] snapshots. */
+  private[textops] def ivfServingIndex(spark: SparkSession, sfDir: String,
+                                       nCentroids: Int = -1)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val c = if (nCentroids > 0) nCentroids
+            else autoCentroids(nVecs(spark, sfDir))
+    val e = vectors(spark, sfDir)
+    val cent = e.where($"vec_id" < c)
+      .select($"vec_id".as("cent_id"), $"v".as("centv"), $"nrm".as("centn"))
+    val assign = ivfRankedFrom(e, cent, 1)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+    (cent, assign)
   }
 
   /** Lloyd-trained IVF centroids: `rounds` fixed unrolled k-means

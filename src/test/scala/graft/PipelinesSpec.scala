@@ -59,4 +59,24 @@ class PipelinesSpec extends AnyFunSuite {
     assert(rows(Pipelines.dedupIncrementalFrom(spark, sf, dir)) ==
       rows(Dedup.dedupIncremental(spark, sf)))
   }
+
+  test("materialized ANN index: stored probe == live similarity_ivf; external queries work") {
+    import graft.textops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graftann").toString
+    Pipelines.materializeAnn(spark, sf, dir)
+    // replaying the corpus as the query set against storage must equal
+    // the live self-search query exactly
+    val corpus = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    assert(rows(Pipelines.annSearchFrom(spark, dir, corpus,
+        excludeSelfId = true)) ==
+      rows(Similarity.similarityIvf(spark, sf)))
+    // an EXTERNAL query (id outside the corpus space, perturbed
+    // vector) gets k neighbors without touching the index build
+    val external = corpus.limit(1)
+      .selectExpr("cast(1000000 as bigint) as vec_id",
+        "transform(v, x -> x + 0.001d) as v")
+    val hits = Pipelines.annSearchFrom(spark, dir, external)
+    assert(hits.count() == 5, "external query did not return k neighbors")
+  }
 }
