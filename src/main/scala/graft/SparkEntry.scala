@@ -106,6 +106,7 @@ object SparkEntry {
     "corpus_sample"     -> ((s, d) => Sampling.corpusSample(s, d)),
     "corpus_prep"       -> ((s, d) => Sampling.corpusPrep(s, d)),
     "cluster_split"     -> ((s, d) => Sampling.clusterSplit(s, d)),
+    "dsir_select"       -> ((s, d) => Sampling.dsirSelect(s, d)),
     "bpe_train"         -> ((s, d) => Bpe.bpeTrain(s, d)),
     "bpe_encode"        -> ((s, d) => Bpe.bpeEncode(s, d)),
     "seq_pack"          -> ((s, d) => Packing.seqPack(s, d)),
@@ -427,6 +428,7 @@ object SparkEntry {
     "corpus_sample"       -> Sampling.corpusSampleOracle,
     "corpus_prep"         -> Sampling.corpusPrepOracle,
     "cluster_split"       -> Sampling.clusterSplitOracle,
+    "dsir_select"         -> Sampling.dsirSelectOracle(),
     "bpe_train"           -> Bpe.bpeTrainOracle,
     "bpe_encode"          -> Bpe.bpeEncodeOracle,
     "seq_pack"            -> Packing.seqPackOracle(),

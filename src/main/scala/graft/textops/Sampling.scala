@@ -221,6 +221,117 @@ object Sampling {
        |FROM gated g LEFT JOIN kept k ON g.lang = k.lang CROSS JOIN kt
        |ORDER BY g.lang""".stripMargin
 
+  /** DSIR-style importance-weighted data selection (Xie et al.,
+    * NeurIPS 2023: Data Selection for Language Models via Importance
+    * Resampling) — the targeted-selection stage of a pretraining
+    * pipeline: given a small CURATED target set (here: provenance
+    * sources `targetSources`, the "Wikipedia-like" proxy) and the raw
+    * crawl (all documents), score every raw document by how much its
+    * hashed bag-of-tokens resembles the target distribution over the
+    * raw one, and keep the top-K.
+    *
+    * DSIR's estimator is the log-ratio Σ_t [log p̂_target(t) −
+    * log p̂_raw(t)] over hashed n-gram buckets. Like
+    * [[TextStats.ngramLmScore]]'s perplexity substitute, the
+    * transcendental log is replaced by a rational, integer-exact
+    * surrogate: per-bucket weight wq = ⌊c_t·10⁹/T_t⌋ − ⌊c_r·10⁹/T_r⌋
+    * (the nano-rate difference — the first-order expansion of the
+    * log-ratio around p_target = p_raw), and the document score is the
+    * MEAN bucket weight over its token occurrences. All sums are
+    * BIGINT, so the score is partition-order independent and replays
+    * bit-for-bit in DuckDB; the one double division runs in a fixed
+    * op order. The hashing trick (token → poly_hash % nBuckets) is
+    * DSIR's own: collisions fold rare tokens together, bounding the
+    * model at `nBuckets` rows regardless of vocabulary size.
+    *
+    * Selection is deterministic top-K (resampling without the Gumbel
+    * noise — reproducibility over variance, documented divergence):
+    * ORDER BY score/limit gives TakeOrderedAndProject (distributed
+    * partial top-K, never a global sort), and `sel_rank` is a window
+    * over the K-row result only (the vocab_topv idiom).
+    *
+    * Scale shape: the token stream is aggregated twice, both
+    * partial-aggregatable map-side — once to the `nBuckets`-row rate
+    * table (broadcast back: tokens never shuffle for the probe, the
+    * oov_rate pattern), once to per-doc score sums (shuffle carries
+    * O(docs) partial rows). At 100 TB the 10⁹ nano-rate multiplier
+    * bounds c·10⁹ < 2⁶³ up to ~9×10⁹ tokens per bucket; past that,
+    * drop to 10⁶ micro-units or widen to DECIMAL(38,0) — the
+    * comparison semantics are unchanged.
+    */
+  def dsirSelect(spark: SparkSession, sfDir: String,
+                 nBuckets: Int = 10000, topK: Int = 100,
+                 targetSources: Seq[String] =
+                   Seq("src0", "src1", "src2", "src3")): DataFrame = {
+    import spark.implicits._
+    val inTarget =
+      s"source in (${targetSources.map(s => s"'$s'").mkString(", ")})"
+    val toks = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "source",
+        s"explode(${TextHash.tokensSpark}) as tok")
+      .selectExpr("doc_id", "source", s"poly_hash(tok) % $nBuckets as b")
+    val rates = toks.groupBy($"b").agg(
+      sum(expr(s"case when $inTarget then 1 else 0 end")).as("c_t"),
+      count(lit(1)).as("c_r"))
+    val tot = rates.agg(sum($"c_t").as("t_t"), sum($"c_r").as("t_r"))
+    val w = rates.crossJoin(broadcast(tot))
+      .selectExpr("b",
+        "c_t * 1000000000 div t_t - c_r * 1000000000 div t_r as wq")
+    val scores = toks.where(expr(s"not ($inTarget)"))
+      .join(broadcast(w), "b")
+      .groupBy($"doc_id", $"source")
+      .agg(sum($"wq").as("score_q"), count(lit(1)).as("n_tokens"))
+      .selectExpr("doc_id", "source", "n_tokens", "score_q",
+        "cast(score_q as double) / n_tokens as score")
+    scores.orderBy($"score".desc, $"doc_id".asc).limit(topK)
+      .withColumn("sel_rank", row_number().over(
+        Window.orderBy($"score".desc, $"doc_id".asc)).cast("int"))
+      .orderBy($"sel_rank")
+  }
+
+  def dsirSelectOracle(nBuckets: Int = 10000, topK: Int = 100,
+                       targetSources: Seq[String] =
+                         Seq("src0", "src1", "src2", "src3")): String = {
+    val inTarget =
+      s"source IN (${targetSources.map(s => s"'$s'").mkString(", ")})"
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         unnest(list_filter(string_split_regex(text, '\\s+'),
+       |                            t0 -> t0 <> '')) AS tok
+       |  FROM documents
+       |), tb AS (
+       |  SELECT doc_id, source, ${phDuck("tok", "db")} % $nBuckets AS b
+       |  FROM toks
+       |), rates AS (
+       |  SELECT b,
+       |         CAST(sum(CASE WHEN $inTarget THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+       |         CAST(count(*) AS BIGINT) AS c_r
+       |  FROM tb GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(c_t) AS BIGINT) AS t_t,
+       |         CAST(sum(c_r) AS BIGINT) AS t_r FROM rates
+       |), w AS (
+       |  SELECT b, c_t * 1000000000 // t_t - c_r * 1000000000 // t_r AS wq
+       |  FROM rates CROSS JOIN tot
+       |), scores AS (
+       |  SELECT t.doc_id, t.source,
+       |         CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(w.wq) AS BIGINT) AS score_q
+       |  FROM tb t JOIN w ON t.b = w.b
+       |  WHERE NOT ($inTarget)
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT doc_id, source, n_tokens, score_q,
+       |         CAST(score_q AS DOUBLE) / n_tokens AS score,
+       |         CAST(row_number() OVER (
+       |           ORDER BY CAST(score_q AS DOUBLE) / n_tokens DESC,
+       |                    doc_id ASC) AS INT) AS sel_rank
+       |  FROM scores
+       |)
+       |SELECT doc_id, source, n_tokens, score_q, score, sel_rank
+       |FROM ranked WHERE sel_rank <= $topK ORDER BY sel_rank""".stripMargin
+  }
+
   val corpusSampleOracle: String =
     s"""WITH hashed AS (
        |  SELECT doc_id, lang,

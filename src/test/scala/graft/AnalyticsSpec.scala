@@ -247,6 +247,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
   }
 
+  test("dsir_select: top-K non-target docs, scores descending, mean-weight exact") {
+    val sel = Sampling.dsirSelect(spark, sf).cache()
+    // selection never returns a target-source document
+    assert(sel.where($"source".isin("src0", "src1", "src2", "src3")).isEmpty)
+    // dense ranks 1..K with K = min(topK, non-target docs)
+    val n = sel.count()
+    assert(sel.agg(max($"sel_rank")).head.getInt(0) === n.toInt)
+    assert(sel.select(countDistinct($"sel_rank")).head.getLong(0) === n)
+    // scores are non-increasing in rank (the top-K cut is genuine)
+    val inverted = sel.as("a").join(sel.as("b"),
+      $"a.sel_rank" < $"b.sel_rank" && $"a.score" < $"b.score")
+    assert(inverted.isEmpty)
+    // score is exactly the mean nano-rate weight: score_q / n_tokens
+    val bad = sel.where(
+      $"score" =!= ($"score_q".cast("double") / $"n_tokens"))
+    assert(bad.isEmpty)
+  }
+
   test("corpus_prep: exactly the keeper ∩ quality ∩ train-split intersection") {
     val prep = Sampling.corpusPrep(spark, sf).cache()
     val stats = TextStats.textStats(spark, sf)

@@ -153,6 +153,14 @@ class PlanSpec extends AnyFunSuite {
       "a per-lang table join degraded to sort-merge on document rows")
   }
 
+  test("dsir_select: bucket-weight probe broadcast; top-K cut is TakeOrderedAndProject") {
+    val plan = planString(graft.textops.Sampling.dsirSelect(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-K selection degraded to a global sort")
+    assert(!plan.contains("SortMergeJoin"),
+      "the nBuckets-row weight table join degraded to sort-merge on the token stream")
+  }
+
   test("user_retention: one user exchange + one matrix exchange before the sort") {
     val plan = planString(UserBehaviorAnalytics.userRetention(spark, sf))
     // the matrix subtree is checkpointed, so the executed plan above it
