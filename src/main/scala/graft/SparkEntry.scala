@@ -107,6 +107,7 @@ object SparkEntry {
     "corpus_prep"       -> ((s, d) => Sampling.corpusPrep(s, d)),
     "cluster_split"     -> ((s, d) => Sampling.clusterSplit(s, d)),
     "dsir_select"       -> ((s, d) => Sampling.dsirSelect(s, d)),
+    "token_cms"         -> ((s, d) => Sketch.tokenCms(s, d)),
     "bpe_train"         -> ((s, d) => Bpe.bpeTrain(s, d)),
     "bpe_encode"        -> ((s, d) => Bpe.bpeEncode(s, d)),
     "seq_pack"          -> ((s, d) => Packing.seqPack(s, d)),
@@ -429,6 +430,7 @@ object SparkEntry {
     "corpus_prep"         -> Sampling.corpusPrepOracle,
     "cluster_split"       -> Sampling.clusterSplitOracle,
     "dsir_select"         -> Sampling.dsirSelectOracle(),
+    "token_cms"           -> Sketch.tokenCmsOracle(),
     "bpe_train"           -> Bpe.bpeTrainOracle,
     "bpe_encode"          -> Bpe.bpeEncodeOracle,
     "seq_pack"            -> Packing.seqPackOracle(),

@@ -265,6 +265,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bad.isEmpty)
   }
 
+  test("token_cms: never undercounts; overcount within the e/B·N bound; collisions real") {
+    val cms = Sketch.tokenCms(spark, sf).cache()
+    // Count-Min's one-sided guarantee: est >= exact, always
+    assert(cms.where($"est_cnt" < $"exact_cnt").isEmpty)
+    // classic accuracy bound: overcount <= (e/B)·N (N = total tokens)
+    val n = Tables.documents(spark, sf)
+      .selectExpr(s"explode(${graft.textops.TextHash.tokensSpark}) as t")
+      .count()
+    val bound = math.ceil(math.E * n / 64).toLong
+    assert(cms.where($"overcount" > bound).isEmpty,
+      s"an overcount exceeded the e/B bound $bound")
+    // the B=64 sketch genuinely collides on this corpus (the bound is
+    // exercised, not vacuous) AND min-over-K rescues most hitters
+    val over = cms.where($"overcount" > 0).count()
+    assert(over > 0 && over < cms.count())
+  }
+
   test("corpus_prep: exactly the keeper ∩ quality ∩ train-split intersection") {
     val prep = Sampling.corpusPrep(spark, sf).cache()
     val stats = TextStats.textStats(spark, sf)
