@@ -184,6 +184,61 @@ object Pipelines {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** Persist the eval-set shingle index for decontamination serving.
+    * The production asymmetry: eval sets are FROZEN and small; train
+    * batches are huge and keep arriving. So the stored side is the
+    * eval index — (doc_id, shingle) pairs partitioned by a
+    * shingle-hash prefix `ps`, plus the per-doc shingle totals the
+    * contamination denominator needs — and each incoming train batch
+    * probes it live. Storing the train index (the [[decontamination]]
+    * query's other side) would mean re-writing a 100 TB-scale
+    * structure per batch; storing eval costs megabytes once.
+    */
+  def materializeEval(spark: SparkSession, sfDir: String,
+                      outDir: String): Unit = {
+    import spark.implicits._
+    val evalShingles = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        "poly_hash(cast(doc_id as string)) % 100 as bucket",
+        "shingle_hashes(text) as sh")
+      .where("bucket >= 95 and size(sh) >= 1")
+      .selectExpr("doc_id", "explode(sh) as shingle").distinct()
+      .localCheckpoint() // feeds totals AND the partitioned write
+    ParquetSink.writePartitioned(
+      evalShingles.withColumn("ps", pmod($"shingle", lit(BucketPartitions))),
+      s"$outDir/eval_shingles", Seq("ps"))
+    evalShingles.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      .write.mode("overwrite").parquet(s"$outDir/eval_totals")
+  }
+
+  /** [[TextStats.decontamination]] served from the stored eval index:
+    * the train batch computes its own distinct-shingle set live (a
+    * narrow map + dedup over the batch), probes `eval_shingles/` on
+    * (ps, shingle), and divides by the stored totals. Row-identical to
+    * the live query on the same train set (PipelinesSpec pins it).
+    */
+  def decontaminateFrom(spark: SparkSession, sfDir: String,
+                        outDir: String): DataFrame = {
+    import spark.implicits._
+    val trainIndex = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        "poly_hash(cast(doc_id as string)) % 100 as bucket",
+        "shingle_hashes(text) as sh")
+      .where("bucket < 90 and size(sh) >= 1")
+      .selectExpr("explode(sh) as shingle").distinct()
+      .withColumn("ps", pmod($"shingle", lit(BucketPartitions)))
+    val evalShingles = spark.read.parquet(s"$outDir/eval_shingles")
+    val totals = spark.read.parquet(s"$outDir/eval_totals")
+    val hits = evalShingles.join(trainIndex, Seq("ps", "shingle"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce($"n_hit", lit(0L)))
+      .selectExpr("doc_id", "n_shingles", "n_hit",
+        "cast(n_hit as double) / n_shingles as contamination")
+      .withColumn("flagged", $"contamination" >= 0.5)
+      .orderBy($"doc_id")
+  }
+
   /** [[Sampling.corpusPrep]] served from the snapshot: keeper set from
     * the clusters parquet instead of re-running signatures + LSH +
     * label propagation. The quality/lang stats remain live (they're a

@@ -79,4 +79,12 @@ class PipelinesSpec extends AnyFunSuite {
     val hits = Pipelines.annSearchFrom(spark, dir, external)
     assert(hits.count() == 5, "external query did not return k neighbors")
   }
+
+  test("materialized eval index: served decontamination == live query") {
+    import graft.textops.TextStats
+    val dir = java.nio.file.Files.createTempDirectory("grafteval").toString
+    Pipelines.materializeEval(spark, sf, dir)
+    assert(rows(Pipelines.decontaminateFrom(spark, sf, dir)) ==
+      rows(TextStats.decontamination(spark, sf)))
+  }
 }
