@@ -27,6 +27,26 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
+  private def k: Int = MinhashA.length min 4
+
+  private def rowBucket(b: Int)(i: Int): String =
+    s"(${MinhashA(i)} * h + ${MinhashB(i)}) % $P % $b"
+
+  /** The K×B sketch itself, buildable on any frame with a `text`
+    * column — BATCH OR STREAMING: the update is a narrow explode +
+    * hash map followed by one bounded groupBy-count, which is exactly
+    * the aggregation shape Structured Streaming maintains natively
+    * (state = K·B counters, update-mode increments — the sketch IS its
+    * own streaming state, no custom processor needed). Merging two
+    * sketches (days, partitions, streams) is elementwise addition of
+    * the `c` column; the parity test pins stream == batch.
+    */
+  def cmsSketchFrom(texts: DataFrame, b: Int = 64): DataFrame =
+    texts.selectExpr(s"explode($tokensSpark) as token")
+      .selectExpr("poly_hash(token) as h")
+      .selectExpr(s"posexplode(array(${(0 until k).map(rowBucket(b)).mkString(", ")})) as (r, bkt)")
+      .groupBy(col("r"), col("bkt")).agg(count(lit(1)).as("c"))
+
   /** Count-Min sketch accuracy check on the corpus's own heavy
     * hitters: build the K×B sketch over all tokens, take the true
     * top-`hh` tokens (exact counts — the vocab_topv cut), and report
@@ -43,24 +63,19 @@ object Sketch {
   def tokenCms(spark: SparkSession, sfDir: String,
                b: Int = 64, hh: Int = 20): DataFrame = {
     import spark.implicits._
-    val k = MinhashA.length min 4
-    val toks = Tables.documents(spark, sfDir)
+    val cms = cmsSketchFrom(
+      Tables.documents(spark, sfDir).select($"text"), b)
+    val top = Tables.documents(spark, sfDir)
       .selectExpr(s"explode($tokensSpark) as token")
       .selectExpr("token", "poly_hash(token) as h")
-      .localCheckpoint() // feeds the sketch AND the exact counts
-    val rowBucket = (i: Int) =>
-      s"(${MinhashA(i)} * h + ${MinhashB(i)}) % $P % $b"
-    val cms = toks
-      .selectExpr(s"posexplode(array(${(0 until k).map(rowBucket).mkString(", ")})) as (r, bkt)")
-      .groupBy($"r", $"bkt").agg(count(lit(1)).as("c"))
-    val top = toks.groupBy($"token", $"h").agg(count(lit(1)).as("exact_cnt"))
+      .groupBy($"token", $"h").agg(count(lit(1)).as("exact_cnt"))
       .orderBy($"exact_cnt".desc, $"token".asc).limit(hh)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy($"exact_cnt".desc, $"token".asc)).cast("int"))
     top
       .selectExpr("rank", "token", "exact_cnt",
-        s"posexplode(array(${(0 until k).map(rowBucket).mkString(", ")})) as (r, bkt)")
+        s"posexplode(array(${(0 until k).map(rowBucket(b)).mkString(", ")})) as (r, bkt)")
       .join(broadcast(cms), Seq("r", "bkt"))
       .groupBy($"rank", $"token", $"exact_cnt")
       .agg(min($"c").as("est_cnt"))

@@ -614,6 +614,28 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally { q.stop(); dict.unpersist() }
   }
 
+  test("cmsSketchFrom on a stream (complete mode) == batch sketch — mergeable counters") {
+    implicit val ctx = spark.sqlContext
+    import graft.textops.Sketch
+    val ms = MemoryStream[(Long, String)]
+    val q = Sketch.cmsSketchFrom(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      docs.grouped(math.max(docs.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = spark.table("cms_stream")
+        .as[(Int, Long, Long)].collect().toSet
+      val want = Sketch.cmsSketchFrom(
+          Tables.documents(spark, sf).select($"text"))
+        .as[(Int, Long, Long)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        "incrementally-maintained sketch diverged from the batch sketch")
+    } finally q.stop()
+  }
+
   test("qualityGopherFrom on a stream == batch quality_gopher (narrow rep_ratio form)") {
     implicit val ctx = spark.sqlContext
     import graft.textops.TextStats
