@@ -195,7 +195,7 @@ object Dedup {
     * verify needs no join back to the signature table. This is the
     * relation [[graft.textops.Pipelines.materialize]] snapshots (base
     * side only) for the served probe path. */
-  private[textops] def minhashBuckets(spark: SparkSession,
+  private[graft] def minhashBuckets(spark: SparkSession,
                                       sfDir: String): DataFrame = {
     val sig = minhashSig(spark, sfDir).withColumn("is_new", expr(IncrNewGate))
     val bandArray = (0 until K / 2)
@@ -211,10 +211,11 @@ object Dedup {
     * (the already-ingested corpus view) on `keys`, verifies at sig
     * similarity ≥ 0.5, and reduces to one keep/dup verdict per
     * batch doc under keep-first. */
-  private[textops] def incrementalVerdicts(
+  private[graft] def incrementalVerdicts(
       spark: SparkSession, sfDir: String, xBands: DataFrame,
       yBands: DataFrame,
-      keys: Seq[String] = Seq("band_idx", "band_hash")): DataFrame = {
+      keys: Seq[String] = Seq("band_idx", "band_hash"),
+      judgedPred: String = IncrNewGate): DataFrame = {
     import spark.implicits._
     val simExpr = (0 until K)
       .map(j => s"(case when x.s$j = y.s$j then 1 else 0 end)").mkString(" + ")
@@ -237,7 +238,7 @@ object Dedup {
       .where($"rnk" === 1)
       .select($"doc_id", $"oid".as("dup_of"), $"sim".as("best_sim"), $"n_dups")
     Tables.documents(spark, sfDir)
-      .where(expr(IncrNewGate)).select($"doc_id")
+      .where(expr(judgedPred)).select($"doc_id")
       .join(best, Seq("doc_id"), "left_outer")
       .selectExpr("doc_id", "dup_of is null as keep",
         "cast(coalesce(n_dups, 0) as bigint) as n_dups",

@@ -88,16 +88,37 @@ object Pipelines {
     * row-identical to the live query (PipelinesSpec pins it).
     */
   def dedupIncrementalFrom(spark: SparkSession, sfDir: String,
-                           outDir: String): DataFrame = {
+                           outDir: String,
+                           bandPred: String = "is_new",
+                           judgedPred: String = Dedup.IncrNewGate): DataFrame = {
     import spark.implicits._
-    val newBands = Dedup.minhashBuckets(spark, sfDir).where($"is_new")
+    val newBands = Dedup.minhashBuckets(spark, sfDir).where(expr(bandPred))
       .withColumn("pb", pmod($"band_hash", lit(BucketPartitions)))
       .localCheckpoint()
     val base = spark.read.parquet(s"$outDir/minhash_buckets")
     val ySide = base.select(newBands.columns.map(col): _*)
       .union(newBands)
     Dedup.incrementalVerdicts(spark, sfDir, newBands, ySide,
-      keys = Seq("pb", "band_idx", "band_hash"))
+      keys = Seq("pb", "band_idx", "band_hash"), judgedPred = judgedPred)
+  }
+
+  /** Index maintenance — the step after judging a batch: append the
+    * batch's band rows to the stored bucket snapshot so every LATER
+    * batch sees them as corpus (`is_new` flips to false on ingest —
+    * "already arrived" is exactly what base means). Appending writes
+    * only the batch's own rows into the `pb` directories they hash to;
+    * the base index is never rewritten. With [[dedupIncrementalFrom]]
+    * this closes the daily-crawl loop: judge today's batch against
+    * storage, ingest it, judge tomorrow's.
+    */
+  def ingestBatch(spark: SparkSession, sfDir: String, outDir: String,
+                  bandPred: String = "is_new"): Unit = {
+    import spark.implicits._
+    val batch = Dedup.minhashBuckets(spark, sfDir).where(expr(bandPred))
+      .withColumn("is_new", lit(false))
+      .withColumn("pb", pmod($"band_hash", lit(BucketPartitions)))
+    ParquetSink.writePartitioned(batch, s"$outDir/minhash_buckets",
+      Seq("pb"), mode = "append")
   }
 
   /** Materialized near-dup edges for the given evidence tiers.

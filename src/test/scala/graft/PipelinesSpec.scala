@@ -80,6 +80,39 @@ class PipelinesSpec extends AnyFunSuite {
     assert(hits.count() == 5, "external query did not return k neighbors")
   }
 
+  test("incremental ingest: judge -> ingest -> judge next batch == live replay") {
+    import org.apache.spark.sql.functions.{col, expr, lit, pmod}
+    val dir = java.nio.file.Files.createTempDirectory("graftingest").toString
+    Pipelines.materialize(spark, sf, dir)
+    // split the "new" docs into two arrival days by doc_id parity
+    val day1Band = "is_new and doc_id % 2 = 0"
+    val day2Band = "is_new and doc_id % 2 = 1"
+    val gate = "poly_hash37(concat(cast(doc_id as string), '-incr')) % 10 = 0"
+    val day1Docs = s"($gate) and doc_id % 2 = 0"
+    val day2Docs = s"($gate) and doc_id % 2 = 1"
+    def bands = Dedup.minhashBuckets(spark, sf)
+      .withColumn("pb", pmod(col("band_hash"), lit(32)))
+    // day 1: served verdicts == live verdicts against base ∪ day1
+    val live1 = Dedup.incrementalVerdicts(spark, sf,
+      bands.where(expr(day1Band)),
+      bands.where(expr(s"(not is_new) or ($day1Band)")),
+      keys = Seq("pb", "band_idx", "band_hash"), judgedPred = day1Docs)
+    assert(rows(Pipelines.dedupIncrementalFrom(spark, sf, dir,
+      day1Band, day1Docs)) == rows(live1))
+    // ingest day 1, then day 2's verdicts must see day-1 docs as BASE
+    Pipelines.ingestBatch(spark, sf, dir, day1Band)
+    val live2 = Dedup.incrementalVerdicts(spark, sf,
+      bands.where(expr(day2Band)),
+      bands.where(expr(s"(not is_new) or ($day1Band)"))
+        .withColumn("is_new", lit(false))
+        .union(bands.where(expr(day2Band))),
+      keys = Seq("pb", "band_idx", "band_hash"), judgedPred = day2Docs)
+    val served2 = Pipelines.dedupIncrementalFrom(spark, sf, dir,
+      day2Band, day2Docs)
+    assert(rows(served2) == rows(live2))
+    assert(served2.count() > 0)
+  }
+
   test("materialized eval index: served decontamination == live query") {
     import graft.textops.TextStats
     val dir = java.nio.file.Files.createTempDirectory("grafteval").toString
