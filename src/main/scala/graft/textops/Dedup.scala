@@ -196,8 +196,20 @@ object Dedup {
     * relation [[graft.textops.Pipelines.materialize]] snapshots (base
     * side only) for the served probe path. */
   private[graft] def minhashBuckets(spark: SparkSession,
-                                      sfDir: String): DataFrame = {
-    val sig = minhashSig(spark, sfDir).withColumn("is_new", expr(IncrNewGate))
+                                      sfDir: String): DataFrame =
+    minhashBucketsFrom(
+      Tables.documents(spark, sfDir).withColumn("is_new", expr(IncrNewGate)))
+
+  /** [[minhashBuckets]] over an arbitrary `(doc_id, text, is_new)`
+    * frame — batch or streaming micro-batch (every stage is a narrow
+    * map, so it runs wherever the docs frame does). */
+  private[graft] def minhashBucketsFrom(docs: DataFrame): DataFrame = {
+    val sig = docs
+      .selectExpr("doc_id", "is_new", "shingle_hashes(text) as sh")
+      .where("size(sh) >= 1")
+      .selectExpr("doc_id", "is_new", "minhash_sig(sh) as sig")
+      .selectExpr(("doc_id" +: "is_new" +:
+        (0 until K).map(j => s"element_at(sig, ${j + 1}) as s$j")): _*)
     val bandArray = (0 until K / 2)
       .map(b => s"(s${2 * b} * $SH + s${2 * b + 1}) % $P")
       .mkString("array(", ", ", ")")
@@ -215,8 +227,17 @@ object Dedup {
       spark: SparkSession, sfDir: String, xBands: DataFrame,
       yBands: DataFrame,
       keys: Seq[String] = Seq("band_idx", "band_hash"),
-      judgedPred: String = IncrNewGate): DataFrame = {
-    import spark.implicits._
+      judgedPred: String = IncrNewGate): DataFrame =
+    incrementalVerdictsFrom(
+      Tables.documents(spark, sfDir).where(expr(judgedPred)).select(col("doc_id")),
+      xBands, yBands, keys)
+
+  /** [[incrementalVerdicts]] with the judged-doc set passed as a frame
+    * — the micro-batch streaming form supplies the batch itself. */
+  private[graft] def incrementalVerdictsFrom(
+      judged: DataFrame, xBands: DataFrame, yBands: DataFrame,
+      keys: Seq[String] = Seq("band_idx", "band_hash")): DataFrame = {
+    import judged.sparkSession.implicits._
     val simExpr = (0 until K)
       .map(j => s"(case when x.s$j = y.s$j then 1 else 0 end)").mkString(" + ")
     val matches = xBands.as("x")
@@ -237,8 +258,7 @@ object Dedup {
       .withColumn("n_dups", count(lit(1)).over(w))
       .where($"rnk" === 1)
       .select($"doc_id", $"oid".as("dup_of"), $"sim".as("best_sim"), $"n_dups")
-    Tables.documents(spark, sfDir)
-      .where(expr(judgedPred)).select($"doc_id")
+    judged.select($"doc_id")
       .join(best, Seq("doc_id"), "left_outer")
       .selectExpr("doc_id", "dup_of is null as keep",
         "cast(coalesce(n_dups, 0) as bigint) as n_dups",

@@ -121,6 +121,41 @@ object Pipelines {
       Seq("pb"), mode = "append")
   }
 
+  /** The daily-crawl loop AS A STREAM: every micro-batch of documents
+    * `(doc_id, text)` is judged against the stored bucket index
+    * ([[dedupIncrementalFrom]]'s probe, batch side computed live),
+    * verdicts land in `verdictDir` partitioned by `batch_id`, and the
+    * batch's band rows are ingested so the NEXT micro-batch sees this
+    * one as corpus — [[ingestBatch]] applied continuously.
+    *
+    * Retry semantics: verdicts are written with dynamic partition
+    * overwrite on `batch_id`, so a replayed micro-batch rewrites its
+    * own partition (idempotent). The index append is NOT deduplicated
+    * on replay — but duplicate band rows cannot change any verdict:
+    * candidate pairs pass through a `distinct()` before the verify,
+    * so a double-ingested row only re-proposes the same pair.
+    */
+  def dedupIncrementalStream(docs: DataFrame, outDir: String,
+                             verdictDir: String) =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val bands = Dedup.minhashBucketsFrom(
+            batch.withColumn("is_new", lit(true)))
+          .withColumn("pb", pmod(col("band_hash"), lit(BucketPartitions)))
+          .localCheckpoint()
+        val base = spark.read.parquet(s"$outDir/minhash_buckets")
+        val ySide = base.select(bands.columns.map(col): _*).union(bands)
+        Dedup.incrementalVerdictsFrom(batch.select(col("doc_id")), bands,
+            ySide, keys = Seq("pb", "band_idx", "band_hash"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(verdictDir)
+        ParquetSink.writePartitioned(bands.withColumn("is_new", lit(false)),
+          s"$outDir/minhash_buckets", Seq("pb"), mode = "append")
+      }
+
   /** Materialized near-dup edges for the given evidence tiers.
     * `tier` is the partition column, so the filter prunes whole
     * directories (PartitionFilters, not a data scan).

@@ -636,6 +636,39 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupIncrementalStream: micro-batched crawl == one-shot dedup_incremental") {
+    implicit val ctx = spark.sqlContext
+    import graft.textops.{Dedup, Pipelines}
+    val dir = java.nio.file.Files.createTempDirectory("graftsidx").toString
+    Pipelines.materialize(spark, sf, dir)
+    val ms = MemoryStream[(Long, String)]
+    val q = Pipelines.dedupIncrementalStream(
+      ms.toDF().toDF("doc_id", "text"), dir, s"$dir/verdicts").start()
+    try {
+      // feed the "new" docs in ascending doc_id order across three
+      // micro-batches — arrival order then matches the one-shot
+      // replay's doc_id-based keep-first rule
+      val newDocs = Tables.documents(spark, sf)
+        .where(expr(
+          "poly_hash37(concat(cast(doc_id as string), '-incr')) % 10 = 0"))
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+        .sortBy(_._1).toSeq
+      newDocs.grouped(math.max(newDocs.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val cols = Seq("doc_id", "keep", "n_dups", "dup_of", "best_sim")
+      val got = spark.read.parquet(s"$dir/verdicts")
+        .selectExpr(cols: _*)
+        .as[(Long, Boolean, Long, Option[Long], Option[Double])]
+        .collect().toSet
+      val want = Dedup.dedupIncremental(spark, sf)
+        .selectExpr(cols: _*)
+        .as[(Long, Boolean, Long, Option[Long], Option[Double])]
+        .collect().toSet
+      assert(want.nonEmpty && got == want,
+        "continuous judge+ingest diverged from the one-shot batch replay")
+    } finally q.stop()
+  }
+
   test("qualityGopherFrom on a stream == batch quality_gopher (narrow rep_ratio form)") {
     implicit val ctx = spark.sqlContext
     import graft.textops.TextStats
