@@ -295,6 +295,28 @@ object Pipelines {
       .orderBy($"doc_id")
   }
 
+  /** ANN serving AS A STREAM: query vectors arrive continuously and
+    * each micro-batch is searched against the stored IVF index via
+    * [[annSearchFrom]] — queries are stateless rows, so per-batch
+    * search is exact serving, not an approximation of it. Results land
+    * in `resultDir` with dynamic partition overwrite on `batch_id`
+    * (replay-idempotent, the [[dedupIncrementalStream]] contract).
+    * Unlike the dedup loop there is no ingest step: queries don't
+    * change the index.
+    */
+  def annSearchStream(queries: DataFrame, outDir: String,
+                      resultDir: String, k: Int = 5, nProbe: Int = -1,
+                      excludeSelfId: Boolean = false) =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        annSearchFrom(batch.sparkSession, outDir, batch, k, nProbe,
+            excludeSelfId)
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(resultDir)
+      }
+
   /** [[Sampling.corpusPrep]] served from the snapshot: keeper set from
     * the clusters parquet instead of re-running signatures + LSH +
     * label propagation. The quality/lang stats remain live (they're a

@@ -669,6 +669,31 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("annSearchStream: streamed query batches == batch annSearchFrom == live IVF") {
+    implicit val ctx = spark.sqlContext
+    import graft.textops.{Pipelines, Similarity}
+    val dir = java.nio.file.Files.createTempDirectory("graftsann").toString
+    Pipelines.materializeAnn(spark, sf, dir)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = Pipelines.annSearchStream(
+      ms.toDF().toDF("vec_id", "v"), dir, s"$dir/results",
+      excludeSelfId = true).start()
+    try {
+      val queries = Tables.embeddings(spark, sf)
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .as[(Long, Seq[Double])].collect().toSeq
+      queries.grouped(math.max(queries.size / 2, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val cols = Seq("query_id", "neighbor_id", "rnk")
+      val got = spark.read.parquet(s"$dir/results")
+        .selectExpr(cols: _*).as[(Long, Long, Int)].collect().toSet
+      val want = Similarity.similarityIvf(spark, sf)
+        .selectExpr(cols: _*).as[(Long, Long, Int)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        "streamed per-batch serving diverged from the live IVF query")
+    } finally q.stop()
+  }
+
   test("qualityGopherFrom on a stream == batch quality_gopher (narrow rep_ratio form)") {
     implicit val ctx = spark.sqlContext
     import graft.textops.TextStats
