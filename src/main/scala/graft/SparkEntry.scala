@@ -30,6 +30,7 @@ object SparkEntry {
     "user_sessions"   -> ((s, d) => UserBehaviorAnalytics.userSessions(s, d)),
     "user_retention"  -> ((s, d) => UserBehaviorAnalytics.userRetention(s, d)),
     "lang_rebalance"  -> ((s, d) => Sampling.langRebalance(s, d)),
+    "corpus_shuffle"  -> ((s, d) => Sampling.corpusShuffle(s, d)),
     "marketing_by_channel" -> ((s, d) => MarketingAnalytics.marketingByChannel(s, d)),
     "ad_stats_province"    -> ((s, d) => MarketingAnalytics.adStatsByProvince(s, d)),
     "blacklist_users"      -> ((s, d) => MarketingAnalytics.blacklistUsers(s, d)),
@@ -85,6 +86,7 @@ object SparkEntry {
     "similarity_recall_lshmp" -> ((s, d) =>
       Similarity.similarityRecallLsh(s, d, multiprobe = true)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
+    "embedding_outliers"  -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "text_stats"        -> ((s, d) => TextStats.textStats(s, d)),
     "lang_id"           -> ((s, d) => TextStats.langId(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextStats.docFingerprint(s, d)),
@@ -194,6 +196,7 @@ object SparkEntry {
     "user_sessions" -> UserBehaviorAnalytics.userSessionsOracle,
     "user_retention" -> UserBehaviorAnalytics.userRetentionOracle,
     "lang_rebalance" -> Sampling.langRebalanceOracle,
+    "corpus_shuffle" -> Sampling.corpusShuffleOracle(),
     "marketing_by_channel" ->
       """WITH base AS (
         |  SELECT 'ch_' || CAST(user_id % 4 AS VARCHAR) AS channel,
@@ -408,6 +411,7 @@ object SparkEntry {
     "dedup_containment"   -> Dedup.dedupContainmentOracle,
     "similarity_recall_lshmp" -> Similarity.similarityRecallLshOracle(multiprobe = true),
     "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
+    "embedding_outliers"  -> Similarity.embeddingOutliersOracle(),
     "text_stats"          -> TextStats.textStatsOracle,
     "lang_id"             -> TextStats.langIdOracle,
     "doc_fingerprint"     -> TextStats.docFingerprintOracle,

@@ -332,6 +332,51 @@ object Sampling {
        |FROM ranked WHERE sel_rank <= $topK ORDER BY sel_rank""".stripMargin
   }
 
+  /** Deterministic seeded training-order shuffle — the step between
+    * corpus prep and sequence packing: pretraining consumes documents
+    * in a random-but-reproducible global order (a sorted-by-source
+    * corpus destroys i.i.d.-ness within a batch). The order is the
+    * lexicographic (shard, pos) pair from a SEEDED content hash:
+    * `poly_hash(doc_id || '@seed')` assigns the shard (uniform mod
+    * nShards) and orders documents inside it — so the shuffle is
+    * stable across runs, engines and cluster sizes, a new document
+    * never perturbs the relative order of old ones, and the next
+    * epoch's reshuffle is just a new seed. No RNG state anywhere.
+    *
+    * Scale shape: the hash is a narrow map; the within-shard rank is a
+    * window partitioned by shard, where nShards is chosen so one shard
+    * ≈ one output file (100 TB → O(10⁴–10⁵) shards), keeping every
+    * window partition bounded — this window IS the shuffle-then-local-
+    * sort a training-data writer wants (one sorted file per shard). If
+    * a single global sequence number is ever needed, the (shard, pos)
+    * pair already totally orders the corpus, and the two-pass prefix
+    * sum over shard totals ([[Packing.seqPack]]'s idiom) converts it
+    * without a global sort.
+    */
+  def corpusShuffle(spark: SparkSession, sfDir: String,
+                    nShards: Int = 8, seed: Int = 42): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        s"poly_hash(concat(cast(doc_id as string), '@$seed')) as h")
+      .selectExpr("doc_id", "h", s"cast(h % $nShards as int) as shard")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"h".asc, $"doc_id".asc)).cast("int"))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
+  def corpusShuffleOracle(nShards: Int = 8, seed: Int = 42): String =
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |         ${phDuck(s"CAST(doc_id AS VARCHAR) || '@$seed'", "cshf")} AS h
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(h % $nShards AS INT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY h % $nShards
+       |                               ORDER BY h ASC, doc_id ASC) AS INT) AS pos
+       |FROM hashed ORDER BY shard, pos""".stripMargin
+
   val corpusSampleOracle: String =
     s"""WITH hashed AS (
        |  SELECT doc_id, lang,

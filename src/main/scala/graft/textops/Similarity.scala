@@ -913,6 +913,88 @@ object Similarity {
       |            AS DOUBLE) AS centroid
       |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  /** Prototypicality-based data pruning (SSL-prototypes, Sorscher et
+    * al. NeurIPS '22 "Beyond neural scaling laws"; the scoring half of
+    * SemDeDup-style semantic curation): rank every embedding by cosine
+    * to its class prototype (the [[embeddingCentroids]] micro-unit
+    * mean) and flag the least-prototypical `outlierPct`% per label —
+    * the candidates a curation pass drops (mislabeled / off-topic /
+    * noise) or, inverted, keeps as the hard examples. The flag is an
+    * exact integer predicate (`rnk·100 ≤ n_label·pct`), so the split
+    * point never depends on float rounding.
+    *
+    * Engine-exactness: centroids are the micro-unit BIGINT means
+    * (order-independent, bit-identical in DuckDB), assembled into an
+    * ordered array (`array_sort(collect_list(struct(dim, ·)))` — the
+    * trained-IVF idiom), and every cosine runs the same left-fold dot
+    * in one fixed op order on both engines.
+    *
+    * Scale shape: the centroid table is O(labels) rows → broadcast;
+    * scoring is a narrow per-vector map (no shuffle of vectors); the
+    * per-label rank windows partition on label — bounded cardinality,
+    * with the same two-level threshold upgrade path as
+    * [[Sampling.corpusSample]] documented for few-label corpora.
+    */
+  def embeddingOutliers(spark: SparkSession, sfDir: String,
+                        outlierPct: Int = 5): DataFrame = {
+    import spark.implicits._
+    val cent = embeddingCentroids(spark, sfDir)
+      .groupBy($"label")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), cp -> cp.centroid)")
+        .as("centv"))
+      .selectExpr("label", "centv",
+        s"sqrt(${dotSpark("centv", "centv", "oc")}) as centn")
+    Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
+      .selectExpr("vec_id", "label", "v",
+        s"sqrt(${dotSpark("v", "v", "ov")}) as nrm")
+      .join(broadcast(cent), "label")
+      .withColumn("proto_cos", expr(s"${dotSpark("v", "centv", "op")} / (nrm * centn)"))
+      .withColumn("n_label", count(lit(1)).over(Window.partitionBy($"label")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"label").orderBy($"proto_cos".asc, $"vec_id".asc)))
+      .selectExpr("vec_id", "label", "proto_cos", "cast(rnk as int) as rnk",
+        s"rnk * 100 <= n_label * $outlierPct as is_outlier")
+      .orderBy($"label", $"rnk")
+  }
+
+  def embeddingOutliersOracle(outlierPct: Int = 5): String =
+    s"""WITH ex AS (
+       |  SELECT label, CAST(g.k AS INT) AS dim,
+       |         CAST(floor(CAST(embedding[CAST(g.k AS INT) + 1] AS DOUBLE)
+       |                    * 1000000) AS BIGINT) AS micro
+       |  FROM embeddings CROSS JOIN range(64) g(k)
+       |  WHERE g.k < len(embedding)
+       |), cm AS (
+       |  SELECT label, dim,
+       |         CAST(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0
+       |              AS DOUBLE) AS centroid
+       |  FROM ex GROUP BY 1, 2
+       |), cent AS (
+       |  SELECT label, list(centroid ORDER BY dim) AS centv FROM cm GROUP BY 1
+       |), cn AS (
+       |  SELECT label, centv, sqrt(${dotDuck("centv", "centv", "occ")}) AS centn
+       |  FROM cent
+       |), n AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), nv AS (
+       |  SELECT vec_id, label, v, sqrt(${dotDuck("v", "v", "ovv")}) AS nrm FROM n
+       |), scored AS (
+       |  SELECT nv.vec_id, nv.label,
+       |         ${dotDuck("nv.v", "c.centv", "opp")} / (nv.nrm * c.centn) AS proto_cos
+       |  FROM nv JOIN cn c ON nv.label = c.label
+       |), ranked AS (
+       |  SELECT vec_id, label, proto_cos,
+       |         CAST(row_number() OVER (PARTITION BY label
+       |                                 ORDER BY proto_cos ASC, vec_id ASC) AS INT) AS rnk,
+       |         count(*) OVER (PARTITION BY label) AS n_label
+       |  FROM scored
+       |)
+       |SELECT vec_id, label, proto_cos, rnk,
+       |       rnk * 100 <= n_label * $outlierPct AS is_outlier
+       |FROM ranked ORDER BY label, rnk""".stripMargin
+
   /** ANN quality evaluation: recall@k of the IVF path against the
     * exact brute-force top-k, on a deterministic 1-in-`sampleMod`
     * query sample — the QA gate every approximate index ships with.

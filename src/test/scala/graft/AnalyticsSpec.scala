@@ -247,6 +247,43 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
   }
 
+  test("corpus_shuffle: a permutation, contiguous per-shard positions, seed changes order") {
+    val docs = Tables.documents(spark, sf).select($"doc_id")
+    val s1 = Sampling.corpusShuffle(spark, sf).cache()
+    // every document appears exactly once (it's a permutation)
+    assert(s1.count() === docs.count())
+    assert(s1.select($"doc_id").except(docs).isEmpty &&
+      docs.except(s1.select($"doc_id")).isEmpty)
+    // positions are contiguous 1..n within each shard, shards in range
+    val bad = s1.groupBy($"shard").agg(count(lit(1)).as("n"),
+        max($"pos").as("mx"), min($"pos").as("mn"))
+      .where($"n" =!= $"mx" || $"mn" =!= 1)
+    assert(bad.isEmpty)
+    assert(s1.where($"shard" < 0 || $"shard" >= 8).isEmpty)
+    // deterministic: identical on re-run
+    val s2 = Sampling.corpusShuffle(spark, sf)
+    assert(s1.except(s2).isEmpty && s2.except(s1).isEmpty)
+    // a different seed is a genuinely different permutation
+    val s3 = Sampling.corpusShuffle(spark, sf, seed = 43)
+    assert(s1.join(s3, Seq("doc_id", "shard", "pos")).count() < s1.count())
+  }
+
+  test("embedding_outliers: exact per-label pct cut, outliers are the least prototypical") {
+    val o = Similarity.embeddingOutliers(spark, sf).cache()
+    assert(o.count() === Tables.embeddings(spark, sf).count())
+    // the flag is exactly rnk*100 <= n_label*5: per label, outlier
+    // count == floor(n*5/100) and ranks are contiguous 1..n
+    val perLabel = o.groupBy($"label").agg(count(lit(1)).as("n"),
+        max($"rnk").as("mx"),
+        sum(when($"is_outlier", 1L).otherwise(0L)).as("n_out"))
+    assert(perLabel.where($"n" =!= $"mx" || $"n_out" =!= expr("n * 5 div 100")).isEmpty)
+    // every outlier scores at or below every keeper of the same label
+    val cut = o.groupBy($"label").agg(
+      max(when($"is_outlier", $"proto_cos")).as("worst_out"),
+      min(when(!$"is_outlier", $"proto_cos")).as("best_keep"))
+    assert(cut.where($"worst_out" > $"best_keep").isEmpty)
+  }
+
   test("dsir_select: top-K non-target docs, scores descending, mean-weight exact") {
     val sel = Sampling.dsirSelect(spark, sf).cache()
     // selection never returns a target-source document
