@@ -317,6 +317,69 @@ object Pipelines {
           .partitionBy("batch_id").parquet(resultDir)
       }
 
+  /** Persist the prototypicality-gate index: the per-label prototype
+    * vectors ([[Similarity.protoTable]]'s micro-unit-exact centroids)
+    * plus each label's FROZEN outlier cutoff — the worst flagged
+    * `proto_cos` from the corpus run of
+    * [[Similarity.embeddingOutliers]]. Production curation freezes
+    * the threshold on a reference corpus and applies it to incoming
+    * data; recomputing the pct-rank per batch would make a vector's
+    * verdict depend on what it arrived with. A label whose corpus cut
+    * flagged nothing stores a null cutoff → the gate passes everything
+    * of that label. O(labels) rows — megabytes, broadcast everywhere.
+    */
+  def materializeProtos(spark: SparkSession, sfDir: String,
+                        outDir: String): Unit = {
+    val cut = Similarity.embeddingOutliers(spark, sfDir)
+      .where(col("is_outlier"))
+      .groupBy(col("label")).agg(max(col("proto_cos")).as("cutoff"))
+    Similarity.protoTable(spark, sfDir)
+      .join(cut, Seq("label"), "left_outer")
+      .write.mode("overwrite").parquet(s"$outDir/protos")
+  }
+
+  /** Score a batch of (vec_id, label, v) vectors against the stored
+    * prototype index: cosine to the label prototype, flagged iff at or
+    * below the frozen cutoff. On a replay of the reference corpus the
+    * verdicts match [[Similarity.embeddingOutliers]] exactly (the
+    * cutoff IS that run's boundary value; a cross-boundary cosine tie
+    * could over-flag, but requires two bit-identical cosines —
+    * PipelinesSpec pins exact equality on this corpus). The batch
+    * never shuffles: one broadcast join + a narrow map.
+    */
+  def outlierScoreFrom(spark: SparkSession, outDir: String,
+                       batch: DataFrame): DataFrame = {
+    import spark.implicits._
+    val protos = broadcast(spark.read.parquet(s"$outDir/protos"))
+    batch.selectExpr("vec_id", "label", "cast(v as array<double>) as v")
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      .join(protos, "label")
+      .withColumn("proto_cos", expr("vec_dot(v, centv) / (nrm * centn)"))
+      .selectExpr("vec_id", "label", "proto_cos",
+        "proto_cos <= coalesce(cutoff, cast(-2.0 as double)) as is_outlier")
+      .orderBy($"label", $"vec_id")
+  }
+
+  /** The curation gate AS A STREAM: incoming vectors are scored
+    * per micro-batch against the stored prototypes via
+    * [[outlierScoreFrom]] — stateless rows, so per-batch scoring is
+    * exact serving. Verdicts land partitioned by `batch_id` with
+    * dynamic partition overwrite (replay-idempotent, the
+    * [[dedupIncrementalStream]] contract). Like [[annSearchStream]]
+    * there is no ingest step: scoring doesn't move the prototypes —
+    * re-fitting them is a periodic batch [[materializeProtos]] run.
+    */
+  def outlierGateStream(vectors: DataFrame, outDir: String,
+                        resultDir: String) =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        outlierScoreFrom(batch.sparkSession, outDir, batch)
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(resultDir)
+      }
+
   /** [[Sampling.corpusPrep]] served from the snapshot: keeper set from
     * the clusters parquet instead of re-running signatures + LSH +
     * label propagation. The quality/lang stats remain live (they're a

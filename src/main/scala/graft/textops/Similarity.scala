@@ -935,15 +935,23 @@ object Similarity {
     * with the same two-level threshold upgrade path as
     * [[Sampling.corpusSample]] documented for few-label corpora.
     */
-  def embeddingOutliers(spark: SparkSession, sfDir: String,
-                        outlierPct: Int = 5): DataFrame = {
+  /** The (label, centv, centn) prototype table [[embeddingOutliers]]
+    * ranks against — exposed so [[Pipelines.materializeProtos]] can
+    * persist it as the serving index for the streaming curation gate. */
+  private[graft] def protoTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val cent = embeddingCentroids(spark, sfDir)
+    embeddingCentroids(spark, sfDir)
       .groupBy($"label")
       .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), cp -> cp.centroid)")
         .as("centv"))
       .selectExpr("label", "centv",
         s"sqrt(${dotSpark("centv", "centv", "oc")}) as centn")
+  }
+
+  def embeddingOutliers(spark: SparkSession, sfDir: String,
+                        outlierPct: Int = 5): DataFrame = {
+    import spark.implicits._
+    val cent = protoTable(spark, sfDir)
     Tables.embeddings(spark, sfDir)
       .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
       .selectExpr("vec_id", "label", "v",

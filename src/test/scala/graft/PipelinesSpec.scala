@@ -113,6 +113,36 @@ class PipelinesSpec extends AnyFunSuite {
     assert(served2.count() > 0)
   }
 
+  test("materialized prototype gate: frozen-cutoff verdicts == live embedding_outliers") {
+    import graft.textops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graftproto").toString
+    Pipelines.materializeProtos(spark, sf, dir)
+    // replaying the reference corpus through the stored gate must
+    // reproduce the batch run's verdicts exactly (cutoff == boundary)
+    val corpus = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
+    val served = Pipelines.outlierScoreFrom(spark, dir, corpus)
+      .select($"vec_id", $"label", $"proto_cos", $"is_outlier")
+    val live = Similarity.embeddingOutliers(spark, sf)
+      .select($"vec_id", $"label", $"proto_cos", $"is_outlier")
+    assert(rows(served.orderBy($"label", $"vec_id")) ==
+      rows(live.orderBy($"label", $"vec_id")))
+    // gate sanity on unseen vectors with known cosines: the stored
+    // prototype itself scores exactly 1 (kept — no corpus cutoff
+    // reaches 1), its negation exactly -1 (flagged whenever the
+    // label has a cutoff at all)
+    val proto = spark.read.parquet(s"$dir/protos")
+      .where($"cutoff".isNotNull).limit(1)
+    val probes = proto.selectExpr("cast(2000000 as bigint) as vec_id",
+        "label", "centv as v")
+      .union(proto.selectExpr("cast(2000001 as bigint) as vec_id",
+        "label", "transform(centv, x -> -x) as v"))
+    val verdicts = Pipelines.outlierScoreFrom(spark, dir, probes)
+      .select($"vec_id", $"is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(!verdicts(2000000L), "the prototype itself was flagged")
+    assert(verdicts(2000001L), "the antipodal vector was not flagged")
+  }
+
   test("materialized eval index: served decontamination == live query") {
     import graft.textops.TextStats
     val dir = java.nio.file.Files.createTempDirectory("grafteval").toString

@@ -694,6 +694,31 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outlierGateStream: streamed vector batches == batch embedding_outliers verdicts") {
+    implicit val ctx = spark.sqlContext
+    import graft.textops.{Pipelines, Similarity}
+    val dir = java.nio.file.Files.createTempDirectory("graftsproto").toString
+    Pipelines.materializeProtos(spark, sf, dir)
+    val ms = MemoryStream[(Long, Int, Seq[Double])]
+    val q = Pipelines.outlierGateStream(
+      ms.toDF().toDF("vec_id", "label", "v"), dir, s"$dir/results").start()
+    try {
+      val vecs = Tables.embeddings(spark, sf)
+        .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
+        .as[(Long, Int, Seq[Double])].collect().toSeq
+      vecs.grouped(math.max(vecs.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = spark.read.parquet(s"$dir/results")
+        .select($"vec_id", $"label", $"is_outlier")
+        .as[(Long, Int, Boolean)].collect().toSet
+      val want = Similarity.embeddingOutliers(spark, sf)
+        .select($"vec_id", $"label", $"is_outlier")
+        .as[(Long, Int, Boolean)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        "streamed gate verdicts diverged from the batch corpus run")
+    } finally q.stop()
+  }
+
   test("qualityGopherFrom on a stream == batch quality_gopher (narrow rep_ratio form)") {
     implicit val ctx = spark.sqlContext
     import graft.textops.TextStats
