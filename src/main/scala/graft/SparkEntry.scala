@@ -29,6 +29,7 @@ object SparkEntry {
     "uv_approx_kmv"   -> ((s, d) => UserBehaviorAnalytics.uvApproxKmv(s, d)),
     "user_sessions"   -> ((s, d) => UserBehaviorAnalytics.userSessions(s, d)),
     "user_retention"  -> ((s, d) => UserBehaviorAnalytics.userRetention(s, d)),
+    "retention_kmv"   -> ((s, d) => UserBehaviorAnalytics.retentionKmv(s, d)),
     "lang_rebalance"  -> ((s, d) => Sampling.langRebalance(s, d)),
     "corpus_shuffle"  -> ((s, d) => Sampling.corpusShuffle(s, d)),
     "marketing_by_channel" -> ((s, d) => MarketingAnalytics.marketingByChannel(s, d)),
@@ -195,6 +196,7 @@ object SparkEntry {
     "uv_approx_kmv" -> UserBehaviorAnalytics.uvApproxKmvOracle,
     "user_sessions" -> UserBehaviorAnalytics.userSessionsOracle,
     "user_retention" -> UserBehaviorAnalytics.userRetentionOracle,
+    "retention_kmv"  -> UserBehaviorAnalytics.retentionKmvOracle,
     "lang_rebalance" -> Sampling.langRebalanceOracle,
     "corpus_shuffle" -> Sampling.corpusShuffleOracle(),
     "marketing_by_channel" ->

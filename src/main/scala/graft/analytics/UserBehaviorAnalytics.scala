@@ -350,6 +350,119 @@ object UserBehaviorAnalytics {
       |FROM matrix m JOIN sizes s ON m.cohort_day = s.cohort_day
       |ORDER BY m.cohort_day, day_offset""".stripMargin
 
+  /** Sketch-based day-over-day retention — the KMV SET-OPERATION tier
+    * the exact [[userRetention]] cohort matrix can't reach at 100 TB:
+    * exact retention shuffles every (user, day) pair; this touches the
+    * corpus once for per-day distinct hashes and then operates
+    * entirely on K-row daily sketches (K·days rows total). Mergeable
+    * set ops on KMV sketches (Beyer et al., SIGMOD '07): for days
+    * (d, d+1), min-K of the sketch UNION gives the union estimate,
+    * the fraction of those K values present in BOTH sides estimates
+    * Jaccard, and retained ≈ J · |A∪B|. Same P-ranged salted
+    * poly_hash as [[uvApproxKmv]], so DuckDB replays every estimate
+    * bit-for-bit — unlike HLL++ there is no engine-private hashing.
+    *
+    * Scale shape: the daily sketch build is the two-level min-K
+    * ([[kmvFrom]]'s mergeability argument — a day with 10⁹ distinct
+    * users never funnels one task); everything after runs on
+    * O(K · days) rows, and the consecutive-day pair join is a join of
+    * day-count-sized aggregates. Sketches are localCheckpoint'd once
+    * and feed the union, both membership probes, and the estimates.
+    */
+  def retentionKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .select(to_date($"ts").as("day"),
+        expr("poly_hash(concat(cast(user_id as string), '-kmv'))").as("h"))
+      .distinct()
+    val sk = daily
+      .withColumn("brnk", row_number().over(
+        Window.partitionBy($"day", pmod($"h", lit(64))).orderBy($"h".asc)))
+      .where($"brnk" <= KmvK)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"day").orderBy($"h".asc)))
+      .where($"rnk" <= KmvK)
+      .select($"day", $"h")
+      .localCheckpoint()
+    val est = sk.groupBy($"day")
+      .agg(count(lit(1)).as("cnt"), max($"h").as("kth"))
+      .select($"day", expr(KmvEstimate).as("uv"))
+    val pairs = est.as("ea").join(est.as("eb"),
+        expr("date_add(ea.day, 1) = eb.day"))
+      .select($"ea.day".as("day"), $"eb.day".as("day_next"),
+        $"ea.uv".as("uv_a"), $"eb.uv".as("uv_b"))
+    // union sketch keyed by the pair's FIRST day: day d's rows as-is,
+    // day d+1's rows shifted back one day
+    val unionRows = sk
+      .unionByName(sk.select(expr("date_add(day, -1)").as("day"), $"h"))
+      .distinct()
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"day").orderBy($"h".asc)))
+      .where($"rnk" <= KmvK)
+      .select($"day", $"h")
+    val j = unionRows
+      .join(sk.select($"day", $"h", lit(1L).as("in_a")), Seq("day", "h"), "left_outer")
+      .join(sk.select(expr("date_add(day, -1)").as("day"), $"h", lit(1L).as("in_b")),
+        Seq("day", "h"), "left_outer")
+      .groupBy($"day")
+      .agg(count(lit(1)).as("cnt"), max($"h").as("kth"),
+        sum(coalesce($"in_a", lit(0L)) * coalesce($"in_b", lit(0L))).as("both"))
+      .select($"day", expr(KmvEstimate).as("uv_union"),
+        expr("cast(both as double) / cnt").as("jaccard"))
+    pairs.join(j, "day")
+      .selectExpr("day", "day_next", "uv_a", "uv_b", "uv_union", "jaccard",
+        "jaccard * uv_union as est_retained")
+      .orderBy($"day")
+  }
+
+  val retentionKmvOracle: String = {
+    import graft.textops.TextHash.{phDuck, P}
+    val kmvCase = s"CASE WHEN cnt < $KmvK THEN CAST(cnt AS DOUBLE) " +
+      s"ELSE ${KmvK - 1}e0 * ${P}e0 / kth END"
+    s"""WITH daily AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+       |         ${phDuck("CAST(user_id AS VARCHAR) || '-kmv'", "rk")} AS h
+       |  FROM events
+       |), sk AS (
+       |  SELECT day, h FROM (
+       |    SELECT day, h,
+       |           row_number() OVER (PARTITION BY day ORDER BY h ASC) AS rnk
+       |    FROM daily) WHERE rnk <= $KmvK
+       |), est AS (
+       |  SELECT day, count(*) AS cnt, max(h) AS kth FROM sk GROUP BY 1
+       |), estv AS (
+       |  SELECT day, $kmvCase AS uv FROM est
+       |), pairs AS (
+       |  SELECT ea.day AS day, eb.day AS day_next, ea.uv AS uv_a, eb.uv AS uv_b
+       |  FROM estv ea JOIN estv eb ON ea.day + 1 = eb.day
+       |), unionrows AS (
+       |  SELECT DISTINCT day, h FROM (
+       |    SELECT day, h FROM sk
+       |    UNION ALL
+       |    SELECT day - 1 AS day, h FROM sk)
+       |), uk AS (
+       |  SELECT day, h FROM (
+       |    SELECT day, h,
+       |           row_number() OVER (PARTITION BY day ORDER BY h ASC) AS rnk
+       |    FROM unionrows) WHERE rnk <= $KmvK
+       |), j AS (
+       |  SELECT u.day, count(*) AS cnt, max(u.h) AS kth,
+       |         sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+       |                  THEN 1 ELSE 0 END) AS nboth
+       |  FROM uk u
+       |  LEFT JOIN sk a ON a.day = u.day AND a.h = u.h
+       |  LEFT JOIN sk b ON b.day - 1 = u.day AND b.h = u.h
+       |  GROUP BY 1
+       |), jv AS (
+       |  SELECT day, $kmvCase AS uv_union,
+       |         CAST(nboth AS DOUBLE) / cnt AS jaccard
+       |  FROM j
+       |)
+       |SELECT p.day, p.day_next, p.uv_a, p.uv_b, jv.uv_union, jv.jaccard,
+       |       jv.jaccard * jv.uv_union AS est_retained
+       |FROM pairs p JOIN jv ON p.day = jv.day ORDER BY p.day""".stripMargin
+  }
+
   val uvApproxKmvOracle: String = {
     import graft.textops.TextHash.{phDuck, P}
     s"""WITH v AS (

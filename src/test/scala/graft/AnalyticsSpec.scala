@@ -115,6 +115,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(est - n) < n * 0.2, s"sketch estimate $est for $n distinct")
   }
 
+  test("retention_kmv: exact-regime identity, sketch-regime bound, invariants") {
+    val est = UserBehaviorAnalytics.retentionKmv(spark, sf).cache()
+    assert(est.count() > 0)
+    assert(est.where($"jaccard" < 0 || $"jaccard" > 1).isEmpty)
+    assert(est.where(expr("day_next <> date_add(day, 1)")).isEmpty)
+    val daily = Tables.events(spark, sf)
+      .selectExpr("to_date(ts) as day", "user_id").distinct()
+    val exactRet = daily.as("a").join(daily.as("b"),
+        expr("date_add(a.day, 1) = b.day and a.user_id = b.user_id"))
+      .groupBy($"a.day".as("day"))
+      .agg(countDistinct($"a.user_id").as("ex"))
+    val exactUnion = daily.unionByName(
+        daily.selectExpr("date_add(day, -1) as day", "user_id")).distinct()
+      .groupBy($"day").agg(countDistinct($"user_id").as("un"))
+    val cmp = est.join(exactRet, Seq("day"), "left_outer")
+      .join(exactUnion, "day")
+      .withColumn("ex", coalesce($"ex", lit(0L)))
+    // a union that fits the sketch (< K=256) makes every estimate
+    // exact: est_retained must EQUAL the true day-over-day overlap
+    val small = cmp.where($"un" < 256)
+      .where(abs($"est_retained" - $"ex") > 1e-9)
+    assert(small.isEmpty, "exact-regime estimate diverged from truth")
+    // sketch regime: bounded relative error (deterministic data+hash)
+    val big = cmp.where($"un" >= 256)
+      .where(abs($"est_retained" - $"ex") > $"ex" * 0.35 + lit(16.0))
+    assert(big.isEmpty, "sketch-regime estimate outside the error band")
+  }
+
   test("dedup_embedding (IVF candidates): precision 1 vs exact all-pairs") {
     // every reported pair must appear in the exact brute-force pair set
     // with the same cosine (IVF may MISS pairs, never invent them)
