@@ -27,6 +27,7 @@ object SparkEntry {
     "unique_visitors" -> ((s, d) => UserBehaviorAnalytics.uniqueVisitors(s, d)),
     "uv_approx"       -> ((s, d) => UserBehaviorAnalytics.uvApprox(s, d)),
     "uv_approx_kmv"   -> ((s, d) => UserBehaviorAnalytics.uvApproxKmv(s, d)),
+    "uv_approx_kmv_agg" -> ((s, d) => UserBehaviorAnalytics.uvApproxKmvAgg(s, d)),
     "user_sessions"   -> ((s, d) => UserBehaviorAnalytics.userSessions(s, d)),
     "user_retention"  -> ((s, d) => UserBehaviorAnalytics.userRetention(s, d)),
     "retention_kmv"   -> ((s, d) => UserBehaviorAnalytics.retentionKmv(s, d)),
@@ -194,6 +195,9 @@ object SparkEntry {
     // uv_approx_kmv is the hash-oracled approx-distinct: a KMV sketch
     // over the portable poly_hash is replayable exactly in DuckDB.
     "uv_approx_kmv" -> UserBehaviorAnalytics.uvApproxKmvOracle,
+    // the aggregator form is bit-identical to the relational form by
+    // construction (order-independent K-min distinct set) — same oracle
+    "uv_approx_kmv_agg" -> UserBehaviorAnalytics.uvApproxKmvOracle,
     "user_sessions" -> UserBehaviorAnalytics.userSessionsOracle,
     "user_retention" -> UserBehaviorAnalytics.userRetentionOracle,
     "retention_kmv"  -> UserBehaviorAnalytics.retentionKmvOracle,

@@ -240,6 +240,37 @@ object UserBehaviorAnalytics {
       .distinct())
   }
 
+  /** [[uvApproxKmv]] through the bounded-state typed aggregator
+    * ([[graft.functions.KmvAggregator]]) instead of the relational
+    * two-level rank: one `groupBy(window).agg(kmv_sketch(h))` whose
+    * per-group state is ≤ K longs — the shape a STREAMING aggregation
+    * carries per window ([[graft.streaming.StreamingAnalytics
+    * .uvKmvStream]] runs this identical transform under a watermark).
+    * No pre-distinct: the aggregator deduplicates in-state. The K-min
+    * distinct set is arrival- and partition-order independent, so the
+    * result is bit-identical to the relational form and shares its
+    * DuckDB oracle verbatim.
+    */
+  def uvApproxKmvAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    uvKmvFinish(Tables.events(spark, sfDir)
+      .filter($"event_type" === "view")
+      .select(window($"ts", "1 hour").getField("end").as("window_end"),
+        expr("poly_hash(concat(cast(user_id as string), '-kmv'))").as("h"))
+      .groupBy($"window_end")
+      .agg(graft.functions.KmvAggregator.kmvSketch(col("h")).as("sk")))
+      .orderBy($"window_end")
+  }
+
+  /** Estimate columns over a finished KMV sketch array — shared by the
+    * batch aggregator query and the streaming form (which must apply
+    * it per micro-batch output, after the stateful agg).
+    */
+  def uvKmvFinish(sketches: DataFrame): DataFrame =
+    sketches
+      .selectExpr("window_end", "size(sk) as cnt", "element_at(sk, -1) as kth")
+      .select(col("window_end"), expr(KmvEstimate).as("uv_kmv"))
+
   /** KMV core over pre-deduped (window_end, h) rows — h must be a
     * P-ranged uniform hash (see the salting note on [[uvApproxKmv]]).
     */

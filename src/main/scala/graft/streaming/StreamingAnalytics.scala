@@ -129,6 +129,27 @@ object StreamingAnalytics {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("uv_approx"))
       .select(col("w.end").as("window_end"), col("uv_approx"))
 
+  /** A8/A9 analog with a REPLAYABLE sketch: the KMV aggregator as
+    * streaming state — per-window state is the sorted ≤ K-long hash
+    * array (bounded, mergeable), where HLL++'s
+    * `approx_count_distinct` state is engine-private and the
+    * relational two-level rank isn't incrementalizable. Returns the
+    * raw sketch stream; apply
+    * `UserBehaviorAnalytics.uvKmvFinish` on the sink side (the
+    * estimate is a per-row map, not state). Because the K-min
+    * distinct set is arrival-order independent, the drained stream
+    * equals the batch `uv_approx_kmv` bit-for-bit — the parity test
+    * pins it, which no HLL-based form can promise.
+    */
+  def uvKmvStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .filter(col("event_type") === "view")
+      .select(col("ts"),
+        expr("poly_hash(concat(cast(user_id as string), '-kmv'))").as("h"))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.KmvAggregator.kmvSketch(col("h")).as("sk"))
+      .select(col("w.end").as("window_end"), col("sk"))
+
   /** R1 analog: sliding-window counts stream + per-micro-batch Top-N
     * rank applied in foreachBatch by the caller; this returns the
     * watermarked pre-rank stream (rank-after-streaming-agg is not

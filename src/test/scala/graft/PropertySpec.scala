@@ -67,6 +67,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("KmvAgg reduce/merge algebra == sorted-distinct-take-K for arbitrary splits") {
+    import graft.functions.KmvAgg
+    val k = 8
+    val agg = new KmvAgg(k)
+    val hashGen = Gen.listOf(Gen.chooseNum(0L, 40L)) // dense range forces duplicates
+    val gen = for { hs <- hashGen; cut <- Gen.chooseNum(0, math.max(hs.size, 1)) }
+      yield (hs, math.min(cut, hs.size))
+    forAll(gen, n = 25) { case (hs, cut) =>
+      val want = hs.distinct.sorted.take(k)
+      val (l, r) = hs.splitAt(cut)
+      val lBuf = l.foldLeft(agg.zero)(agg.reduce)
+      val rBuf = r.foldLeft(agg.zero)(agg.reduce)
+      // partial folds are each the k-min distinct of their slice
+      assert(lBuf.toSeq == l.distinct.sorted.take(k))
+      assert(rBuf.toSeq == r.distinct.sorted.take(k))
+      // merge of partials == fold of the whole, both ways (commutative)
+      assert(agg.merge(lBuf, rBuf).toSeq == want)
+      assert(agg.merge(rBuf, lBuf).toSeq == want)
+    }
+  }
+
   test("poly_hash native == HOF char-fold for arbitrary ASCII strings") {
     val asciiGen = Gen.listOf(Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString)
     forAll(Gen.listOfN(50, asciiGen)) { strs =>

@@ -270,6 +270,24 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("uvKmvStream: bounded-state sketch agg == batch uv_approx_kmv bit-for-bit") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    val q = StreamingAnalytics.uvKmvStream(toEventsDF(ms))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(math.max(rows.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = UserBehaviorAnalytics.uvKmvFinish(spark.table("kmv_stream"))
+        .as[(java.sql.Timestamp, Double)].collect().toSet
+      val want = UserBehaviorAnalytics.uvApproxKmv(spark, sf)
+        .as[(java.sql.Timestamp, Double)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        "incrementally-maintained KMV sketch diverged from the batch query")
+    } finally q.stop()
+  }
+
   test("simulated marketing source (S3 analog): rate stream synthesizes valid columns") {
     val q = StreamingAnalytics.simulatedMarketingStream(spark, rowsPerSecond = 500)
       .writeStream.format("memory").queryName("sim_stream")
