@@ -414,14 +414,32 @@ object UserBehaviorAnalytics {
         Window.partitionBy($"day").orderBy($"h".asc)))
       .where($"rnk" <= KmvK)
       .select($"day", $"h")
-      .localCheckpoint()
+    retentionTail(sk)
+  }
+
+  /** The set-operation tail of [[retentionKmv]] over per-day sketch
+    * ROWS (day, h) — shared with the streaming form, which maintains
+    * the daily sketches incrementally (KmvAgg state) and explodes
+    * them back to rows per micro-batch. Everything here runs on
+    * O(K · days) rows; the input is localCheckpoint'd once because it
+    * feeds the estimates, the union rank, and both membership probes
+    * (and self-join attribute lineage must be broken regardless of
+    * which build produced it).
+    */
+  private[graft] def retentionTail(sk0: DataFrame): DataFrame = {
+    val sk = sk0.localCheckpoint()
+    import sk.sparkSession.implicits._
     val est = sk.groupBy($"day")
       .agg(count(lit(1)).as("cnt"), max($"h").as("kth"))
       .select($"day", expr(KmvEstimate).as("uv"))
-    val pairs = est.as("ea").join(est.as("eb"),
-        expr("date_add(ea.day, 1) = eb.day"))
-      .select($"ea.day".as("day"), $"eb.day".as("day_next"),
-        $"ea.uv".as("uv_a"), $"eb.uv".as("uv_b"))
+    // consecutive-day pairing via lead() over the day-count-sized
+    // aggregate — a one-row-per-day global window (the late_events
+    // two-level precedent), cheaper and lineage-safe vs a self-join
+    val pairs = est
+      .withColumn("day_next", lead($"day", 1).over(Window.orderBy($"day")))
+      .withColumn("uv_b", lead($"uv", 1).over(Window.orderBy($"day")))
+      .where(expr("date_add(day, 1) = day_next"))
+      .select($"day", $"day_next", $"uv".as("uv_a"), $"uv_b")
     // union sketch keyed by the pair's FIRST day: day d's rows as-is,
     // day d+1's rows shifted back one day
     val unionRows = sk
@@ -445,6 +463,16 @@ object UserBehaviorAnalytics {
         "jaccard * uv_union as est_retained")
       .orderBy($"day")
   }
+
+  /** [[retentionTail]] over finished per-day sketch ARRAYS — the sink
+    * side of [[graft.streaming.StreamingAnalytics.retentionKmvStream]]:
+    * explode each day's ≤K-long sketch back to (day, h) rows and run
+    * the identical set-operation tail. Sketch arrays are the exact
+    * K-min distinct sets the batch build ranks out, so stream == batch
+    * bit-for-bit.
+    */
+  def retentionKmvFinish(sketches: DataFrame): DataFrame =
+    retentionTail(sketches.select(col("day"), explode(col("sk")).as("h")))
 
   val retentionKmvOracle: String = {
     import graft.textops.TextHash.{phDuck, P}

@@ -150,6 +150,24 @@ object StreamingAnalytics {
       .agg(graft.functions.KmvAggregator.kmvSketch(col("h")).as("sk"))
       .select(col("w.end").as("window_end"), col("sk"))
 
+  /** The retention dashboard maintained incrementally: per-day KMV
+    * sketches as bounded streaming state (1-day tumbling windows ==
+    * `to_date`'s UTC day boundaries), consumed by
+    * `UserBehaviorAnalytics.retentionKmvFinish` per micro-batch — the
+    * day-pair set operations run on K-row sketches, not on users, so
+    * the sink-side finish is trivially cheap at any stream rate.
+    * Batch [[UserBehaviorAnalytics.retentionKmv]] parity is
+    * bit-for-bit (the maintained sketch IS the k-min distinct set the
+    * batch build ranks out).
+    */
+  def retentionKmvStream(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .select(col("ts"),
+        expr("poly_hash(concat(cast(user_id as string), '-kmv'))").as("h"))
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(graft.functions.KmvAggregator.kmvSketch(col("h")).as("sk"))
+      .select(col("w.start").cast("date").as("day"), col("sk"))
+
   /** R1 analog: sliding-window counts stream + per-micro-batch Top-N
     * rank applied in foreachBatch by the caller; this returns the
     * watermarked pre-rank stream (rank-after-streaming-agg is not

@@ -288,6 +288,27 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("retentionKmvStream: incrementally-maintained day sketches == batch retention_kmv") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    val q = StreamingAnalytics.retentionKmvStream(toEventsDF(ms))
+      .writeStream.format("memory").queryName("retkmv_stream")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(math.max(rows.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val cols = Seq("day", "day_next", "uv_a", "uv_b", "uv_union",
+        "jaccard", "est_retained")
+      val got = UserBehaviorAnalytics.retentionKmvFinish(
+          spark.table("retkmv_stream")).selectExpr(cols: _*)
+        .collect().toSeq.map(_.toSeq).toSet
+      val want = UserBehaviorAnalytics.retentionKmv(spark, sf)
+        .selectExpr(cols: _*).collect().toSeq.map(_.toSeq).toSet
+      assert(want.nonEmpty && got == want,
+        "streamed retention estimates diverged from the batch query")
+    } finally q.stop()
+  }
+
   test("simulated marketing source (S3 analog): rate stream synthesizes valid columns") {
     val q = StreamingAnalytics.simulatedMarketingStream(spark, rowsPerSecond = 500)
       .writeStream.format("memory").queryName("sim_stream")
