@@ -51,6 +51,7 @@ object SparkEntry {
     "pricing_summary"   -> ((s, d) => RelationalAnalytics.pricingSummary(s, d)),
     "top_customers"     -> ((s, d) => RelationalAnalytics.topCustomers(s, d)),
     "events_union"      -> ((s, d) => RelationalAnalytics.eventsUnion(s, d)),
+    "small_quantity_revenue" -> ((s, d) => RelationalAnalytics.smallQuantityRevenue(s, d)),
     "user_segments"     -> ((s, d) => RelationalAnalytics.userSegments(s, d)),
     "revenue_by_region" -> ((s, d) => RelationalAnalytics.revenueByRegion(s, d)),
     "revenue_rollup"    -> ((s, d) => RelationalAnalytics.revenueRollup(s, d)),
@@ -367,6 +368,7 @@ object SparkEntry {
     "bloom_join"        -> RelationalAnalytics.bloomJoinOracle,
     "item_rank"         -> GraphAnalytics.itemRankOracle,
     "events_pivot"   -> RelationalAnalytics.eventsPivotOracle,
+    "small_quantity_revenue" -> RelationalAnalytics.smallQuantityRevenueOracle,
     "events_cube"    -> RelationalAnalytics.eventsCubeOracle,
     "user_running_value" -> RelationalAnalytics.userRunningValueOracle,
     "revenue_by_region" ->

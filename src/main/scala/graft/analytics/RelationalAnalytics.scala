@@ -343,6 +343,55 @@ object RelationalAnalytics {
       |       count(*) FILTER (WHERE event_type = 'view') AS view
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** Correlated scalar subquery, decorrelated (the TPC-H Q17 shape):
+    * revenue from small-quantity orders, where "small" is relative to
+    * each part's own average order quantity. The naive form runs the
+    * avg subquery per outer row; the scalable form is the classic
+    * decorrelation — aggregate once per part, join back. Both joins
+    * broadcast: the brand filter cuts parts to dim size, and the
+    * per-part aggregate inherits that bound, so the fact table never
+    * shuffles (the 100 TB shape — lineitem is scanned twice but
+    * exchanged zero times).
+    *
+    * Engine-exactness: quantities are integral, so
+    * `qty < 0.2 · avg(qty)` is evaluated as the integer cross-multiply
+    * `5·qty·cnt < Σqty` — no float threshold; the one double division
+    * (the `/7` yearly average) runs last in a fixed op order over an
+    * exact DECIMAL sum.
+    */
+  def smallQuantityRevenue(spark: SparkSession, sfDir: String,
+                           brand: String = "Brand#12"): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, sfDir)
+      .where($"p_brand" === brand).select($"p_partkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    val perPart = li.groupBy($"l_partkey")
+      .agg(sum($"l_quantity".cast("bigint")).as("sumq"),
+        count(lit(1)).as("cnt"))
+    li.join(broadcast(perPart), "l_partkey")
+      .where($"l_quantity".cast("bigint") * $"cnt" * lit(5L) < $"sumq")
+      .agg((sum($"l_extendedprice".cast("decimal(12,2)")).cast("double") / 7.0d)
+        .as("avg_yearly"))
+  }
+
+  val smallQuantityRevenueOracle: String =
+    """WITH li AS (
+      |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE p.p_brand = 'Brand#12'
+      |), a AS (
+      |  SELECT l_partkey,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumq,
+      |         count(*) AS cnt
+      |  FROM li GROUP BY 1
+      |)
+      |SELECT CAST(sum(CAST(li.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |         / 7e0 AS avg_yearly
+      |FROM li JOIN a ON li.l_partkey = a.l_partkey
+      |WHERE CAST(li.l_quantity AS BIGINT) * a.cnt * 5 < a.sumq""".stripMargin
+
   /** Union + distinct surface (absent from the reference — SURVEY.md
     * §2.10): view and click slices unioned, then per-type exact counts
     * and distinct users.
