@@ -383,4 +383,57 @@ class StreamingRecoverySpec extends AnyFunSuite {
         s"state not restored: $got")
     } finally { q2.stop(); vocab.unpersist() }
   }
+
+  test("outlierGateStream replays an uncommitted batch idempotently after restart") {
+    import graft.textops.{Pipelines, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("graftgrecov").toString
+    val inDir = s"$root/in"; val ck = s"$root/ck"
+    val resultDir = s"$root/results"; val protoDir = s"$root/protos"
+    new java.io.File(inDir).mkdirs()
+    Pipelines.materializeProtos(spark, sf, protoDir)
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
+      .cache()
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("label", IntegerType),
+      StructField("v", ArrayType(DoubleType))))
+    def start() = Pipelines.outlierGateStream(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(inDir),
+        protoDir, resultDir)
+      .option("checkpointLocation", ck).start()
+
+    // phase 1: half the corpus, process, hard stop
+    vecs.where($"vec_id" % 2 === 0).write.parquet(s"$inDir/c1")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // simulate a crash AFTER the sink wrote batch 0 but BEFORE the
+    // commit marker landed: drop the newest commit. On restart Spark
+    // re-executes batch 0 over the same offsets with the same
+    // batch_id — the dynamic partition overwrite must replace, not
+    // duplicate, its output (the replay-idempotency contract every
+    // foreachBatch serving stream in Pipelines claims)
+    val commits = new java.io.File(s"$ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    val newest = commits.sortBy(_.getName.toInt).last
+    // the local-FS checksum shadow must go too, or the re-commit's
+    // rename trips over it
+    new java.io.File(newest.getParent, s".${newest.getName}.crc").delete()
+    newest.delete()
+    // phase 2: the other half arrives; restart replays batch 0 then
+    // processes the new files
+    vecs.where($"vec_id" % 2 === 1).write.parquet(s"$inDir/c2")
+    val q2 = start()
+    try q2.processAllAvailable() finally { q2.stop(); vecs.unpersist() }
+
+    val got = spark.read.parquet(resultDir)
+      .select($"vec_id", $"label", $"is_outlier")
+    // no duplicated verdicts despite the replay…
+    assert(got.count() === got.select($"vec_id").distinct().count())
+    // …and the full-corpus verdict set matches the batch query
+    val want = Similarity.embeddingOutliers(spark, sf)
+      .select($"vec_id", $"label", $"is_outlier")
+    assert(got.as[(Long, Int, Boolean)].collect().toSet ==
+      want.as[(Long, Int, Boolean)].collect().toSet)
+  }
 }
