@@ -31,6 +31,7 @@ object SparkEntry {
     "user_sessions"   -> ((s, d) => UserBehaviorAnalytics.userSessions(s, d)),
     "user_retention"  -> ((s, d) => UserBehaviorAnalytics.userRetention(s, d)),
     "retention_kmv"   -> ((s, d) => UserBehaviorAnalytics.retentionKmv(s, d)),
+    "pv_uv_correlation" -> ((s, d) => UserBehaviorAnalytics.pvUvCorrelation(s, d)),
     "lang_rebalance"  -> ((s, d) => Sampling.langRebalance(s, d)),
     "corpus_shuffle"  -> ((s, d) => Sampling.corpusShuffle(s, d)),
     "marketing_by_channel" -> ((s, d) => MarketingAnalytics.marketingByChannel(s, d)),
@@ -202,6 +203,7 @@ object SparkEntry {
     "user_sessions" -> UserBehaviorAnalytics.userSessionsOracle,
     "user_retention" -> UserBehaviorAnalytics.userRetentionOracle,
     "retention_kmv"  -> UserBehaviorAnalytics.retentionKmvOracle,
+    "pv_uv_correlation" -> UserBehaviorAnalytics.pvUvCorrelationOracle,
     "lang_rebalance" -> Sampling.langRebalanceOracle,
     "corpus_shuffle" -> Sampling.corpusShuffleOracle(),
     "marketing_by_channel" ->

@@ -381,6 +381,66 @@ object UserBehaviorAnalytics {
       |FROM matrix m JOIN sizes s ON m.cohort_day = s.cohort_day
       |ORDER BY m.cohort_day, day_offset""".stripMargin
 
+  /** Pearson correlation of hourly page views vs unique visitors —
+    * the metric-correlation check a traffic dashboard runs (a pv/uv
+    * decoupling flags bot traffic or instrumentation drift). Both
+    * series are integer counts, so every moment (Σx, Σy, Σx², Σy²,
+    * Σxy) is an exact BIGINT — partition-order independent and
+    * engine-identical — and r touches doubles only in the final
+    * guarded expression, in one fixed op order. Zero-variance corpora
+    * report r = 0 identically on both engines instead of a NaN whose
+    * representation could diverge.
+    *
+    * Scale shape: one windowed aggregate (partial map-side; the
+    * distinct inside is the same shuffle [[uniqueVisitors]] pays) then
+    * a six-sum fold to ONE row — the moment sums are classic
+    * partial-aggregatable accumulators.
+    */
+  def pvUvCorrelation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === "view")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("pv"), countDistinct($"user_id").as("uv"))
+      .agg(count(lit(1)).as("n"), sum($"pv").as("sx"), sum($"uv").as("sy"),
+        sum($"pv" * $"pv").as("sxx"), sum($"uv" * $"uv").as("syy"),
+        sum($"pv" * $"uv").as("sxy"))
+      .selectExpr("n as n_windows",
+        "n * sxx - sx * sx as dx", "n * syy - sy * sy as dy",
+        "n * sxy - sx * sy as num")
+      .selectExpr("n_windows",
+        "case when dx = 0 or dy = 0 then 0e0 else " +
+          "cast(num as double) / sqrt(cast(dx as double) * cast(dy as double)) " +
+          "end as pearson_r")
+  }
+
+  val pvUvCorrelationOracle: String =
+    """WITH h AS (
+      |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w,
+      |         CAST(count(*) AS BIGINT) AS pv,
+      |         CAST(count(DISTINCT user_id) AS BIGINT) AS uv
+      |  FROM events WHERE event_type = 'view' GROUP BY 1
+      |), s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_windows,
+      |         CAST(sum(pv) AS BIGINT) AS sx, CAST(sum(uv) AS BIGINT) AS sy,
+      |         CAST(sum(pv * pv) AS BIGINT) AS sxx,
+      |         CAST(sum(uv * uv) AS BIGINT) AS syy,
+      |         CAST(sum(pv * uv) AS BIGINT) AS sxy
+      |  FROM h
+      |), d AS (
+      |  SELECT n_windows,
+      |         n_windows * sxx - sx * sx AS dx,
+      |         n_windows * syy - sy * sy AS dy,
+      |         n_windows * sxy - sx * sy AS num
+      |  FROM s
+      |)
+      |SELECT n_windows,
+      |       CASE WHEN dx = 0 OR dy = 0 THEN 0e0
+      |            ELSE CAST(num AS DOUBLE)
+      |                   / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+      |       END AS pearson_r
+      |FROM d""".stripMargin
+
   /** Sketch-based day-over-day retention — the KMV SET-OPERATION tier
     * the exact [[userRetention]] cohort matrix can't reach at 100 TB:
     * exact retention shuffles every (user, day) pair; this touches the
