@@ -93,6 +93,7 @@ object SparkEntry {
     "embedding_outliers"  -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "text_stats"        -> ((s, d) => TextStats.textStats(s, d)),
     "lang_id"           -> ((s, d) => TextStats.langId(s, d)),
+    "lang_id_eval"      -> ((s, d) => TextStats.langIdEval(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextStats.docFingerprint(s, d)),
     "doc_repetition"    -> ((s, d) => TextStats.docRepetition(s, d)),
     "decontamination"   -> ((s, d) => TextStats.decontamination(s, d)),
@@ -424,6 +425,7 @@ object SparkEntry {
     "embedding_outliers"  -> Similarity.embeddingOutliersOracle(),
     "text_stats"          -> TextStats.textStatsOracle,
     "lang_id"             -> TextStats.langIdOracle,
+    "lang_id_eval"        -> TextStats.langIdEvalOracle,
     "doc_fingerprint"     -> TextStats.docFingerprintOracle,
     "doc_repetition"      -> TextStats.docRepetitionOracle,
     "decontamination"     -> TextStats.decontaminationOracle,

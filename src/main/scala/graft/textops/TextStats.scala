@@ -126,6 +126,42 @@ object TextStats {
        |FROM scores ORDER BY doc_id""".stripMargin
   }
 
+  /** Classifier evaluation for [[langId]]: the confusion matrix
+    * against the corpus's ground-truth `lang` column — per
+    * (true, predicted) counts and the per-true-language share (the
+    * diagonal row is that language's recall). The eval loop every
+    * heuristic classifier ships with: a marker-list change shows up
+    * here as a moved confusion mass, not as silent drift.
+    *
+    * Scale shape: the per-doc scoring is [[langId]]'s narrow map; the
+    * confusion aggregate is a (langs × langs)-row groupBy with
+    * map-side partials, and the share window partitions on the
+    * bounded true-language key.
+    */
+  def langIdEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    langId(spark, sfDir)
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_true", sum($"n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lang")))
+      .selectExpr("lang", "pred_lang", "n",
+        "cast(n as double) / n_true as share")
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  val langIdEvalOracle: String =
+    s"""WITH p AS (
+       |${langIdOracle.linesIterator.map("  " + _).mkString("\n")}
+       |), c AS (
+       |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM p GROUP BY 1, 2
+       |)
+       |SELECT lang, pred_lang, n,
+       |       CAST(n AS DOUBLE)
+       |         / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS share
+       |FROM c ORDER BY lang, pred_lang""".stripMargin
+
   /** Rolling-hash document fingerprints: full-text polynomial hash +
     * min of all 16-char rolling window hashes (winnowing-style robust
     * fingerprint, stable under small appends/prepends).

@@ -435,6 +435,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(df.count() == Tables.documents(spark, sf).count())
   }
 
+  test("lang_id_eval: confusion rows partition the corpus, shares sum to 1 per language") {
+    val ev = TextStats.langIdEval(spark, sf).cache()
+    assert(ev.agg(sum($"n")).head.getLong(0) ===
+      Tables.documents(spark, sf).count())
+    assert(ev.groupBy($"lang").agg(sum($"share").as("t"))
+      .where(abs($"t" - 1.0) > 1e-9).isEmpty)
+    // the matrix is consistent with the per-doc predictions it rolls up
+    val diag = TextStats.langId(spark, sf)
+      .where($"lang" === $"pred_lang").count()
+    val diagEv = ev.where($"lang" === $"pred_lang")
+      .agg(coalesce(sum($"n"), lit(0L))).head.getLong(0)
+    assert(diag === diagEv)
+  }
+
   test("bloom_join: bloom pre-filter + confirm equals the plain semi-join") {
     val got = RelationalAnalytics.bloomJoin(spark, sf)
       .as[(String, Long, Double, Double)].collect().toSet
