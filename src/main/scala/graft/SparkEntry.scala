@@ -56,6 +56,7 @@ object SparkEntry {
     "user_segments"     -> ((s, d) => RelationalAnalytics.userSegments(s, d)),
     "revenue_by_region" -> ((s, d) => RelationalAnalytics.revenueByRegion(s, d)),
     "revenue_rollup"    -> ((s, d) => RelationalAnalytics.revenueRollup(s, d)),
+    "revenue_cube"      -> ((s, d) => RelationalAnalytics.revenueCube(s, d)),
     "events_pivot"      -> ((s, d) => RelationalAnalytics.eventsPivot(s, d)),
     "events_cube"       -> ((s, d) => RelationalAnalytics.eventsCube(s, d)),
     "user_running_value" -> ((s, d) => RelationalAnalytics.userRunningValue(s, d)),
@@ -364,6 +365,7 @@ object SparkEntry {
         |      UNION ALL SELECT * FROM events WHERE event_type = 'click')
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "revenue_rollup" -> RelationalAnalytics.revenueRollupOracle,
+    "revenue_cube"   -> RelationalAnalytics.revenueCubeOracle,
     "user_segments"  -> RelationalAnalytics.userSegmentsOracle,
     "value_percentiles" -> RelationalAnalytics.valuePercentilesOracle,
     "value_percentiles_sampled" -> RelationalAnalytics.valuePercentilesSampledOracle,

@@ -238,6 +238,42 @@ object RelationalAnalytics {
       |GROUP BY ROLLUP(region, nation)
       |ORDER BY region NULLS FIRST, nation NULLS FIRST""".stripMargin
 
+  /** CUBE completion of [[revenueRollup]]: all four grouping sets of
+    * (region, priority) in ONE Expand + aggregate pass — the
+    * every-marginal report a rollup can't produce (rollup emits only
+    * the prefix hierarchy). Same single-Expand plan shape as ROLLUP:
+    * Catalyst fans each input row to its 4 grouping-set replicas
+    * map-side and partial-aggregates before the one shuffle — never
+    * four scans. Dim values are non-null by construction, so the
+    * NULLS-FIRST order is unambiguous on both engines.
+    */
+  def revenueCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_totalprice", $"o_orderpriority".as("priority"))
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_regionkey")
+    val r = Tables.region(spark, sfDir).select($"r_regionkey", $"r_name".as("region"))
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .cube($"region", $"priority")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("order_cnt"))
+      .orderBy($"region".asc_nulls_first, $"priority".asc_nulls_first)
+  }
+
+  val revenueCubeOracle: String =
+    """SELECT r.r_name AS region, o.o_orderpriority AS priority,
+      |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       count(*) AS order_cnt
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY CUBE(region, priority)
+      |ORDER BY region NULLS FIRST, priority NULLS FIRST""".stripMargin
+
   /** Set-op completion for §2.10: INTERSECT (viewers who bought) and
     * EXCEPT (viewers who didn't) as real set operators — Catalyst
     * plans both as aggregated semi/anti joins, so they scale like any
