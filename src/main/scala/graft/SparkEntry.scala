@@ -69,6 +69,7 @@ object SparkEntry {
     "item_rank"           -> ((s, d) => GraphAnalytics.itemRank(s, d)),
     "dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "minhash_error"     -> ((s, d) => Dedup.minhashError(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhashDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -403,6 +404,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "dedup_exact"         -> Dedup.dedupExactOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
+    "minhash_error"       -> Dedup.minhashErrorOracle,
     "dedup_incremental"   -> Dedup.dedupIncrementalOracle,
     "dedup_simhash"       -> Dedup.simhashDedupOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,

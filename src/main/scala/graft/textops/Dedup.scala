@@ -161,6 +161,61 @@ object Dedup {
     s"""WITH $minhashPairsCtes
        |SELECT doc1, doc2, sim FROM simpairs ORDER BY doc1, doc2""".stripMargin
 
+  /** Estimator-accuracy gate for the MinHash tier — the dedup-side
+    * analog of `similarity_recall`: per LSH candidate pair, the
+    * signature-agreement Jaccard estimate ([[minhashLsh]]'s `sim`,
+    * matching components / K — the unbiased MinHash estimator) against
+    * the EXACT shingle-set Jaccard, plus the absolute error a K = 8
+    * sketch incurs. This is the number a user tunes K against; without
+    * it the tier's precision is an article of faith.
+    *
+    * Scale shape: the pair set is the already-bucketed LSH candidates;
+    * exact sets join in by doc id with the same broadcast↔shuffle flip
+    * as the ngram-Jaccard verify; the intersect is the native
+    * two-pointer merge.
+    */
+  def minhashError(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLsh(spark, sfDir).select($"doc1", $"doc2", $"sim".as("j_est"))
+    // sorted_intersect_count is an INT-array two-pointer merge; shingle
+    // hashes are < P ≈ 1e9 so the narrowing cast is exact
+    val sets = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        "array_sort(array_distinct(transform(shingle_hashes(text), sx -> cast(sx as int)))) as ds")
+      .where("size(ds) >= 1")
+      .localCheckpoint()
+    val small = sets.count() <= BroadcastVerifyMaxDocs
+    val s1 = sets.selectExpr("doc_id as doc1", "ds as ds1")
+    val s2 = sets.selectExpr("doc_id as doc2", "ds as ds2")
+    pairs
+      .join(if (small) broadcast(s1) else s1, "doc1")
+      .join(if (small) broadcast(s2) else s2, "doc2")
+      .selectExpr("doc1", "doc2", "j_est",
+        "sorted_intersect_count(ds1, ds2) as ic",
+        "size(ds1) as n1", "size(ds2) as n2")
+      .selectExpr("doc1", "doc2", "j_est",
+        "cast(ic as double) / (n1 + n2 - ic) as j_exact")
+      .selectExpr("doc1", "doc2", "j_est", "j_exact",
+        "abs(j_est - j_exact) as abs_err")
+      .orderBy($"doc1", $"doc2")
+  }
+
+  val minhashErrorOracle: String =
+    s"""WITH $minhashPairsCtes, dsh AS (
+       |  SELECT doc_id, list_sort(list_distinct(sh)) AS ds FROM sh
+       |), er AS (
+       |  SELECT p.doc1, p.doc2, p.sim,
+       |         len(list_filter(a.ds, ixm -> list_contains(b.ds, ixm))) AS ic,
+       |         len(a.ds) AS n1, len(b.ds) AS n2
+       |  FROM simpairs p
+       |  JOIN dsh a ON p.doc1 = a.doc_id
+       |  JOIN dsh b ON p.doc2 = b.doc_id
+       |)
+       |SELECT doc1, doc2, sim AS j_est,
+       |       CAST(ic AS DOUBLE) / (n1 + n2 - ic) AS j_exact,
+       |       abs(sim - CAST(ic AS DOUBLE) / (n1 + n2 - ic)) AS abs_err
+       |FROM er ORDER BY doc1, doc2""".stripMargin
+
   // ------------------------------------------------- incremental dedup
 
   /** Incremental near-dup dedup — the rolling-corpus operator: judge a

@@ -115,6 +115,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(est - n) < n * 0.2, s"sketch estimate $est for $n distinct")
   }
 
+  test("minhash_error: estimates are k-quantized, exact side in range, mean error small") {
+    val e = Dedup.minhashError(spark, sf).cache()
+    assert(e.count() > 0)
+    assert(e.where($"j_exact" < 0 || $"j_exact" > 1).isEmpty)
+    // K = 8 signature agreement only takes values m/8
+    assert(e.where(expr("abs(j_est * 8 - round(j_est * 8)) > 1e-9")).isEmpty)
+    // the K = 8 sketch's measured mean error on this corpus — a marker
+    // regression (e.g. a broken rehash family) blows far past this
+    assert(e.agg(avg($"abs_err")).head.getDouble(0) < 0.1)
+  }
+
   test("retention_kmv: exact-regime identity, sketch-regime bound, invariants") {
     val est = UserBehaviorAnalytics.retentionKmv(spark, sf).cache()
     assert(est.count() > 0)
