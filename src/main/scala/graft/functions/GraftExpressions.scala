@@ -394,6 +394,19 @@ object GraftExpressions {
   case class SortedIntersectCount(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = IntegerType
+    // the merge reads getInt: a long array would be read as garbage
+    // bytes, SILENTLY — reject at analysis instead (this bit once:
+    // minhash_error's first cut fed array<bigint> and got plausible
+    // wrong counts)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"sorted_intersect_count requires (array<int>, array<int>), got (${l.sql}, ${r.sql})")
+      }
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]

@@ -22,4 +22,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(2) > 0)
     assert(row.getInt(4) == graft.textops.TextHash.K)
   }
+
+  test("sorted_intersect_count rejects non-int arrays at analysis, not silently") {
+    // int arrays: fine
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array(1, 3, 5), array(3, 5, 9)) AS c")
+      .head().getInt(0) == 2)
+    // long arrays would be read as garbage bytes by the int merge —
+    // must fail at analysis time
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT sorted_intersect_count(array(1L, 3L), array(3L, 5L))").head()
+    }
+    assert(ex.getMessage.contains("sorted_intersect_count"))
+  }
 }
