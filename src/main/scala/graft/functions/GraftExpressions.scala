@@ -26,10 +26,29 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftExpressions {
 
   /** Σ aᵢ·bᵢ over two double arrays, sequential left fold. */
+  /** Analysis-time guard for expressions whose loops read typed
+    * getters: `getDouble` over an array<float> (etc.) reads garbage
+    * bytes SILENTLY, so a wrong element type must fail the query
+    * instead. (ExpectsInputTypes is private[sql]; checkInputDataTypes
+    * is the public seam.)
+    */
+  private def requireArrays(et: DataType, fn: String, dts: DataType*)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = dts.forall {
+      case ArrayType(e, _) => e == et
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn requires array<${et.simpleString}> inputs, got (${dts.map(_.sql).mkString(", ")})")
+  }
+
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression {
-    // callers guarantee array<double> inputs (AbstractDataType — and so
-    // ExpectsInputTypes — is private[sql], unavailable to library code)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      requireArrays(DoubleType, "vec_dot", left.dataType, right.dataType)
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -73,6 +92,9 @@ object GraftExpressions {
     */
   case class SrpSig(left: Expression, right: Expression)
       extends BinaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      requireArrays(DoubleType, "srp_sig", left.dataType, right.dataType)
     override def dataType: DataType = IntegerType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val v = a.asInstanceOf[ArrayData]
@@ -126,6 +148,9 @@ object GraftExpressions {
     */
   case class SrpProbes(left: Expression, right: Expression, nProbes: Int)
       extends BinaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      requireArrays(DoubleType, "srp_probes", left.dataType, right.dataType)
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullSafeEval(a: Any, b: Any): Any = {
       val v = a.asInstanceOf[ArrayData]
@@ -290,6 +315,9 @@ object GraftExpressions {
     */
   case class SimHash60(child: Expression)
       extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      requireArrays(LongType, "simhash60", child.dataType)
     override def dataType: DataType = LongType
     override def nullSafeEval(a: Any): Any = {
       val arr = a.asInstanceOf[ArrayData]
@@ -340,6 +368,9 @@ object GraftExpressions {
   case class MinHashSig(child: Expression)
       extends UnaryExpression {
     private val K = TextHash.K
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      requireArrays(LongType, "minhash_sig", child.dataType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(a: Any): Any = {
       val arr = a.asInstanceOf[ArrayData]
