@@ -51,11 +51,17 @@ object Bench {
       }.sorted
       name -> (if (reps.exists(_.isNaN)) -1.0 else reps(1)) // median of 3
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4 decimal places (0.1 ms) is ample for wall-clock medians and keeps
+    // the one-line JSON under the driver's log-tail capture window — full
+    // 17-digit doubles pushed the 104-query line past it, truncating the
+    // alphabetically-first keys every round (parsed: null in BENCH_r*).
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // lossless artifact: the driver scrapes the log tail, which has
     // truncated the (multi-KB, 80-query) JSON line before — persist the
     // full record to a file too, so the bench result never depends on
@@ -64,7 +70,12 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
+    // print the line twice: once now (survives if the capture window is
+    // large), and once after spark.stop() so the final occurrence has only
+    // sbt's own 2-line epilogue after it in the log tail
     println(json)
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

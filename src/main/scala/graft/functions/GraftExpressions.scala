@@ -25,6 +25,28 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftExpressions {
 
+  /** Runtime shape guard for the SRP family (called from both the
+    * interpreted and generated paths — public so Janino sees the
+    * static forwarder). The plane matrix is a row-major (bits × d)
+    * flattening, so a length that is not a multiple of d means the
+    * caller built it against a different vector dimension — silently
+    * integer-dividing would drop trailing coefficients and hash with
+    * the wrong hyperplanes. bits > 31 would alias `1 << j` (Int shift
+    * wraps mod 32), folding distant planes onto the same signature
+    * bit. Internal callers cap at MaxLshBits = 16; this guard is for
+    * the SQL-registered user surface.
+    */
+  def checkSrpShape(fn: String, d: Int, planesLen: Int): Unit = {
+    if (d > 0 && planesLen % d != 0)
+      throw new IllegalArgumentException(
+        s"$fn: planes length $planesLen is not a multiple of the vector dimension $d " +
+          "(planes must be a row-major (bits x d) flattened matrix)")
+    if (d > 0 && planesLen / d > 31)
+      throw new IllegalArgumentException(
+        s"$fn: ${planesLen / d} planes exceed the 31-bit signature width " +
+          "(bit j is stored as 1 << j in an Int)")
+  }
+
   /** Σ aᵢ·bᵢ over two double arrays, sequential left fold. */
   /** Analysis-time guard for expressions whose loops read typed
     * getters: `getDouble` over an array<float> (etc.) reads garbage
@@ -101,6 +123,7 @@ object GraftExpressions {
       val p = b.asInstanceOf[ArrayData]
       val d = v.numElements()
       val bits = if (d == 0) 0 else p.numElements() / d
+      GraftExpressions.checkSrpShape("srp_sig", d, p.numElements())
       var sig = 0
       var j = 0
       while (j < bits) {
@@ -119,6 +142,7 @@ object GraftExpressions {
            |{
            |int ssD = $a.numElements();
            |int ssBits = ssD == 0 ? 0 : $b.numElements() / ssD;
+           |graft.functions.GraftExpressions.checkSrpShape("srp_sig", ssD, $b.numElements());
            |int ssSig = 0;
            |for (int ssJ = 0; ssJ < ssBits; ssJ++) {
            |  double ssAcc = 0.0;
@@ -157,6 +181,7 @@ object GraftExpressions {
       val p = b.asInstanceOf[ArrayData]
       val d = v.numElements()
       val bits = if (d == 0) 0 else p.numElements() / d
+      GraftExpressions.checkSrpShape("srp_probes", d, p.numElements())
       val margins = new Array[Double](bits)
       var sig = 0
       var j = 0
@@ -166,7 +191,11 @@ object GraftExpressions {
         val off = j * d
         while (i < d) { acc += v.getDouble(i) * p.getDouble(off + i); i += 1 }
         if (acc > 0) sig |= (1 << j)
-        margins(j) = math.abs(acc)
+        // NaN margin (NaN in the vector or planes) → +Inf so the plane
+        // is still selectable — `x < bm` is false for NaN, which with a
+        // -1 sentinel used to crash used(best) when EVERY margin was NaN
+        val m = math.abs(acc)
+        margins(j) = if (java.lang.Double.isNaN(m)) Double.PositiveInfinity else m
         j += 1
       }
       val t = math.min(nProbes, bits)
@@ -179,7 +208,11 @@ object GraftExpressions {
         var bm = Double.MaxValue
         var i = 0
         while (i < bits) {
-          if (!used(i) && margins(i) < bm) { bm = margins(i); best = i }
+          // best == -1 seeds the scan so an all-Inf (all-NaN-input) row
+          // still picks deterministically (lowest unused index)
+          if (!used(i) && (best == -1 || margins(i) < bm)) {
+            bm = margins(i); best = i
+          }
           i += 1
         }
         used(best) = true
@@ -194,6 +227,7 @@ object GraftExpressions {
            |{
            |int spD = $a.numElements();
            |int spBits = spD == 0 ? 0 : $b.numElements() / spD;
+           |graft.functions.GraftExpressions.checkSrpShape("srp_probes", spD, $b.numElements());
            |double[] spM = new double[spBits];
            |int spSig = 0;
            |for (int spJ = 0; spJ < spBits; spJ++) {
@@ -203,7 +237,8 @@ object GraftExpressions {
            |    spAcc += $a.getDouble(spI) * $b.getDouble(spOff + spI);
            |  }
            |  if (spAcc > 0) spSig |= (1 << spJ);
-           |  spM[spJ] = Math.abs(spAcc);
+           |  double spAbs = Math.abs(spAcc);
+           |  spM[spJ] = Double.isNaN(spAbs) ? Double.POSITIVE_INFINITY : spAbs;
            |}
            |int spT = Math.min($nProbes, spBits);
            |int[] spOut = new int[1 + spT];
@@ -213,7 +248,9 @@ object GraftExpressions {
            |  int spBest = -1;
            |  double spBm = Double.MAX_VALUE;
            |  for (int spI = 0; spI < spBits; spI++) {
-           |    if (!spUsed[spI] && spM[spI] < spBm) { spBm = spM[spI]; spBest = spI; }
+           |    if (!spUsed[spI] && (spBest == -1 || spM[spI] < spBm)) {
+           |      spBm = spM[spI]; spBest = spI;
+           |    }
            |  }
            |  spUsed[spBest] = true;
            |  spOut[spK + 1] = spSig ^ (1 << spBest);

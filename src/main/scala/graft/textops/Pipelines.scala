@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   *     without rewriting existing evidence.
   *   - `clusters/` — connected components over the minhash tier
   *     (what `corpus_prep` keys on).
-  *   - `clusters_multi/` — components over all tiers unioned.
+  *   - `clusters_multi/` — components over the minhash + simhash
+  *     tiers unioned (matching the live `dedup_clusters_multi` query;
+  *     the directional containment tier is stored as evidence for
+  *     future consumers but feeds no clustering today).
   *   - `ann_centroids/` + `ann_assign/` — the IVF serving index
   *     (assignments partitioned by cell prefix), written by
   *     [[materializeAnn]]: [[annSearchFrom]] runs ARBITRARY query
@@ -54,7 +57,8 @@ object Pipelines {
     val sh = Dedup.simhashDedup(spark, sfDir)
       .select($"doc1", $"doc2", lit("simhash").as("tier"))
     // containment is directional (doc1 = contained side) — stored
-    // as-is; symmetric consumers (clustering) symmetrize on read
+    // as-is for future consumers; no current consumer reads it (a
+    // symmetric consumer would need to symmetrize the edges on read)
     val ct = Dedup.dedupContainment(spark, sfDir)
       .select($"doc1", $"doc2", lit("containment").as("tier"))
     ParquetSink.writePartitioned(mh.union(sh).union(ct), s"$outDir/dedup_pairs",

@@ -149,13 +149,20 @@ object Sampling {
     * everywhere); the corpus is touched by one narrow map (hash gate)
     * plus one partial-aggregated count — no shuffle of document rows.
     */
-  def langRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+  def langRebalance(spark: SparkSession, sfDir: String): DataFrame =
+    langRebalanceFrom(Tables.documents(spark, sfDir))
+
+  /** Core of [[langRebalance]] over any (doc_id, lang) frame — split
+    * out so the kept_total = 0 degenerate corpus (every thresh floors
+    * to 0, nothing kept) is testable without testdata. */
+  private[graft] def langRebalanceFrom(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
     import spark.implicits._
     // salt suffix: a bare short doc_id string folds to < ~80k (3 chars
     // of mult-37 fold never reach the modulus), which would make the
     // %1e6 gate vacuous — the suffix pushes every input past the
     // wrap-around so r is uniform over the full gate range
-    val docs = Tables.documents(spark, sfDir)
+    val docs = documents
       .selectExpr("doc_id", "lang",
         "poly_hash37(concat(cast(doc_id as string), '-rebalance')) % 1000000 as r")
     val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))

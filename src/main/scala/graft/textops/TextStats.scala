@@ -848,9 +848,10 @@ object TextStats {
   }
 
   /** DuckDB replay of [[ngramLmScore]]. The bigram fan-out uses the
-    * bounded-range idiom (`range(256)` + length filter — corpus max is
-    * ~100 tokens/doc) because DuckDB lacks Spark's per-row `sequence`
-    * explode without a lateral join.
+    * per-row `unnest(generate_series(...))` idiom (same as the seqPack
+    * oracle), so it is exact for ANY document length — an earlier
+    * `range(256)` form silently capped documents at 257 tokens, a
+    * data-generator change away from non-obvious oracle divergence.
     */
   lazy val ngramLmScoreOracle: String =
     s"""WITH docs AS (
@@ -862,10 +863,11 @@ object TextStats {
        |  FROM docs WHERE len(tokens) >= 2
        |), bg AS (
        |  SELECT doc_id, is_train,
-       |         tokens[CAST(g.i AS INT) + 1] AS w1,
-       |         tokens[CAST(g.i AS INT) + 2] AS w2
-       |  FROM sized CROSS JOIN range(256) g(i)
-       |  WHERE g.i + 2 <= n
+       |         tokens[CAST(i AS INT) + 1] AS w1,
+       |         tokens[CAST(i AS INT) + 2] AS w2
+       |  FROM (SELECT doc_id, is_train, tokens,
+       |               unnest(generate_series(CAST(0 AS BIGINT), n - 2)) AS i
+       |        FROM sized)
        |), model AS (
        |  SELECT w1, w2, count(*) AS c12 FROM bg WHERE is_train GROUP BY 1, 2
        |), ctx AS (

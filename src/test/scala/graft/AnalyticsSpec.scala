@@ -20,6 +20,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("langRebalance: kept_total = 0 degenerate corpus reports 0.0 shares, not null/NaN") {
+    // one doc → n_total div 2 = 0 → every p_keep = 0 → thresh = 0 →
+    // nothing kept → kept_total is sum-over-empty NULL; the guard must
+    // surface share_after = 0.0 (any NaN/null here is an engine-
+    // representation divergence risk at the driver's hash gate)
+    val one = Seq((1L, "en")).toDF("doc_id", "lang")
+    val row = Sampling.langRebalanceFrom(one)
+      .selectExpr("lang", "n_kept", "share_after").head()
+    assert(row.getString(0) == "en")
+    assert(row.getLong(1) == 0L)
+    assert(row.getDouble(2) == 0.0 && !row.isNullAt(2))
+  }
+
   test("Session.tune AQE settings: a KB-scale shuffle coalesces to one task") {
     // pins the load-bearing bench config (BASELINE.md v2): byte-sized
     // AQE coalescing, not core-count-first — without it every tiny

@@ -79,4 +79,21 @@ class PackingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("doc_chunks: chunk <= overlap is a readable precondition error, not a malformed plan") {
+    val docs = Tables.documents(spark, sf)
+    // chunk == overlap → stride 0 (division by zero deep in the plan)
+    val eq = intercept[IllegalArgumentException] {
+      Packing.docChunksFrom(docs, chunk = 16, overlap = 16)
+    }
+    assert(eq.getMessage.contains("overlap < chunk"))
+    // chunk < overlap → negative stride (sequence stepping backwards)
+    val lt = intercept[IllegalArgumentException] {
+      Packing.docChunksFrom(docs, chunk = 8, overlap = 16)
+    }
+    assert(lt.getMessage.contains("overlap < chunk"))
+    // the oracle builder enforces the same precondition
+    intercept[IllegalArgumentException] { Packing.docChunksOracle(16, 16) }
+    intercept[IllegalArgumentException] { Packing.chunkDedupOracle(8, 16) }
+  }
 }
