@@ -89,6 +89,8 @@ object SparkEntry {
     "similarity_lsh_multiprobe" -> ((s, d) => Similarity.similarityLshMultiprobe(s, d)),
     "pii_scrub"         -> ((s, d) => Scrub.piiScrub(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.dedupContainment(s, d)),
+    "dedup_candidate_stats" -> ((s, d) => Dedup.dedupCandidateStats(s, d)),
+    "dedup_substring_curve" -> ((s, d) => Dedup.substringDfCurve(s, d)),
     "similarity_recall_lshmp" -> ((s, d) =>
       Similarity.similarityRecallLsh(s, d, multiprobe = true)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
@@ -424,6 +426,8 @@ object SparkEntry {
     "similarity_lsh_multiprobe" -> Similarity.similarityLshMultiprobeOracle,
     "pii_scrub"           -> Scrub.piiScrubOracle,
     "dedup_containment"   -> Dedup.dedupContainmentOracle,
+    "dedup_candidate_stats" -> Dedup.dedupCandidateStatsOracle(),
+    "dedup_substring_curve" -> Dedup.substringDfCurveOracle(),
     "similarity_recall_lshmp" -> Similarity.similarityRecallLshOracle(multiprobe = true),
     "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
     "embedding_outliers"  -> Similarity.embeddingOutliersOracle(),

@@ -713,21 +713,29 @@ object Dedup {
       .localCheckpoint()
   }
 
-  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.2): DataFrame = {
-    import spark.implicits._
-    val enc = shingleEncoded(spark, sfDir)
-    // candidate pairs from rarest-prefix inverted index only, with the
-    // PPJoin length + positional filters (exact pruning: a pruned pair
-    // provably cannot reach the threshold, and every surviving pair is
-    // verified with a true intersection below, so recall is unaffected).
-    //  - length: jaccard >= t forces min(n1,n2) >= t * max(n1,n2)
-    //  - positional: a match at 0-based prefix positions (p1, p2) caps
-    //    the intersection at ub = min(n1-p1, n2-p2); keep only if
-    //    ub/(n1+n2-ub) >= t, i.e. ub*(1+t) >= t*(n1+n2). The 1e-9 slack
-    //    makes double rounding err on the keep side only.
-    val pref = enc.selectExpr("doc_id", "size(ids) as n",
+  /** Rarest-prefix posting rows for the PPJoin candidate stage:
+    * (doc_id, n, ppos, pid) — one row per id in each doc's
+    * ⌊(1−t)·n⌋+1 rarest prefix. Shared by [[ngramJaccard]] and the
+    * candidate-volume telemetry so the two can't drift.
+    */
+  private def ngramPrefix(enc: DataFrame, threshold: Double): DataFrame =
+    enc.selectExpr("doc_id", "size(ids) as n",
       s"posexplode(slice(ids, 1, cast(floor((1.0 - $threshold) * size(ids)) as int) + 1)) as (ppos, pid)")
-    val pairs = pref.as("x")
+
+  /** PPJoin candidate pairs (pre-verify, distinct): prefix inverted-
+    * index self-join with the length + positional filters (exact
+    * pruning: a pruned pair provably cannot reach the threshold, and
+    * every surviving pair is verified with a true intersection in
+    * [[ngramJaccard]], so recall is unaffected).
+    *  - length: jaccard >= t forces min(n1,n2) >= t * max(n1,n2)
+    *  - positional: a match at 0-based prefix positions (p1, p2) caps
+    *    the intersection at ub = min(n1-p1, n2-p2); keep only if
+    *    ub/(n1+n2-ub) >= t, i.e. ub*(1+t) >= t*(n1+n2). The 1e-9 slack
+    *    makes double rounding err on the keep side only.
+    */
+  private def ngramCandidates(enc: DataFrame, threshold: Double): DataFrame = {
+    val pref = ngramPrefix(enc, threshold)
+    pref.as("x")
       .join(pref.as("y"),
         col("x.pid") === col("y.pid") && col("x.doc_id") < col("y.doc_id") &&
           expr(s"least(x.n, y.n) >= $threshold * greatest(x.n, y.n) - 1e-9") &&
@@ -735,12 +743,18 @@ object Dedup {
             s" >= $threshold * (x.n + y.n) - 1e-9"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
-    // exact verification per candidate — the verify side carries the
-    // full shingle-id arrays (~1.2 KB/doc). Below ~20k docs (≈25 MB)
-    // broadcasting them to the candidate pairs wins; past that the
-    // broadcast itself becomes the memory/network bottleneck, so flip
-    // to shuffled equi-joins on doc id (exercised by the sf1 tier's
-    // 50k docs; enc is localCheckpoint-materialized, the count is free)
+  }
+
+  /** Exact intersection verify over candidate pairs. The verify side
+    * carries the full shingle-id arrays (~1.2 KB/doc). Below ~20k docs
+    * (≈25 MB) broadcasting them to the candidate pairs wins; past that
+    * the broadcast itself becomes the memory/network bottleneck, so
+    * flip to shuffled equi-joins on doc id (exercised by the sf1
+    * tier's 50k docs; enc is localCheckpoint-materialized, the count
+    * is free). Emits (doc1, doc2, inter_cnt, n1, n2).
+    */
+  private def verifyIntersect(enc: DataFrame, pairs: DataFrame): DataFrame = {
+    import enc.sparkSession.implicits._
     val e1 = enc.select($"doc_id".as("doc1"), $"ids".as("ids1"))
     val e2 = enc.select($"doc_id".as("doc2"), $"ids".as("ids2"))
     val small = enc.count() <= BroadcastVerifyMaxDocs
@@ -752,10 +766,24 @@ object Dedup {
         // hash-set-based array_intersect was the verify bottleneck
         "sorted_intersect_count(ids1, ids2) as inter_cnt",
         "size(ids1) as n1", "size(ids2) as n2")
+  }
+
+  /** Verified Jaccard pairs from encoded docs + candidate pairs — the
+    * tail of [[ngramJaccard]], shared with the telemetry query. */
+  private def ngramVerify(enc: DataFrame, pairs: DataFrame,
+                          threshold: Double): DataFrame = {
+    import enc.sparkSession.implicits._
+    verifyIntersect(enc, pairs)
       .withColumn("jaccard",
         expr("cast(inter_cnt as double) / (n1 + n2 - inter_cnt)"))
       .where($"jaccard" >= threshold)
       .select($"doc1", $"doc2", $"inter_cnt", $"jaccard")
+  }
+
+  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val enc = shingleEncoded(spark, sfDir)
+    ngramVerify(enc, ngramCandidates(enc, threshold), threshold)
       .orderBy($"doc1", $"doc2")
   }
 
@@ -781,12 +809,20 @@ object Dedup {
     * the documents table; the planted-run property test drives it over
     * synthetic corpora.
     */
+  /** Winnowing-selected fingerprint postings (doc_id, fp) — the
+    * shared front end of [[dedupSubstringFrom]] and the df-cap
+    * telemetry ([[substringDfCurve]], [[dedupCandidateStats]]).
+    * localCheckpoint: feeds the df cap and both join sides.
+    */
+  private def winnowSelected(docs: DataFrame, k: Int, radius: Int): DataFrame =
+    docs
+      .selectExpr("doc_id", s"explode(winnow_hashes(text, $k, $radius)) as fp")
+      .localCheckpoint()
+
   def dedupSubstringFrom(docs: DataFrame, k: Int, radius: Int,
                          minShared: Int, maxDf: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val sel = docs
-      .selectExpr("doc_id", s"explode(winnow_hashes(text, $k, $radius)) as fp")
-      .localCheckpoint() // feeds both the df cap and both join sides
+    val sel = winnowSelected(docs, k, radius)
     val keep = sel.groupBy($"fp").agg(count(lit(1)).as("df"))
       .where($"df" <= maxDf).select($"fp")
     val kept = sel.join(keep, "fp")
@@ -811,9 +847,12 @@ object Dedup {
     dedupSubstringFrom(Tables.documents(spark, sfDir), k, radius,
       minShared, if (maxDf > 0) maxDf else autoMaxDf(nDocs(spark, sfDir)))
 
-  def dedupSubstringOracle(k: Int = 24, radius: Int = 7, minShared: Int = 2,
-                           maxDf: Int = 10): String =
-    s"""WITH wins AS (
+  /** Shared DuckDB CTE fragment `wins AS (...), sel AS (...)` — the
+    * winnowing selection chain (every k-char window hash; local-min
+    * selection in a radius-r neighborhood), reused by the substring
+    * oracle and both telemetry oracles. */
+  private def substringSelCtes(k: Int, radius: Int): String =
+    s"""wins AS (
        |  SELECT doc_id,
        |         list_transform(range(1, greatest(length(text) - $k + 1, 1) + 1), wwi ->
        |           ${phDuck(s"substring(text, wwi, $k)", "ww")}) AS f
@@ -826,7 +865,11 @@ object Dedup {
        |                  THEN f[si] END),
        |           sv -> sv IS NOT NULL))) AS fp
        |  FROM wins
-       |), keep AS (
+       |)""".stripMargin
+
+  def dedupSubstringOracle(k: Int = 24, radius: Int = 7, minShared: Int = 2,
+                           maxDf: Int = 10): String =
+    s"""WITH ${substringSelCtes(k, radius)}, keep AS (
        |  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= $maxDf
        |), kept AS (
        |  SELECT s.doc_id, s.fp FROM sel s JOIN keep USING (fp)
@@ -853,29 +896,41 @@ object Dedup {
     * corpora). Verify is the exact sorted-merge intersection; same
     * broadcast→shuffle verify flip as [[ngramJaccard]].
     */
-  def dedupContainment(spark: SparkSession, sfDir: String,
-                       threshold: Double = 0.8): DataFrame = {
-    import spark.implicits._
-    val enc = shingleEncoded(spark, sfDir)
-    val pref = enc.selectExpr("doc_id", "size(ids) as n",
+  /** Contained-side rarest-prefix posting rows (doc_id, n, pid) —
+    * shared by [[dedupContainment]]'s candidate stage and the
+    * candidate telemetry. */
+  private def containmentPrefix(enc: DataFrame, threshold: Double): DataFrame =
+    enc.selectExpr("doc_id", "size(ids) as n",
       s"explode(slice(ids, 1, cast(floor((1.0 - $threshold) * size(ids)) as int) + 1)) as pid")
+
+  /** Containment candidate pairs (pre-verify, distinct): contained-
+    * side rarest prefix joined against the full inverted index —
+    * shared by [[dedupContainment]] and the candidate telemetry. */
+  private def containmentCandidates(enc: DataFrame, threshold: Double): DataFrame = {
+    val pref = containmentPrefix(enc, threshold)
     val index = enc.selectExpr("doc_id as doc2", "explode(ids) as pid")
-    val pairs = pref.as("x")
+    pref.as("x")
       .join(index.as("y"),
         col("x.pid") === col("y.pid") && col("x.doc_id") =!= col("y.doc2"))
       .select(col("x.doc_id").as("doc1"), col("y.doc2"))
       .distinct()
-    val e1 = enc.select($"doc_id".as("doc1"), $"ids".as("ids1"))
-    val e2 = enc.select($"doc_id".as("doc2"), $"ids".as("ids2"))
-    val small = enc.count() <= BroadcastVerifyMaxDocs
-    pairs
-      .join(if (small) broadcast(e1) else e1, "doc1")
-      .join(if (small) broadcast(e2) else e2, "doc2")
-      .selectExpr("doc1", "doc2",
-        "sorted_intersect_count(ids1, ids2) as inter_cnt", "size(ids1) as n1")
+  }
+
+  /** Verified containment pairs — tail of [[dedupContainment]]. */
+  private def containmentVerify(enc: DataFrame, pairs: DataFrame,
+                                threshold: Double): DataFrame = {
+    import enc.sparkSession.implicits._
+    verifyIntersect(enc, pairs)
       .withColumn("containment", expr("cast(inter_cnt as double) / n1"))
       .where($"containment" >= threshold)
       .select($"doc1", $"doc2", $"inter_cnt", $"containment")
+  }
+
+  def dedupContainment(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val enc = shingleEncoded(spark, sfDir)
+    containmentVerify(enc, containmentCandidates(enc, threshold), threshold)
       .orderBy($"doc1", $"doc2")
   }
 
@@ -928,4 +983,261 @@ object Dedup {
        |JOIN sizes s2 ON i.doc2 = s2.doc_id
        |WHERE CAST(i.inter_cnt AS DOUBLE) / (s1.n_sh + s2.n_sh - i.inter_cnt) >= 0.2
        |ORDER BY doc1, doc2""".stripMargin
+
+  // ── Candidate-volume telemetry ─────────────────────────────────────
+  //
+  // The three superlinear-risk tiers (ngram Jaccard, substring,
+  // containment) stand on candidate FILTERS — PPJoin prefixes, the
+  // winnowing df cap, the contained-side prefix. Whether those filters
+  // keep holding at 100× is exactly the question the per-tier counts
+  // below answer: postings entering the candidate join before/after
+  // filtering, distinct candidate pairs, and verified survivors. At
+  // any scale, candidates ≪ postings² and survivors/candidates well
+  // above noise means the filter is doing its job; a candidates column
+  // trending toward n² is the early warning the bench total can't give.
+
+  /** One row per superlinear dedup tier:
+    * (tier, n_docs, postings_full, postings_filtered, candidates,
+    * survivors). All counts exact and DuckDB-oracled; the candidate
+    * columns replicate the live queries' candidate stages (shared
+    * helper code, so telemetry can't drift from the queries it
+    * measures).
+    *
+    * Scale shape: the dominant costs are the same candidate joins the
+    * live tiers already run (shared localCheckpoint front ends — the
+    * shingle encoding and winnow postings materialize once and feed
+    * every count); the count aggregates themselves are map-side
+    * partials crossJoin'd as 1-row broadcasts.
+    */
+  def dedupCandidateStats(spark: SparkSession, sfDir: String,
+                          jaccardT: Double = 0.2, containT: Double = 0.8,
+                          k: Int = 24, radius: Int = 7, minShared: Int = 2,
+                          maxDf: Int = -1): DataFrame = {
+    import spark.implicits._
+    def cnt(df: DataFrame, as: String): DataFrame =
+      broadcast(df.agg(count(lit(1)).as(as)))
+    val enc = shingleEncoded(spark, sfDir)
+    val encTotals = enc.agg(count(lit(1)).as("n_docs"),
+      sum(size($"ids")).as("postings_full"))
+    // localCheckpoint the candidate sets: each feeds BOTH the candidate
+    // count and the verify stage — without it the prefix join runs twice
+    val nCand = ngramCandidates(enc, jaccardT).localCheckpoint()
+    val ngramRow = encTotals
+      .crossJoin(cnt(ngramPrefix(enc, jaccardT), "postings_filtered"))
+      .crossJoin(cnt(nCand, "candidates"))
+      .crossJoin(cnt(ngramVerify(enc, nCand, jaccardT), "survivors"))
+      .selectExpr("'ngram_jaccard' as tier", "n_docs", "postings_full",
+        "postings_filtered", "candidates", "survivors")
+    val cCand = containmentCandidates(enc, containT).localCheckpoint()
+    val containRow = encTotals
+      .crossJoin(cnt(containmentPrefix(enc, containT), "postings_filtered"))
+      .crossJoin(cnt(cCand, "candidates"))
+      .crossJoin(cnt(containmentVerify(enc, cCand, containT), "survivors"))
+      .selectExpr("'containment' as tier", "n_docs", "postings_full",
+        "postings_filtered", "candidates", "survivors")
+    val docs = Tables.documents(spark, sfDir)
+    val dfCap = if (maxDf > 0) maxDf else autoMaxDf(nDocs(spark, sfDir))
+    val sel = winnowSelected(docs, k, radius)
+    val kept = sel.join(
+      sel.groupBy($"fp").agg(count(lit(1)).as("df"))
+        .where($"df" <= dfCap).select($"fp"), "fp")
+    val pairAgg = kept.select($"fp", $"doc_id".as("doc1"))
+      .join(kept.select($"fp", $"doc_id".as("doc2")), "fp")
+      .where($"doc1" < $"doc2")
+      .groupBy($"doc1", $"doc2").agg(count(lit(1)).as("shared_fp"))
+      .localCheckpoint() // feeds candidates AND survivors
+    val substrRow = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+      .crossJoin(cnt(sel, "postings_full"))
+      .crossJoin(cnt(kept, "postings_filtered"))
+      .crossJoin(cnt(pairAgg, "candidates"))
+      .crossJoin(cnt(pairAgg.where($"shared_fp" >= minShared), "survivors"))
+      .selectExpr("'substring' as tier", "n_docs", "postings_full",
+        "postings_filtered", "candidates", "survivors")
+    ngramRow.unionAll(containRow).unionAll(substrRow).orderBy($"tier")
+  }
+
+  /** DuckDB replay of [[dedupCandidateStats]]. The candidate counts
+    * replicate the Spark candidate rules exactly: the rarity ranking is
+    * row_number() over (freq ASC, sh ASC) — identical to the
+    * range-partition + zipWithIndex ids — and the prefix/positional
+    * filters use the same double arithmetic. Survivor counts reuse the
+    * naive exact formulations (provably equal outputs).
+    */
+  def dedupCandidateStatsOracle(jaccardT: Double = 0.2,
+                                containT: Double = 0.8,
+                                k: Int = 24, radius: Int = 7,
+                                minShared: Int = 2, maxDf: Int = 10): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensDuck AS tokens FROM documents
+       |), shingled AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(0, len(tokens) - 2), gi ->
+       |    array_to_string(tokens[gi + 1 : gi + 3], ' '))) AS shingles
+       |  FROM toks WHERE len(tokens) >= 3
+       |), inv AS (
+       |  SELECT doc_id, unnest(shingles) AS sh FROM shingled
+       |), freqs AS (
+       |  SELECT sh, count(*) AS freq FROM inv GROUP BY 1
+       |), ranked AS (
+       |  SELECT sh, CAST(row_number() OVER (ORDER BY freq, sh) AS INT) AS rid
+       |  FROM freqs
+       |), enc AS (
+       |  SELECT doc_id, list_sort(list(rid)) AS ids
+       |  FROM inv JOIN ranked USING (sh) GROUP BY doc_id
+       |), sized AS (
+       |  SELECT doc_id, ids, len(ids) AS n FROM enc
+       |), npref AS (
+       |  SELECT doc_id, n, i - 1 AS ppos, ids[CAST(i AS INT)] AS pid
+       |  FROM (SELECT doc_id, ids, n,
+       |               unnest(generate_series(CAST(1 AS BIGINT),
+       |                 CAST(floor((1.0 - $jaccardT) * n) AS BIGINT) + 1)) AS i
+       |        FROM sized)
+       |), ncand AS (
+       |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM npref x JOIN npref y ON x.pid = y.pid AND x.doc_id < y.doc_id
+       |    AND least(x.n, y.n) >= $jaccardT * greatest(x.n, y.n) - 1e-9
+       |    AND least(x.n - x.ppos, y.n - y.ppos) * (1.0 + $jaccardT)
+       |        >= $jaccardT * (x.n + y.n) - 1e-9
+       |), inter AS (
+       |  SELECT x.doc_id AS doc1, y.doc_id AS doc2, count(*) AS inter_cnt
+       |  FROM inv x JOIN inv y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |), nsurv AS (
+       |  SELECT count(*) AS c FROM inter i
+       |  JOIN sized s1 ON i.doc1 = s1.doc_id
+       |  JOIN sized s2 ON i.doc2 = s2.doc_id
+       |  WHERE CAST(i.inter_cnt AS DOUBLE) / (s1.n + s2.n - i.inter_cnt) >= $jaccardT
+       |), cpref AS (
+       |  SELECT doc_id, ids[CAST(i AS INT)] AS pid
+       |  FROM (SELECT doc_id, ids,
+       |               unnest(generate_series(CAST(1 AS BIGINT),
+       |                 CAST(floor((1.0 - $containT) * n) AS BIGINT) + 1)) AS i
+       |        FROM sized)
+       |), cindex AS (
+       |  SELECT doc_id AS doc2, unnest(ids) AS pid FROM enc
+       |), ccand AS (
+       |  SELECT DISTINCT x.doc_id AS doc1, y.doc2
+       |  FROM cpref x JOIN cindex y ON x.pid = y.pid AND x.doc_id <> y.doc2
+       |), interd AS (
+       |  SELECT x.doc_id AS doc1, y.doc_id AS doc2, count(*) AS inter_cnt
+       |  FROM inv x JOIN inv y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+       |  GROUP BY 1, 2
+       |), csurv AS (
+       |  SELECT count(*) AS c FROM interd i JOIN sized s1 ON i.doc1 = s1.doc_id
+       |  WHERE CAST(i.inter_cnt AS DOUBLE) / s1.n >= $containT
+       |), ${substringSelCtes(k, radius)}, sdfs AS (
+       |  SELECT fp, count(*) AS df FROM sel GROUP BY 1
+       |), skept AS (
+       |  SELECT s.doc_id, s.fp FROM sel s JOIN sdfs USING (fp) WHERE df <= $maxDf
+       |), spair AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared_fp
+       |  FROM skept a JOIN skept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT 'ngram_jaccard' AS tier,
+       |       CAST((SELECT count(*) FROM enc) AS BIGINT) AS n_docs,
+       |       CAST((SELECT sum(n) FROM sized) AS BIGINT) AS postings_full,
+       |       CAST((SELECT count(*) FROM npref) AS BIGINT) AS postings_filtered,
+       |       CAST((SELECT count(*) FROM ncand) AS BIGINT) AS candidates,
+       |       CAST((SELECT c FROM nsurv) AS BIGINT) AS survivors
+       |UNION ALL
+       |SELECT 'containment',
+       |       CAST((SELECT count(*) FROM enc) AS BIGINT),
+       |       CAST((SELECT sum(n) FROM sized) AS BIGINT),
+       |       CAST((SELECT count(*) FROM cpref) AS BIGINT),
+       |       CAST((SELECT count(*) FROM ccand) AS BIGINT),
+       |       CAST((SELECT c FROM csurv) AS BIGINT)
+       |UNION ALL
+       |SELECT 'substring',
+       |       CAST((SELECT count(*) FROM documents) AS BIGINT),
+       |       CAST((SELECT count(*) FROM sel) AS BIGINT),
+       |       CAST((SELECT count(*) FROM skept) AS BIGINT),
+       |       CAST((SELECT count(*) FROM spair) AS BIGINT),
+       |       CAST((SELECT count(*) FROM spair WHERE shared_fp >= $minShared) AS BIGINT)
+       |ORDER BY tier""".stripMargin
+
+  /** df-cap-vs-recall curve for the substring tier — the knob gate
+    * [[minhashError]] gives MinHash: per df cap, the postings kept,
+    * distinct candidate pairs, and surviving pairs (>= minShared
+    * shared fingerprints). Caps are nested (a higher cap keeps a
+    * superset of fingerprints, hence of pairs), so
+    * n_survivors(cap) / n_survivors(max cap) reads directly as recall
+    * vs the most permissive setting — the curve that says whether the
+    * cap a corpus auto-resolves to ([[autoMaxDf]]) is buying speed
+    * with recall that matters or recall that doesn't.
+    *
+    * Scale shape: ONE winnow pass and ONE pair join (at the most
+    * permissive cap); the per-cap fan-out runs on the (pair, df)
+    * aggregate — |pairs| × |caps| rows, never the raw posting join.
+    */
+  def substringDfCurve(spark: SparkSession, sfDir: String, k: Int = 24,
+                       radius: Int = 7, minShared: Int = 2,
+                       caps: Seq[Int] = Seq(2, 5, 10, 20, 50)): DataFrame = {
+    import spark.implicits._
+    require(caps.nonEmpty, "substringDfCurve needs at least one cap")
+    val capsArr = array(caps.map(lit(_)): _*)
+    val sel = winnowSelected(Tables.documents(spark, sfDir), k, radius)
+    val dfs = sel.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .where($"df" <= caps.max).localCheckpoint()
+    val kept = sel.join(dfs, "fp") // (fp, doc_id, df)
+    val pairDf = kept.select($"fp", $"df", $"doc_id".as("doc1"))
+      .join(kept.select($"fp", $"doc_id".as("doc2")), "fp")
+      .where($"doc1" < $"doc2")
+      .groupBy($"doc1", $"doc2", $"df").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // the ×|caps| explode below runs on this aggregate
+    val perCap = pairDf.withColumn("max_df", explode(capsArr))
+      .where($"df" <= $"max_df")
+      .groupBy($"max_df", $"doc1", $"doc2").agg(sum($"cnt").as("shared_fp"))
+    val candAgg = perCap.groupBy($"max_df").agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when($"shared_fp" >= minShared, 1L).otherwise(0L)).as("n_survivors"))
+    val postAgg = dfs.withColumn("max_df", explode(capsArr))
+      .where($"df" <= $"max_df")
+      .groupBy($"max_df").agg(sum($"df").as("n_postings"))
+    caps.toDF("max_df")
+      .join(postAgg, Seq("max_df"), "left_outer")
+      .join(candAgg, Seq("max_df"), "left_outer")
+      .selectExpr("max_df",
+        "coalesce(n_postings, cast(0 as bigint)) as n_postings",
+        "coalesce(n_candidates, cast(0 as bigint)) as n_candidates",
+        "coalesce(n_survivors, cast(0 as bigint)) as n_survivors")
+      .orderBy($"max_df")
+  }
+
+  /** DuckDB replay of [[substringDfCurve]]. */
+  def substringDfCurveOracle(k: Int = 24, radius: Int = 7,
+                             minShared: Int = 2,
+                             caps: Seq[Int] = Seq(2, 5, 10, 20, 50)): String = {
+    require(caps.nonEmpty, "substringDfCurveOracle needs at least one cap")
+    val capList = caps.mkString("[", ", ", "]")
+    s"""WITH ${substringSelCtes(k, radius)}, sdfs AS (
+       |  SELECT fp, count(*) AS df FROM sel GROUP BY 1
+       |), keptd AS (
+       |  SELECT s.doc_id, s.fp, d.df FROM sel s JOIN sdfs d USING (fp)
+       |  WHERE d.df <= ${caps.max}
+       |), pairdf AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.df AS df,
+       |         count(*) AS cnt
+       |  FROM keptd a JOIN keptd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3
+       |), caps AS (
+       |  SELECT unnest($capList) AS max_df
+       |), percap AS (
+       |  SELECT c.max_df, doc1, doc2, CAST(sum(cnt) AS BIGINT) AS shared_fp
+       |  FROM pairdf p JOIN caps c ON p.df <= c.max_df GROUP BY 1, 2, 3
+       |), cand AS (
+       |  SELECT max_df, CAST(count(*) AS BIGINT) AS n_candidates,
+       |         CAST(sum(CASE WHEN shared_fp >= $minShared THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_survivors
+       |  FROM percap GROUP BY 1
+       |), posts AS (
+       |  SELECT c.max_df, CAST(sum(d.df) AS BIGINT) AS n_postings
+       |  FROM sdfs d JOIN caps c ON d.df <= c.max_df GROUP BY 1
+       |)
+       |SELECT c.max_df,
+       |       CAST(COALESCE(p.n_postings, 0) AS BIGINT) AS n_postings,
+       |       CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |       CAST(COALESCE(a.n_survivors, 0) AS BIGINT) AS n_survivors
+       |FROM caps c LEFT JOIN posts p USING (max_df) LEFT JOIN cand a USING (max_df)
+       |ORDER BY max_df""".stripMargin
+  }
 }

@@ -33,6 +33,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(row.getDouble(2) == 0.0 && !row.isNullAt(2))
   }
 
+  test("dedup telemetry: filter funnel is monotone; df-cap curve is nested-monotone") {
+    val stats = Dedup.dedupCandidateStats(spark, sf)
+      .select("tier", "n_docs", "postings_full", "postings_filtered",
+        "candidates", "survivors")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(stats.map(_._1).sorted.toSeq ==
+      Seq("containment", "ngram_jaccard", "substring"))
+    stats.foreach { case (tier, nDocs, full, filtered, cand, surv) =>
+      assert(filtered <= full, s"$tier: filter added postings")
+      assert(surv <= cand, s"$tier: verify created pairs")
+      // candidate stage must beat the all-pairs blowup it exists to avoid
+      assert(cand < nDocs * (nDocs - 1) / 2, s"$tier: candidates ~ n^2")
+    }
+    // nested caps ⇒ every column non-decreasing in max_df
+    val curve = Dedup.substringDfCurve(spark, sf)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    curve.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._2 <= hi._2 && lo._3 <= hi._3 && lo._4 <= hi._4,
+          s"df-cap curve not monotone: $lo vs $hi")
+      case _ => ()
+    }
+  }
+
   test("Session.tune AQE settings: a KB-scale shuffle coalesces to one task") {
     // pins the load-bearing bench config (BASELINE.md v2): byte-sized
     // AQE coalescing, not core-count-first — without it every tiny
