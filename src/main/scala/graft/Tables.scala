@@ -20,19 +20,32 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * Spark vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
-    * Read nanos as Long (legacy conf) and convert to a microsecond
-    * timestamp with *integer* division — epoch-nanos ≈ 1.7e18 exceeds
-    * double's 2^53 exact-integer range, so `/ 1000` via doubles would
-    * corrupt low bits. The testdata is µs-exact (verified: 0 rows with
-    * ns%1000 != 0), so this matches DuckDB's TIMESTAMP view bit-for-bit.
+  /** `events.parquet` has shipped `ts` in two encodings across data
+    * generations; the loader normalizes both to a session-tz TIMESTAMP:
+    *
+    *  - parquet TIMESTAMP(NANOS): the Spark vectorized reader rejects
+    *    it outright ([PARQUET_TYPE_ILLEGAL]); read nanos as Long
+    *    (legacy conf) and convert with *integer* division — epoch-nanos
+    *    ≈ 1.7e18 exceeds double's 2^53 exact-integer range, so `/ 1000`
+    *    via doubles would corrupt low bits. The data is µs-exact
+    *    (verified: 0 rows with ns%1000 != 0).
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark
+    *    TIMESTAMP_NTZ: cast to TIMESTAMP under the UTC session tz —
+    *    identical wall-clock instants, matching DuckDB's naive
+    *    TIMESTAMP view bit-for-bit.
     */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet encoding $other")
+    }
   }
 
   /** Register every table as a temp view so the whole surface is

@@ -131,4 +131,88 @@ object LateDataAnalytics {
        |       count(*) FILTER (WHERE NOT late) AS cnt_ontime,
        |       count(*) FILTER (WHERE late) AS cnt_late
        |FROM clicks GROUP BY 1, 2 ORDER BY window_end, url""".stripMargin
+
+  /** T4 in TRUE streaming (REF: NetworkFlow.scala § sideOutputLateData
+    * — reconstructed, SURVEY §2.4): Structured Streaming silently drops
+    * rows older than the watermark — there is no built-in side output
+    * for them. This foreachBatch capture recreates the reference's
+    * late side output by computing the arrival watermark itself:
+    *
+    *  - within a micro-batch: [[withArrivalWatermark]]'s two-level
+    *    prefix max over arrival order (parallel across day blocks);
+    *  - across micro-batches: the max event time seen by all PRIOR
+    *    batches, carried forward and persisted per batch under
+    *    `root/wm` — a restarted query restores it from storage
+    *    (filtered to batches before the one being replayed), never
+    *    from driver memory.
+    *
+    * A micro-batch IS an arrival segment, so carried-max + in-batch
+    * prefix equals the global arrival-prefix watermark exactly and the
+    * union of `root/late` partitions equals the batch [[lateEvents]]
+    * split on the same input (pinned in LateDataSpec;
+    * restart-from-checkpoint pinned in StreamingRecoverySpec).
+    *
+    * Sink contract matches the serving streams: both splits and the
+    * wm record are partitioned by `batch_id` and written with dynamic
+    * partition overwrite, so a replayed micro-batch rewrites exactly
+    * its own partition — idempotent without a transactional sink.
+    * Scale shape: per batch, one bounded window pass + three appends;
+    * carried state is ONE long regardless of stream length.
+    */
+  final class LateCapture(root: String, lateness: String = Lateness) {
+    @volatile private var carriedUs: Option[Long] = None
+
+    private def restore(spark: SparkSession, batchId: Long): Long = {
+      val dir = new java.io.File(s"$root/wm")
+      if (!dir.exists()) Long.MinValue
+      else {
+        val r = spark.read.parquet(s"$root/wm")
+          .filter(col("batch_id") < batchId)
+          .agg(max(col("max_us"))).head()
+        if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+      }
+    }
+
+    def onBatch(batch: DataFrame, batchId: Long): Unit = {
+      val spark = batch.sparkSession
+      if (batch.isEmpty) return
+      if (carriedUs.isEmpty) carriedUs = Some(restore(spark, batchId))
+      val carried = carriedUs.get
+      // greatest() skips nulls: first rows of the first batch have a
+      // null in-batch wm and no carried max -> on-time by coalesce
+      val carriedCol =
+        if (carried == Long.MinValue) lit(null).cast("timestamp")
+        else expr(s"timestamp_micros(${carried}L)")
+      val out = withArrivalWatermark(batch, lateness)
+        .withColumn("wm_all", greatest(col("wm"), carriedCol))
+        .withColumn("late", coalesce(
+          col("ts") < col("wm_all") - expr(s"interval $lateness"), lit(false)))
+        .withColumn("batch_id", lit(batchId))
+        .localCheckpoint() // one compute: feeds both splits + the max
+      def part(df: DataFrame, sub: String): Unit =
+        df.select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"), col("wm_all").as("watermark"), col("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$root/$sub")
+      part(out.filter(col("late")), "late")
+      part(out.filter(!col("late")), "ontime")
+      val batchMax = out.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val newMax = math.max(carried, batchMax)
+      spark.range(1).select(lit(batchId).as("batch_id"), lit(newMax).as("max_us"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$root/wm")
+      carriedUs = Some(newMax)
+    }
+  }
+
+  /** [[LateCapture]] wired to a stream: events in, on-time/late splits
+    * under `root`, checkpoint at `root/ck`. Start with `.start()`.
+    */
+  def lateCaptureWriter(events: DataFrame, root: String,
+                        lateness: String = Lateness) =
+    events.writeStream
+      .foreachBatch(new LateCapture(root, lateness).onBatch _)
+      .option("checkpointLocation", s"$root/ck")
 }

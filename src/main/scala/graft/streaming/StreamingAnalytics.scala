@@ -48,17 +48,25 @@ object StreamingAnalytics {
 
   /** Streaming events source: the same parquet file tail-read as a
     * stream (each new file = one micro-batch at scale; here the single
-    * file arrives as one batch). nanos→micros conversion identical to
-    * the batch loader.
+    * file arrives as one batch). `ts` normalization identical to the
+    * batch loader (`Tables`): the stored encoding is sniffed from the
+    * parquet footer via a one-off batch read — readStream needs the
+    * schema up front — then nanos-as-long or NTZ is converted to a
+    * session-tz TIMESTAMP.
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** S3 analog (REF: AppMarketingByChannel.scala § SimulatedEventSource

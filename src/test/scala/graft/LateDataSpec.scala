@@ -124,4 +124,37 @@ class LateDataSpec extends AnyFunSuite {
         s"store retained $held windows, expected <= $retained (75-min retention)")
     } finally q.stop()
   }
+
+  test("streaming LateCapture == batch lateEvents on arrival-ordered micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graftlatecap").toString
+    // arrival order, NOT event-time order: the capture's contract is
+    // that micro-batch boundaries segment the arrival sequence
+    val rows = Tables.events(spark, sf)
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id",
+        $"event_type", $"props")
+      .as[EvFull].collect().toSeq
+      .sortBy(e => (e.ts_us + ((e.event_id * 2654435761L) % 600L) * 1000000L,
+        e.event_id))
+    val ms = MemoryStream[EvFull]
+    val q = LateDataAnalytics.lateCaptureWriter(
+      ms.toDF().withColumn("ts", expr("timestamp_micros(ts_us)")), root).start()
+    try {
+      // 4 uneven chunks → 4 micro-batches, so the carried cross-batch
+      // max is exercised (a single batch would test only the prefix)
+      for (chunk <- rows.grouped(rows.size / 4 + 1)) {
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val want = LateDataAnalytics.lateEvents(spark, sf)
+      .select($"event_id", $"watermark")
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    val got = spark.read.parquet(s"$root/late")
+      .select($"event_id", $"watermark")
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    assert(got == want, "stream-captured late split must equal the batch side output")
+    // and nothing is lost: ontime + late partitions the input
+    val nOntime = spark.read.parquet(s"$root/ontime").count()
+    assert(nOntime + got.size == rows.size)
+  }
 }

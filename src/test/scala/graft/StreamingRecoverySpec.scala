@@ -17,7 +17,24 @@ class StreamingRecoverySpec extends AnyFunSuite {
 
   import spark.implicits._
 
-  test("windowed agg restarts from checkpoint: file source, stop/restart, == batch") {
+  /** Run a query with session confs temporarily overridden; restores
+    * prior values (or unsets) afterwards.
+    */
+  private def withConfs[T](confs: Seq[(String, String)])(body: => T): T = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Shared body: windowed agg stopped mid-stream and restarted from
+    * its checkpoint == batch, under whatever state store provider the
+    * session currently has.
+    */
+  private def runWindowedAggRecovery(): Unit = {
     val root = java.nio.file.Files.createTempDirectory("graftrecov").toString
     val inDir = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
     new java.io.File(inDir).mkdirs()
@@ -67,6 +84,17 @@ class StreamingRecoverySpec extends AnyFunSuite {
       .as[(java.sql.Timestamp, Long)].collect().toSet
       .filter(_._1.getTime <= maxEnd) // drop the sentinel's own window
     assert(got == want)
+  }
+
+  test("windowed agg restarts from checkpoint: file source, stop/restart, == batch") {
+    runWindowedAggRecovery() // default (HDFS-backed) provider
+  }
+
+  test("same recovery on the RocksDB state store (Session.RocksDbStateStore knob)") {
+    // the 100×-state deployment config: same query code, state on
+    // executor disk + changelog checkpoints instead of heap + full
+    // snapshots; checkpoint-compatible recovery must hold identically
+    withConfs(Session.RocksDbStateStore)(runWindowedAggRecovery())
   }
 
   test("transformWithState Top-N restarts from checkpoint: RocksDB state + timers survive") {
@@ -435,5 +463,52 @@ class StreamingRecoverySpec extends AnyFunSuite {
       .select($"vec_id", $"label", $"is_outlier")
     assert(got.as[(Long, Int, Boolean)].collect().toSet ==
       want.as[(Long, Int, Boolean)].collect().toSet)
+  }
+
+  test("LateCapture restarts from checkpoint: carried watermark restores from storage") {
+    val root = java.nio.file.Files.createTempDirectory("graftlcr").toString
+    val inDir = s"$root/in"
+    new java.io.File(inDir).mkdirs()
+
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    // ARRIVAL order (jitter applied), the order a real delivery feeds
+    // the stream; chunk files = micro-batches via maxFilesPerTrigger=1
+    val all = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .withColumn("arr",
+        expr("unix_micros(ts) + ((event_id * 2654435761) % 600) * 1000000"))
+      .orderBy($"arr", $"event_id").drop("arr").collect()
+    def writeChunk(rows: Array[org.apache.spark.sql.Row], name: String): Unit =
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+        .write.parquet(s"$inDir/$name")
+    // a fresh LateCapture per start(): driver memory is empty after a
+    // restart, so the carried max MUST come back from root/wm
+    def start() = analytics.LateDataAnalytics.lateCaptureWriter(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true").parquet(inDir),
+        s"$root/cap").start()
+
+    val chunks = all.grouped(all.length / 4 + 1).toSeq
+    // phase 1: two arrival segments, then hard stop
+    writeChunk(chunks(0), "c0"); writeChunk(chunks(1), "c1")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart (new capture instance), rest of the stream
+    chunks.drop(2).zipWithIndex.foreach { case (c, i) => writeChunk(c, s"c${i + 2}") }
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val want = analytics.LateDataAnalytics.lateEvents(spark, sf)
+      .select($"event_id", $"watermark")
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    val got = spark.read.parquet(s"$root/cap/late")
+      .select($"event_id", $"watermark")
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    assert(got == want,
+      "late capture across a restart must equal the batch side output")
+    assert(spark.read.parquet(s"$root/cap/ontime").count() + got.size == all.length)
   }
 }
