@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhashDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_ngram_jaccard_capped" -> ((s, d) => Dedup.ngramJaccardCapped(s, d)),
     "dedup_substring"   -> ((s, d) => Dedup.dedupSubstring(s, d)),
     "dedup_clusters"    -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_clusters_multi" -> ((s, d) => Dedup.dedupClustersMulti(s, d)),
@@ -410,6 +411,9 @@ object SparkEntry {
     "dedup_incremental"   -> Dedup.dedupIncrementalOracle,
     "dedup_simhash"       -> Dedup.simhashDedupOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    // capped tier: oracle maxDf=10 ≡ autoMaxDf(500) at the sf0.01
+    // correctness tier (same tier coupling as the similarity oracles)
+    "dedup_ngram_jaccard_capped" -> Dedup.ngramJaccardCappedOracle(),
     "dedup_substring"     -> Dedup.dedupSubstringOracle(),
     "dedup_clusters"      -> Dedup.dedupClustersOracle,
     "dedup_clusters_multi" -> Dedup.dedupClustersMultiOracle,

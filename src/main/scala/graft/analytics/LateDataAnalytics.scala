@@ -41,9 +41,16 @@ import org.apache.spark.sql.functions._
   */
 object LateDataAnalytics {
 
-  /** Knuth multiplicative hash constant — jitter = (id * Mult) % ModSec. */
+  /** Knuth multiplicative hash constant — jitter = (id * Mult) % ModSec.
+    * Computed in modular form, `((id % M) * (Mult % M)) % M`, which is
+    * mathematically identical for every non-negative id but keeps the
+    * intermediate product ≤ 599·361 — the naive `id * Mult` overflows
+    * Long (ANSI abort) once ids carry the sf1 tier's c·10⁹ copy
+    * offsets (id ≳ 3.5·10⁹). Mirrored in the oracle CTE.
+    */
   private val JitterMult = 2654435761L
   private val JitterModSec = 600L
+  private val JitterMultMod = JitterMult % JitterModSec // = 361
   private val BlockUs = 86400L * 1000000 // 1 arrival-day blocks
   val Lateness = "5 minutes"
 
@@ -52,7 +59,7 @@ object LateDataAnalytics {
     */
   def withArrivalWatermark(events: DataFrame, lateness: String = Lateness): DataFrame = {
     val arr = events.withColumn("arrival_us",
-      expr(s"unix_micros(ts) + ((event_id * $JitterMult) % $JitterModSec) * 1000000"))
+      expr(s"unix_micros(ts) + (((event_id % $JitterModSec) * $JitterMultMod) % $JitterModSec) * 1000000"))
       // integer div — epoch-µs exceeds double's exact-int range (Tables)
       .withColumn("blk", expr(s"arrival_us div $BlockUs"))
     // level 1: running max within each arrival-day block (parallel)
@@ -106,7 +113,7 @@ object LateDataAnalytics {
   private val oracleRm =
     s"""arr AS (
        |  SELECT event_id, user_id, event_type, ts, props,
-       |         epoch_us(ts) + ((event_id * $JitterMult) % $JitterModSec) * 1000000 AS arrival_us
+       |         epoch_us(ts) + (((event_id % $JitterModSec) * $JitterMultMod) % $JitterModSec) * 1000000 AS arrival_us
        |  FROM events
        |), rm AS (
        |  SELECT *, max(ts) OVER (ORDER BY arrival_us, event_id

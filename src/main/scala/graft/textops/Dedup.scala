@@ -733,8 +733,34 @@ object Dedup {
     *    ub/(n1+n2-ub) >= t, i.e. ub*(1+t) >= t*(n1+n2). The 1e-9 slack
     *    makes double rounding err on the keep side only.
     */
-  private def ngramCandidates(enc: DataFrame, threshold: Double): DataFrame = {
+  private def ngramCandidates(enc: DataFrame, threshold: Double,
+                              maxDf: Int = Int.MaxValue): DataFrame = {
+    // Hot-posting prune (exact; the boilerplate/skew guard): a posting
+    // x can only survive the pairwise positional filter with SOME
+    // partner y in its pid group if
+    //   (1+t)·s_x ≥ t·(n_x + n_min(pid)),   s = n − ppos (suffix len),
+    // because min(s_x,s_y) ≤ s_x and n_y ≥ n_min(pid). Dropping
+    // postings that fail this is a pure relaxation of the join's own
+    // filter — output provably identical — but it deletes a
+    // corpus-wide boilerplate run's postings BEFORE the self-join:
+    // shared boilerplate shingles are globally frequent, so they sit
+    // at the END of every rarity-sorted array (small s) while n is
+    // full-document — exactly the failing shape. Measured on the sf1
+    // skew tier (20 % of 50 k docs sharing a 48-shingle prefix): the
+    // hot pid groups (10 k postings each → 10⁸ enumerated-then-
+    // rejected pairs) vanish, 305 s → single digits. Cost when no
+    // group is prunable: one window pass over the posting table
+    // (partitioned by pid — parallel, no hot single task since it is
+    // an agg-only window, and groups that DO get big are the ones
+    // being deleted). Groups of one posting can never pair — dropped
+    // by the same pass.
+    val w = Window.partitionBy(col("pid"))
     val pref = ngramPrefix(enc, threshold)
+      .withColumn("nmin", min(col("n")).over(w))
+      .withColumn("gcnt", count(lit(1)).over(w))
+      .where(col("gcnt") >= 2 && col("gcnt") <= maxDf &&
+        expr(s"(1.0 + $threshold) * (n - ppos) >= $threshold * (n + nmin) - 1e-9"))
+      .drop("nmin", "gcnt")
     pref.as("x")
       .join(pref.as("y"),
         col("x.pid") === col("y.pid") && col("x.doc_id") < col("y.doc_id") &&
@@ -786,6 +812,98 @@ object Dedup {
     ngramVerify(enc, ngramCandidates(enc, threshold), threshold)
       .orderBy($"doc1", $"doc2")
   }
+
+  /** Skew-robust n-gram Jaccard: [[ngramJaccard]] with a df cap on the
+    * CANDIDATE index — prefix postings whose shingle appears in more
+    * than `maxDf` prefixes are dropped before the self-join; the
+    * verify intersection still runs over the FULL shingle arrays, so
+    * every reported pair's jaccard is exact.
+    *
+    * Why this variant exists (sf1 skew rehearsal, BASELINE.md): at
+    * t=0.2 the PPJoin prefix is 80 % of each document, so a corpus-wide
+    * boilerplate run (20 % of 50 k docs sharing a 48-shingle license
+    * header) puts ~30 shared shingles inside ~10 k prefixes each —
+    * 1.02 BILLION enumerated prefix pairs, 99 % from those 30 pids
+    * (measured; the exact query runs 305 s vs 11 s uniform). No exact
+    * algorithm avoids this: short boilerplate pairs genuinely clear
+    * t=0.2, so the blowup is partly TRUE-POSITIVE enumeration. The cap
+    * trades recall for skew-immunity with the same corpus-relative
+    * rule as [[dedupSubstring]] ([[autoMaxDf]]): a pair is missed only
+    * when EVERY shared prefix shingle is boilerplate-hot — i.e. pairs
+    * whose entire similarity IS the boilerplate. Recall loss at the
+    * correctness tiers: zero (no shingle df exceeds the cap at 500
+    * docs — output bit-identical to the exact tier; the driver's hash
+    * gate pins the full capped pipeline via its own replay oracle).
+    *
+    * REF: the reference has no dedup surface; policy follows the
+    * winnowing df-cap convention (SURVEY §2 LLM-pipeline rows).
+    */
+  def ngramJaccardCapped(spark: SparkSession, sfDir: String,
+                         threshold: Double = 0.2, maxDf: Int = -1): DataFrame = {
+    import spark.implicits._
+    val cap = if (maxDf > 0) maxDf else autoMaxDf(nDocs(spark, sfDir))
+    val enc = shingleEncoded(spark, sfDir)
+    ngramVerify(enc, ngramCandidates(enc, threshold, cap), threshold)
+      .orderBy($"doc1", $"doc2")
+  }
+
+  /** DuckDB replay of [[ngramJaccardCapped]]: full pipeline — rarity
+    * ranking (row_number ≡ the range-partition + zipWithIndex ids),
+    * prefix slice, per-pid prefix-count cap, pairwise length +
+    * positional filters, exact-intersection verify. The nmin
+    * per-posting prune is NOT replayed: it is output-neutral by
+    * construction (a pure relaxation of the pairwise filter), so the
+    * candidate set — and therefore the verified output — is identical
+    * without it.
+    */
+  def ngramJaccardCappedOracle(threshold: Double = 0.2, maxDf: Int = 10): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensDuck AS tokens FROM documents
+       |), shingled AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(0, len(tokens) - 2), gi ->
+       |    array_to_string(tokens[gi + 1 : gi + 3], ' '))) AS shingles
+       |  FROM toks WHERE len(tokens) >= 3
+       |), inv AS (
+       |  SELECT doc_id, unnest(shingles) AS sh FROM shingled
+       |), freqs AS (
+       |  SELECT sh, count(*) AS freq FROM inv GROUP BY 1
+       |), ranked AS (
+       |  SELECT sh, CAST(row_number() OVER (ORDER BY freq, sh) AS INT) AS rid
+       |  FROM freqs
+       |), enc AS (
+       |  SELECT doc_id, list_sort(list(rid)) AS ids
+       |  FROM inv JOIN ranked USING (sh) GROUP BY doc_id
+       |), sized AS (
+       |  SELECT doc_id, ids, len(ids) AS n FROM enc
+       |), pref AS (
+       |  SELECT doc_id, n, i - 1 AS ppos, ids[CAST(i AS INT)] AS pid
+       |  FROM (SELECT doc_id, ids, n,
+       |               unnest(generate_series(CAST(1 AS BIGINT),
+       |                 CAST(floor((1.0 - $threshold) * n) AS BIGINT) + 1)) AS i
+       |        FROM sized)
+       |), keptpid AS (
+       |  SELECT pid FROM pref GROUP BY pid
+       |  HAVING count(*) >= 2 AND count(*) <= $maxDf
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM pref x JOIN keptpid kp ON x.pid = kp.pid
+       |       JOIN pref y ON x.pid = y.pid AND x.doc_id < y.doc_id
+       |    AND least(x.n, y.n) >= $threshold * greatest(x.n, y.n) - 1e-9
+       |    AND least(x.n - x.ppos, y.n - y.ppos) * (1.0 + $threshold)
+       |        >= $threshold * (x.n + y.n) - 1e-9
+       |), inter AS (
+       |  SELECT c.doc1, c.doc2, count(*) AS inter_cnt
+       |  FROM cand c JOIN inv x ON x.doc_id = c.doc1
+       |       JOIN inv y ON y.doc_id = c.doc2 AND x.sh = y.sh
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.doc1, i.doc2, i.inter_cnt,
+       |       CAST(i.inter_cnt AS DOUBLE) / (s1.n + s2.n - i.inter_cnt) AS jaccard
+       |FROM inter i
+       |JOIN sized s1 ON i.doc1 = s1.doc_id
+       |JOIN sized s2 ON i.doc2 = s2.doc_id
+       |WHERE CAST(i.inter_cnt AS DOUBLE) / (s1.n + s2.n - i.inter_cnt) >= $threshold
+       |ORDER BY doc1, doc2""".stripMargin
 
   /** Substring-level duplicate candidates (winnowing / MOSS family):
     * two documents sharing VERBATIM character runs — quotation,

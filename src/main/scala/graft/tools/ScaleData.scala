@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * at 10× (sf1) on this host — converting the 100 TB plan-shape
   * arguments into executed evidence (VERDICT r6 top-next item).
   *
-  * Usage: `ScaleData <inSfDir> <outDir> <factor>` (driver testdata is
-  * read-only; write under target/, e.g. `target/sf1`).
+  * Usage: `ScaleData <inSfDir> <outDir> <factor> [skew]` (driver
+  * testdata is read-only; write under target/, e.g. `target/sf1`).
+  * With `skew`, the same tier is generated under a power-law key
+  * distribution (one hot item key, corpus-wide boilerplate text) for
+  * the hot-key rehearsal — see the flag comment in `main`.
   *
   * Design — each copy c gets its keys offset by c·10⁹ so copies are
   * referentially consistent but disjoint, which keeps the scale-up
@@ -38,9 +41,29 @@ import org.apache.spark.sql.functions._
   *   identically on the plain BIGINT column.
   */
 object ScaleData {
+
+  /** Corpus-wide boilerplate injected in skew mode: identical across
+    * copies ON PURPOSE, so its shingles become globally-hot posting
+    * lists — the df-cap / bucket-size stress the dedup tiers claim to
+    * survive.
+    */
+  private val Boilerplate: String =
+    ("all rights reserved this document is provided as is without " +
+      "warranty of any kind either express or implied including but " +
+      "not limited to the implied warranties of merchantability and " +
+      "fitness for a particular purpose see the license text for " +
+      "complete details and governing terms").trim
+
   def main(args: Array[String]): Unit = {
-    val Array(inDir, outDir, factorS) = args
+    val Array(inDir, outDir, factorS) = args.take(3)
     val factor = factorS.toInt
+    // `skew` 4th arg: power-law rehearsal — 30% of event traffic lands
+    // on ONE item key (vs 1% uniform), 20% of documents share one
+    // corpus-wide boilerplate prefix. Linear-by-construction replication
+    // stays intact; only the KEY distribution changes, so a query's
+    // skew-vs-uniform ratio isolates hot-key handling (AQE skew join,
+    // salting, df caps) from data volume.
+    val skew = args.length > 3 && args(3) == "skew"
     require(factor >= 1 && factor <= 1000, s"unreasonable factor $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = Session.tune(
@@ -78,12 +101,24 @@ object ScaleData {
     rep("part", Seq("p_partkey"), 2)
     rep("orders", Seq("o_orderkey", "o_custkey"), 8)
     rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 16)
-    rep("events", Seq("event_id", "user_id"), 8)
-    rep("documents", Seq("doc_id"), 8, df =>
-      df.withColumn("text", when(col("c") === 0, col("text")).otherwise(
+    rep("events", Seq("event_id", "user_id"), 8, df =>
+      if (!skew) df
+      else df.withColumn("props",
+        when(pmod(hash(col("event_id")), lit(100)) < 30,
+          lit("""{"k": 7}""")).otherwise(col("props"))))
+    rep("documents", Seq("doc_id"), 8, df => {
+      val suffixed = df.withColumn("text",
+        when(col("c") === 0, col("text")).otherwise(
           array_join(transform(split(col("text"), " "),
             t => concat(t, lit("x"), col("c"))), " ")))
-        .withColumn("n_chars", length(col("text")).cast("long")))
+      val maybeHot =
+        if (!skew) suffixed
+        else suffixed.withColumn("text",
+          when(pmod(hash(col("doc_id")), lit(100)) < 20,
+            concat(lit(Boilerplate + " "), col("text")))
+            .otherwise(col("text")))
+      maybeHot.withColumn("n_chars", length(col("text")).cast("long"))
+    })
     rep("embeddings", Seq("vec_id"), 4, df =>
       df.withColumn("embedding",
         when(col("c") === 0, col("embedding")).otherwise(expr(
