@@ -421,6 +421,42 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(df.where($"jaccard" <= 0 || $"jaccard" > 1).isEmpty)
   }
 
+  test("ngram_jaccard_capped: cap drops exactly the boilerplate-only pairs, keeps genuine dups") {
+    // Synthetic corpus where the cap BINDS (the sf tiers never bind it,
+    // so the oracle gate alone can't exercise this branch): 10 docs
+    // sharing a 30-word boilerplate run + 6 unique words each (their
+    // pairwise similarity IS the boilerplate: J = 28/40 = 0.7), one
+    // genuine near-dup pair with rare shingles only, 5 unrelated docs.
+    val boiler = (1 to 30).map(i => s"b$i").mkString(" ")
+    val near = (1 to 40).map(i => s"n$i").mkString(" ")
+    val docs =
+      (1 to 10).map(i => (i.toLong, s"$boiler u${i}x u${i}y u${i}z u${i}p u${i}q u${i}r")) ++
+      Seq((20L, s"$near tail1"), (21L, s"$near tail2")) ++
+      (30 to 34).map(i => (i.toLong, (1 to 20).map(j => s"f${i}w$j").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' as lang", "'test' as source",
+        "cast(length(text) as long) as n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val exact = Dedup.ngramJaccard(spark, dir).cache()
+    val capped = Dedup.ngramJaccardCapped(spark, dir, maxDf = 5).cache()
+    val unbound = Dedup.ngramJaccardCapped(spark, dir, maxDf = 1000)
+
+    // exact tier: all 45 boilerplate pairs + the near-dup pair
+    assert(exact.where($"doc1" <= 10 && $"doc2" <= 10).count() === 45)
+    assert(exact.where($"doc1" === 20 && $"doc2" === 21).count() === 1)
+    // capped at maxDf=5: boilerplate pids (prefix-df 10) leave the
+    // candidate index; ONLY the genuine near-dup pair remains, with a
+    // jaccard identical to the exact tier's (verify is uncapped)
+    assert(capped.count() === 1)
+    assert(capped.join(exact, Seq("doc1", "doc2", "inter_cnt", "jaccard")).count() === 1)
+    // soundness: capped ⊆ exact row-for-row (never adds, never rescores)
+    assert(capped.join(exact, Seq("doc1", "doc2", "inter_cnt", "jaccard"), "left_anti").isEmpty)
+    // a cap that never binds reproduces the exact tier bit-for-bit
+    assert(unbound.except(exact).isEmpty && exact.except(unbound).isEmpty)
+  }
+
   test("similarity_topk: k per query, cosine in [-1, 1], non-increasing") {
     val df = Similarity.similarityTopK(spark, sf).cache()
     assert(df.where($"cosine" < -1.0000001 || $"cosine" > 1.0000001).isEmpty)
