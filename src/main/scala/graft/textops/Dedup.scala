@@ -1146,6 +1146,21 @@ object Dedup {
       .crossJoin(cnt(ngramVerify(enc, nCand, jaccardT), "survivors"))
       .selectExpr("'ngram_jaccard' as tier", "n_docs", "postings_full",
         "postings_filtered", "candidates", "survivors")
+    // capped-tier funnel (round-8 skew rehearsal): same metrics under
+    // the candidate-index df cap, so the telemetry shows how much of
+    // the index/candidate volume the cap removes on a given corpus
+    // (uniform tiers: nothing; boilerplate-skewed: 99 % of pairs)
+    val dfCapN = if (maxDf > 0) maxDf else autoMaxDf(nDocs(spark, sfDir))
+    val cappedKept = ngramPrefix(enc, jaccardT)
+      .withColumn("gcnt", count(lit(1)).over(Window.partitionBy($"pid")))
+      .where($"gcnt" >= 2 && $"gcnt" <= dfCapN)
+    val nCandCap = ngramCandidates(enc, jaccardT, dfCapN).localCheckpoint()
+    val cappedRow = encTotals
+      .crossJoin(cnt(cappedKept, "postings_filtered"))
+      .crossJoin(cnt(nCandCap, "candidates"))
+      .crossJoin(cnt(ngramVerify(enc, nCandCap, jaccardT), "survivors"))
+      .selectExpr("'ngram_jaccard_capped' as tier", "n_docs", "postings_full",
+        "postings_filtered", "candidates", "survivors")
     val cCand = containmentCandidates(enc, containT).localCheckpoint()
     val containRow = encTotals
       .crossJoin(cnt(containmentPrefix(enc, containT), "postings_filtered"))
@@ -1171,7 +1186,8 @@ object Dedup {
       .crossJoin(cnt(pairAgg.where($"shared_fp" >= minShared), "survivors"))
       .selectExpr("'substring' as tier", "n_docs", "postings_full",
         "postings_filtered", "candidates", "survivors")
-    ngramRow.unionAll(containRow).unionAll(substrRow).orderBy($"tier")
+    ngramRow.unionAll(cappedRow).unionAll(containRow).unionAll(substrRow)
+      .orderBy($"tier")
   }
 
   /** DuckDB replay of [[dedupCandidateStats]]. The candidate counts
@@ -1224,6 +1240,22 @@ object Dedup {
        |  JOIN sized s1 ON i.doc1 = s1.doc_id
        |  JOIN sized s2 ON i.doc2 = s2.doc_id
        |  WHERE CAST(i.inter_cnt AS DOUBLE) / (s1.n + s2.n - i.inter_cnt) >= $jaccardT
+       |), nkeptpid AS (
+       |  SELECT pid FROM npref GROUP BY pid
+       |  HAVING count(*) >= 2 AND count(*) <= $maxDf
+       |), ncandc AS (
+       |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM npref x JOIN nkeptpid kp ON x.pid = kp.pid
+       |       JOIN npref y ON x.pid = y.pid AND x.doc_id < y.doc_id
+       |    AND least(x.n, y.n) >= $jaccardT * greatest(x.n, y.n) - 1e-9
+       |    AND least(x.n - x.ppos, y.n - y.ppos) * (1.0 + $jaccardT)
+       |        >= $jaccardT * (x.n + y.n) - 1e-9
+       |), nsurvc AS (
+       |  SELECT count(*) AS c FROM ncandc cc
+       |  JOIN inter i ON cc.doc1 = i.doc1 AND cc.doc2 = i.doc2
+       |  JOIN sized s1 ON i.doc1 = s1.doc_id
+       |  JOIN sized s2 ON i.doc2 = s2.doc_id
+       |  WHERE CAST(i.inter_cnt AS DOUBLE) / (s1.n + s2.n - i.inter_cnt) >= $jaccardT
        |), cpref AS (
        |  SELECT doc_id, ids[CAST(i AS INT)] AS pid
        |  FROM (SELECT doc_id, ids,
@@ -1257,6 +1289,13 @@ object Dedup {
        |       CAST((SELECT count(*) FROM npref) AS BIGINT) AS postings_filtered,
        |       CAST((SELECT count(*) FROM ncand) AS BIGINT) AS candidates,
        |       CAST((SELECT c FROM nsurv) AS BIGINT) AS survivors
+       |UNION ALL
+       |SELECT 'ngram_jaccard_capped',
+       |       CAST((SELECT count(*) FROM enc) AS BIGINT),
+       |       CAST((SELECT sum(n) FROM sized) AS BIGINT),
+       |       CAST((SELECT count(*) FROM npref p JOIN nkeptpid kp ON p.pid = kp.pid) AS BIGINT),
+       |       CAST((SELECT count(*) FROM ncandc) AS BIGINT),
+       |       CAST((SELECT c FROM nsurvc) AS BIGINT)
        |UNION ALL
        |SELECT 'containment',
        |       CAST((SELECT count(*) FROM enc) AS BIGINT),

@@ -39,13 +39,19 @@ class AnalyticsSpec extends AnyFunSuite {
         "candidates", "survivors")
       .as[(String, Long, Long, Long, Long, Long)].collect()
     assert(stats.map(_._1).sorted.toSeq ==
-      Seq("containment", "ngram_jaccard", "substring"))
+      Seq("containment", "ngram_jaccard", "ngram_jaccard_capped", "substring"))
     stats.foreach { case (tier, nDocs, full, filtered, cand, surv) =>
       assert(filtered <= full, s"$tier: filter added postings")
       assert(surv <= cand, s"$tier: verify created pairs")
       // candidate stage must beat the all-pairs blowup it exists to avoid
       assert(cand < nDocs * (nDocs - 1) / 2, s"$tier: candidates ~ n^2")
     }
+    // the capped tier's funnel is pointwise ≤ the exact tier's
+    val byTier = stats.map(s => s._1 -> s).toMap
+    val (_, _, _, ef, ec, es) = byTier("ngram_jaccard")
+    val (_, _, _, cf, cc, cs) = byTier("ngram_jaccard_capped")
+    assert(cf <= ef && cc <= ec && cs <= es,
+      "capped tier grew some funnel stage beyond the exact tier")
     // nested caps ⇒ every column non-decreasing in max_df
     val curve = Dedup.substringDfCurve(spark, sf)
       .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
