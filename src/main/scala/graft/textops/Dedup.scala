@@ -1137,28 +1137,46 @@ object Dedup {
     val enc = shingleEncoded(spark, sfDir)
     val encTotals = enc.agg(count(lit(1)).as("n_docs"),
       sum(size($"ids")).as("postings_full"))
-    // localCheckpoint the candidate sets: each feeds BOTH the candidate
-    // count and the verify stage — without it the prefix join runs twice
-    val nCand = ngramCandidates(enc, jaccardT).localCheckpoint()
+    // ONE tagged candidate pass feeds BOTH ngram funnel rows (exact +
+    // capped, round-8 skew rehearsal): each surviving pair carries
+    // whether some matching pid group was under the df cap — since
+    // x.pid = y.pid share a group, the flag is exact — and max(flag)
+    // per distinct pair IS the capped tier's candidate set (a pair
+    // enters it iff ANY kept pid produces it). The prefix self-join
+    // and the verify intersection therefore run ONCE for both tiers
+    // (the naive second candidate join measured +11 s at sf0.1).
+    val dfCapN = if (maxDf > 0) maxDf else autoMaxDf(nDocs(spark, sfDir))
+    val wPid = Window.partitionBy($"pid")
+    val prefT = ngramPrefix(enc, jaccardT)
+      .withColumn("gcnt", count(lit(1)).over(wPid))
+      .withColumn("nmin", min($"n").over(wPid))
+      .where($"gcnt" >= 2 &&
+        expr(s"(1.0 + $jaccardT) * (n - ppos) >= $jaccardT * (n + nmin) - 1e-9"))
+    val nCand = prefT.as("x")
+      .join(prefT.as("y"),
+        col("x.pid") === col("y.pid") && col("x.doc_id") < col("y.doc_id") &&
+          expr(s"least(x.n, y.n) >= $jaccardT * greatest(x.n, y.n) - 1e-9") &&
+          expr(s"least(x.n - x.ppos, y.n - y.ppos) * (1.0 + $jaccardT)" +
+            s" >= $jaccardT * (x.n + y.n) - 1e-9"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
+        (col("x.gcnt") <= dfCapN).as("kept"))
+      .groupBy($"doc1", $"doc2").agg(max($"kept").as("capped_kept"))
+      .localCheckpoint() // feeds 2× candidate counts AND the verify
+    val verified = ngramVerify(enc, nCand.select($"doc1", $"doc2"), jaccardT)
+      .join(nCand, Seq("doc1", "doc2")).localCheckpoint()
     val ngramRow = encTotals
       .crossJoin(cnt(ngramPrefix(enc, jaccardT), "postings_filtered"))
       .crossJoin(cnt(nCand, "candidates"))
-      .crossJoin(cnt(ngramVerify(enc, nCand, jaccardT), "survivors"))
+      .crossJoin(cnt(verified, "survivors"))
       .selectExpr("'ngram_jaccard' as tier", "n_docs", "postings_full",
         "postings_filtered", "candidates", "survivors")
-    // capped-tier funnel (round-8 skew rehearsal): same metrics under
-    // the candidate-index df cap, so the telemetry shows how much of
-    // the index/candidate volume the cap removes on a given corpus
-    // (uniform tiers: nothing; boilerplate-skewed: 99 % of pairs)
-    val dfCapN = if (maxDf > 0) maxDf else autoMaxDf(nDocs(spark, sfDir))
     val cappedKept = ngramPrefix(enc, jaccardT)
-      .withColumn("gcnt", count(lit(1)).over(Window.partitionBy($"pid")))
+      .withColumn("gcnt", count(lit(1)).over(wPid))
       .where($"gcnt" >= 2 && $"gcnt" <= dfCapN)
-    val nCandCap = ngramCandidates(enc, jaccardT, dfCapN).localCheckpoint()
     val cappedRow = encTotals
       .crossJoin(cnt(cappedKept, "postings_filtered"))
-      .crossJoin(cnt(nCandCap, "candidates"))
-      .crossJoin(cnt(ngramVerify(enc, nCandCap, jaccardT), "survivors"))
+      .crossJoin(cnt(nCand.where($"capped_kept"), "candidates"))
+      .crossJoin(cnt(verified.where($"capped_kept"), "survivors"))
       .selectExpr("'ngram_jaccard_capped' as tier", "n_docs", "postings_full",
         "postings_filtered", "candidates", "survivors")
     val cCand = containmentCandidates(enc, containT).localCheckpoint()
