@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,12 +54,25 @@ object LateDataAnalytics {
   private val BlockUs = 86400L * 1000000 // 1 arrival-day blocks
   val Lateness = "5 minutes"
 
+  /** The per-event arrival jitter in seconds, shared with the specs so
+    * the constant and the overflow-safe modular form live in ONE place
+    * (a raw `id * 2654435761` Long-overflows under ANSI at sf1-tier
+    * ids).
+    */
+  private[graft] def jitterSec(eventId: Long): Long =
+    ((eventId % JitterModSec) * JitterMultMod) % JitterModSec
+
+  /** Column form of [[jitterSec]]: arrival time in epoch-µs. */
+  private[graft] def arrivalUs(eventId: Column, ts: Column): Column =
+    unix_micros(ts) +
+      ((eventId % JitterModSec) * JitterMultMod % JitterModSec) * 1000000L
+
   /** Events + `wm` (the running watermark max-ts over all PRIOR
     * arrivals, before subtracting the lateness bound) + `late` flag.
     */
   def withArrivalWatermark(events: DataFrame, lateness: String = Lateness): DataFrame = {
-    val arr = events.withColumn("arrival_us",
-      expr(s"unix_micros(ts) + (((event_id % $JitterModSec) * $JitterMultMod) % $JitterModSec) * 1000000"))
+    val arr = events
+      .withColumn("arrival_us", arrivalUs(col("event_id"), col("ts")))
       // integer div — epoch-µs exceeds double's exact-int range (Tables)
       .withColumn("blk", expr(s"arrival_us div $BlockUs"))
     // level 1: running max within each arrival-day block (parallel)
@@ -169,9 +182,18 @@ object LateDataAnalytics {
   final class LateCapture(root: String, lateness: String = Lateness) {
     @volatile private var carriedUs: Option[Long] = None
 
+    // Existence checks go through the Hadoop FileSystem of the root
+    // path, not java.io.File — the sink root is an HDFS/S3/dbfs URI in
+    // production, where a local-file check would silently report
+    // "missing" and reset the carried watermark after every restart.
+    private def fsOf(spark: SparkSession, path: String) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    }
+
     private def restore(spark: SparkSession, batchId: Long): Long = {
-      val dir = new java.io.File(s"$root/wm")
-      if (!dir.exists()) Long.MinValue
+      val (fs, p) = fsOf(spark, s"$root/wm")
+      if (!fs.exists(p)) Long.MinValue
       else {
         val r = spark.read.parquet(s"$root/wm")
           .filter(col("batch_id") < batchId)
@@ -180,8 +202,22 @@ object LateDataAnalytics {
       }
     }
 
+    /** Dynamic partition overwrite only rewrites partitions PRESENT in
+      * the new data, so a replayed batch whose late (or ontime) split
+      * comes out empty — or an empty batch short-circuiting — would
+      * leave rows from a previous partial attempt stale. Clear this
+      * batch's partition under all three outputs up front; the
+      * subsequent writes then always leave exactly this attempt's rows.
+      */
+    private def clearBatchPartitions(spark: SparkSession, batchId: Long): Unit =
+      for (sub <- Seq("late", "ontime", "wm")) {
+        val (fs, p) = fsOf(spark, s"$root/$sub/batch_id=$batchId")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+
     def onBatch(batch: DataFrame, batchId: Long): Unit = {
       val spark = batch.sparkSession
+      clearBatchPartitions(spark, batchId)
       if (batch.isEmpty) return
       if (carriedUs.isEmpty) carriedUs = Some(restore(spark, batchId))
       val carried = carriedUs.get

@@ -24,7 +24,7 @@ class LateDataSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Boolean)].collect()
     // sequential truth: jitter arrival order, running max of prior ts
     val arr = got.map { case (id, ts, _, _) =>
-      (id, ts, ts + ((id * 2654435761L) % 600L) * 1000000L)
+      (id, ts, ts + LateDataAnalytics.jitterSec(id) * 1000000L)
     }.sortBy { case (id, _, a) => (a, id) }
     var mx = Long.MinValue
     val wantWm = scala.collection.mutable.Map.empty[Long, Option[Long]]
@@ -134,7 +134,7 @@ class LateDataSpec extends AnyFunSuite {
       .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id",
         $"event_type", $"props")
       .as[EvFull].collect().toSeq
-      .sortBy(e => (e.ts_us + ((e.event_id * 2654435761L) % 600L) * 1000000L,
+      .sortBy(e => (e.ts_us + LateDataAnalytics.jitterSec(e.event_id) * 1000000L,
         e.event_id))
     val ms = MemoryStream[EvFull]
     val q = LateDataAnalytics.lateCaptureWriter(
@@ -156,5 +156,31 @@ class LateDataSpec extends AnyFunSuite {
     // and nothing is lost: ontime + late partitions the input
     val nOntime = spark.read.parquet(s"$root/ontime").count()
     assert(nOntime + got.size == rows.size)
+  }
+
+  test("LateCapture replay clears stale partitions even when a split is empty") {
+    val root = java.nio.file.Files.createTempDirectory("graftlatereplay").toString
+    // a previous partial attempt left rows under batch_id=7 in BOTH splits
+    def plant(sub: String): Unit =
+      Seq((999L, 1L, "click", new java.sql.Timestamp(0L), new java.sql.Timestamp(0L)))
+        .toDF("event_id", "user_id", "event_type", "ts", "watermark")
+        .write.mode("overwrite").parquet(s"$root/$sub/batch_id=7")
+    plant("late"); plant("ontime")
+    val cap = new LateDataAnalytics.LateCapture(root)
+    // replayed batch 7: a single on-time row → the late split is EMPTY,
+    // so dynamic partition overwrite alone would never touch late/batch_id=7
+    val batch = Seq((1L, 10L, "view", new java.sql.Timestamp(1700000000000L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    cap.onBatch(batch, 7L)
+    assert(!new java.io.File(s"$root/late/batch_id=7").exists(),
+      "stale late rows from the previous attempt must be cleared")
+    val ontime = spark.read.parquet(s"$root/ontime").filter($"batch_id" === 7)
+    assert(ontime.select($"event_id").as[Long].collect().toSeq == Seq(1L))
+    // and an EMPTY replayed batch clears its partitions too
+    plant("ontime")
+    // planting recreated stale rows under ontime/batch_id=7
+    cap.onBatch(batch.limit(0), 7L)
+    assert(!new java.io.File(s"$root/ontime/batch_id=7").exists(),
+      "empty replay must still clear the stale batch partition")
   }
 }

@@ -478,7 +478,7 @@ class StreamingRecoverySpec extends AnyFunSuite {
     val all = Tables.events(spark, sf)
       .select($"event_id", $"ts", $"user_id", $"event_type")
       .withColumn("arr",
-        expr("unix_micros(ts) + ((event_id * 2654435761) % 600) * 1000000"))
+        analytics.LateDataAnalytics.arrivalUs($"event_id", $"ts"))
       .orderBy($"arr", $"event_id").drop("arr").collect()
     def writeChunk(rows: Array[org.apache.spark.sql.Row], name: String): Unit =
       spark.createDataFrame(
