@@ -13,23 +13,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // LOUD tier guard: the similarity_* DuckDB oracles hardwire the
-    // n = 500 index geometry (C=16, b=8, mod=10) that the Scala side's
-    // scale-adaptive defaults resolve to at the correctness tier
-    // (sf0.001/sf0.01). At any other corpus size the Scala side scales
-    // its geometry and those oracles are NOT definitions of correct
-    // output — a hash mismatch there is the tier coupling, not a bug.
-    locally {
-      import graft.textops.Similarity.{autoBits, autoCentroids, autoSampleMod}
-      val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-      if (autoCentroids(n) != 16 || autoBits(n) != 8 || autoSampleMod(n) != 10)
-        System.err.println(
-          s"[verify] WARNING: $sfDir has $n embeddings -> resolved geometry " +
-            s"(C=${autoCentroids(n)}, b=${autoBits(n)}, mod=${autoSampleMod(n)}) " +
-            "differs from the oracle constants (C=16, b=8, mod=10); " +
-            "similarity_* oracle parity is only defined at the n=500 tier " +
-            "(see Similarity.scala autoCentroids/autoBits/autoSampleMod scaladoc).")
-    }
+    // The similarity_* oracles derive their index geometry (C, b, np,
+    // mod) from count(*) inside the SQL with the same formulas the
+    // Scala side's scale-adaptive defaults use (Similarity.geomCte),
+    // so oracle parity is defined at EVERY corpus size — the former
+    // n = 500 tier guard is gone because the coupling is gone.
     // SPARK_GRAFT_ONLY="a,b" restricts the dump for local check loops;
     // unset (the driver's invocation) dumps the full surface
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -23,6 +23,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Signed-random-projection LSH parameters: L tables × b hyperplanes.
+    * Hyperplane components are DETERMINISTIC ±1s from an LCG over the
+    * (plane, dim) index — generated once ([[lshPlanes]]) and inlined as
+    * literals into BOTH the Spark expressions and the DuckDB oracle, so
+    * the two engines share the exact hash family by construction.
+    * Declared FIRST in the object: [[geomCte]] and the oracle vals
+    * below interpolate these, and a plain-val forward reference would
+    * silently read 0 during object init.
+    */
+  private val LshTables = 4
+  private val LshBits = 8       // oracle-default bits per table
+  private val MaxLshBits = 16   // pool ceiling for the adaptive tier
+  private val Dim = 64
+
+  /** Fixed multiprobe budget: T = 8 probes regardless of the adaptive
+    * bit count, targeted at the lowest-|margin| planes (srp_probes).
+    * At the oracle tier b = 8 this is EXACTLY the full Hamming-1 set
+    * (margin order changes nothing about the probe SET when T = b);
+    * at b > 8 the budget stays constant while naive all-flips would
+    * grow fan-out with log n — that growth measured as the one
+    * super-linear bench entry at sf1 before this cap.
+    */
+  private val MultiprobeCount = 8
+
   /** dot(a, b): the native codegen'd VecDot expression — identical
     * sequential left-fold arithmetic to the HOF form
     * `aggregate(zip_with(a, b, *), 0d, +)` (which is CodegenFallback
@@ -70,6 +94,30 @@ object Similarity {
   private[graft] def autoSampleMod(n: Long): Int =
     math.max(10, (n / 50L).toInt)
 
+  /** The SAME geometry rules as SQL, so every similarity oracle derives
+    * its constants from the data instead of hardwiring the n = 500
+    * tier's values (16/6/8/10) — oracle parity is now defined at every
+    * SF, not an implicit tier contract. `math.round(x)` on a
+    * non-negative double is `floor(x + 0.5)`, mirrored literally; `//`
+    * is DuckDB integer division like Scala's `Long./`.
+    */
+  private[graft] val geomCte: String =
+    s"""geom AS (
+       |  SELECT c, bits, md,
+       |         greatest(6, CAST(floor(c * 0.2 + 0.5) AS BIGINT)) AS np
+       |  FROM (
+       |    SELECT greatest(16, CAST(floor(sqrt(count(*) / 2.0) + 0.5) AS BIGINT)) AS c,
+       |           least($MaxLshBits, greatest(8,
+       |             CAST(floor(ln(CAST(count(*) AS DOUBLE)) / ln(2.0) + 0.5) AS BIGINT) - 1)) AS bits,
+       |           greatest(10, count(*) // 50) AS md
+       |    FROM embeddings
+       |  )
+       |)""".stripMargin
+  private val gC = "(SELECT c FROM geom)"
+  private val gNp = "(SELECT np FROM geom)"
+  private val gMod = "(SELECT md FROM geom)"
+  private val gBits = "(SELECT bits FROM geom)"
+
   /** Probe width for the IVF tier: a FIXED ~20 % of the cell count
     * (floor 6). Scaling C with √n while holding nProbe constant
     * silently trades recall for speed: on unstructured (near-uniform)
@@ -85,7 +133,7 @@ object Similarity {
     * correctness tier (C=16 → 6, C=32 → 6).
     */
   private[graft] def autoNProbe(c: Int): Int =
-    math.max(6, math.round(c * 0.2f))
+    math.max(6, math.round(c * 0.2).toInt)
 
   /** Brute-force cosine top-k, on a deterministic 1-in-`sampleMod`
     * query sample. The exact all-pairs scan only ever runs as a QA
@@ -113,8 +161,9 @@ object Similarity {
       .orderBy($"query_id", $"rnk")
   }
 
-  def similarityTopKOracle(k: Int = 10, sampleMod: Int = 10): String =
-    s"""WITH e AS (
+  def similarityTopKOracle(k: Int = 10, sampleMod: Int = -1): String = {
+    val mod = if (sampleMod > 0) sampleMod.toString else gMod
+    s"""WITH $geomCte, e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
@@ -122,7 +171,7 @@ object Similarity {
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |         ${dotDuck("a.v", "b.v", "d")} / (a.nrm * b.nrm) AS cosine
        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
-       |  WHERE a.vec_id % $sampleMod = 0
+       |  WHERE a.vec_id % $mod = 0
        |), r AS (
        |  SELECT query_id, neighbor_id, cosine,
        |         row_number() OVER (PARTITION BY query_id
@@ -131,6 +180,7 @@ object Similarity {
        |)
        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
        |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** Shared IVF stage: every vector scored against the C fixed
     * centroids (vec_id < C — deterministic, broadcastable), ranked once
@@ -296,12 +346,12 @@ object Similarity {
   }
 
   val dedupEmbeddingOracle: String =
-    s"""WITH e AS (
+    s"""WITH $geomCte, e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
        |), cent AS (
-       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < 16
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < $gC
        |), rankedcells AS (
        |  SELECT vec_id, v, nrm, cent_id,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY
@@ -312,7 +362,7 @@ object Similarity {
        |  SELECT vec_id, v, nrm, cent_id AS cell FROM rankedcells WHERE crk = 1
        |), probes AS (
        |  SELECT vec_id AS qid, v AS qv, nrm AS qn, cent_id AS cell
-       |  FROM rankedcells WHERE crk <= 6
+       |  FROM rankedcells WHERE crk <= $gNp
        |)
        |SELECT DISTINCT least(p.qid, a.vec_id) AS vec1,
        |       greatest(p.qid, a.vec_id) AS vec2,
@@ -349,12 +399,12 @@ object Similarity {
   }
 
   val similarityIvfOracle: String =
-    s"""WITH e AS (
+    s"""WITH $geomCte, e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
        |), cent AS (
-       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < 16
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < $gC
        |), scored AS (
        |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
        |         ${dotDuck("n.v", "c.centv", "a")} / (n.nrm * c.centn) AS csim
@@ -368,7 +418,7 @@ object Similarity {
        |  SELECT vec_id, v, nrm, cent_id AS cell FROM rankedcells WHERE crk = 1
        |), probes AS (
        |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell
-       |  FROM rankedcells WHERE crk <= 6
+       |  FROM rankedcells WHERE crk <= $gNp
        |), cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |         ${dotDuck("p.qv", "a.v", "d")} / (p.qn * a.nrm) AS cosine
@@ -416,12 +466,12 @@ object Similarity {
          |         sqrt(${dotDuck("centv", "centv", s"cn$r")}) AS centn
          |  FROM c$r
          |)""".stripMargin
-    s"""WITH e AS (
+    s"""WITH $geomCte, e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
        |), c0 AS (
-       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < 16
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < $gC
        |), ${round(1, "c0")}, ${round(2, "c1n")}, scored AS (
        |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
        |         ${dotDuck("n.v", "c.centv", "a")} / (n.nrm * c.centn) AS csim
@@ -435,7 +485,7 @@ object Similarity {
        |  SELECT vec_id, v, nrm, cent_id AS cell FROM rankedcells WHERE crk = 1
        |), probes AS (
        |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell
-       |  FROM rankedcells WHERE crk <= 6
+       |  FROM rankedcells WHERE crk <= $gNp
        |), cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |         ${dotDuck("p.qv", "a.v", "d")} / (p.qn * a.nrm) AS cosine
@@ -495,12 +545,12 @@ object Similarity {
   }
 
   val similaritySq8Oracle: String =
-    s"""WITH e AS (
+    s"""WITH $geomCte, e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
        |), cent AS (
-       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < 16
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < $gC
        |), rankedcells AS (
        |  SELECT vec_id, v, nrm, cent_id,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY
@@ -520,7 +570,7 @@ object Similarity {
        |), probes AS (
        |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, s AS qs, q AS qq,
        |         cent_id AS cell
-       |  FROM qt WHERE crk <= 6
+       |  FROM qt WHERE crk <= $gNp
        |), cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id, p.qv, p.qn, a.v, a.nrm,
        |         (${dotDuck("p.qq", "a.q", "i")} * (p.qs * a.s))
@@ -668,12 +718,12 @@ object Similarity {
     val adcExprDuck = (0 until PqM)
       .map(j => s"lut[codes[${j + 1}] + ${j * PqK + 1}]")
       .mkString(" + ")
-    s"""e AS (
+    s"""$geomCte, e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
        |), icent AS (
-       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < 16
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < $gC
        |), rankedcells AS (
        |  SELECT vec_id, v, nrm, cent_id,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY
@@ -715,7 +765,7 @@ object Similarity {
        |  SELECT p.vec_id AS query_id, p.v AS qv, p.nrm AS qn,
        |         a.vec_id, a.v, a.nrm, la.lut, ca.codes
        |  FROM rankedcells p JOIN assign a
-       |    ON p.cent_id = a.cell AND p.crk <= 6 AND p.vec_id <> a.vec_id
+       |    ON p.cent_id = a.cell AND p.crk <= $gNp AND p.vec_id <> a.vec_id
        |  JOIN lutarr la ON la.query_id = p.vec_id
        |  JOIN codesarr ca ON ca.vec_id = a.vec_id
        |), r AS (
@@ -769,7 +819,8 @@ object Similarity {
       .orderBy($"query_id")
   }
 
-  def similarityRecallPqOracle(k: Int = 5, sampleMod: Int = 10): String =
+  def similarityRecallPqOracle(k: Int = 5, sampleMod: Int = -1): String = {
+    val mod = if (sampleMod > 0) sampleMod.toString else gMod
     s"""WITH $pqCtes, exact AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -777,30 +828,21 @@ object Similarity {
        |             ORDER BY ${dotDuck("a.v", "b.v", "x")} / (a.nrm * b.nrm)
        |               DESC, b.vec_id ASC) AS rnk
        |    FROM n a JOIN n b ON a.vec_id <> b.vec_id
-       |    WHERE a.vec_id % $sampleMod = 0
+       |    WHERE a.vec_id % $mod = 0
        |  ) WHERE rnk <= $k
        |), approx AS (
        |  SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS hit
-       |  FROM rk WHERE rnk <= $k AND query_id % $sampleMod = 0
+       |  FROM rk WHERE rnk <= $k AND query_id % $mod = 0
        |)
        |SELECT e.query_id, CAST(sum(COALESCE(a.hit, 0)) AS BIGINT) AS hits,
        |       CAST(sum(COALESCE(a.hit, 0)) AS DOUBLE) / $k AS recall
        |FROM exact e LEFT JOIN approx a
        |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
 
   // ------------------------------------------------------- SRP-LSH variant
 
-  /** Signed-random-projection LSH parameters: L tables × b hyperplanes.
-    * Hyperplane components are DETERMINISTIC ±1s from an LCG over the
-    * (plane, dim) index — generated once here and inlined as literals
-    * into BOTH the Spark expressions and the DuckDB oracle, so the two
-    * engines share the exact hash family by construction.
-    */
-  private val LshTables = 4
-  private val LshBits = 8       // oracle-default bits per table
-  private val MaxLshBits = 16   // pool ceiling for the adaptive tier
-  private val Dim = 64
   private lazy val lshPlanes: IndexedSeq[IndexedSeq[Double]] =
     IndexedSeq.tabulate(LshTables * MaxLshBits) { p =>
       IndexedSeq.tabulate(Dim) { d =>
@@ -817,17 +859,6 @@ object Similarity {
   private def planeIdx(t: Int, i: Int): Int =
     if (i < LshBits) t * LshBits + i
     else LshTables * LshBits + t * LshBits + (i - LshBits)
-
-  /** Fixed multiprobe budget: T = 8 probes regardless of the adaptive
-    * bit count, targeted at the lowest-|margin| planes (srp_probes).
-    * At the oracle tier b = 8 this is EXACTLY the full Hamming-1 set
-    * (margin order changes nothing about the probe SET when T = b),
-    * so the all-flips DuckDB oracle replays it verbatim; at b > 8 the
-    * budget stays constant while naive all-flips would grow fan-out
-    * with log n — that growth measured as the one super-linear bench
-    * entry at sf1 before this cap.
-    */
-  private val MultiprobeCount = 8
 
   private def lshProbesSpark(t: Int, bits: Int): String =
     if (bits == 0) "array(0)"
@@ -849,12 +880,64 @@ object Similarity {
       s"srp_sig(v, $flat)"
     }
 
-  private def lshSigDuck(t: Int, sfx: String): String =
-    (0 until LshBits).map { i =>
-      val arr = lshPlanes(planeIdx(t, i)).map(_.toString)
-        .mkString("CAST([", ",", "] AS DOUBLE[])")
-      s"(CASE WHEN ${dotDuck("v", arr, s"$sfx$i")} > 0 THEN ${1 << i} ELSE 0 END)"
-    }.mkString(" + ")
+  /** DuckDB plane table: one (tbl, i, parr) row per table × pool bit,
+    * the plane arrays inlined literally — the same deterministic family
+    * [[lshPlanes]] gives the Spark side. Emitting the FULL pool (not
+    * just the oracle-default 8 bits) plus an `i < geom.bits` guard is
+    * what lets one oracle replay the adaptive signature at any SF.
+    */
+  private lazy val lshPlanesDuck: String = {
+    val rows = for {
+      t <- 0 until LshTables
+      i <- 0 until MaxLshBits
+    } yield {
+      val arr = lshPlanes(planeIdx(t, i)).map(_.toString).mkString("[", ",", "]")
+      s"($t, $i, CAST($arr AS DOUBLE[]))"
+    }
+    rows.mkString(
+      "planes AS (\n  SELECT * FROM (VALUES\n    ",
+      ",\n    ",
+      ") pl(tbl, i, parr)\n)")
+  }
+
+  /** Shared LSH CTE chain `bt → sigs → buckets`: per-(vector, table,
+    * bit) plane dots for the geom-resolved bit count, folded into the
+    * per-table signature — `bt` also feeds the multiprobe margin rank.
+    */
+  private lazy val lshBucketCtesDuck: String =
+    s"""bt AS (
+       |  SELECT n.vec_id, p.tbl, p.i, ${dotDuck("n.v", "p.parr", "lb")} AS dt
+       |  FROM n CROSS JOIN planes p
+       |  WHERE p.i < $gBits
+       |), sigs AS (
+       |  SELECT vec_id, tbl,
+       |         CAST(sum(CASE WHEN dt > 0 THEN (1 << i) ELSE 0 END) AS INT) AS sig
+       |  FROM bt GROUP BY vec_id, tbl
+       |), buckets AS (
+       |  SELECT n.vec_id, n.v, n.nrm, s.tbl, s.sig
+       |  FROM n JOIN sigs s ON n.vec_id = s.vec_id
+       |)""".stripMargin
+
+  /** The multiprobe query side: base signature + the
+    * [[MultiprobeCount]] lowest-|margin| single-bit flips per table —
+    * `ORDER BY abs(dt) ASC, i ASC` is exactly srp_probes' strict-<
+    * ascending scan (ties pick the lowest plane index).
+    */
+  private lazy val lshProbeCtesDuck: String =
+    s"""margins AS (
+       |  SELECT vec_id, tbl, i,
+       |         row_number() OVER (PARTITION BY vec_id, tbl
+       |                            ORDER BY abs(dt) ASC, i ASC) AS mrk
+       |  FROM bt
+       |), probes AS (
+       |  SELECT vec_id, v, nrm, tbl, sig FROM buckets
+       |  UNION ALL
+       |  SELECT b.vec_id, b.v, b.nrm, b.tbl,
+       |         CAST(xor(b.sig, 1 << m.i) AS INT) AS sig
+       |  FROM buckets b JOIN margins m
+       |    ON b.vec_id = m.vec_id AND b.tbl = m.tbl
+       |  WHERE m.mrk <= least($MultiprobeCount, $gBits)
+       |)""".stripMargin
 
   /** LSH-bucketed ANN — the second scale path next to IVF: vectors
     * whose signs agree on all b hyperplanes of SOME table land in the
@@ -1039,12 +1122,17 @@ object Similarity {
       .orderBy($"query_id")
   }
 
-  def similarityRecallOracle(k: Int = 5, nCentroids: Int = 16,
-                             nProbe0: Int = -1, sampleMod: Int = 10): String = {
-    // the sentinel resolves exactly like the Scala side so a
-    // non-default nCentroids invocation can't silently drift
-    val nProbe = if (nProbe0 > 0) nProbe0 else autoNProbe(nCentroids)
-    s"""WITH e AS (
+  def similarityRecallOracle(k: Int = 5, nCentroids: Int = -1,
+                             nProbe0: Int = -1, sampleMod: Int = -1): String = {
+    // explicit params inline as literals; -1 defers to the geom CTE so
+    // the oracle resolves the same geometry as the Scala side at any SF
+    val cS = if (nCentroids > 0) nCentroids.toString else gC
+    val nProbe =
+      if (nProbe0 > 0) nProbe0.toString
+      else if (nCentroids > 0) autoNProbe(nCentroids).toString
+      else gNp
+    val mod = if (sampleMod > 0) sampleMod.toString else gMod
+    s"""WITH $geomCte, e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
@@ -1055,10 +1143,10 @@ object Similarity {
        |             ORDER BY ${dotDuck("a.v", "b.v", "d")} / (a.nrm * b.nrm)
        |               DESC, b.vec_id ASC) AS rnk
        |    FROM n a JOIN n b ON a.vec_id <> b.vec_id
-       |    WHERE a.vec_id % $sampleMod = 0
+       |    WHERE a.vec_id % $mod = 0
        |  ) WHERE rnk <= $k
        |), cent AS (
-       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < $nCentroids
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < $cS
        |), rankedcells AS (
        |  SELECT vec_id, v, nrm, cent_id,
        |         row_number() OVER (PARTITION BY vec_id
@@ -1077,7 +1165,7 @@ object Similarity {
        |             ORDER BY ${dotDuck("p.qv", "a.v", "d")} / (p.qn * a.nrm)
        |               DESC, a.vec_id ASC) AS rnk
        |    FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id
-       |  ) WHERE rnk <= $k AND query_id % $sampleMod = 0
+       |  ) WHERE rnk <= $k AND query_id % $mod = 0
        |)
        |SELECT x.query_id,
        |       CAST(sum(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END)
@@ -1166,17 +1254,12 @@ object Similarity {
                               tables: Int = LshTables, bits: Int = -1): DataFrame =
     lshRankTopK(lshCandidates(spark, sfDir, tables, bits, multiprobe = true), k)
 
-  val similarityLshOracle: String = {
-    val tableSelects = (0 until LshTables).map(t =>
-      s"SELECT vec_id, v, nrm, $t AS tbl, ${lshSigDuck(t, s"t$t")} AS sig FROM n")
-      .mkString("\n  UNION ALL ")
-    s"""WITH e AS (
+  val similarityLshOracle: String =
+    s"""WITH $geomCte, $lshPlanesDuck, e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
-       |), buckets AS (
-       |  $tableSelects
-       |), cand AS (
+       |), $lshBucketCtesDuck, cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |         ${dotDuck("q.v", "c.v", "d")} / (q.nrm * c.nrm) AS cosine
        |  FROM buckets q JOIN buckets c
@@ -1189,27 +1272,18 @@ object Similarity {
        |)
        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
-  }
 
   /** DuckDB replay of the multi-probe candidate generation: the query
     * side is the bucket signatures UNION their b Hamming-1 XOR
     * variants, joined against the exact index buckets — the same
     * probe set the Spark side explodes.
     */
-  val similarityLshMultiprobeOracle: String = {
-    val tableSelects = (0 until LshTables).map(t =>
-      s"SELECT vec_id, v, nrm, $t AS tbl, ${lshSigDuck(t, s"t$t")} AS sig FROM n")
-      .mkString("\n  UNION ALL ")
-    val flips = (0 until LshBits).map(i => s"xor(sig, ${1 << i})").mkString(", ")
-    s"""WITH e AS (
+  val similarityLshMultiprobeOracle: String =
+    s"""WITH $geomCte, $lshPlanesDuck, e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
-       |), buckets AS (
-       |  $tableSelects
-       |), probes AS (
-       |  SELECT vec_id, v, nrm, tbl, unnest([sig, $flips]) AS sig FROM buckets
-       |), cand AS (
+       |), $lshBucketCtesDuck, $lshProbeCtesDuck, cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |         ${dotDuck("q.v", "c.v", "d")} / (q.nrm * c.nrm) AS cosine
        |  FROM probes q JOIN buckets c
@@ -1222,7 +1296,6 @@ object Similarity {
        |)
        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
-  }
 
   /** ANN quality gate for the SRP-LSH tier — recall@k of
     * [[similarityLsh]] against the exact brute-force top-k, on the same
@@ -1261,22 +1334,15 @@ object Similarity {
       .orderBy($"query_id")
   }
 
-  def similarityRecallLshOracle(k: Int = 5, sampleMod: Int = 10,
+  def similarityRecallLshOracle(k: Int = 5, sampleMod: Int = -1,
                                 multiprobe: Boolean = false): String = {
-    // oracle replays the DEFAULT L×b family only; non-default
-    // tables/bits invocations are test hooks with no oracle pairing
-    val tableSelects = (0 until LshTables).map(t =>
-      s"SELECT vec_id, v, nrm, $t AS tbl, ${lshSigDuck(t, s"t$t")} AS sig FROM n")
-      .mkString("\n  UNION ALL ")
-    val flips = (0 until LshBits).map(i => s"xor(sig, ${1 << i})").mkString(", ")
-    val qSide =
-      if (multiprobe)
-        s"""probes AS (
-           |  SELECT vec_id, v, nrm, tbl, unnest([sig, $flips]) AS sig FROM buckets
-           |), """.stripMargin
-      else ""
+    // oracle replays the DEFAULT L × adaptive-b family only;
+    // non-default tables/bits invocations are test hooks with no
+    // oracle pairing
+    val mod = if (sampleMod > 0) sampleMod.toString else gMod
+    val qSide = if (multiprobe) s"$lshProbeCtesDuck, " else ""
     val qRel = if (multiprobe) "probes" else "buckets"
-    s"""WITH e AS (
+    s"""WITH $geomCte, $lshPlanesDuck, e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
@@ -1287,11 +1353,9 @@ object Similarity {
        |             ORDER BY ${dotDuck("a.v", "b.v", "d")} / (a.nrm * b.nrm)
        |               DESC, b.vec_id ASC) AS rnk
        |    FROM n a JOIN n b ON a.vec_id <> b.vec_id
-       |    WHERE a.vec_id % $sampleMod = 0
+       |    WHERE a.vec_id % $mod = 0
        |  ) WHERE rnk <= $k
-       |), buckets AS (
-       |  $tableSelects
-       |), ${qSide}cand AS (
+       |), $lshBucketCtesDuck, ${qSide}cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |         ${dotDuck("q.v", "c.v", "d")} / (q.nrm * c.nrm) AS cosine
        |  FROM $qRel q JOIN buckets c
@@ -1302,7 +1366,7 @@ object Similarity {
        |           row_number() OVER (PARTITION BY query_id
        |                              ORDER BY cosine DESC, neighbor_id ASC) AS rnk
        |    FROM cand
-       |  ) WHERE rnk <= $k AND query_id % $sampleMod = 0
+       |  ) WHERE rnk <= $k AND query_id % $mod = 0
        |)
        |SELECT x.query_id,
        |       CAST(sum(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END)
