@@ -69,6 +69,7 @@ object SparkEntry {
     "item_rank"           -> ((s, d) => GraphAnalytics.itemRank(s, d)),
     "dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_minhash_lsh_capped" -> ((s, d) => Dedup.minhashLshCapped(s, d)),
     "minhash_error"     -> ((s, d) => Dedup.minhashError(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhashDedup(s, d)),
@@ -77,6 +78,7 @@ object SparkEntry {
     "dedup_substring"   -> ((s, d) => Dedup.dedupSubstring(s, d)),
     "dedup_clusters"    -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_clusters_multi" -> ((s, d) => Dedup.dedupClustersMulti(s, d)),
+    "dedup_clusters_multi_capped" -> ((s, d) => Dedup.dedupClustersMultiCapped(s, d)),
     "similarity_topk"   -> ((s, d) => Similarity.similarityTopK(s, d)),
     "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     "similarity_ivf"    -> ((s, d) => Similarity.similarityIvf(s, d)),
@@ -416,6 +418,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "dedup_exact"         -> Dedup.dedupExactOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
+    "dedup_minhash_lsh_capped" -> Dedup.minhashLshCappedOracle,
     "minhash_error"       -> Dedup.minhashErrorOracle,
     "dedup_incremental"   -> Dedup.dedupIncrementalOracle,
     "dedup_simhash"       -> Dedup.simhashDedupOracle,
@@ -426,6 +429,9 @@ object SparkEntry {
     "dedup_substring"     -> Dedup.dedupSubstringOracle(),
     "dedup_clusters"      -> Dedup.dedupClustersOracle,
     "dedup_clusters_multi" -> Dedup.dedupClustersMultiOracle,
+    // capped tier: the oracle derives the bucket cap from the corpus
+    // itself (autoMaxDfDuck) — parity defined at every SF
+    "dedup_clusters_multi_capped" -> Dedup.dedupClustersMultiCappedOracle,
     "similarity_topk"     -> Similarity.similarityTopKOracle(),
     "dedup_embedding"     -> Similarity.dedupEmbeddingOracle,
     "similarity_ivf"      -> Similarity.similarityIvfOracle,

@@ -49,6 +49,14 @@ object Dedup {
   private[graft] def autoMaxDf(n: Long): Int =
     math.max(10, math.ceil(n * 0.002).toInt)
 
+  /** [[autoMaxDf]] as a DuckDB scalar subquery — oracles that replay a
+    * capped pipeline derive the cap from the corpus they run on, so
+    * oracle parity is defined at EVERY scale factor (no tier-coupled
+    * constant; same structural fix as the similarity-oracle geometry).
+    */
+  private val autoMaxDfDuck: String =
+    "(SELECT greatest(10, CAST(ceil(0.002 * count(*)) AS INT)) FROM documents)"
+
   /** Exact dedup: one row per distinct text, keeper = min doc_id. */
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -88,13 +96,25 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    minhashPairsOf(minhashBandRows(spark, sfDir)).orderBy($"doc1", $"doc2")
+  }
+
+  /** LSH bucket rows `(s0..s{K-1}, doc_id, band_idx, band_hash)` — the
+    * relation both the exact and bucket-capped pair tiers expand. */
+  private def minhashBandRows(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = minhashSig(spark, sfDir)
     val bandArray = (0 until K / 2)
       .map(b => s"(s${2 * b} * $SH + s${2 * b + 1}) % $P")
       .mkString("array(", ", ", ")")
-    val bands = sig.selectExpr(
+    sig.selectExpr(
       ((0 until K).map(j => s"s$j") :+ "doc_id" :+
         s"posexplode($bandArray) as (band_idx, band_hash)"): _*)
+  }
+
+  /** Pairwise bucket expansion + signature-agreement estimate ≥ 0.5
+    * over band rows — the tail both pair tiers share. */
+  private def minhashPairsOf(bands: DataFrame): DataFrame = {
+    import bands.sparkSession.implicits._
     val simExpr = (0 until K)
       .map(j => s"(case when x.s$j = y.s$j then 1 else 0 end)").mkString(" + ")
     bands.as("x")
@@ -109,7 +129,34 @@ object Dedup {
         s"cast(($simExpr) as double) / $K as sim")
       .distinct()
       .where($"sim" >= 0.5)
-      .orderBy($"doc1", $"doc2")
+  }
+
+  /** Bucket-capped MinHash LSH pairs — the skew-robust evidence tier:
+    * `(band_idx, band_hash)` buckets holding more than `maxDf` docs are
+    * dropped BEFORE the pairwise expansion (one agg-only window over
+    * the band rows — parallel by bucket, and the buckets that get big
+    * are exactly the ones being deleted). A pair is missed only when
+    * EVERY band the two docs agree on is globally hot — i.e. the pair's
+    * entire estimated similarity comes from corpus-wide boilerplate.
+    * Same corpus-relative cap rule as the substring/ngram tiers
+    * ([[autoMaxDf]]): at the correctness tiers no bucket reaches the
+    * cap, so output is bit-identical to [[minhashLsh]]; on the sf1 skew
+    * tier the ~10 k-doc boilerplate buckets (10⁸ pairs per band) leave
+    * the join. Every surviving pair's `sim` is computed from the full
+    * signatures, unchanged.
+    */
+  def minhashLshCapped(spark: SparkSession, sfDir: String,
+                       maxDf: Int = -1): DataFrame = {
+    import spark.implicits._
+    val cap = if (maxDf > 0) maxDf else autoMaxDf(nDocs(spark, sfDir))
+    // agg-only window (no localCheckpoint: ReusedExchange already
+    // shares the occupancy pass across the self-join sides — a
+    // checkpoint measured no win at sf1)
+    val w = Window.partitionBy(col("band_idx"), col("band_hash"))
+    val kept = minhashBandRows(spark, sfDir)
+      .withColumn("occ", count(lit(1)).over(w))
+      .where(col("occ") <= cap).drop("occ")
+    minhashPairsOf(kept).orderBy($"doc1", $"doc2")
   }
 
   /** Shared DuckDB CTE chain ending in `simpairs(doc1, doc2, sim)` —
@@ -535,6 +582,86 @@ object Dedup {
     s"""WITH RECURSIVE $minhashPairsCtes, $simhashPairsCtes, edges AS (
        |  SELECT doc1 AS src, doc2 AS dst FROM simpairs
        |  UNION ALL SELECT doc2, doc1 FROM simpairs
+       |  UNION ALL SELECT doc1, doc2 FROM hampairs
+       |  UNION ALL SELECT doc2, doc1 FROM hampairs
+       |), reach AS (
+       |  SELECT doc_id AS doc, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.doc
+       |), cc AS (
+       |  SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc
+       |), sizes AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1
+       |)
+       |SELECT c.doc AS doc_id, c.cluster_id, s.cluster_size,
+       |       (c.doc = c.cluster_id) AS is_keeper
+       |FROM cc c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Skew-robust multi-evidence clustering: [[dedupClustersMulti]] with
+    * the MinHash evidence drawn from [[minhashLshCapped]] — the
+    * production configuration for corpora that may contain corpus-wide
+    * boilerplate. Why: the sf1 skew rehearsal (BASELINE.md) showed the
+    * uncapped tier inheriting the inflated band buckets as ONE giant
+    * near-clique — O(bucket²) enumerated pairs feeding every label-
+    * propagation round (29.5 s vs 10 s uniform, 3.0×). Capping bucket
+    * occupancy deletes exactly those edges; what the cap drops are
+    * pairs whose entire similarity IS the boilerplate, which a dedup
+    * pass should not be clustering on anyway (they would collapse 20 %
+    * of the corpus into one keeper). SimHash evidence stays uncapped —
+    * its fingerprint is a weighted majority over the WHOLE document, so
+    * a shared prefix never floods its candidate blocks (measured 1.2×
+    * under the same skew). At the correctness tiers the cap never
+    * binds: output bit-identical to the exact tier, and the driver gate
+    * replays the full capped pipeline (bucket occupancy → cap →
+    * pairwise verify → union → recursive closure) in DuckDB with the
+    * cap derived from the corpus itself.
+    */
+  def dedupClustersMultiCapped(spark: SparkSession, sfDir: String,
+                               maxDf: Int = -1): DataFrame = {
+    import spark.implicits._
+    clusterize(spark, sfDir,
+      minhashLshCapped(spark, sfDir, maxDf).select($"doc1", $"doc2")
+        .union(simhashDedup(spark, sfDir).select($"doc1", $"doc2"))
+        .distinct())
+  }
+
+  /** [[minhashPairsCtes]] with the bucket-occupancy cap replayed —
+    * chain ends in `csimpairs(doc1, doc2, sim)`; cap derived from the
+    * corpus via [[autoMaxDfDuck]] (≡ the Scala side's [[autoMaxDf]] at
+    * every SF). */
+  private lazy val minhashCappedPairsCtes: String = {
+    val bandSelects = (0 until K / 2).map(b =>
+      s"SELECT doc_id, $b AS band_idx, (s${2 * b} * $SH + s${2 * b + 1}) % $P AS band_hash FROM sig")
+      .mkString("\n  UNION ALL ")
+    val simExpr = (0 until K)
+      .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$minhashSigCtes, bands AS (
+       |  $bandSelects
+       |), keptbands AS (
+       |  SELECT b.* FROM bands b JOIN (
+       |    SELECT band_idx, band_hash FROM bands GROUP BY 1, 2
+       |    HAVING count(*) <= $autoMaxDfDuck
+       |  ) kb USING (band_idx, band_hash)
+       |), clshpairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM keptbands x JOIN keptbands y ON x.band_idx = y.band_idx
+       |    AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+       |), csimpairs AS (
+       |  SELECT p.doc1, p.doc2, CAST(($simExpr) AS DOUBLE) / $K AS sim
+       |  FROM clshpairs p JOIN sig a ON p.doc1 = a.doc_id JOIN sig b ON p.doc2 = b.doc_id
+       |  WHERE CAST(($simExpr) AS DOUBLE) / $K >= 0.5
+       |)""".stripMargin
+  }
+
+  val minhashLshCappedOracle: String =
+    s"""WITH $minhashCappedPairsCtes
+       |SELECT doc1, doc2, sim FROM csimpairs ORDER BY doc1, doc2""".stripMargin
+
+  lazy val dedupClustersMultiCappedOracle: String =
+    s"""WITH RECURSIVE $minhashCappedPairsCtes, $simhashPairsCtes, edges AS (
+       |  SELECT doc1 AS src, doc2 AS dst FROM csimpairs
+       |  UNION ALL SELECT doc2, doc1 FROM csimpairs
        |  UNION ALL SELECT doc1, doc2 FROM hampairs
        |  UNION ALL SELECT doc2, doc1 FROM hampairs
        |), reach AS (

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * at 10× (sf1) on this host — converting the 100 TB plan-shape
   * arguments into executed evidence (VERDICT r6 top-next item).
   *
-  * Usage: `ScaleData <inSfDir> <outDir> <factor> [skew]` (driver
+  * Usage: `ScaleData <inSfDir> <outDir> <factor> [skew|clustered]` (driver
   * testdata is read-only; write under target/, e.g. `target/sf1`).
   * With `skew`, the same tier is generated under a power-law key
   * distribution (one hot item key, corpus-wide boilerplate text) for
@@ -64,6 +64,26 @@ object ScaleData {
     // skew-vs-uniform ratio isolates hot-key handling (AQE skew join,
     // salting, df caps) from data volume.
     val skew = args.length > 3 && args(3) == "skew"
+    // `clustered` 4th arg: mixture-of-Gaussians embeddings — the
+    // REALISTIC ANN rehearsal. The uniform tier's embeddings are
+    // structure-free (IVF's documented worst case: recall tracks the
+    // probed fraction, so stable-recall ANN is linear per query); real
+    // corpora cluster, and clustering is where IVF's sublinearity
+    // comes from. This tier replaces the embedding payload with
+    // 100 deterministic Gaussian clusters (hash-seeded Box–Muller:
+    // center ~ N(0,1) per dim, within-cluster noise 0.4·N(0,1);
+    // cluster id = hash(vec_id) so it is independent of the vec_id %
+    // mod query-panel gate). Keys/row counts stay identical to the
+    // uniform tier, so recall/cost deltas isolate DATA STRUCTURE.
+    val clustered = args.length > 3 && args(3) == "clustered"
+    // optional 5th arg `tables=a,b,c`: generate only the named tables
+    // (e.g. `tables=documents` for the sf10 dedup rehearsal — 100×
+    // lineitem/events would cost minutes and GBs the rehearsal never
+    // reads). Default: all tables.
+    val onlyTables: Option[Set[String]] = args.drop(3)
+      .find(_.startsWith("tables="))
+      .map(_.stripPrefix("tables=").split(',').map(_.trim).toSet)
+    def wanted(name: String): Boolean = onlyTables.forall(_.contains(name))
     require(factor >= 1 && factor <= 1000, s"unreasonable factor $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = Session.tune(
@@ -86,6 +106,7 @@ object ScaleData {
       * perturbations, restore the source column order. */
     def rep(name: String, keyCols: Seq[String], parts: Int,
             extra: DataFrame => DataFrame = identity): Unit = {
+      if (!wanted(name)) return
       val src = read(name)
       var df = src.crossJoin(copies)
       for (k <- keyCols) df = df.withColumn(k, col(k) + col("c") * Off)
@@ -94,8 +115,8 @@ object ScaleData {
       println(s"[scale] $name x$factor done")
     }
 
-    write(read("region"), "region", 1)
-    write(read("nation"), "nation", 1)
+    if (wanted("region")) write(read("region"), "region", 1)
+    if (wanted("nation")) write(read("nation"), "nation", 1)
     rep("customer", Seq("c_custkey"), 2)
     rep("supplier", Seq("s_suppkey"), 1)
     rep("part", Seq("p_partkey"), 2)
@@ -119,8 +140,21 @@ object ScaleData {
             .otherwise(col("text")))
       maybeHot.withColumn("n_chars", length(col("text")).cast("long"))
     })
+    // deterministic standard normal from hash seeds (Box–Muller over
+    // two hash-derived uniforms in (0,1)); `seed` must be distinct
+    // per use site or the draws correlate
+    def gauss(seedA: String, seed: Int): String =
+      s"""(sqrt(-2.0 * ln((pmod(hash($seedA, i, $seed), 1048576) + 0.5) / 1048576.0))
+         | * cos(6.283185307179586
+         |       * (pmod(hash($seedA, i, ${seed + 1}), 1048576) + 0.5) / 1048576.0))""".stripMargin
     rep("embeddings", Seq("vec_id"), 4, df =>
-      df.withColumn("embedding",
+      if (clustered)
+        // cluster(vec_id) center + 0.4 × per-vector noise, all dims
+        df.withColumn("embedding", expr(
+          s"""transform(sequence(0, 63), i -> cast(
+             |  ${gauss("pmod(hash(vec_id), 100)", 11)}
+             |  + 0.4 * ${gauss("vec_id", 17)} as float))""".stripMargin))
+      else df.withColumn("embedding",
         when(col("c") === 0, col("embedding")).otherwise(expr(
           // orthogonal per-copy map: sign-flip × dim-rotation (0-based
           // Spark array indexing); float arithmetic on float inputs

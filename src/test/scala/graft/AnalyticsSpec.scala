@@ -132,6 +132,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(cmp.isEmpty)
   }
 
+  test("uv_approx: HLL++ within 3·rsd of exact per window at sf0.01 AND sf0.1") {
+    // the one unoracled query (HLL++ has no DuckDB replay) gets a
+    // quantified gate at BOTH driver tiers, not just the sf0.001 the
+    // sibling test above covers: per hour window, |approx − exact| must
+    // sit inside 3·rsd (rsd = 0.01 in uvApprox) with a floor of 2 for
+    // the near-empty windows where relative bands are meaningless.
+    // HLL++ is deterministic for a given input set — a stable gate.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val uv = UserBehaviorAnalytics.uniqueVisitors(spark, dir)
+      val joined = uv.join(UserBehaviorAnalytics.uvApprox(spark, dir),
+        "window_end").cache()
+      assert(joined.count() > 0, s"tier $dir: no windows joined")
+      val bad = joined
+        .where(abs($"uv_approx" - $"uv") > greatest($"uv" * 0.03, lit(2.0)))
+      assert(bad.isEmpty, s"tier $dir: HLL++ outside the 3·rsd band")
+      joined.unpersist()
+    }
+  }
+
   test("uv_approx_kmv: exact below K distinct, within 20% above") {
     // sf0.001 windows all have < 256 distinct users → estimate must be
     // the EXACT count; the sketch regime is exercised on a synthetic
@@ -461,6 +480,62 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(capped.join(exact, Seq("doc1", "doc2", "inter_cnt", "jaccard"), "left_anti").isEmpty)
     // a cap that never binds reproduces the exact tier bit-for-bit
     assert(unbound.except(exact).isEmpty && exact.except(unbound).isEmpty)
+  }
+
+  test("clusters_multi_capped: bucket cap breaks boilerplate near-cliques, keeps genuine dup clusters") {
+    // Synthetic corpus where the BAND-BUCKET cap binds: 12 docs whose
+    // text is one 60-word boilerplate run + 3 unique words — their
+    // minhash signatures are boilerplate-dominated, so they pile into
+    // the same (band, hash) buckets (the giant-near-clique shape the
+    // sf1 skew rehearsal measured at 3.0×); one genuine near-dup pair
+    // sharing a rare 40-word text; 5 unrelated docs.
+    val boiler = (1 to 60).map(i => s"b$i").mkString(" ")
+    val near = (1 to 40).map(i => s"n$i").mkString(" ")
+    val docs =
+      (1 to 12).map(i => (i.toLong,
+        s"$boiler " + (1 to 20).map(j => s"u${i}w$j").mkString(" "))) ++
+      Seq((20L, s"$near tail1"), (21L, s"$near tail2")) ++
+      (30 to 34).map(i => (i.toLong, (1 to 20).map(j => s"f${i}w$j").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccap").toString
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' as lang", "'test' as source",
+        "cast(length(text) as long) as n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val exactPairs = Dedup.minhashLsh(spark, dir).cache()
+    val cappedPairs = Dedup.minhashLshCapped(spark, dir, maxDf = 3).cache()
+    // the boilerplate clique exists in the exact tier and is gone in
+    // the capped tier; the genuine pair survives with identical sim
+    assert(exactPairs.where($"doc1" <= 12 && $"doc2" <= 12).count() >= 20)
+    assert(cappedPairs.where($"doc1" <= 12 && $"doc2" <= 12).isEmpty)
+    assert(cappedPairs.where($"doc1" === 20 && $"doc2" === 21).count() === 1)
+    // soundness: capped ⊆ exact row-for-row (cap never adds or rescores)
+    assert(cappedPairs.join(exactPairs, Seq("doc1", "doc2", "sim"), "left_anti").isEmpty)
+    // a cap that never binds reproduces the exact tier bit-for-bit
+    val unbound = Dedup.minhashLshCapped(spark, dir, maxDf = 1000)
+    assert(unbound.except(exactPairs).isEmpty && exactPairs.except(unbound).isEmpty)
+
+    // cluster level: uncapped inherits the near-clique as one giant
+    // cluster; capped keeps the genuine pair clustered and the giant
+    // cluster cannot survive on capped minhash evidence alone (simhash
+    // may still pair SOME boilerplate docs — their fingerprints are
+    // majority-weighted over the whole doc — but the 12-doc clique
+    // must not reappear)
+    val multi = Dedup.dedupClustersMulti(spark, dir).cache()
+    val capped = Dedup.dedupClustersMultiCapped(spark, dir, maxDf = 3).cache()
+    assert(multi.agg(max($"cluster_size")).head.getLong(0) >= 12L)
+    assert(capped.where($"doc_id" === 20L || $"doc_id" === 21L)
+      .select($"cluster_id").distinct().count() === 1)
+    assert(capped.agg(max($"cluster_size")).head.getLong(0) < 12L)
+    // schema + keeper discipline identical to the exact tier
+    assert(capped.columns.toSeq === multi.columns.toSeq)
+    assert(capped.where($"is_keeper" && $"doc_id" =!= $"cluster_id").isEmpty)
+  }
+
+  test("clusters_multi_capped ≡ clusters_multi when the cap never binds (sf tier)") {
+    val exact = Dedup.dedupClustersMulti(spark, sf)
+    val capped = Dedup.dedupClustersMultiCapped(spark, sf)
+    assert(capped.except(exact).isEmpty && exact.except(capped).isEmpty)
   }
 
   test("similarity_topk: k per query, cosine in [-1, 1], non-increasing") {

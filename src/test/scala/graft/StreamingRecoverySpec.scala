@@ -511,4 +511,124 @@ class StreamingRecoverySpec extends AnyFunSuite {
       "late capture across a restart must equal the batch side output")
     assert(spark.read.parquet(s"$root/cap/ontime").count() + got.size == all.length)
   }
+
+  // ---- flatMapGroupsWithState NFA paths on RocksDB (VERDICT r8 #6):
+  // the windowed-agg / transformWithState / LateCapture recovery above
+  // covers the built-in stateful operators; these three drive the
+  // custom state machines (buffered out-of-order events + live NFA
+  // partials / pending orders / day counters in GroupState) through a
+  // mid-stream hard stop with state on RocksDB + changelog
+  // checkpoints, then require the restarted run to equal batch.
+
+  /** Event rows in arrival order with a far-future flush sentinel of
+    * the given kind (advances the watermark so buffered state drains
+    * and event-time timers fire after the restart). */
+  private lazy val evRows: Seq[(Long, Long, Long, String, String)] =
+    Tables.events(spark, sf)
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id",
+        $"event_type", $"props")
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+      .sortBy(e => (e._2, e._1))
+
+  private def runNfaRecovery[R](
+      mkStream: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[R],
+      rows: Seq[org.apache.spark.sql.Row], schema: StructType,
+      flushRows: Seq[org.apache.spark.sql.Row]): org.apache.spark.sql.DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graftnfarecov").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    new java.io.File(inDir).mkdirs()
+    def writeChunk(rs: Seq[org.apache.spark.sql.Row], name: String): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rs, 1), schema)
+        .write.parquet(s"$inDir/$name")
+    def start() = mkStream(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(inDir))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    // phase 1: first half, hard stop mid-stream (buffers + partials in
+    // RocksDB state are all the restarted run gets)
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    writeChunk(h1, "chunk1")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2: restart from the checkpoint, rest + watermark flush
+    writeChunk(h2, "chunk2")
+    writeChunk(flushRows, "chunk3")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    spark.read.parquet(outDir)
+  }
+
+  test("loginFailPairs NFA restarts from checkpoint on RocksDB: == batch pairs") {
+    implicit val ss = spark
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts_us", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val rows = evRows.map(e =>
+      org.apache.spark.sql.Row(e._1, e._2, e._3, e._4))
+    val flushUs = evRows.map(_._2).max + 30L * 86400 * 1000000
+    val out = withConfs(Session.RocksDbStateStore)(runNfaRecovery(
+      (df: org.apache.spark.sql.DataFrame) =>
+        StreamingAnalytics.loginFailPairs(df.as[StreamingAnalytics.Ev]),
+      rows, schema,
+      Seq(org.apache.spark.sql.Row(-1L, flushUs, -1L, "error"))))
+    val got = out.where($"user_id" =!= -1L)
+      .select($"user_id", $"first_fail_us", $"last_fail_us")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = analytics.DetectionAnalytics.loginFailDetect(spark, sf)
+      .select($"user_id", unix_micros($"first_fail"), unix_micros($"last_fail"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("orderTimeoutStream NFA restarts from checkpoint on RocksDB: == batch join") {
+    implicit val ss = spark
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts_us", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val rows = evRows.map(e =>
+      org.apache.spark.sql.Row(e._1, e._2, e._3, e._4))
+    val flushUs = evRows.map(_._2).max + 30L * 86400 * 1000000
+    val out = withConfs(Session.RocksDbStateStore)(runNfaRecovery(
+      (df: org.apache.spark.sql.DataFrame) =>
+        StreamingAnalytics.orderTimeoutStream(df.as[StreamingAnalytics.Ev]),
+      rows, schema,
+      Seq(org.apache.spark.sql.Row(-1L, flushUs, -1L, "purchase"))))
+    val got = out.where($"user_id" =!= -1L)
+      .select($"order_id", $"user_id", $"create_us",
+        coalesce($"pay_us", lit(-1L)), $"status")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val want = analytics.DetectionAnalytics.orderTimeout(spark, sf)
+      .select($"order_id", $"user_id", unix_micros($"create_ts"),
+        coalesce(unix_micros($"pay_ts"), lit(-1L)), $"status")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == want)
+  }
+
+  test("blacklistStream NFA restarts from checkpoint on RocksDB: == batch warnings") {
+    implicit val ss = spark
+    def jsonK(props: String): Long =
+      """"k":\s*(\d+)""".r.findFirstMatchIn(props)
+        .map(_.group(1).toLong).getOrElse(0L)
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts_us", LongType), StructField("user_id", LongType),
+      StructField("ad_id", IntegerType)))
+    val clickRows = evRows.filter(_._4 == "click").map(e =>
+      org.apache.spark.sql.Row(e._1, e._2, e._3, (jsonK(e._5) % 10).toInt))
+    val flushUs = evRows.map(_._2).max + 30L * 86400 * 1000000
+    val out = withConfs(Session.RocksDbStateStore)(runNfaRecovery(
+      (df: org.apache.spark.sql.DataFrame) =>
+        StreamingAnalytics.blacklistStream(df.as[StreamingAnalytics.ClickEv]),
+      clickRows, schema,
+      Seq(org.apache.spark.sql.Row(-1L, flushUs, -1L, 0))))
+    val got = out.where($"user_id" =!= -1L)
+      .select($"user_id", $"ad_id", (col("day_us") / 1000000).cast("long"))
+      .as[(Long, Int, Long)].collect().toSet
+    val want = analytics.MarketingAnalytics.blacklistUsers(spark, sf)
+      .select($"user_id", $"ad_id",
+        (unix_micros($"day".cast("timestamp")) / 1000000).cast("long"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == want)
+  }
 }
