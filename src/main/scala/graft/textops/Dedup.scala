@@ -1241,7 +1241,9 @@ object Dedup {
   // above noise means the filter is doing its job; a candidates column
   // trending toward n² is the early warning the bench total can't give.
 
-  /** One row per superlinear dedup tier:
+  /** One row per superlinear-risk dedup tier (ngram exact/capped,
+    * containment, substring, and — round 9 — minhash LSH
+    * exact/bucket-capped):
     * (tier, n_docs, postings_full, postings_filtered, candidates,
     * survivors). All counts exact and DuckDB-oracled; the candidate
     * columns replicate the live queries' candidate stages (shared
@@ -1331,7 +1333,47 @@ object Dedup {
       .crossJoin(cnt(pairAgg.where($"shared_fp" >= minShared), "survivors"))
       .selectExpr("'substring' as tier", "n_docs", "postings_full",
         "postings_filtered", "candidates", "survivors")
+    // MinHash LSH funnel (exact + bucket-capped) — same ONE tagged
+    // candidate join serving both rows as the ngram pair above: bucket
+    // occupancy rides the band rows (both sides of a bucket share it),
+    // so max(occ ≤ cap) per distinct pair IS the capped tier's
+    // candidate set, and the signature-agreement estimate is computed
+    // once per distinct pair.
+    val simExprM = (0 until K)
+      .map(j => s"(case when x.s$j = y.s$j then 1 else 0 end)").mkString(" + ")
+    val mBands = minhashBandRows(spark, sfDir)
+      .withColumn("occ", count(lit(1)).over(
+        Window.partitionBy($"band_idx", $"band_hash")))
+      .localCheckpoint() // feeds 2× postings counts AND the pair join
+    val mPairable = mBands.where($"occ" >= 2) // singleton buckets can't pair
+    val mCand = mPairable.as("x")
+      .join(mPairable.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .selectExpr("x.doc_id as doc1", "y.doc_id as doc2",
+        s"cast(($simExprM) as double) / $K as sim",
+        s"x.occ <= $dfCapN as kept")
+      .groupBy($"doc1", $"doc2")
+      .agg(max($"sim").as("sim"), max($"kept").as("capped_kept"))
+      .localCheckpoint() // feeds 2× candidate AND 2× survivor counts
+    val mhDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val mRow = mhDocs
+      .crossJoin(cnt(mBands, "postings_full"))
+      .crossJoin(cnt(mPairable, "postings_filtered"))
+      .crossJoin(cnt(mCand, "candidates"))
+      .crossJoin(cnt(mCand.where($"sim" >= 0.5), "survivors"))
+      .selectExpr("'minhash_lsh' as tier", "n_docs", "postings_full",
+        "postings_filtered", "candidates", "survivors")
+    val mCapRow = mhDocs
+      .crossJoin(cnt(mBands, "postings_full"))
+      .crossJoin(cnt(mPairable.where($"occ" <= dfCapN), "postings_filtered"))
+      .crossJoin(cnt(mCand.where($"capped_kept"), "candidates"))
+      .crossJoin(cnt(mCand.where($"capped_kept" && $"sim" >= 0.5), "survivors"))
+      .selectExpr("'minhash_lsh_capped' as tier", "n_docs", "postings_full",
+        "postings_filtered", "candidates", "survivors")
     ngramRow.unionAll(cappedRow).unionAll(containRow).unionAll(substrRow)
+      .unionAll(mRow).unionAll(mCapRow)
       .orderBy($"tier")
   }
 
@@ -1345,7 +1387,19 @@ object Dedup {
   def dedupCandidateStatsOracle(jaccardT: Double = 0.2,
                                 containT: Double = 0.8,
                                 k: Int = 24, radius: Int = 7,
-                                minShared: Int = 2, maxDf: Int = 10): String =
+                                minShared: Int = 2, maxDf: Int = 10): String = {
+    // m-prefixed minhash chain built from the shared `toks` CTE (the
+    // sig formulas mirror minhashSigCtes; names differ to avoid CTE
+    // collisions with the ngram chain's toks/inv); the bucket cap is
+    // corpus-derived (autoMaxDfDuck) like the live query's autoMaxDf
+    val sigColsM = (0 until K).map(j =>
+      s"list_min(list_transform(sh, v$j -> (v$j * ${MinhashA(j)} + ${MinhashB(j)}) % $P)) AS s$j")
+      .mkString(",\n         ")
+    val mBandSelects = (0 until K / 2).map(b =>
+      s"SELECT doc_id, $b AS band_idx, (s${2 * b} * $SH + s${2 * b + 1}) % $P AS band_hash FROM msig")
+      .mkString("\n  UNION ALL ")
+    val simExprM = (0 until K)
+      .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH toks AS (
        |  SELECT doc_id, $tokensDuck AS tokens FROM documents
        |), shingled AS (
@@ -1427,6 +1481,34 @@ object Dedup {
        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared_fp
        |  FROM skept a JOIN skept b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
+       |), mth AS (
+       |  SELECT doc_id, list_transform(tokens, tk -> ${phDuck("tk", "h")}) AS tharr
+       |  FROM toks WHERE len(tokens) >= 3
+       |), mshc AS (
+       |  SELECT doc_id, list_transform(range(0, len(tharr) - 2), sj ->
+       |    ((tharr[sj + 1] * $SH + tharr[sj + 2]) % $P
+       |     * $SH + tharr[sj + 3]) % $P) AS sh FROM mth
+       |), msig AS (
+       |  SELECT doc_id, $sigColsM FROM mshc
+       |), mbands AS (
+       |  $mBandSelects
+       |), mocc AS (
+       |  SELECT band_idx, band_hash, count(*) AS occ FROM mbands GROUP BY 1, 2
+       |), mb AS (
+       |  SELECT b.doc_id, b.band_idx, b.band_hash, o.occ
+       |  FROM mbands b JOIN mocc o USING (band_idx, band_hash)
+       |  WHERE o.occ >= 2
+       |), mpairs AS (
+       |  SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+       |         max(CASE WHEN x.occ <= $autoMaxDfDuck THEN 1 ELSE 0 END) AS capped_kept
+       |  FROM mb x JOIN mb y ON x.band_idx = y.band_idx
+       |    AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |), msim AS (
+       |  SELECT p.doc1, p.doc2, p.capped_kept,
+       |         CAST(($simExprM) AS DOUBLE) / $K AS sim
+       |  FROM mpairs p JOIN msig a ON p.doc1 = a.doc_id
+       |                JOIN msig b ON p.doc2 = b.doc_id
        |)
        |SELECT 'ngram_jaccard' AS tier,
        |       CAST((SELECT count(*) FROM enc) AS BIGINT) AS n_docs,
@@ -1455,7 +1537,22 @@ object Dedup {
        |       CAST((SELECT count(*) FROM skept) AS BIGINT),
        |       CAST((SELECT count(*) FROM spair) AS BIGINT),
        |       CAST((SELECT count(*) FROM spair WHERE shared_fp >= $minShared) AS BIGINT)
+       |UNION ALL
+       |SELECT 'minhash_lsh',
+       |       CAST((SELECT count(*) FROM documents) AS BIGINT),
+       |       CAST((SELECT count(*) FROM mbands) AS BIGINT),
+       |       CAST((SELECT count(*) FROM mb) AS BIGINT),
+       |       CAST((SELECT count(*) FROM mpairs) AS BIGINT),
+       |       CAST((SELECT count(*) FROM msim WHERE sim >= 0.5) AS BIGINT)
+       |UNION ALL
+       |SELECT 'minhash_lsh_capped',
+       |       CAST((SELECT count(*) FROM documents) AS BIGINT),
+       |       CAST((SELECT count(*) FROM mbands) AS BIGINT),
+       |       CAST((SELECT count(*) FROM mb WHERE occ <= $autoMaxDfDuck) AS BIGINT),
+       |       CAST((SELECT count(*) FROM mpairs WHERE capped_kept = 1) AS BIGINT),
+       |       CAST((SELECT count(*) FROM msim WHERE capped_kept = 1 AND sim >= 0.5) AS BIGINT)
        |ORDER BY tier""".stripMargin
+  }
 
   /** df-cap-vs-recall curve for the substring tier — the knob gate
     * [[minhashError]] gives MinHash: per df cap, the postings kept,

@@ -39,7 +39,8 @@ class AnalyticsSpec extends AnyFunSuite {
         "candidates", "survivors")
       .as[(String, Long, Long, Long, Long, Long)].collect()
     assert(stats.map(_._1).sorted.toSeq ==
-      Seq("containment", "ngram_jaccard", "ngram_jaccard_capped", "substring"))
+      Seq("containment", "minhash_lsh", "minhash_lsh_capped",
+        "ngram_jaccard", "ngram_jaccard_capped", "substring"))
     stats.foreach { case (tier, nDocs, full, filtered, cand, surv) =>
       assert(filtered <= full, s"$tier: filter added postings")
       assert(surv <= cand, s"$tier: verify created pairs")
@@ -52,6 +53,10 @@ class AnalyticsSpec extends AnyFunSuite {
     val (_, _, _, cf, cc, cs) = byTier("ngram_jaccard_capped")
     assert(cf <= ef && cc <= ec && cs <= es,
       "capped tier grew some funnel stage beyond the exact tier")
+    val (_, _, _, mf, mc, ms) = byTier("minhash_lsh")
+    val (_, _, _, xf, xc, xs) = byTier("minhash_lsh_capped")
+    assert(xf <= mf && xc <= mc && xs <= ms,
+      "capped LSH tier grew some funnel stage beyond the exact tier")
     // nested caps ⇒ every column non-decreasing in max_df
     val curve = Dedup.substringDfCurve(spark, sf)
       .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
