@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   *
   * Layout (all under one snapshot directory):
   *   - `dedup_pairs/` — near-dup edges, **partitioned by `tier`**
-  *     (`minhash` | `simhash` | `containment`): a consumer that wants one evidence
+  *     (`minhash` | `minhash_capped` | `simhash` | `containment`): a
+  *     consumer that wants one evidence
   *     tier prunes the other's directory at plan time (zero I/O),
   *     and new tiers (embedding, substring) append as new partitions
   *     without rewriting existing evidence.
@@ -30,6 +31,9 @@ import org.apache.spark.sql.functions._
   *     tiers unioned (matching the live `dedup_clusters_multi` query;
   *     the directional containment tier is stored as evidence for
   *     future consumers but feeds no clustering today).
+  *   - `clusters_multi_capped/` — same, from the bucket-capped minhash
+  *     evidence (the skew-robust production config — a boilerplate
+  *     corpus can't collapse into one giant keeper cluster).
   *   - `ann_centroids/` + `ann_assign/` — the IVF serving index
   *     (assignments partitioned by cell prefix), written by
   *     [[materializeAnn]]: [[annSearchFrom]] runs ARBITRARY query
@@ -54,6 +58,11 @@ object Pipelines {
     import spark.implicits._
     val mh = Dedup.minhashLsh(spark, sfDir)
       .select($"doc1", $"doc2", lit("minhash").as("tier"))
+    // the bucket-capped evidence tier (skew-robust production config —
+    // BASELINE.md skew rehearsal): stored alongside the exact tier so
+    // the served capped clustering never recomputes signatures either
+    val mhc = Dedup.minhashLshCapped(spark, sfDir)
+      .select($"doc1", $"doc2", lit("minhash_capped").as("tier"))
     val sh = Dedup.simhashDedup(spark, sfDir)
       .select($"doc1", $"doc2", lit("simhash").as("tier"))
     // containment is directional (doc1 = contained side) — stored
@@ -61,13 +70,16 @@ object Pipelines {
     // symmetric consumer would need to symmetrize the edges on read)
     val ct = Dedup.dedupContainment(spark, sfDir)
       .select($"doc1", $"doc2", lit("containment").as("tier"))
-    ParquetSink.writePartitioned(mh.union(sh).union(ct), s"$outDir/dedup_pairs",
-      Seq("tier"))
+    ParquetSink.writePartitioned(mh.union(mhc).union(sh).union(ct),
+      s"$outDir/dedup_pairs", Seq("tier"))
     Dedup.clusterize(spark, sfDir, pairs(spark, outDir, Seq("minhash")))
       .write.mode("overwrite").parquet(s"$outDir/clusters")
     Dedup.clusterize(spark, sfDir,
         pairs(spark, outDir, Seq("minhash", "simhash")).distinct())
       .write.mode("overwrite").parquet(s"$outDir/clusters_multi")
+    Dedup.clusterize(spark, sfDir,
+        pairs(spark, outDir, Seq("minhash_capped", "simhash")).distinct())
+      .write.mode("overwrite").parquet(s"$outDir/clusters_multi_capped")
     // band buckets of the INGESTED base (signatures ride in-bucket),
     // partitioned by a band-hash prefix: a daily batch's probe join
     // touches only the pb partitions its own bands hash into —
@@ -181,6 +193,11 @@ object Pipelines {
   /** Served form of [[Dedup.dedupClustersMulti]]. */
   def clustersMulti(spark: SparkSession, outDir: String): DataFrame =
     served(spark, s"$outDir/clusters_multi")
+
+  /** Served form of [[Dedup.dedupClustersMultiCapped]] — the
+    * skew-robust clustering from the stored capped evidence. */
+  def clustersMultiCapped(spark: SparkSession, outDir: String): DataFrame =
+    served(spark, s"$outDir/clusters_multi_capped")
 
   private def served(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

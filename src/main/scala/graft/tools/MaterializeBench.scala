@@ -32,6 +32,8 @@ object MaterializeBench {
     time("materialize(once)", 1) { Pipelines.materialize(spark, sfDir, outDir) }
     time("served:clusters_multi", 3) { Pipelines.clustersMulti(spark, outDir).count() }
     time("live:dedup_clusters_multi", 3) { Dedup.dedupClustersMulti(spark, sfDir).count() }
+    time("served:clusters_multi_capped", 3) { Pipelines.clustersMultiCapped(spark, outDir).count() }
+    time("live:dedup_clusters_multi_capped", 3) { Dedup.dedupClustersMultiCapped(spark, sfDir).count() }
     time("served:corpus_prep", 3) { Pipelines.corpusPrepFrom(spark, sfDir, outDir).count() }
     time("live:corpus_prep", 3) { Sampling.corpusPrep(spark, sfDir).count() }
     spark.stop()

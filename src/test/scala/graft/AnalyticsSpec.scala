@@ -537,6 +537,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(capped.where($"is_keeper" && $"doc_id" =!= $"cluster_id").isEmpty)
   }
 
+  test("trained IVF holds recall on clustered embeddings where structure-free can't (mixture law)") {
+    // CI pin of the round-9 structured-embedding rehearsal (BASELINE.md):
+    // same code, same geometry, two tiny corpora differing ONLY in
+    // structure — a 16-component Gaussian mixture vs i.i.d. noise. The
+    // trained IVF at nProbe=2 (of 16 cells = 12.5 % probed) must hold
+    // high recall on the mixture and must NOT on the unstructured tier
+    // (there, recall tracks the probed fraction — the documented law).
+    // Fixed seed → deterministic data → a stable gate, not a flaky one.
+    val rnd = new scala.util.Random(42)
+    val d = 16; val nClusters = 16; val perCluster = 24
+    val centers = Array.fill(nClusters, d)(rnd.nextGaussian())
+    val clustered = (0 until nClusters * perCluster).map { i =>
+      (i.toLong, (0 until d).map(j =>
+        (centers(i % nClusters)(j) + 0.3 * rnd.nextGaussian()).toFloat).toArray)
+    }
+    val uniform = clustered.map { case (id, _) =>
+      (id, Array.fill(d)(rnd.nextGaussian().toFloat)) }
+    def writeTier(rows: Seq[(Long, Array[Float])]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mix").toString
+      rows.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    def recall(dir: String): Double =
+      Similarity.similarityRecall(spark, dir, nProbe = 2, trained = true)
+        .agg(avg($"recall")).head.getDouble(0)
+    val rc = recall(writeTier(clustered))
+    val ru = recall(writeTier(uniform))
+    assert(rc >= 0.85, s"clustered-tier recall $rc below the mixture law's band")
+    assert(rc - ru >= 0.2,
+      s"no structure advantage measured: clustered $rc vs uniform $ru")
+  }
+
   test("clusters_multi_capped ≡ clusters_multi when the cap never binds (sf tier)") {
     val exact = Dedup.dedupClustersMulti(spark, sf)
     val capped = Dedup.dedupClustersMultiCapped(spark, sf)

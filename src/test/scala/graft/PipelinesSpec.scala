@@ -42,6 +42,8 @@ class PipelinesSpec extends AnyFunSuite {
       rows(Dedup.dedupClusters(spark, sf)))
     assert(rows(Pipelines.clustersMulti(spark, dir)) ==
       rows(Dedup.dedupClustersMulti(spark, sf)))
+    assert(rows(Pipelines.clustersMultiCapped(spark, dir)) ==
+      rows(Dedup.dedupClustersMultiCapped(spark, sf)))
 
     // downstream composite served from the snapshot == live pipeline
     assert(rows(Pipelines.corpusPrepFrom(spark, sf, dir)) ==
