@@ -93,6 +93,7 @@ object SparkEntry {
     "pii_scrub"         -> ((s, d) => Scrub.piiScrub(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.dedupContainment(s, d)),
     "dedup_candidate_stats" -> ((s, d) => Dedup.dedupCandidateStats(s, d)),
+    "similarity_cell_stats" -> ((s, d) => Similarity.similarityCellStats(s, d)),
     "dedup_substring_curve" -> ((s, d) => Dedup.substringDfCurve(s, d)),
     "similarity_recall_lshmp" -> ((s, d) =>
       Similarity.similarityRecallLsh(s, d, multiprobe = true)),
@@ -139,7 +140,8 @@ object SparkEntry {
     * names them), so the headline total tracks serving cost.
     */
   val diagnosticQueries: Set[String] =
-    Set("dedup_candidate_stats", "dedup_substring_curve")
+    Set("dedup_candidate_stats", "dedup_substring_curve",
+      "similarity_cell_stats")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -443,6 +445,7 @@ object SparkEntry {
     "similarity_recall"   -> Similarity.similarityRecallOracle(),
     "similarity_recall_lsh" -> Similarity.similarityRecallLshOracle(),
     "similarity_lsh_multiprobe" -> Similarity.similarityLshMultiprobeOracle,
+    "similarity_cell_stats" -> Similarity.similarityCellStatsOracle,
     "pii_scrub"           -> Scrub.piiScrubOracle,
     "dedup_containment"   -> Dedup.dedupContainmentOracle,
     "dedup_candidate_stats" -> Dedup.dedupCandidateStatsOracle(),

@@ -437,8 +437,10 @@ object Similarity {
     * item_rank unrolled-iteration idiom), then the standard IVF
     * rankedcells/probe/top-k tail runs against the trained table.
     */
-  lazy val similarityIvfTrainedOracle: String = {
-    def round(r: Int, prev: String): String =
+  /** One unrolled Lloyd round as a DuckDB CTE block (`a$r` assign →
+    * `s$r` micro-unit sums → `m$r` means → `c$r`/`c${r}n` new centroid
+    * table) — shared by the trained-IVF and cell-stats oracles. */
+  private def lloydRoundCte(r: Int, prev: String): String =
       s"""a$r AS (
          |  SELECT vec_id, v, cell FROM (
          |    SELECT n.vec_id, n.v, c.cent_id AS cell,
@@ -466,13 +468,15 @@ object Similarity {
          |         sqrt(${dotDuck("centv", "centv", s"cn$r")}) AS centn
          |  FROM c$r
          |)""".stripMargin
+
+  lazy val similarityIvfTrainedOracle: String = {
     s"""WITH $geomCte, e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
        |), c0 AS (
        |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < $gC
-       |), ${round(1, "c0")}, ${round(2, "c1n")}, scored AS (
+       |), ${lloydRoundCte(1, "c0")}, ${lloydRoundCte(2, "c1n")}, scored AS (
        |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
        |         ${dotDuck("n.v", "c.centv", "a")} / (n.nrm * c.centn) AS csim
        |  FROM n CROSS JOIN c2n c
@@ -498,6 +502,82 @@ object Similarity {
        |)
        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Cell-occupancy balance telemetry for the IVF index — the ANN
+    * analog of [[Dedup.dedupCandidateStats]]: one row per index
+    * variant (seeded first-C vs k-means-trained), with the occupancy
+    * distribution of the C cells. At 100 TB occupancy balance IS the
+    * cost model — probe cost ≈ Σ occupancy over probed cells, so a
+    * hot cell (occ ≫ n/C) concentrates compute and skew risk, and the
+    * seeded→trained delta in `occ_max`/`hot_cells` is the measured
+    * justification for the train() step the serving index takes. All
+    * columns integer-exact except `occ_avg` (one fixed n/C division);
+    * `hot_cells` counts cells above 2·⌊n/C⌋.
+    */
+  def similarityCellStats(spark: SparkSession, sfDir: String,
+                          nCentroids: Int = -1, rounds: Int = 2): DataFrame = {
+    import spark.implicits._
+    val n = nVecs(spark, sfDir)
+    val c = if (nCentroids > 0) nCentroids else autoCentroids(n)
+    val hotT = 2L * (n / c)
+    val e = vectors(spark, sfDir)
+    def statsOf(label: String, cent: DataFrame): DataFrame =
+      ivfRankedFrom(e, cent, 1)
+        .groupBy($"cell").agg(count(lit(1)).as("occ"))
+        .agg(count(lit(1)).as("cells_used"), sum($"occ").as("n_assigned"),
+          min($"occ").as("occ_min"), max($"occ").as("occ_max"),
+          sum(when($"occ" > hotT, 1L).otherwise(0L)).as("hot_cells"))
+        .selectExpr(s"'$label' as index_variant", s"cast($c as int) as n_cells",
+          "cells_used", "n_assigned", "occ_min", "occ_max",
+          s"cast(n_assigned as double) / $c as occ_avg", "hot_cells")
+    statsOf("ivf_seeded",
+        e.where($"vec_id" < c)
+          .select($"vec_id".as("cent_id"), $"v".as("centv"), $"nrm".as("centn")))
+      .unionAll(statsOf("ivf_trained", trainedCentroids(spark, sfDir, c, rounds)))
+      .orderBy($"index_variant")
+  }
+
+  /** DuckDB replay of [[similarityCellStats]] — seeded assignment +
+    * the shared 2-round Lloyd chain, occupancy aggregated per cell;
+    * geometry and the hot threshold derive from the corpus. */
+  lazy val similarityCellStatsOracle: String = {
+    def occCte(name: String, cents: String, sfx: String): String =
+      s"""$name AS (
+         |  SELECT cell, count(*) AS occ FROM (
+         |    SELECT vec_id, cent_id AS cell FROM (
+         |      SELECT n.vec_id, c.cent_id,
+         |             row_number() OVER (PARTITION BY n.vec_id
+         |               ORDER BY ${dotDuck("n.v", "c.centv", sfx)} / (n.nrm * c.centn)
+         |                 DESC, c.cent_id ASC) AS crk
+         |      FROM n CROSS JOIN $cents c
+         |    ) WHERE crk = 1
+         |  ) GROUP BY cell
+         |)""".stripMargin
+    val hotT = s"2 * ((SELECT count(*) FROM embeddings) // $gC)"
+    def statsRow(label: String, occ: String): String =
+      s"""SELECT '$label' AS index_variant, CAST($gC AS INT) AS n_cells,
+         |       CAST(count(*) AS BIGINT) AS cells_used,
+         |       CAST(sum(occ) AS BIGINT) AS n_assigned,
+         |       CAST(min(occ) AS BIGINT) AS occ_min,
+         |       CAST(max(occ) AS BIGINT) AS occ_max,
+         |       CAST(CAST(sum(occ) AS BIGINT) AS DOUBLE) / $gC AS occ_avg,
+         |       CAST(sum(CASE WHEN occ > $hotT THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS hot_cells
+         |FROM $occ""".stripMargin
+    s"""WITH $geomCte, e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), c0 AS (
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < $gC
+       |), ${lloydRoundCte(1, "c0")}, ${lloydRoundCte(2, "c1n")},
+       |${occCte("occs", "c0", "os")},
+       |${occCte("occt", "c2n", "ot")}
+       |${statsRow("ivf_seeded", "occs")}
+       |UNION ALL
+       |${statsRow("ivf_trained", "occt")}
+       |ORDER BY index_variant""".stripMargin
   }
 
   // --------------------------------------------- int8 scalar quantization
