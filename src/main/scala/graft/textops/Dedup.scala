@@ -416,6 +416,82 @@ object Dedup {
        |WHERE t.is_new ORDER BY t.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- span-level dedup
+
+  /** Corpus-wide SPAN dedup with document reassembly — the C4/CCNet
+    * sub-document stage doc-level dedup can't express: C4 discards any
+    * three-sentence span seen before anywhere in the corpus and keeps
+    * the REST of the document (Raffel et al. '20 §2.2; CCNet does the
+    * same at paragraph grain). Here the unit is a fixed `span`-token
+    * window (the synthetic corpus has no sentence boundaries), split
+    * non-overlapping per doc; the FIRST occurrence corpus-wide (min
+    * (doc_id, span_idx)) survives, later copies are dropped, and each
+    * doc re-joins its kept spans in order. Output per doc: the cleaned
+    * text, total spans, spans dropped.
+    *
+    * Scale shape: explode to spans is narrow (tokens/span rows); the
+    * keep-first verdict is ONE rank window hash-partitioned by span
+    * text — the same shuffle an exact-dedup groupBy pays, never a
+    * pairwise join; reassembly is one per-doc aggregate. A corpus-wide
+    * boilerplate span is exactly ONE hot group in the rank window —
+    * agg-only, no expansion, so the operator is skew-immune by shape
+    * (the window state per group is O(1); contrast the pair tiers,
+    * which need the df caps above).
+    */
+  def spanDedup(spark: SparkSession, sfDir: String, span: Int = 20): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "split(text, ' ') as toks")
+      .selectExpr("doc_id",
+        s"""posexplode(transform(
+           |  sequence(0, cast(ceil(size(toks) / ${span}.0) as int) - 1),
+           |  si -> array_join(slice(toks, si * $span + 1, $span), ' ')))
+           |  as (span_idx, span_text)""".stripMargin)
+    spans
+      .withColumn("keep", row_number().over(
+        Window.partitionBy($"span_text")
+          .orderBy($"doc_id", $"span_idx")) === 1)
+      .groupBy($"doc_id")
+      .agg(
+        // collect_list skips the nulls the case-when leaves for
+        // dropped spans; the struct sort restores document order
+        array_join(expr(
+          """transform(array_sort(collect_list(
+            |  case when keep then struct(span_idx, span_text) end)),
+            |  s -> s.span_text)""".stripMargin), " ").as("clean_text"),
+        count(lit(1)).as("n_spans"),
+        sum(when($"keep", 0L).otherwise(1L)).as("n_dropped"))
+      .select($"doc_id", $"clean_text", $"n_spans", $"n_dropped")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB replay of [[spanDedup]] — same split/keep-first/reassemble
+    * pipeline; `list(...) FILTER` mirrors collect_list's null-skip. */
+  def spanDedupOracle(span: Int = 20): String =
+    s"""WITH stoks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), sspans AS (
+       |  SELECT doc_id, CAST(si AS INT) AS span_idx,
+       |         array_to_string(toks[CAST(si * $span + 1 AS BIGINT) :
+       |                              CAST(si * $span + $span AS BIGINT)], ' ')
+       |           AS span_text
+       |  FROM (SELECT doc_id, toks,
+       |               unnest(range(CAST(ceil(len(toks) / ${span}.0) AS BIGINT))) AS si
+       |        FROM stoks)
+       |), skeep AS (
+       |  SELECT doc_id, span_idx, span_text,
+       |         row_number() OVER (PARTITION BY span_text
+       |                            ORDER BY doc_id, span_idx) = 1 AS keep
+       |  FROM sspans
+       |)
+       |SELECT doc_id,
+       |       COALESCE(array_to_string(
+       |         list(span_text ORDER BY span_idx) FILTER (WHERE keep), ' '),
+       |         '') AS clean_text,
+       |       count(*) AS n_spans,
+       |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+       |FROM skeep GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- near-dup clustering
 
   /** Reusable connected components over an arbitrary undirected pair

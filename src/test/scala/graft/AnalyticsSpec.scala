@@ -439,6 +439,49 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(prep.count() > 0)
   }
 
+  test("span_dedup: keep-first per distinct span, documents reassemble in order") {
+    // controlled corpus, span=3: doc 1 is the original; doc 2 repeats
+    // doc 1's first span then adds its own; doc 3 repeats one of its
+    // OWN spans (intra-doc dup — second copy must drop too)
+    val docs = Seq(
+      (1L, "a b c d e f"),            // spans: [a b c] [d e f]
+      (2L, "a b c x y z"),            // [a b c] (dup of doc1) [x y z]
+      (3L, "p q r p q r"),            // [p q r] [p q r] — self-dup
+      (4L, "unique words only here")) // [unique words only] [here]
+    val dir = java.nio.file.Files.createTempDirectory("graft_span").toString
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' as lang", "'test' as source",
+        "cast(length(text) as long) as n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.spanDedup(spark, dir, span = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def row(id: Long) = out(id)
+    assert(row(1L) == ("a b c d e f", 2L, 0L))
+    assert(row(2L) == ("x y z", 2L, 1L))
+    assert(row(3L) == ("p q r", 2L, 1L))
+    assert(row(4L) == ("unique words only here", 2L, 0L))
+
+    // corpus invariants at the sf tier: kept spans == distinct spans
+    // (keep-first keeps exactly one copy of each), and untouched docs
+    // reassemble to their original text verbatim
+    val sfOut = Dedup.spanDedup(spark, sf).cache()
+    val kept = sfOut.agg(sum($"n_spans" - $"n_dropped")).head.getLong(0)
+    val distinctSpans = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "split(text, ' ') as toks")
+      .selectExpr(
+        """explode(transform(
+          |  sequence(0, cast(ceil(size(toks) / 20.0) as int) - 1),
+          |  si -> array_join(slice(toks, si * 20 + 1, 20), ' '))) as s""".stripMargin)
+      .distinct().count()
+    assert(kept == distinctSpans)
+    val untouched = sfOut.where($"n_dropped" === 0)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .where($"clean_text" =!= $"text")
+    assert(untouched.isEmpty)
+    sfOut.unpersist()
+  }
+
   test("dedup pairs are strictly ordered (doc1 < doc2), no self-pairs") {
     for (df <- Seq(Dedup.minhashLsh(spark, sf), Dedup.simhashDedup(spark, sf),
                    Dedup.ngramJaccard(spark, sf))) {
