@@ -69,6 +69,7 @@ object SparkEntry {
     "item_rank"           -> ((s, d) => GraphAnalytics.itemRank(s, d)),
     "dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
     "span_dedup"        -> ((s, d) => Dedup.spanDedup(s, d)),
+    "span_dedup_incremental" -> ((s, d) => Dedup.spanDedupIncremental(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_minhash_lsh_capped" -> ((s, d) => Dedup.minhashLshCapped(s, d)),
     "minhash_error"     -> ((s, d) => Dedup.minhashError(s, d)),
@@ -421,6 +422,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "dedup_exact"         -> Dedup.dedupExactOracle,
     "span_dedup"          -> Dedup.spanDedupOracle(),
+    "span_dedup_incremental" -> Dedup.spanDedupIncrementalOracle(),
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
     "dedup_minhash_lsh_capped" -> Dedup.minhashLshCappedOracle,
     "minhash_error"       -> Dedup.minhashErrorOracle,

@@ -438,19 +438,21 @@ object Dedup {
     * (the window state per group is O(1); contrast the pair tiers,
     * which need the df caps above).
     */
-  def spanDedup(spark: SparkSession, sfDir: String, span: Int = 20): DataFrame = {
-    import spark.implicits._
-    val spans = Tables.documents(spark, sfDir)
-      .selectExpr("doc_id", "split(text, ' ') as toks")
-      .selectExpr("doc_id",
+  /** Explode `(doc_id, text, …)` docs to one row per non-overlapping
+    * `span`-token window: (carry cols…, doc_id, span_idx, span_text). */
+  private[graft] def docSpans(docs: DataFrame, span: Int): DataFrame =
+    docs.selectExpr((docs.columns.filter(_ != "text") :+ "split(text, ' ') as toks"): _*)
+      .selectExpr((docs.columns.filter(_ != "text") :+
         s"""posexplode(transform(
            |  sequence(0, cast(ceil(size(toks) / ${span}.0) as int) - 1),
            |  si -> array_join(slice(toks, si * $span + 1, $span), ' ')))
-           |  as (span_idx, span_text)""".stripMargin)
-    spans
-      .withColumn("keep", row_number().over(
-        Window.partitionBy($"span_text")
-          .orderBy($"doc_id", $"span_idx")) === 1)
+           |  as (span_idx, span_text)""".stripMargin): _*)
+
+  /** Reassemble per-doc cleaned text from span rows carrying a `keep`
+    * flag: (doc_id, clean_text, n_spans, n_dropped), ordered. */
+  private def reassembleSpans(flagged: DataFrame): DataFrame = {
+    import flagged.sparkSession.implicits._
+    flagged
       .groupBy($"doc_id")
       .agg(
         // collect_list skips the nulls the case-when leaves for
@@ -463,6 +465,57 @@ object Dedup {
         sum(when($"keep", 0L).otherwise(1L)).as("n_dropped"))
       .select($"doc_id", $"clean_text", $"n_spans", $"n_dropped")
       .orderBy($"doc_id")
+  }
+
+  def spanDedup(spark: SparkSession, sfDir: String, span: Int = 20): DataFrame = {
+    import spark.implicits._
+    val spans = docSpans(
+      Tables.documents(spark, sfDir).select($"doc_id", $"text"), span)
+    reassembleSpans(spans.withColumn("keep", row_number().over(
+      Window.partitionBy($"span_text")
+        .orderBy($"doc_id", $"span_idx")) === 1))
+  }
+
+  /** Incremental span dedup — the rolling-corpus form of [[spanDedup]]
+    * (same arrival convention as [[dedupIncremental]]): the 1-in-10
+    * IncrNewGate slice plays "today's batch"; a new doc's span is kept
+    * iff its text never occurred in the base corpus AND no earlier
+    * batch span (smaller (doc_id, span_idx)) has it. Under doc_id =
+    * arrival order this reproduces exactly what a day-by-day
+    * [[spanDedup]] replay would keep — the property the streaming form
+    * ([[graft.textops.Pipelines.spanDedupStream]]) pins in its spec.
+    *
+    * Scale shape: the base side reduces to DISTINCT span texts (the
+    * stored `span_index` snapshot in production); the batch probes it
+    * with one hash equi-join — |batch|-proportional, the base is never
+    * rescanned per doc — plus the same one rank window batch-side.
+    */
+  def spanDedupIncremental(spark: SparkSession, sfDir: String,
+                           span: Int = 20): DataFrame = {
+    import spark.implicits._
+    val tagged = docSpans(
+      Tables.documents(spark, sfDir)
+        .select($"doc_id", $"text", expr(IncrNewGate).as("is_new")), span)
+    spanVerdicts(tagged.where($"is_new").drop("is_new"),
+      tagged.where(!$"is_new").select($"span_text"))
+  }
+
+  /** Judge batch spans against a base span-text relation (need not be
+    * distinct — the probe is null-safe via a distinct'd join side) and
+    * reassemble. Shared by the live query and the served/streaming
+    * forms. */
+  private[graft] def spanVerdicts(newSpans: DataFrame,
+                                  baseSpanTexts: DataFrame): DataFrame = {
+    import newSpans.sparkSession.implicits._
+    val base = baseSpanTexts.select($"span_text").distinct()
+      .withColumn("in_base", lit(true))
+    reassembleSpans(newSpans
+      .withColumn("first_in_batch", row_number().over(
+        Window.partitionBy($"span_text")
+          .orderBy($"doc_id", $"span_idx")) === 1)
+      .join(base, Seq("span_text"), "left")
+      .withColumn("keep", $"first_in_batch" && $"in_base".isNull)
+      .drop("first_in_batch", "in_base"))
   }
 
   /** DuckDB replay of [[spanDedup]] — same split/keep-first/reassemble
@@ -483,6 +536,41 @@ object Dedup {
        |         row_number() OVER (PARTITION BY span_text
        |                            ORDER BY doc_id, span_idx) = 1 AS keep
        |  FROM sspans
+       |)
+       |SELECT doc_id,
+       |       COALESCE(array_to_string(
+       |         list(span_text ORDER BY span_idx) FILTER (WHERE keep), ' '),
+       |         '') AS clean_text,
+       |       count(*) AS n_spans,
+       |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+       |FROM skeep GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replay of [[spanDedupIncremental]]: base = distinct span
+    * texts of the non-gated docs; keep = first-in-batch AND not in
+    * base; same reassembly. */
+  def spanDedupIncrementalOracle(span: Int = 20): String =
+    s"""WITH stoks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |         ${phDuck("CAST(doc_id AS VARCHAR) || '-incr'", "inc", 37)} % 10 = 0
+       |           AS is_new
+       |  FROM documents
+       |), sspans AS (
+       |  SELECT doc_id, is_new, CAST(si AS INT) AS span_idx,
+       |         array_to_string(toks[CAST(si * $span + 1 AS BIGINT) :
+       |                              CAST(si * $span + $span AS BIGINT)], ' ')
+       |           AS span_text
+       |  FROM (SELECT doc_id, is_new, toks,
+       |               unnest(range(CAST(ceil(len(toks) / ${span}.0) AS BIGINT))) AS si
+       |        FROM stoks)
+       |), basespans AS (
+       |  SELECT DISTINCT span_text FROM sspans WHERE NOT is_new
+       |), skeep AS (
+       |  SELECT n.doc_id, n.span_idx, n.span_text,
+       |         (row_number() OVER (PARTITION BY n.span_text
+       |                             ORDER BY n.doc_id, n.span_idx) = 1
+       |          AND b.span_text IS NULL) AS keep
+       |  FROM (SELECT * FROM sspans WHERE is_new) n
+       |  LEFT JOIN basespans b ON n.span_text = b.span_text
        |)
        |SELECT doc_id,
        |       COALESCE(array_to_string(

@@ -42,6 +42,10 @@ import org.apache.spark.sql.functions._
   *     with signatures in-bucket, **partitioned by `pb`** (band-hash
   *     prefix): the serving index for [[dedupIncrementalFrom]] — a
   *     daily batch probes only the partitions its own bands touch.
+  *   - `span_index/` — the base corpus's distinct span texts,
+  *     **partitioned by `ps`** (span-hash prefix): the serving index
+  *     for the C4 span-dedup loop ([[spanDedupIncrementalFrom]] and
+  *     [[spanDedupStream]]).
   *
   * Pairs are doc-id edges (~16 bytes/row) and clusters one row per
   * doc — both tiny next to the corpus, so the snapshot is cheap to
@@ -88,6 +92,12 @@ object Pipelines {
       Dedup.minhashBuckets(spark, sfDir).where(!col("is_new"))
         .withColumn("pb", pmod(col("band_hash"), lit(BucketPartitions))),
       s"$outDir/minhash_buckets", Seq("pb"))
+    // distinct span texts of the base corpus — the span-dedup loop's
+    // serving index ([[spanDedupIncrementalFrom]] / [[spanDedupStream]])
+    ParquetSink.writePartitioned(
+      spanIndexRows(Tables.documents(spark, sfDir)
+        .where(!expr(Dedup.IncrNewGate)).select(col("doc_id"), col("text")), 20),
+      s"$outDir/span_index", Seq("ps"))
   }
 
   /** Band-hash-prefix partition count for the bucket snapshot. 32 is
@@ -170,6 +180,70 @@ object Pipelines {
           .partitionBy("batch_id").parquet(verdictDir)
         ParquetSink.writePartitioned(bands.withColumn("is_new", lit(false)),
           s"$outDir/minhash_buckets", Seq("pb"), mode = "append")
+      }
+
+  // ---------------------------------------------------- span dedup loop
+
+  /** Distinct span texts of a doc frame, with the `ps` hash-prefix
+    * partition key the stored index uses. */
+  private def spanIndexRows(docs: DataFrame, span: Int): DataFrame =
+    Dedup.docSpans(docs, span)
+      .select(col("span_text")).distinct()
+      .withColumn("ps", pmod(hash(col("span_text")), lit(BucketPartitions)))
+
+  /** Stored span index, or an empty same-schema frame when the
+    * snapshot doesn't exist yet — a crawl loop must be able to start
+    * from day zero (Hadoop FS probe, not java.io: the snapshot root
+    * can be HDFS/S3). */
+  private def readSpanIndex(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/span_index")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(p.toString).select($"span_text")
+    else Seq.empty[String].toDF("span_text")
+  }
+
+  /** [[Dedup.spanDedupIncremental]] served from the snapshot: the
+    * batch explodes its own spans live (narrow), probes the STORED
+    * distinct-span index, reassembles. Row-identical to the live query
+    * (PipelinesSpec pins it). */
+  def spanDedupIncrementalFrom(spark: SparkSession, sfDir: String,
+                               outDir: String, span: Int = 20): DataFrame = {
+    import spark.implicits._
+    val batch = Tables.documents(spark, sfDir)
+      .where(expr(Dedup.IncrNewGate)).select($"doc_id", $"text")
+    Dedup.spanVerdicts(Dedup.docSpans(batch, span),
+      readSpanIndex(spark, outDir))
+  }
+
+  /** The C4 span-dedup stage AS A STREAM — the crawl loop for
+    * sub-document dedup: each micro-batch of `(doc_id, text)` docs is
+    * judged against the stored span index (keep-first inside the
+    * batch, drop if ever seen before), cleaned docs land in `cleanDir`
+    * partitioned by `batch_id`, and the batch's distinct span texts
+    * append to the index so the NEXT batch sees them. Because the keep
+    * rule is first-occurrence, an arrival-ordered replay produces
+    * EXACTLY the one-shot [[Dedup.spanDedup]] output — pinned by
+    * PipelinesSpec. Retry semantics: verdicts rewrite their own
+    * `batch_id` partition (dynamic overwrite); a double-appended index
+    * row is harmless — the probe side distincts.
+    */
+  def spanDedupStream(docs: DataFrame, outDir: String, cleanDir: String,
+                      span: Int = 20) =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val spans = Dedup.docSpans(
+          batch.select(col("doc_id"), col("text")), span).localCheckpoint()
+        Dedup.spanVerdicts(spans, readSpanIndex(spark, outDir))
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(cleanDir)
+        ParquetSink.writePartitioned(
+          spans.select(col("span_text")).distinct()
+            .withColumn("ps", pmod(hash(col("span_text")), lit(BucketPartitions))),
+          s"$outDir/span_index", Seq("ps"), mode = "append")
       }
 
   /** Materialized near-dup edges for the given evidence tiers.

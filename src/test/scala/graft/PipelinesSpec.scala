@@ -60,6 +60,10 @@ class PipelinesSpec extends AnyFunSuite {
     // replay the live query row-for-row (same verdicts, same keepers)
     assert(rows(Pipelines.dedupIncrementalFrom(spark, sf, dir)) ==
       rows(Dedup.dedupIncremental(spark, sf)))
+
+    // span-dedup loop: stored span index probe == live incremental query
+    assert(rows(Pipelines.spanDedupIncrementalFrom(spark, sf, dir)) ==
+      rows(Dedup.spanDedupIncremental(spark, sf)))
   }
 
   test("materialized ANN index: stored probe == live similarity_ivf; external queries work") {

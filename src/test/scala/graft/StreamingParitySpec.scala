@@ -708,6 +708,32 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("spanDedupStream: micro-batched crawl from day zero == one-shot span_dedup") {
+    implicit val ctx = spark.sqlContext
+    import graft.textops.{Dedup, Pipelines}
+    // fresh dir, NO materialize: the loop must start from an empty
+    // index (day-zero crawl), and an arrival-ordered replay must then
+    // reproduce the one-shot keep-first output exactly
+    val dir = java.nio.file.Files.createTempDirectory("graftspanidx").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = Pipelines.spanDedupStream(
+      ms.toDF().toDF("doc_id", "text"), dir, s"$dir/clean").start()
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+        .sortBy(_._1).toSeq
+      docs.grouped(math.max(docs.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val cols = Seq("doc_id", "clean_text", "n_spans", "n_dropped")
+      val got = spark.read.parquet(s"$dir/clean").selectExpr(cols: _*)
+        .as[(Long, String, Long, Long)].collect().toSet
+      val want = Dedup.spanDedup(spark, sf).selectExpr(cols: _*)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        "continuous span dedup diverged from the one-shot replay")
+    } finally q.stop()
+  }
+
   test("annSearchStream: streamed query batches == batch annSearchFrom == live IVF") {
     implicit val ctx = spark.sqlContext
     import graft.textops.{Pipelines, Similarity}
