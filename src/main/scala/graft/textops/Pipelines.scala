@@ -88,15 +88,20 @@ object Pipelines {
     // partitioned by a band-hash prefix: a daily batch's probe join
     // touches only the pb partitions its own bands hash into —
     // directory pruning, not a full-index scan
+    // batch_id = -1 marks snapshot-time rows: every streamed batch id
+    // is ≥ 0, so the `batch_id < id` replay guard always admits the
+    // base (see the stream docstrings for why the guard exists)
     ParquetSink.writePartitioned(
       Dedup.minhashBuckets(spark, sfDir).where(!col("is_new"))
+        .withColumn("batch_id", lit(-1L))
         .withColumn("pb", pmod(col("band_hash"), lit(BucketPartitions))),
       s"$outDir/minhash_buckets", Seq("pb"))
     // distinct span texts of the base corpus — the span-dedup loop's
     // serving index ([[spanDedupIncrementalFrom]] / [[spanDedupStream]])
     ParquetSink.writePartitioned(
       spanIndexRows(Tables.documents(spark, sfDir)
-        .where(!expr(Dedup.IncrNewGate)).select(col("doc_id"), col("text")), 20),
+        .where(!expr(Dedup.IncrNewGate)).select(col("doc_id"), col("text")), 20)
+        .withColumn("batch_id", lit(-1L)),
       s"$outDir/span_index", Seq("ps"))
   }
 
@@ -138,10 +143,11 @@ object Pipelines {
     * storage, ingest it, judge tomorrow's.
     */
   def ingestBatch(spark: SparkSession, sfDir: String, outDir: String,
-                  bandPred: String = "is_new"): Unit = {
+                  bandPred: String = "is_new", batchId: Long = -1L): Unit = {
     import spark.implicits._
     val batch = Dedup.minhashBuckets(spark, sfDir).where(expr(bandPred))
       .withColumn("is_new", lit(false))
+      .withColumn("batch_id", lit(batchId))
       .withColumn("pb", pmod($"band_hash", lit(BucketPartitions)))
     ParquetSink.writePartitioned(batch, s"$outDir/minhash_buckets",
       Seq("pb"), mode = "append")
@@ -154,33 +160,48 @@ object Pipelines {
     * batch's band rows are ingested so the NEXT micro-batch sees this
     * one as corpus — [[ingestBatch]] applied continuously.
     *
-    * Retry semantics: verdicts are written with dynamic partition
-    * overwrite on `batch_id`, so a replayed micro-batch rewrites its
-    * own partition (idempotent). The index append is NOT deduplicated
-    * on replay — but duplicate band rows cannot change any verdict:
-    * candidate pairs pass through a `distinct()` before the verify,
-    * so a double-ingested row only re-proposes the same pair.
+    * Retry semantics — EXACT, not just harmless: verdicts rewrite
+    * their own `batch_id` partition (dynamic overwrite), and the index
+    * probe reads only rows with `batch_id < id` (snapshot rows carry
+    * −1). Without that guard, a crash between the index append and the
+    * offset commit would make the REPLAYED batch see its own rows as
+    * base — a batch-internal near-dup pair (a < b) would then mark a
+    * dup_of b as well as b dup_of a, silently dropping both. With it,
+    * a replay judges against exactly the pre-crash view, so the
+    * rewritten partition is bit-identical (pinned by PipelinesSpec's
+    * double-run replay test).
     */
   def dedupIncrementalStream(docs: DataFrame, outDir: String,
                              verdictDir: String) =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spark = batch.sparkSession
-        val bands = Dedup.minhashBucketsFrom(
-            batch.withColumn("is_new", lit(true)))
-          .withColumn("pb", pmod(col("band_hash"), lit(BucketPartitions)))
-          .localCheckpoint()
-        val base = spark.read.parquet(s"$outDir/minhash_buckets")
-        val ySide = base.select(bands.columns.map(col): _*).union(bands)
-        Dedup.incrementalVerdictsFrom(batch.select(col("doc_id")), bands,
-            ySide, keys = Seq("pb", "band_idx", "band_hash"))
-          .withColumn("batch_id", lit(id))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(verdictDir)
-        ParquetSink.writePartitioned(bands.withColumn("is_new", lit(false)),
-          s"$outDir/minhash_buckets", Seq("pb"), mode = "append")
+        dedupIncrementalBatch(batch, id, outDir, verdictDir)
       }
+
+  /** One micro-batch of the crawl loop — judge then ingest (exposed
+    * for the replay-idempotency spec; the stream calls exactly this).
+    */
+  private[graft] def dedupIncrementalBatch(batch: DataFrame, id: Long,
+                                           outDir: String,
+                                           verdictDir: String): Unit = {
+    val spark = batch.sparkSession
+    val bands = Dedup.minhashBucketsFrom(
+        batch.withColumn("is_new", lit(true)))
+      .withColumn("pb", pmod(col("band_hash"), lit(BucketPartitions)))
+      .localCheckpoint()
+    val base = spark.read.parquet(s"$outDir/minhash_buckets")
+      .where(col("batch_id") < id)
+    val ySide = base.select(bands.columns.map(col): _*).union(bands)
+    Dedup.incrementalVerdictsFrom(batch.select(col("doc_id")), bands,
+        ySide, keys = Seq("pb", "band_idx", "band_hash"))
+      .withColumn("batch_id", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(verdictDir)
+    ParquetSink.writePartitioned(
+      bands.withColumn("is_new", lit(false)).withColumn("batch_id", lit(id)),
+      s"$outDir/minhash_buckets", Seq("pb"), mode = "append")
+  }
 
   // ---------------------------------------------------- span dedup loop
 
@@ -191,15 +212,19 @@ object Pipelines {
       .select(col("span_text")).distinct()
       .withColumn("ps", pmod(hash(col("span_text")), lit(BucketPartitions)))
 
-  /** Stored span index, or an empty same-schema frame when the
-    * snapshot doesn't exist yet — a crawl loop must be able to start
-    * from day zero (Hadoop FS probe, not java.io: the snapshot root
-    * can be HDFS/S3). */
-  private def readSpanIndex(spark: SparkSession, outDir: String): DataFrame = {
+  /** Stored span index (rows with `batch_id < beforeBatch` only — the
+    * stream's replay guard; snapshot rows carry −1), or an empty
+    * same-schema frame when the snapshot doesn't exist yet — a crawl
+    * loop must be able to start from day zero (Hadoop FS probe, not
+    * java.io: the snapshot root can be HDFS/S3). */
+  private def readSpanIndex(spark: SparkSession, outDir: String,
+                            beforeBatch: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(s"$outDir/span_index")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) spark.read.parquet(p.toString).select($"span_text")
+    if (fs.exists(p))
+      spark.read.parquet(p.toString)
+        .where($"batch_id" < beforeBatch).select($"span_text")
     else Seq.empty[String].toDF("span_text")
   }
 
@@ -224,27 +249,43 @@ object Pipelines {
     * append to the index so the NEXT batch sees them. Because the keep
     * rule is first-occurrence, an arrival-ordered replay produces
     * EXACTLY the one-shot [[Dedup.spanDedup]] output — pinned by
-    * PipelinesSpec. Retry semantics: verdicts rewrite their own
-    * `batch_id` partition (dynamic overwrite); a double-appended index
+    * StreamingParitySpec. Retry semantics — EXACT: cleaned docs
+    * rewrite their own `batch_id` partition (dynamic overwrite), and
+    * the index probe reads only `batch_id < id` rows. The guard is
+    * load-bearing here: without it, a crash between the index append
+    * and the offset commit would make the replayed batch find ALL of
+    * its own spans in the index and emit every document empty. With
+    * it, a replay judges against the exact pre-crash view (pinned by
+    * PipelinesSpec's double-run replay test); a double-appended index
     * row is harmless — the probe side distincts.
     */
   def spanDedupStream(docs: DataFrame, outDir: String, cleanDir: String,
                       span: Int = 20) =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spark = batch.sparkSession
-        val spans = Dedup.docSpans(
-          batch.select(col("doc_id"), col("text")), span).localCheckpoint()
-        Dedup.spanVerdicts(spans, readSpanIndex(spark, outDir))
-          .withColumn("batch_id", lit(id))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(cleanDir)
-        ParquetSink.writePartitioned(
-          spans.select(col("span_text")).distinct()
-            .withColumn("ps", pmod(hash(col("span_text")), lit(BucketPartitions))),
-          s"$outDir/span_index", Seq("ps"), mode = "append")
+        spanDedupBatch(batch, id, outDir, cleanDir, span)
       }
+
+  /** One micro-batch of the span-dedup loop — judge then ingest
+    * (exposed for the replay-idempotency spec; the stream calls
+    * exactly this). */
+  private[graft] def spanDedupBatch(batch: DataFrame, id: Long,
+                                    outDir: String, cleanDir: String,
+                                    span: Int = 20): Unit = {
+    val spark = batch.sparkSession
+    val spans = Dedup.docSpans(
+      batch.select(col("doc_id"), col("text")), span).localCheckpoint()
+    Dedup.spanVerdicts(spans, readSpanIndex(spark, outDir, beforeBatch = id))
+      .withColumn("batch_id", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(cleanDir)
+    ParquetSink.writePartitioned(
+      spans.select(col("span_text")).distinct()
+        .withColumn("ps", pmod(hash(col("span_text")), lit(BucketPartitions)))
+        .withColumn("batch_id", lit(id)),
+      s"$outDir/span_index", Seq("ps"), mode = "append")
+  }
 
   /** Materialized near-dup edges for the given evidence tiers.
     * `tier` is the partition column, so the filter prunes whole

@@ -2,6 +2,7 @@ package graft
 
 import graft.textops.{Dedup, Pipelines, Sampling}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.expr
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Materialized-pipeline mode: the snapshot written once by
@@ -64,6 +65,49 @@ class PipelinesSpec extends AnyFunSuite {
     // span-dedup loop: stored span index probe == live incremental query
     assert(rows(Pipelines.spanDedupIncrementalFrom(spark, sf, dir)) ==
       rows(Dedup.spanDedupIncremental(spark, sf)))
+  }
+
+  test("crawl-loop replay: re-running an uncommitted micro-batch rewrites identical output") {
+    // the crash-replay path, driven directly: a batch whose index
+    // append landed but whose offset never committed gets re-run with
+    // the same id. The batch_id < id probe guard must make the rerun
+    // judge against the exact pre-crash view — without it the replayed
+    // span batch finds its own spans in the index and empties every
+    // document, and a minhash batch can flip keep-first verdicts.
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    def df(rs: Seq[(Long, String)]) = rs.toDF("doc_id", "text")
+
+    val sdir = java.nio.file.Files.createTempDirectory("graftspanrep").toString
+    val (b0, b1) = docs.splitAt(docs.size / 2)
+    Pipelines.spanDedupBatch(df(b0), 0, sdir, s"$sdir/clean")
+    Pipelines.spanDedupBatch(df(b0), 0, sdir, s"$sdir/clean") // replay
+    Pipelines.spanDedupBatch(df(b1), 1, sdir, s"$sdir/clean")
+    val gotSpan = spark.read.parquet(s"$sdir/clean")
+      .select($"doc_id", $"clean_text", $"n_spans", $"n_dropped")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val wantSpan = Dedup.spanDedup(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(wantSpan.nonEmpty && gotSpan == wantSpan,
+      "span replay diverged from the one-shot output")
+
+    val mdir = java.nio.file.Files.createTempDirectory("graftmhrep").toString
+    Pipelines.materialize(spark, sf, mdir)
+    val newDocs = Tables.documents(spark, sf).where(expr(
+        "poly_hash37(concat(cast(doc_id as string), '-incr')) % 10 = 0"))
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .sortBy(_._1).toSeq
+    val (n0, n1) = newDocs.splitAt(newDocs.size / 2)
+    Pipelines.dedupIncrementalBatch(df(n0), 0, mdir, s"$mdir/verdicts")
+    Pipelines.dedupIncrementalBatch(df(n0), 0, mdir, s"$mdir/verdicts") // replay
+    Pipelines.dedupIncrementalBatch(df(n1), 1, mdir, s"$mdir/verdicts")
+    val cols = Seq("doc_id", "keep", "n_dups", "dup_of", "best_sim")
+    val gotV = spark.read.parquet(s"$mdir/verdicts").selectExpr(cols: _*)
+      .as[(Long, Boolean, Long, Option[Long], Option[Double])].collect().toSet
+    val wantV = Dedup.dedupIncremental(spark, sf).selectExpr(cols: _*)
+      .as[(Long, Boolean, Long, Option[Long], Option[Double])].collect().toSet
+    assert(wantV.nonEmpty && gotV == wantV,
+      "minhash replay diverged from the one-shot verdicts")
   }
 
   test("materialized ANN index: stored probe == live similarity_ivf; external queries work") {
