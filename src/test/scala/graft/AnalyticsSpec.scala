@@ -580,6 +580,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(capped.where($"is_keeper" && $"doc_id" =!= $"cluster_id").isEmpty)
   }
 
+  test("similarity_cell_stats: both variants account for every vector, occupancy bounds hold") {
+    val rows = Similarity.similarityCellStats(spark, sf)
+      .select($"index_variant", $"n_cells", $"cells_used", $"n_assigned",
+        $"occ_min", $"occ_max", $"hot_cells")
+      .as[(String, Int, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq("ivf_seeded", "ivf_trained"))
+    val nVecs = Tables.embeddings(spark, sf).count()
+    for ((variant, nCells, used, assigned, occMin, occMax, hot) <- rows) {
+      assert(assigned == nVecs, s"$variant lost vectors: $assigned != $nVecs")
+      assert(used >= 1 && used <= nCells, s"$variant cells_used $used")
+      assert(occMin >= 1 && occMin <= occMax, s"$variant occ bounds")
+      assert(occMax * used >= assigned, s"$variant max*used < assigned")
+      assert(hot >= 0 && hot <= used, s"$variant hot_cells $hot")
+    }
+  }
+
   test("trained IVF holds recall on clustered embeddings where structure-free can't (mixture law)") {
     // CI pin of the round-9 structured-embedding rehearsal (BASELINE.md):
     // same code, same geometry, two tiny corpora differing ONLY in
