@@ -99,9 +99,14 @@ object SparkEntry {
     "dedup_substring_curve" -> ((s, d) => Dedup.substringDfCurve(s, d)),
     "similarity_recall_lshmp" -> ((s, d) =>
       Similarity.similarityRecallLsh(s, d, multiprobe = true)),
+    "embedding_decontamination" -> ((s, d) =>
+      Similarity.embeddingDecontamination(s, d)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     "embedding_outliers"  -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "text_stats"        -> ((s, d) => TextStats.textStats(s, d)),
+    "text_normalize"    -> ((s, d) => TextStats.textNormalize(s, d)),
+    "ngram_diversity"   -> ((s, d) => TextStats.ngramDiversity(s, d)),
+    "mixture_plan"      -> ((s, d) => Sampling.mixturePlan(s, d)),
     "lang_id"           -> ((s, d) => TextStats.langId(s, d)),
     "lang_id_eval"      -> ((s, d) => TextStats.langIdEval(s, d)),
     "doc_fingerprint"   -> ((s, d) => TextStats.docFingerprint(s, d)),
@@ -455,9 +460,13 @@ object SparkEntry {
     "dedup_candidate_stats" -> Dedup.dedupCandidateStatsOracle(),
     "dedup_substring_curve" -> Dedup.substringDfCurveOracle(),
     "similarity_recall_lshmp" -> Similarity.similarityRecallLshOracle(multiprobe = true),
+    "embedding_decontamination" -> Similarity.embeddingDecontaminationOracle(),
     "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
     "embedding_outliers"  -> Similarity.embeddingOutliersOracle(),
     "text_stats"          -> TextStats.textStatsOracle,
+    "text_normalize"      -> TextStats.textNormalizeOracle,
+    "ngram_diversity"     -> TextStats.ngramDiversityOracle,
+    "mixture_plan"        -> Sampling.mixturePlanOracle,
     "lang_id"             -> TextStats.langIdOracle,
     "lang_id_eval"        -> TextStats.langIdEvalOracle,
     "doc_fingerprint"     -> TextStats.docFingerprintOracle,

@@ -228,6 +228,91 @@ object Sampling {
        |FROM gated g LEFT JOIN kept k ON g.lang = k.lang CROSS JOIN kt
        |ORDER BY g.lang""".stripMargin
 
+  // ── Mixture / epoch planner (per-source token accounting) ──────────
+
+  /** Epochs-per-source mixture plan: count whitespace tokens per
+    * source, weight sources by √tokens (α = 0.5 temperature — the
+    * same flattening [[langRebalance]] applies to languages), and for
+    * a target budget of half the corpus tokens compute how many
+    * EPOCHS of each source the training run should take, capped at
+    * 4.0 epochs (the conventional repetition ceiling before
+    * memorization outweighs the data; a capped source reports its
+    * unmet deficit instead of silently over-sampling).
+    *
+    * This is the planning half of data mixing: `langRebalance`
+    * decides per-document keep probabilities; `mixturePlan` is the
+    * ledger a training-data writer consumes — (source, epochs) pairs
+    * plus the shortfall when a small source cannot fill its target
+    * share. √-weights are computed in integer micro-units (floor ×
+    * 10⁶) so the weight table replays bit-exactly in DuckDB; the
+    * downstream ratios are plain IEEE double ops in identical
+    * textual order in both engines.
+    *
+    * Scale shape: one partial-aggregated token count per source (the
+    * only corpus-width stage — a narrow map + O(sources)-row agg),
+    * then all planning math on the O(sources) table. At 100 TB
+    * nothing but the token count touches the data.
+    */
+  def mixturePlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, sfDir)
+      .selectExpr("source", s"size($tokensSpark) as n_tokens")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("src_tokens"))
+      .withColumn("wq",
+        expr("cast(floor(sqrt(cast(src_tokens as double)) * 1000000) as bigint)"))
+      .localCheckpoint()
+    val totals = counts.agg(
+      sum($"src_tokens").as("corpus_tokens"), sum($"wq").as("total_wq"))
+    counts.crossJoin(broadcast(totals))
+      .selectExpr("source", "n_docs", "src_tokens",
+        "cast(wq as double) / total_wq as w_share",
+        "cast(corpus_tokens div 2 as double) * (cast(wq as double) / total_wq) as target_tokens")
+      .selectExpr("source", "n_docs", "src_tokens", "w_share", "target_tokens",
+        "target_tokens / src_tokens as epochs_raw")
+      .selectExpr("source", "n_docs", "src_tokens", "w_share", "target_tokens",
+        "least(epochs_raw, cast(4.0 as double)) as epochs",
+        "epochs_raw > cast(4.0 as double) as capped",
+        "least(epochs_raw, cast(4.0 as double)) * src_tokens as planned_tokens")
+      .selectExpr("source", "n_docs", "src_tokens", "w_share", "target_tokens",
+        "epochs", "capped", "planned_tokens",
+        "case when capped then target_tokens - planned_tokens " +
+          "else cast(0.0 as double) end as deficit_tokens")
+      .orderBy($"source")
+  }
+
+  val mixturePlanOracle: String =
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(len($tokensDuck)) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY 1
+       |), w AS (
+       |  SELECT source, n_docs, src_tokens,
+       |         CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+       |  FROM counts
+       |), totals AS (
+       |  SELECT CAST(sum(src_tokens) AS BIGINT) AS corpus_tokens,
+       |         CAST(sum(wq) AS BIGINT) AS total_wq FROM w
+       |), planned AS (
+       |  SELECT source, n_docs, src_tokens,
+       |         CAST(wq AS DOUBLE) / total_wq AS w_share,
+       |         CAST(corpus_tokens // 2 AS DOUBLE)
+       |           * (CAST(wq AS DOUBLE) / total_wq) AS target_tokens,
+       |         CAST(corpus_tokens // 2 AS DOUBLE)
+       |           * (CAST(wq AS DOUBLE) / total_wq) / src_tokens AS epochs_raw
+       |  FROM w CROSS JOIN totals
+       |)
+       |SELECT source, n_docs, src_tokens, w_share, target_tokens,
+       |       least(epochs_raw, CAST(4.0 AS DOUBLE)) AS epochs,
+       |       epochs_raw > CAST(4.0 AS DOUBLE) AS capped,
+       |       least(epochs_raw, CAST(4.0 AS DOUBLE)) * src_tokens
+       |         AS planned_tokens,
+       |       CASE WHEN epochs_raw > CAST(4.0 AS DOUBLE)
+       |            THEN target_tokens
+       |                 - least(epochs_raw, CAST(4.0 AS DOUBLE)) * src_tokens
+       |            ELSE CAST(0.0 AS DOUBLE) END AS deficit_tokens
+       |FROM planned ORDER BY source""".stripMargin
+
   /** DSIR-style importance-weighted data selection (Xie et al.,
     * NeurIPS 2023: Data Selection for Language Models via Importance
     * Resampling) — the targeted-selection stage of a pretraining

@@ -371,6 +371,73 @@ object Similarity {
        |WHERE ${dotDuck("p.qv", "a.v", "w")} / (p.qn * a.nrm) >= 0.4
        |ORDER BY vec1, vec2""".stripMargin
 
+  /** Semantic (embedding-space) decontamination: per TRAIN vector, the
+    * best-matching frozen EVAL vector and whether that cosine crosses
+    * the leak threshold — the embedding-tier counterpart of the
+    * shingle-based `decontamination` (paraphrased leakage shares no
+    * n-gram with its source but lands next to it in embedding space,
+    * so the n-gram pass alone under-reports contamination).
+    *
+    * Split: `vec_id % mod == 0` is the eval panel (the same
+    * deterministic 1-in-mod panel the recall gates use), the rest is
+    * the train corpus. A real pipeline's eval side is a fixed
+    * benchmark — SMALL and frozen — so the scalable plan is exact,
+    * not ANN: broadcast the O(n/mod)-row eval table, score every
+    * train vector in a narrow map (BroadcastNestedLoopJoin), and
+    * collapse to the best match with a map-side partial max BEFORE
+    * the train-keyed exchange (max over a (cosine, −eval_id) struct —
+    * same tie-break as the oracle's cosine DESC, eval_id ASC rank).
+    * At 100 TB: one ~MB broadcast + one narrow pass + a
+    * partial-aggregated max; train vectors never shuffle pairwise and
+    * there is no recall caveat to gate — unlike the self-kNN tiers,
+    * contamination screening against a bounded eval set is linear by
+    * construction.
+    */
+  def embeddingDecontamination(spark: SparkSession, sfDir: String,
+                               threshold: Double = 0.4,
+                               evalMod: Int = -1): DataFrame = {
+    import spark.implicits._
+    val mod = if (evalMod > 0) evalMod else autoSampleMod(nVecs(spark, sfDir))
+    val e = vectors(spark, sfDir)
+    val eval = e.where($"vec_id" % mod === 0)
+      .select($"vec_id".as("eval_id"), $"v".as("evv"), $"nrm".as("en"))
+    val train = e.where($"vec_id" % mod =!= 0)
+      .select($"vec_id".as("train_id"), $"v".as("tv"), $"nrm".as("tn2"))
+    train.join(broadcast(eval), expr("true"))
+      .withColumn("cosine", expr(s"${dotSpark("tv", "evv", "d")} / (tn2 * en)"))
+      .groupBy($"train_id")
+      .agg(max(struct($"cosine", (-$"eval_id").as("neg_eval"))).as("best"))
+      .select($"train_id", (-$"best.neg_eval").as("eval_id"),
+        $"best.cosine".as("cosine"),
+        ($"best.cosine" >= threshold).as("contaminated"))
+      .orderBy($"train_id")
+  }
+
+  def embeddingDecontaminationOracle(threshold: Double = 0.4): String =
+    s"""WITH $geomCte, e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), ev AS (
+       |  SELECT vec_id AS eval_id, v AS evv, nrm AS en
+       |  FROM n WHERE vec_id % $gMod = 0
+       |), tr AS (
+       |  SELECT vec_id AS train_id, v AS tv, nrm AS tn2
+       |  FROM n WHERE vec_id % $gMod <> 0
+       |), scored AS (
+       |  SELECT t.train_id, e2.eval_id,
+       |         ${dotDuck("t.tv", "e2.evv", "d")} / (t.tn2 * e2.en) AS cosine
+       |  FROM tr t CROSS JOIN ev e2
+       |), best AS (
+       |  SELECT train_id, eval_id, cosine,
+       |         row_number() OVER (PARTITION BY train_id
+       |                            ORDER BY cosine DESC, eval_id ASC) AS r
+       |  FROM scored
+       |)
+       |SELECT train_id, eval_id, cosine,
+       |       cosine >= $threshold AS contaminated
+       |FROM best WHERE r = 1 ORDER BY train_id""".stripMargin
+
   /** IVF-bucketed ANN: C=16 fixed centroids (vec_id < 16), every vector
     * assigned to its nearest centroid cell, queries probe their nProbe
     * nearest cells (default 6: the synthetic embeddings are near-uniform

@@ -891,4 +891,126 @@ object TextStats {
        |       CAST(CAST(sum(p_micro) AS BIGINT) AS DOUBLE) / count(*)
        |         / 1000000.0 AS score
        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ── Normalization-invariant exact dedup (CCNet normalize_for_dedup) ─
+
+  /** CCNet-style text normalization + keep-first exact dedup over the
+    * NORMALIZED form: lowercase, fold every non-alphanumeric run to a
+    * single space, trim — so docs differing only in case, punctuation,
+    * or whitespace layout hash identically. One narrow map over the
+    * scan (regex + poly fold, all codegen'd) and ONE hash shuffle for
+    * the keep-first rank window on `norm_hash` — the same shape as
+    * `dedup_exact`, so the 100 TB plan is a scan + one exchange whose
+    * key space is the distinct normalized corpus.
+    *
+    * REF: CCNet (Wenzek et al. 2020) §3.1 normalization before dedup;
+    * complements `dedup_exact` (raw text) and the near-dup tiers.
+    */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')) as norm_text")
+      .selectExpr("doc_id",
+        "length(norm_text) as n_norm_chars",
+        "poly_hash(norm_text) as norm_hash",
+        "substring(norm_text, 1, 80) as norm_prefix")
+      .withColumn("keeper", expr(
+        "row_number() over (partition by norm_hash order by doc_id) = 1"))
+      .orderBy($"doc_id")
+  }
+
+  val textNormalizeOracle: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id,
+       |         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+       |           AS norm_text
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, length(norm_text) AS n_norm_chars,
+       |         ${phDuck("norm_text", "tn")} AS norm_hash,
+       |         substr(norm_text, 1, 80) AS norm_prefix
+       |  FROM norm
+       |)
+       |SELECT doc_id, n_norm_chars, norm_hash, norm_prefix,
+       |       (row_number() OVER (PARTITION BY norm_hash
+       |                           ORDER BY doc_id) = 1) AS keeper
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  // ── Corpus-level n-gram diversity (per-source datacard metric) ─────
+
+  /** Per-source lexical-diversity report: type-token ratio over
+    * unigrams and distinct/total ratio over word trigrams — the
+    * corpus-level "how much of this source is novel text" number that
+    * complements the per-document `doc_repetition` filter (a source
+    * whose trigram diversity collapses toward 0 is template/boilerplate
+    * even when every individual document passes the repetition gate).
+    *
+    * Scale shape: two explode → two-level distinct aggregations
+    * (partial per partition, final per source) plus one narrow count
+    * pass; per-source output is O(sources). The trigram TOTAL needs no
+    * explode at all — it is Σ max(n_tokens−2, 0) straight off the
+    * token counts.
+    */
+  def ngramDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs
+      .selectExpr("source", s"$tokensSpark as tokens")
+      .selectExpr("source", "tokens", "size(tokens) as n_tokens")
+    val counts = base.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n_tokens").as("total_tokens"),
+      sum(greatest($"n_tokens" - 2, lit(0))).as("total_trigrams"))
+    val uni = base
+      .select($"source", explode($"tokens").as("tok"))
+      .groupBy($"source").agg(countDistinct($"tok").as("vocab_size"))
+    // word_shingles is per-doc distinct; distinct-of-distinct across
+    // docs is the corpus distinct set, so no duplicate-sensitive math
+    val tri = docs
+      .selectExpr("source", "explode(word_shingles(text, 3)) as sh")
+      .groupBy($"source").agg(countDistinct($"sh").as("distinct_trigrams"))
+    counts.join(uni, Seq("source")).join(tri, Seq("source"), "left_outer")
+      .withColumn("distinct_trigrams", coalesce($"distinct_trigrams", lit(0L)))
+      .selectExpr("source", "n_docs", "total_tokens", "vocab_size",
+        "cast(vocab_size as double) / total_tokens as ttr",
+        "total_trigrams", "distinct_trigrams",
+        "case when total_trigrams = 0 then cast(0.0 as double) " +
+          "else cast(distinct_trigrams as double) / total_trigrams end " +
+          "as trigram_diversity")
+      .orderBy($"source")
+  }
+
+  val ngramDiversityOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, $tokensDuck AS tokens FROM documents
+       |), sized AS (
+       |  SELECT doc_id, source, tokens, len(tokens) AS n_tokens FROM toks
+       |), counts AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |         CAST(sum(greatest(n_tokens - 2, 0)) AS BIGINT)
+       |           AS total_trigrams
+       |  FROM sized GROUP BY 1
+       |), uni AS (
+       |  SELECT source, count(DISTINCT tok) AS vocab_size FROM (
+       |    SELECT source, unnest(tokens) AS tok FROM sized) GROUP BY 1
+       |), tri AS (
+       |  SELECT source, count(DISTINCT sh) AS distinct_trigrams FROM (
+       |    SELECT source, unnest(list_transform(range(0, len(tokens) - 2),
+       |      gi -> array_to_string(tokens[gi + 1 : gi + 3], ' '))) AS sh
+       |    FROM sized WHERE n_tokens >= 3) GROUP BY 1
+       |)
+       |SELECT c.source, c.n_docs, c.total_tokens, u.vocab_size,
+       |       CAST(u.vocab_size AS DOUBLE) / c.total_tokens AS ttr,
+       |       c.total_trigrams,
+       |       CAST(COALESCE(t.distinct_trigrams, 0) AS BIGINT)
+       |         AS distinct_trigrams,
+       |       CASE WHEN c.total_trigrams = 0 THEN CAST(0.0 AS DOUBLE)
+       |            ELSE CAST(COALESCE(t.distinct_trigrams, 0) AS DOUBLE)
+       |                 / c.total_trigrams END AS trigram_diversity
+       |FROM counts c
+       |JOIN uni u ON c.source = u.source
+       |LEFT JOIN tri t ON c.source = t.source
+       |ORDER BY c.source""".stripMargin
 }

@@ -1080,4 +1080,93 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r(2) == (0, 0, 2, "server at <IP> and <IP> up"))
     assert(r(3) == (0, 0, 0, "clean text with nothing to hide"))
   }
+
+  test("text_normalize: idempotent fixed point, case/punct-invariant keeper") {
+    val df = TextStats.textNormalize(spark, sf).cache()
+    assert(df.count() == Tables.documents(spark, sf).count())
+    // normalizing an already-normalized prefix is a fixed point (modulo
+    // the trailing space an 80-char cut can leave, hence trim on both)
+    val notFixed = df.where(
+      expr("trim(norm_prefix) <> trim(regexp_replace(lower(norm_prefix), '[^a-z0-9]+', ' '))"))
+    assert(notFixed.isEmpty, "normalization is not idempotent")
+    // exactly one keeper per norm_hash group
+    val badGroups = df.groupBy($"norm_hash")
+      .agg(sum(when($"keeper", 1).otherwise(0)).as("k"))
+      .where($"k" =!= 1)
+    assert(badGroups.isEmpty, "a norm_hash group without exactly one keeper")
+    df.unpersist()
+    // case/punctuation variants of the same text collide; distinct text survives
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO WORLD."),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val r = docs
+      .selectExpr("doc_id",
+        "poly_hash(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))) as h")
+      .withColumn("keeper", expr(
+        "row_number() over (partition by h order by doc_id) = 1"))
+      .orderBy($"doc_id").select($"keeper").as[Boolean].collect()
+    assert(r.toSeq == Seq(true, false, false, true))
+  }
+
+  test("ngram_diversity: ratios in (0,1], distinct <= total, every source present") {
+    val df = TextStats.ngramDiversity(spark, sf).cache()
+    val nSources = Tables.documents(spark, sf).select($"source").distinct().count()
+    assert(df.count() == nSources)
+    val bad = df.where(
+      $"vocab_size" > $"total_tokens" || $"distinct_trigrams" > $"total_trigrams" ||
+      $"ttr" <= 0.0 || $"ttr" > 1.0 ||
+      $"trigram_diversity" < 0.0 || $"trigram_diversity" > 1.0)
+    assert(bad.isEmpty, "diversity invariants violated")
+    // a template-duplicated corpus scores lower trigram diversity than
+    // the corpus' own organic text
+    df.unpersist()
+  }
+
+  test("mixture_plan: shares sum to 1, planned <= target with deficit only when capped") {
+    val df = Sampling.mixturePlan(spark, sf).cache()
+    val Array(shareSum, planned, target) = df
+      .agg(sum($"w_share"), sum($"planned_tokens"), sum($"target_tokens"))
+      .as[(Double, Double, Double)].collect().map(t => Array(t._1, t._2, t._3)).head
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"w_share sums to $shareSum")
+    assert(planned <= target + 1e-6, "planned tokens exceed the target budget")
+    // an uncapped source fills its target exactly; a capped one reports
+    // the shortfall
+    val wrong = df.where(
+      (!$"capped" && abs($"planned_tokens" - $"target_tokens") > 1e-6) ||
+      (!$"capped" && $"deficit_tokens" =!= 0.0) ||
+      ($"capped" && $"deficit_tokens" <= 0.0))
+    assert(wrong.isEmpty, "per-source epoch accounting inconsistent")
+    // epochs bounded by the repetition ceiling
+    assert(df.where($"epochs" > 4.0 || $"epochs" <= 0.0).isEmpty)
+    df.unpersist()
+  }
+
+  test("embedding_decontamination: every train row reported, best match is the true max") {
+    val df = Similarity.embeddingDecontamination(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    // one row per TRAIN vector (eval panel = vec_id % mod == 0 excluded)
+    val mod = math.max(10, (n / 50L).toInt)
+    val nTrain = Tables.embeddings(spark, sf)
+      .where(expr(s"vec_id % $mod <> 0")).count()
+    assert(df.count() == nTrain)
+    // the reported cosine really is the max over the eval panel: no
+    // (train, eval) pair may beat its train row's reported best
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .selectExpr("vec_id", "v", "sqrt(vec_dot(v, v)) as nrm")
+    val eval = e.where(expr(s"vec_id % $mod = 0"))
+      .select($"vec_id".as("eid"), $"v".as("evv"), $"nrm".as("en"))
+    val beat = e.where(expr(s"vec_id % $mod <> 0"))
+      .select($"vec_id".as("train_id"), $"v".as("tv"), $"nrm".as("tn2"))
+      .crossJoin(broadcast(eval))
+      .withColumn("c", expr("vec_dot(tv, evv) / (tn2 * en)"))
+      .join(df.select($"train_id", $"cosine"), "train_id")
+      .where($"c" > $"cosine")
+    assert(beat.isEmpty, "a pair beats the reported best match")
+    // contaminated == (cosine >= 0.4), and the flag is not vacuous at
+    // either polarity on this corpus
+    assert(df.where($"contaminated" =!= ($"cosine" >= 0.4)).isEmpty)
+    assert(df.where(!$"contaminated").count() > 0)
+    df.unpersist()
+  }
 }

@@ -7,12 +7,11 @@ Reads each <verifyOutDir>/<name>/ parquet (written by `graft.Verify`),
 replays <verifyOutDir>/oracle_sql.json in DuckDB over the sfDir tables,
 sorts columns by name (like the driver), and compares row-by-row.
 
-TIER GUARD: the similarity_* oracles hardwire the n=500 index geometry
-(C=16, b=8, mod=10). Oracle parity for those queries is only DEFINED at
-the correctness tier (sf0.001/sf0.01, 500 embeddings) — at other SFs the
-Scala side scales its geometry (Similarity.autoCentroids/autoBits/
-autoSampleMod) and a similarity_* mismatch is the tier coupling, not a
-bug. graft.Verify prints the same warning when run off-tier.
+Since round 9 the similarity_* and capped-dedup oracles derive their
+index geometry / caps from the corpus inside the SQL (mirroring
+Similarity.autoCentroids/autoBits/autoSampleMod and Dedup.autoMaxDf),
+so the full check is defined — and passes — at every SF, not just the
+n=500 correctness tier.
 """
 import json
 import math
