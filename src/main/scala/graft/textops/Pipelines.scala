@@ -516,6 +516,74 @@ object Pipelines {
           .partitionBy("batch_id").parquet(resultDir)
       }
 
+  /** Persist the frozen eval embedding panel — the semantic-
+    * decontamination index. The eval side of
+    * [[Similarity.embeddingDecontamination]] is a fixed benchmark:
+    * small (O(n/mod) rows — megabytes) and frozen between releases,
+    * so the serving shape stores it once with precomputed norms and
+    * broadcasts it into every screening pass. Re-deriving it per
+    * batch would rescan the corpus for a table that never changes.
+    */
+  def materializeEvalVecs(spark: SparkSession, sfDir: String,
+                          outDir: String): Unit = {
+    import spark.implicits._
+    val mod = Similarity.autoSampleMod(
+      Tables.embeddings(spark, sfDir).count())
+    Tables.embeddings(spark, sfDir)
+      .where($"vec_id" % mod === 0)
+      .selectExpr("vec_id as eval_id",
+        "cast(embedding as array<double>) as evv")
+      .selectExpr("eval_id", "evv", "sqrt(vec_dot(evv, evv)) as en")
+      .write.mode("overwrite").parquet(s"$outDir/eval_vecs")
+  }
+
+  /** Screen a batch of (vec_id, v) train vectors against the stored
+    * eval panel: best cosine + leak flag, exactly
+    * [[Similarity.embeddingDecontamination]]'s scoring — broadcast
+    * join, narrow map, map-side partial max with the same
+    * (cosine, −eval_id) tie-break. On a replay of the train corpus
+    * the output is row-identical to the live query (PipelinesSpec
+    * pins it). The batch never shuffles pairwise; the only exchange
+    * is the per-train-id max finish.
+    */
+  def semanticDecontaminateFrom(spark: SparkSession, outDir: String,
+                                batch: DataFrame,
+                                threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val eval = broadcast(spark.read.parquet(s"$outDir/eval_vecs"))
+    batch.selectExpr("vec_id as train_id", "cast(v as array<double>) as tv")
+      .withColumn("tn2", expr("sqrt(vec_dot(tv, tv))"))
+      .join(eval, expr("true"))
+      .withColumn("cosine", expr("vec_dot(tv, evv) / (tn2 * en)"))
+      .groupBy($"train_id")
+      .agg(max(struct($"cosine", (-$"eval_id").as("neg_eval"))).as("best"))
+      .select($"train_id", (-$"best.neg_eval").as("eval_id"),
+        $"best.cosine".as("cosine"),
+        ($"best.cosine" >= threshold).as("contaminated"))
+      .orderBy($"train_id")
+  }
+
+  /** The contamination screen AS A STREAM: incoming train vectors are
+    * scored per micro-batch against the stored eval panel via
+    * [[semanticDecontaminateFrom]] — stateless rows, so per-batch
+    * scoring is exact serving. Verdicts land partitioned by
+    * `batch_id` with dynamic partition overwrite (replay-idempotent,
+    * the [[dedupIncrementalStream]] contract). No ingest step:
+    * screening doesn't move the eval panel — refreshing it is a
+    * periodic batch [[materializeEvalVecs]] run when the benchmark
+    * suite changes.
+    */
+  def semanticDecontaminateStream(vectors: DataFrame, outDir: String,
+                                  resultDir: String) =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        semanticDecontaminateFrom(batch.sparkSession, outDir, batch)
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(resultDir)
+      }
+
   /** [[Sampling.corpusPrep]] served from the snapshot: keeper set from
     * the clusters parquet instead of re-running signatures + LSH +
     * label propagation. The quality/lang stats remain live (they're a

@@ -200,4 +200,20 @@ class PipelinesSpec extends AnyFunSuite {
     assert(rows(Pipelines.decontaminateFrom(spark, sf, dir)) ==
       rows(TextStats.decontamination(spark, sf)))
   }
+
+  test("materialized eval panel: served semantic decontamination == live query") {
+    import graft.textops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graftsemdc").toString
+    Pipelines.materializeEvalVecs(spark, sf, dir)
+    // replay the live query's own train side through the stored panel
+    val n = Tables.embeddings(spark, sf).count()
+    val mod = Similarity.autoSampleMod(n)
+    val train = Tables.embeddings(spark, sf)
+      .where(expr(s"vec_id % $mod <> 0"))
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val served = Pipelines.semanticDecontaminateFrom(spark, dir, train)
+    assert(rows(served) ==
+      rows(Similarity.embeddingDecontamination(spark, sf)))
+    assert(served.count() > 0)
+  }
 }

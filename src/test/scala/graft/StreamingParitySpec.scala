@@ -784,6 +784,34 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("semanticDecontaminateStream: streamed train batches == batch embedding_decontamination") {
+    implicit val ctx = spark.sqlContext
+    import graft.textops.{Pipelines, Similarity}
+    val dir = java.nio.file.Files.createTempDirectory("graftsemdcs").toString
+    Pipelines.materializeEvalVecs(spark, sf, dir)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = Pipelines.semanticDecontaminateStream(
+      ms.toDF().toDF("vec_id", "v"), dir, s"$dir/results").start()
+    try {
+      val n = Tables.embeddings(spark, sf).count()
+      val mod = Similarity.autoSampleMod(n)
+      val train = Tables.embeddings(spark, sf)
+        .where(expr(s"vec_id % $mod <> 0"))
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .as[(Long, Seq[Double])].collect().toSeq
+      train.grouped(math.max(train.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = spark.read.parquet(s"$dir/results")
+        .select($"train_id", $"eval_id", $"contaminated")
+        .as[(Long, Long, Boolean)].collect().toSet
+      val want = Similarity.embeddingDecontamination(spark, sf)
+        .select($"train_id", $"eval_id", $"contaminated")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        "streamed contamination screen diverged from the batch corpus run")
+    } finally q.stop()
+  }
+
   test("qualityGopherFrom on a stream == batch quality_gopher (narrow rep_ratio form)") {
     implicit val ctx = spark.sqlContext
     import graft.textops.TextStats
