@@ -898,25 +898,30 @@ object TextStats {
     * NORMALIZED form: lowercase, fold every non-alphanumeric run to a
     * single space, trim — so docs differing only in case, punctuation,
     * or whitespace layout hash identically. One narrow map over the
-    * scan (regex + poly fold, all codegen'd) and ONE hash shuffle for
-    * the keep-first rank window on `norm_hash` — the same shape as
-    * `dedup_exact`, so the 100 TB plan is a scan + one exchange whose
-    * key space is the distinct normalized corpus.
+    * scan (regex + poly fold, all codegen'd); the keeper is
+    * `doc_id == min(doc_id)` per norm_hash group computed as a
+    * PARTIAL-AGGREGATED groupBy joined back — not a rank window — the
+    * same skew posture as `dedup_exact`: a corpus-wide boilerplate
+    * duplicate makes one norm_hash hot, a window sort would funnel
+    * that whole group into one task, but the min() partial agg
+    * collapses it map-side and AQE splits the skewed join-back.
     *
     * REF: CCNet (Wenzek et al. 2020) §3.1 normalization before dedup;
     * complements `dedup_exact` (raw text) and the near-dup tiers.
     */
   def textNormalize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    val h = Tables.documents(spark, sfDir)
       .selectExpr("doc_id",
         "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')) as norm_text")
       .selectExpr("doc_id",
         "length(norm_text) as n_norm_chars",
         "poly_hash(norm_text) as norm_hash",
         "substring(norm_text, 1, 80) as norm_prefix")
-      .withColumn("keeper", expr(
-        "row_number() over (partition by norm_hash order by doc_id) = 1"))
+    val mins = h.groupBy($"norm_hash").agg(min($"doc_id").as("keep_id"))
+    h.join(mins, "norm_hash")
+      .select($"doc_id", $"n_norm_chars", $"norm_hash", $"norm_prefix",
+        ($"doc_id" === $"keep_id").as("keeper"))
       .orderBy($"doc_id")
   }
 
@@ -933,8 +938,7 @@ object TextStats {
        |  FROM norm
        |)
        |SELECT doc_id, n_norm_chars, norm_hash, norm_prefix,
-       |       (row_number() OVER (PARTITION BY norm_hash
-       |                           ORDER BY doc_id) = 1) AS keeper
+       |       (doc_id = min(doc_id) OVER (PARTITION BY norm_hash)) AS keeper
        |FROM h ORDER BY doc_id""".stripMargin
 
   // ── Corpus-level n-gram diversity (per-source datacard metric) ─────
