@@ -465,6 +465,50 @@ class StreamingRecoverySpec extends AnyFunSuite {
       want.as[(Long, Int, Boolean)].collect().toSet)
   }
 
+  test("semanticDecontaminateStream replays an uncommitted batch idempotently after restart") {
+    import graft.textops.{Pipelines, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("graftsdrecov").toString
+    val inDir = s"$root/in"; val ck = s"$root/ck"
+    val resultDir = s"$root/results"; val evalDir = s"$root/eval"
+    new java.io.File(inDir).mkdirs()
+    Pipelines.materializeEvalVecs(spark, sf, evalDir)
+    val mod = Similarity.autoSampleMod(Tables.embeddings(spark, sf).count())
+    val train = Tables.embeddings(spark, sf)
+      .where(expr(s"vec_id % $mod <> 0"))
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .cache()
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    def start() = Pipelines.semanticDecontaminateStream(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(inDir),
+        evalDir, resultDir)
+      .option("checkpointLocation", ck).start()
+
+    // phase 1: half the train side, process, crash before the commit
+    train.where($"vec_id" % 2 === 0).write.parquet(s"$inDir/c1")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val commits = new java.io.File(s"$ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    val newest = commits.sortBy(_.getName.toInt).last
+    new java.io.File(newest.getParent, s".${newest.getName}.crc").delete()
+    newest.delete()
+    // phase 2: restart replays batch 0 (same batch_id → dynamic
+    // partition overwrite replaces, not duplicates) then the new files
+    train.where($"vec_id" % 2 === 1).write.parquet(s"$inDir/c2")
+    val q2 = start()
+    try q2.processAllAvailable() finally { q2.stop(); train.unpersist() }
+
+    val got = spark.read.parquet(resultDir)
+      .select($"train_id", $"eval_id", $"contaminated")
+    assert(got.count() === got.select($"train_id").distinct().count())
+    val want = Similarity.embeddingDecontamination(spark, sf)
+      .select($"train_id", $"eval_id", $"contaminated")
+    assert(got.as[(Long, Long, Boolean)].collect().toSet ==
+      want.as[(Long, Long, Boolean)].collect().toSet)
+  }
+
   test("LateCapture restarts from checkpoint: carried watermark restores from storage") {
     val root = java.nio.file.Files.createTempDirectory("graftlcr").toString
     val inDir = s"$root/in"
