@@ -259,9 +259,21 @@ object Sampling {
       .selectExpr("source", s"size($tokensSpark) as n_tokens")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("src_tokens"))
-      .withColumn("wq",
-        expr("cast(floor(sqrt(cast(src_tokens as double)) * 1000000) as bigint)"))
       .localCheckpoint()
+    mixturePlanFinish(counts)
+  }
+
+  /** The planning math over a (source, n_docs, src_tokens) ledger —
+    * split out so [[mixturePlanStream]] can finish each micro-batch's
+    * incrementally-maintained counts exactly as the batch query does
+    * (the [[graft.analytics.UserBehaviorAnalytics.retentionKmvFinish]]
+    * pattern: bounded state in the stream, identical finish math).
+    */
+  private[graft] def mixturePlanFinish(countsIn: DataFrame): DataFrame = {
+    val spark = countsIn.sparkSession
+    import spark.implicits._
+    val counts = countsIn.withColumn("wq",
+      expr("cast(floor(sqrt(cast(src_tokens as double)) * 1000000) as bigint)"))
     val totals = counts.agg(
       sum($"src_tokens").as("corpus_tokens"), sum($"wq").as("total_wq"))
     counts.crossJoin(broadcast(totals))
@@ -312,6 +324,26 @@ object Sampling {
        |                 - least(epochs_raw, CAST(4.0 AS DOUBLE)) * src_tokens
        |            ELSE CAST(0.0 AS DOUBLE) END AS deficit_tokens
        |FROM planned ORDER BY source""".stripMargin
+
+  /** The mixture ledger AS A STREAM: per-source (n_docs, src_tokens)
+    * maintained as streaming aggregation state (bounded at O(sources)
+    * rows), the planning math re-finished per micro-batch on that
+    * tiny table, and the whole plan snapshot overwritten in
+    * `resultDir` — a live what-would-training-consume dashboard that
+    * converges to the batch [[mixturePlan]] once the corpus has
+    * streamed through (StreamingParitySpec pins it). Full overwrite
+    * per batch = replay-idempotent by construction (the
+    * eventsCompactForeachBatch contract).
+    */
+  def mixturePlanStream(docs: DataFrame, resultDir: String) =
+    docs.selectExpr("source", s"size($tokensSpark) as n_tokens")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (counts: DataFrame, _: Long) =>
+        mixturePlanFinish(counts)
+          .write.mode("overwrite").parquet(resultDir)
+      }
 
   /** DSIR-style importance-weighted data selection (Xie et al.,
     * NeurIPS 2023: Data Selection for Language Models via Importance

@@ -812,6 +812,32 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mixturePlanStream: live ledger converges to batch mixture_plan") {
+    implicit val ctx = spark.sqlContext
+    import graft.textops.Sampling
+    val dir = java.nio.file.Files.createTempDirectory("graftmixs").toString
+    val ms = MemoryStream[(Long, String, String)]
+    val q = Sampling.mixturePlanStream(
+      ms.toDF().toDF("doc_id", "source", "text"), s"$dir/plan").start()
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select($"doc_id", $"source", $"text")
+        .as[(Long, String, String)].collect().toSeq
+      docs.grouped(math.max(docs.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val cols = Seq("source", "n_docs", "src_tokens", "w_share", "epochs",
+        "capped", "deficit_tokens")
+      val got = spark.read.parquet(s"$dir/plan").selectExpr(cols: _*)
+        .as[(String, Long, Long, Double, Double, Boolean, Double)]
+        .collect().toSet
+      val want = Sampling.mixturePlan(spark, sf).selectExpr(cols: _*)
+        .as[(String, Long, Long, Double, Double, Boolean, Double)]
+        .collect().toSet
+      assert(want.nonEmpty && got == want,
+        "streamed mixture ledger diverged from the batch plan")
+    } finally q.stop()
+  }
+
   test("qualityGopherFrom on a stream == batch quality_gopher (narrow rep_ratio form)") {
     implicit val ctx = spark.sqlContext
     import graft.textops.TextStats
