@@ -270,4 +270,48 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("srpsig("),
       "index side no longer computes bare signatures — probe fan-out leaked into the index")
   }
+
+  test("text_normalize: keeper is a partial agg + join, never a window funnel") {
+    import graft.textops.TextStats
+    val plan = planString(TextStats.textNormalize(spark, sf))
+    // the skew posture: a hot norm_hash must collapse in a map-side
+    // partial min, not funnel through one WindowExec task
+    assert(!plan.contains("Window"),
+      "keeper degraded to a window — hot hash groups funnel into one task")
+    assert("partial_min".r.findAllIn(plan).nonEmpty,
+      "min(doc_id) lost its map-side partial aggregation")
+    val schema = "ReadSchema: [^\n]+".r.findFirstIn(plan).getOrElse("")
+    assert(!schema.contains("lang") && !schema.contains("source"),
+      s"scan reads unprojected columns: $schema")
+  }
+
+  test("ngram_diversity: two-level distinct aggs, O(sources) results meet broadcast") {
+    import graft.textops.TextStats
+    val plan = planString(TextStats.ngramDiversity(spark, sf))
+    assert(!plan.contains("SortMergeJoin"),
+      "O(sources)-row join degraded to a sort-merge join")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "per-source aggregates no longer meet in broadcast joins")
+  }
+
+  test("mixture_plan: one corpus-width agg, planning math on 1-row broadcasts") {
+    import graft.textops.Sampling
+    val plan = planString(Sampling.mixturePlan(spark, sf))
+    // the only data-width stage is the token-count partial agg
+    assert("partial_(sum|count)".r.findAllIn(plan).nonEmpty,
+      "token ledger lost its map-side partial aggregation")
+    assert(!plan.contains("SortMergeJoin"),
+      "ledger math degraded to a sort-merge join")
+  }
+
+  test("embedding_decontamination: broadcast panel + map-side partial max only") {
+    import graft.textops.Similarity
+    val plan = planString(Similarity.embeddingDecontamination(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "eval panel no longer broadcasts — train side would shuffle pairwise")
+    assert("partial_max".r.findAllIn(plan).nonEmpty,
+      "best-match max lost its map-side partial — the exchange would carry (train × eval) rows")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "screening degraded to a shuffled join")
+  }
 }
