@@ -42,6 +42,7 @@ object SparkEntry {
     "order_timeout"     -> ((s, d) => DetectionAnalytics.orderTimeout(s, d)),
     "tx_match"          -> ((s, d) => DetectionAnalytics.txMatch(s, d)),
     "interval_join"     -> ((s, d) => DetectionAnalytics.intervalJoin(s, d)),
+    "range_join"        -> ((s, d) => DetectionAnalytics.rangeJoin(s, d)),
     "asof_attribution"  -> ((s, d) => DetectionAnalytics.asofAttribution(s, d)),
     "cep_funnel"        -> ((s, d) => DetectionAnalytics.cepFunnel(s, d)),
     "cep_funnel_relaxed" -> ((s, d) => DetectionAnalytics.cepFunnelRelaxed(s, d)),
@@ -347,6 +348,7 @@ object SparkEntry {
     "cep_bursts"           -> DetectionAnalytics.cepBurstsOracle,
     "late_events"          -> graft.analytics.LateDataAnalytics.lateEventsOracle,
     "hot_pages_late_split" -> graft.analytics.LateDataAnalytics.hotPagesLateSplitOracle,
+    "range_join" -> graft.analytics.DetectionAnalytics.rangeJoinOracle,
     "interval_join" ->
       """SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate
         |FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey

@@ -287,4 +287,57 @@ object DetectionAnalytics {
       .select($"o_orderkey", $"l_linenumber", $"o_orderdate", $"l_shipdate")
       .orderBy($"o_orderkey", $"l_linenumber")
   }
+
+  /** KEYLESS range join, bucketized — root-cause correlation: every
+    * event within ±60 s of any error event. [[intervalJoin]] has an
+    * equi key (orderkey) so its range predicate rides a hash join as a
+    * residual; with NO shared key Spark's only built-in plans are
+    * BroadcastNestedLoopJoin (fine while one side broadcasts, O(n·m)
+    * compares regardless) or a cartesian — the classic scale trap.
+    *
+    * The bucketized form is the standard fix (interval binning — the
+    * same technique behind Databricks' range-join hints): quantize
+    * time into buckets of at least the window span (120 s ≥ 2·60 s),
+    * explode each ±60 s window onto the ≤ 2 buckets it can overlap
+    * (`sequence(lo div b, hi div b)`), assign each probe event to the
+    * ONE bucket containing it, equi-join on bucket, then apply the
+    * exact containment predicate as a residual. Every matching
+    * (window, probe) pair meets in exactly the probe's bucket, so no
+    * dedup pass is needed. At 100 TB this is one shuffle on a dense
+    * integer key with ≤ 2× fan-out on the (much smaller) window side —
+    * vs n·m comparisons for the nested loop. Bucket-count skew =
+    * event-time traffic skew, which AQE's skew-join splitting handles;
+    * the residual cuts candidate pairs to true matches per bucket.
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val BucketUs = 120000000L // 120 s ≥ window span, so ≤ 2 buckets/window
+    val HalfUs = 60000000L
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "event_type", "unix_micros(ts) as ts_us")
+    val probes = ev
+      .withColumn("bucket", expr(s"ts_us div $BucketUs"))
+    val windows = ev.where($"event_type" === "error")
+      .selectExpr("event_id as err_id",
+        s"ts_us - $HalfUs as lo_us", s"ts_us + $HalfUs as hi_us")
+      .withColumn("bucket",
+        explode(expr(s"sequence(lo_us div $BucketUs, hi_us div $BucketUs)")))
+    windows.join(probes, "bucket")
+      .where($"ts_us" >= $"lo_us" && $"ts_us" <= $"hi_us" &&
+        $"event_id" =!= $"err_id")
+      .select($"err_id", $"event_id", $"event_type",
+        ($"ts_us" - ($"lo_us" + HalfUs)).as("offset_us"))
+      .orderBy($"err_id", $"event_id")
+  }
+
+  val rangeJoinOracle: String =
+    """SELECT w.err_id, e.event_id, e.event_type,
+      |       epoch_us(e.ts) - w.c_us AS offset_us
+      |FROM (SELECT event_id AS err_id, epoch_us(ts) AS c_us
+      |      FROM events WHERE event_type = 'error') w
+      |JOIN events e
+      |  ON epoch_us(e.ts) >= w.c_us - 60000000
+      | AND epoch_us(e.ts) <= w.c_us + 60000000
+      | AND e.event_id <> w.err_id
+      |ORDER BY w.err_id, e.event_id""".stripMargin
 }

@@ -1141,6 +1141,22 @@ class AnalyticsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("range_join: bucketized pairs == brute-force nested-loop pairs") {
+    val got = DetectionAnalytics.rangeJoin(spark, sf)
+      .select($"err_id", $"event_id").as[(Long, Long)].collect().toSet
+    // brute force on the collected rows — the semantics oracle the
+    // bucketization must reproduce exactly (incl. window-edge events)
+    val evs = Tables.events(spark, sf)
+      .selectExpr("event_id", "event_type", "unix_micros(ts) as us")
+      .as[(Long, String, Long)].collect()
+    val want = (for {
+      (eid, et, us) <- evs if et == "error"
+      (pid, _, pus) <- evs
+      if pid != eid && math.abs(pus - us) <= 60000000L
+    } yield (eid, pid)).toSet
+    assert(want.nonEmpty && got == want, "bucketized range join diverged")
+  }
+
   test("embedding_decontamination: every train row reported, best match is the true max") {
     val df = Similarity.embeddingDecontamination(spark, sf).cache()
     val n = Tables.embeddings(spark, sf).count()

@@ -271,6 +271,15 @@ class PlanSpec extends AnyFunSuite {
       "index side no longer computes bare signatures — probe fan-out leaked into the index")
   }
 
+  test("range_join: keyless range joins as a bucket equi-join, never a nested loop") {
+    val plan = planString(DetectionAnalytics.rangeJoin(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "keyless range join degraded to an O(n·m) nested loop / cartesian")
+    assert(plan.contains("bucket"),
+      "bucket key missing — the equi-join rewrite was lost")
+  }
+
   test("text_normalize: keeper is a partial agg + join, never a window funnel") {
     import graft.textops.TextStats
     val plan = planString(TextStats.textNormalize(spark, sf))
