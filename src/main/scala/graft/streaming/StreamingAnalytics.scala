@@ -646,4 +646,39 @@ object StreamingAnalytics {
       .select(col("tx_id"), col("pay_event"), col("receipt_event"),
         col("pay_ts"), col("receipt_ts"))
   }
+
+  /** [[graft.analytics.DetectionAnalytics.rangeJoin]] AS A
+    * STREAM-STREAM JOIN — runnable ONLY because of the bucketization:
+    * Spark's stream-stream join keys its state store on an equi
+    * condition, and a keyless ±60 s interval join has none, so the
+    * naive form is simply unsupported (no streaming nested loop
+    * exists). The synthesized bucket column IS the equi key; exact
+    * containment rides as the event-time range condition, which (with
+    * both sides watermarked) also bounds state eviction — each side's
+    * rows are dropped once the watermark clears their 120 s bucket
+    * span. Inner join ⇒ matches emit on arrival; state, not output,
+    * waits for the watermark.
+    */
+  def rangeJoinStream(events: DataFrame): DataFrame = {
+    val BucketUs = 120000000L
+    val HalfUs = 60000000L
+    val probes = events
+      .select(col("event_id"), col("event_type"), col("ts"))
+      .withColumn("bucket", expr(s"unix_micros(ts) div $BucketUs"))
+      .withWatermark("ts", "10 minutes")
+    val windows = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("err_ts"))
+      .withColumn("wbucket", explode(expr(
+        s"sequence((unix_micros(err_ts) - $HalfUs) div $BucketUs, " +
+          s"(unix_micros(err_ts) + $HalfUs) div $BucketUs)")))
+      .withWatermark("err_ts", "10 minutes")
+    windows.join(probes,
+        col("wbucket") === col("bucket") &&
+          col("ts") >= col("err_ts") - expr("interval 60 seconds") &&
+          col("ts") <= col("err_ts") + expr("interval 60 seconds") &&
+          col("event_id") =!= col("err_id"))
+      .select(col("err_id"), col("event_id"), col("event_type"),
+        (unix_micros(col("ts")) - unix_micros(col("err_ts")))
+          .as("offset_us"))
+  }
 }

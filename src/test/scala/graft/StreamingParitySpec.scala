@@ -812,6 +812,34 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rangeJoinStream: bucket-keyed stream-stream join == batch range_join") {
+    implicit val ctx = spark.sqlContext
+    import graft.analytics.DetectionAnalytics
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = StreamingAnalytics.rangeJoinStream(
+        ms.toDF().toDF("event_id", "event_type", "ts_us")
+          .withColumn("ts", expr("timestamp_micros(ts_us)")))
+      .writeStream.format("memory").queryName("range_join_stream")
+      .outputMode("append").start()
+    try {
+      // arrival in event-time order so the 10 min watermark never
+      // drops a genuine pair; 3 chunks exercise cross-batch state
+      val evs = Tables.events(spark, sf)
+        .selectExpr("event_id", "event_type", "unix_micros(ts) as us")
+        .orderBy($"us").as[(Long, String, Long)].collect().toSeq
+      evs.grouped(math.max(evs.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = spark.table("range_join_stream")
+        .select($"err_id", $"event_id", $"offset_us")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = DetectionAnalytics.rangeJoin(spark, sf)
+        .select($"err_id", $"event_id", $"offset_us")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        "streamed keyless range join diverged from the batch bucketized join")
+    } finally q.stop()
+  }
+
   test("mixturePlanStream: live ledger converges to batch mixture_plan") {
     implicit val ctx = spark.sqlContext
     import graft.textops.Sampling
