@@ -665,6 +665,36 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("rangeJoinStream stream-stream join state restarts on RocksDB: == batch range_join") {
+    // the recovery matrix's last state class: symmetric stream-stream
+    // JOIN state (both sides buffered in the state store). Pairs that
+    // straddle the mid-stream hard stop can only come from the
+    // restored RocksDB join buffers.
+    implicit val ss = spark
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("ts_us", LongType)))
+    val rows = evRows.sortBy(e => (e._2, e._1))
+      .map(e => org.apache.spark.sql.Row(e._1, e._4, e._2))
+    val flushUs = evRows.map(_._2).max + 30L * 86400 * 1000000
+    val out = withConfs(Session.RocksDbStateStore)(runNfaRecovery(
+      (df: org.apache.spark.sql.DataFrame) =>
+        StreamingAnalytics.rangeJoinStream(
+          df.withColumn("ts", expr("timestamp_micros(ts_us)"))),
+      rows, schema,
+      // a non-error far-future row advances both watermarks without
+      // joining anything (event_type 'view' never builds a window and
+      // sits 30 days from every probe bucket)
+      Seq(org.apache.spark.sql.Row(-1L, "view", flushUs))))
+    val got = out.where($"event_id" =!= -1L)
+      .select($"err_id", $"event_id", $"offset_us")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = analytics.DetectionAnalytics.rangeJoin(spark, sf)
+      .select($"err_id", $"event_id", $"offset_us")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty && got == want,
+      "restored join state lost or duplicated cross-restart pairs")
+  }
+
   test("orderTimeoutStream NFA restarts from checkpoint on RocksDB: == batch join") {
     implicit val ss = spark
     val schema = StructType(Seq(StructField("event_id", LongType),
