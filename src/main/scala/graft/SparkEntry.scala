@@ -43,6 +43,7 @@ object SparkEntry {
     "tx_match"          -> ((s, d) => DetectionAnalytics.txMatch(s, d)),
     "interval_join"     -> ((s, d) => DetectionAnalytics.intervalJoin(s, d)),
     "range_join"        -> ((s, d) => DetectionAnalytics.rangeJoin(s, d)),
+    "graph_triangles"   -> ((s, d) => GraphAnalytics.graphTriangles(s, d)),
     "asof_attribution"  -> ((s, d) => DetectionAnalytics.asofAttribution(s, d)),
     "cep_funnel"        -> ((s, d) => DetectionAnalytics.cepFunnel(s, d)),
     "cep_funnel_relaxed" -> ((s, d) => DetectionAnalytics.cepFunnelRelaxed(s, d)),
@@ -349,6 +350,7 @@ object SparkEntry {
     "late_events"          -> graft.analytics.LateDataAnalytics.lateEventsOracle,
     "hot_pages_late_split" -> graft.analytics.LateDataAnalytics.hotPagesLateSplitOracle,
     "range_join" -> graft.analytics.DetectionAnalytics.rangeJoinOracle,
+    "graph_triangles" -> graft.analytics.GraphAnalytics.graphTrianglesOracle,
     "interval_join" ->
       """SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate
         |FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey

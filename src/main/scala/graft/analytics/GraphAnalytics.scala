@@ -110,4 +110,80 @@ object GraphAnalytics {
        |$iterCtes
        |SELECT v AS part_id, r AS rank_micro FROM r$Iters ORDER BY part_id""".stripMargin
   }
+
+  /** Triangle counting over the co-purchase graph with DEGREE
+    * ORIENTATION — the second canonical distributed-graph workload
+    * (cohesion/community signal; PageRank is the iterate-a-shuffle
+    * shape, this is the bound-the-wedge-explosion shape).
+    *
+    * The naive wedge join explodes on hubs: Σ_v deg(v)² — one celebrity
+    * node with deg 10⁶ contributes 10¹² wedges. Orienting every edge
+    * from lower to higher (degree, id) rank caps every node's
+    * OUT-degree at O(√m), so wedge count is Σ out² = O(m^1.5) — the
+    * classic bound (Schank/Wagner; MapReduce form: Suri & Vassilvitskii
+    * '11) and the standard hub-skew armor: the celebrity's edges all
+    * point INTO it, it generates no wedges at all. Each triangle is
+    * then counted exactly once (its unique lowest-rank apex emits the
+    * wedge; the closing edge is oriented b→c by rank transitivity), so
+    * no post-hoc dedup or /3 correction is needed. Per-part
+    * participation counts come from exploding the (a,b,c) tuples.
+    *
+    * Plan shape: edges once (distinct self-join on orderkey), degree =
+    * one partial-agg shuffle, orientation a narrow predicate, wedges =
+    * one equi-join on the apex, close = one equi-join on (b,c). The
+    * oracle replays the SAME triangle set via plain id-ordering
+    * (u<v<w) — orientation changes the wedge count, never the
+    * triangles.
+    */
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_partkey")
+    val und = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val deg = und.select($"u".as("n")).union(und.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    // orient low (deg, id) → high (deg, id); localCheckpoint: the
+    // oriented edge list feeds the wedge join twice (apex + close)
+    val oriented = und
+      .join(deg.select($"n".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
+      .selectExpr(
+        "case when du < dv or (du = dv and u < v) then u else v end as src",
+        "case when du < dv or (du = dv and u < v) then v else u end as dst",
+        "case when du < dv or (du = dv and u < v) then du else dv end as ds",
+        "case when du < dv or (du = dv and u < v) then dv else du end as dd")
+      .localCheckpoint()
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src") &&
+        (col("e1.dd") < col("e2.dd") ||
+          (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    val tris = wedges.join(oriented.select($"src".as("b"), $"dst".as("c")),
+      Seq("b", "c"))
+    tris.select(explode(array($"a", $"b", $"c")).as("part_id"))
+      .groupBy($"part_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"part_id")
+  }
+
+  val graphTrianglesOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1
+      |  JOIN e e2 ON e2.u = e1.v
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      |), nodes AS (
+      |  SELECT unnest([a, b, c]) AS part_id FROM tri
+      |)
+      |SELECT part_id, count(*) AS n_triangles
+      |FROM nodes GROUP BY 1 ORDER BY part_id""".stripMargin
 }

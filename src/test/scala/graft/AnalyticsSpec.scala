@@ -1141,6 +1141,30 @@ class AnalyticsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("graph_triangles: degree-oriented counts == brute-force enumeration") {
+    val got = GraphAnalytics.graphTriangles(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // brute force over the collected canonical edge set
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val byOrder = li.groupBy(_._1).values
+    val edges = (for {
+      grp <- byOrder; Array(x, y) <- grp.map(_._2).distinct.sorted
+        .combinations(2).map(_.toArray)
+    } yield (x, y)).toSet
+    val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      (u, vs) <- adj; Array(b, c) <- vs.toArray.sorted.combinations(2)
+        .map(_.toArray)
+      if edges((b, c))
+      n <- Seq(u, b, c)
+    } want(n) = want.getOrElse(n, 0L) + 1L
+    assert(want.nonEmpty && got == want.toMap,
+      s"triangle counts diverged (got ${got.size} parts, want ${want.size})")
+  }
+
   test("range_join: bucketized pairs == brute-force nested-loop pairs") {
     val got = DetectionAnalytics.rangeJoin(spark, sf)
       .select($"err_id", $"event_id").as[(Long, Long)].collect().toSet
