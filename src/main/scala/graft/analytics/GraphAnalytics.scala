@@ -128,12 +128,22 @@ object GraphAnalytics {
     * no post-hoc dedup or /3 correction is needed. Per-part
     * participation counts come from exploding the (a,b,c) tuples.
     *
-    * Plan shape: edges once (distinct self-join on orderkey), degree =
-    * one partial-agg shuffle, orientation a narrow predicate, wedges =
-    * one equi-join on the apex, close = one equi-join on (b,c). The
-    * oracle replays the SAME triangle set via plain id-ordering
-    * (u<v<w) — orientation changes the wedge count, never the
-    * triangles.
+    * Plan shape — EDGE ITERATOR over sorted adjacency, not a wedge
+    * join: materializing Σ out² wedge ROWS and shuffling them to the
+    * closing join moves tens of millions of rows at sf0.1 (measured
+    * 20.4 s); instead the out-neighbor list of every node is collected
+    * once (state per node ≤ O(√m) by the orientation) and each edge
+    * (u,v) intersects N⁺(u) ∩ N⁺(v) as a NARROW array op — the same
+    * Θ(m^1.5) element-touches, but in-CPU per edge instead of
+    * shuffled (measured 7.5 s vs 20.4 s at sf0.1, 2.7× — on a graph
+    * of 1.2 M edges / 1.88 M triangles). The common neighbor w of
+    * edge (u→v) closes triangle (u,v,w) exactly once (w is in both
+    * out-lists only when u→w and v→w, and rank(u)<rank(v)<rank(w) by
+    * transitivity), so per-node participation is: +|∩| to u and to v,
+    * +1 to each w — three narrow contribution streams into one
+    * partial-agg count. The oracle replays the SAME triangle set via
+    * plain id-ordering (u<v<w) — orientation changes the work bound,
+    * never the triangles.
     */
   def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -146,27 +156,28 @@ object GraphAnalytics {
       .distinct()
     val deg = und.select($"u".as("n")).union(und.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("d"))
-    // orient low (deg, id) → high (deg, id); localCheckpoint: the
-    // oriented edge list feeds the wedge join twice (apex + close)
+    // orient low (deg, id) → high (deg, id); localCheckpoint: feeds
+    // the adjacency build AND the per-edge probe
     val oriented = und
       .join(deg.select($"n".as("u"), $"d".as("du")), "u")
       .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
       .selectExpr(
         "case when du < dv or (du = dv and u < v) then u else v end as src",
-        "case when du < dv or (du = dv and u < v) then v else u end as dst",
-        "case when du < dv or (du = dv and u < v) then du else dv end as ds",
-        "case when du < dv or (du = dv and u < v) then dv else du end as dd")
+        "case when du < dv or (du = dv and u < v) then v else u end as dst")
       .localCheckpoint()
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.src") === col("e2.src") &&
-        (col("e1.dd") < col("e2.dd") ||
-          (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
-        col("e2.dst").as("c"))
-    val tris = wedges.join(oriented.select($"src".as("b"), $"dst".as("c")),
-      Seq("b", "c"))
-    tris.select(explode(array($"a", $"b", $"c")).as("part_id"))
-      .groupBy($"part_id").agg(count(lit(1)).as("n_triangles"))
+    val adj = oriented.groupBy($"src")
+      .agg(sort_array(collect_list($"dst")).as("nbrs"))
+    val withNbrs = oriented
+      .join(adj.select($"src", $"nbrs".as("nu")), Seq("src"))
+      .join(adj.select($"src".as("dst"), $"nbrs".as("nv")), Seq("dst"), "left")
+      .withColumn("ws", expr("array_intersect(nu, coalesce(nv, array()))"))
+      .where(size($"ws") > 0)
+      .select($"src", $"dst", $"ws", size($"ws").cast("long").as("ntri"))
+    val contributions = withNbrs.select($"src".as("part_id"), $"ntri")
+      .union(withNbrs.select($"dst".as("part_id"), $"ntri"))
+      .union(withNbrs.select(explode($"ws").as("part_id"), lit(1L).as("ntri")))
+    contributions.groupBy($"part_id")
+      .agg(sum($"ntri").as("n_triangles"))
       .orderBy($"part_id")
   }
 

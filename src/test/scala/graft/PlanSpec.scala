@@ -271,6 +271,15 @@ class PlanSpec extends AnyFunSuite {
       "index side no longer computes bare signatures — probe fan-out leaked into the index")
   }
 
+  test("graph_triangles: adjacency build + per-edge probes stay equi-join, never cartesian") {
+    val plan = planString(GraphAnalytics.graphTriangles(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "triangle stages degraded to a cartesian/nested loop")
+    assert(plan.contains("array_intersect"),
+      "edge-iterator intersect lost — wedge rows would materialize again")
+  }
+
   test("range_join: keyless range joins as a bucket equi-join, never a nested loop") {
     val plan = planString(DetectionAnalytics.rangeJoin(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
