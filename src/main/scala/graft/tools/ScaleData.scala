@@ -121,7 +121,18 @@ object ScaleData {
     rep("supplier", Seq("s_suppkey"), 1)
     rep("part", Seq("p_partkey"), 2)
     rep("orders", Seq("o_orderkey", "o_custkey"), 8)
-    rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 16)
+    // skew: 5 % of line items rewritten to ONE hot part per copy — a
+    // celebrity hub that ends up co-purchased with essentially every
+    // part in its copy (degree ≈ |parts| vs ~120 uniform). This is the
+    // input that makes any unoriented wedge enumeration explode by the
+    // hub's deg² term; the degree-oriented edge-iterator must absorb it
+    // (hub edges all point INTO the hub → zero wedges from the hub).
+    rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 16, df =>
+      if (!skew) df
+      else df.withColumn("l_partkey",
+        when(pmod(hash(col("l_orderkey") * 7 + col("l_linenumber")),
+          lit(100)) < 5, col("c") * Off + 1L)
+          .otherwise(col("l_partkey"))))
     rep("events", Seq("event_id", "user_id"), 8, df =>
       if (!skew) df
       else df.withColumn("props",
