@@ -44,6 +44,9 @@ object SparkEntry {
     "interval_join"     -> ((s, d) => DetectionAnalytics.intervalJoin(s, d)),
     "range_join"        -> ((s, d) => DetectionAnalytics.rangeJoin(s, d)),
     "graph_triangles"   -> ((s, d) => GraphAnalytics.graphTriangles(s, d)),
+    "ts_similarity"     -> ((s, d) => TimeSeriesAnalytics.tsSimilarity(s, d)),
+    "ts_similarity_paa" -> ((s, d) =>
+      TimeSeriesAnalytics.tsSimilarityPaa(s, d)),
     "asof_attribution"  -> ((s, d) => DetectionAnalytics.asofAttribution(s, d)),
     "cep_funnel"        -> ((s, d) => DetectionAnalytics.cepFunnel(s, d)),
     "cep_funnel_relaxed" -> ((s, d) => DetectionAnalytics.cepFunnelRelaxed(s, d)),
@@ -351,6 +354,9 @@ object SparkEntry {
     "hot_pages_late_split" -> graft.analytics.LateDataAnalytics.hotPagesLateSplitOracle,
     "range_join" -> graft.analytics.DetectionAnalytics.rangeJoinOracle,
     "graph_triangles" -> graft.analytics.GraphAnalytics.graphTrianglesOracle,
+    "ts_similarity" -> graft.analytics.TimeSeriesAnalytics.tsSimilarityOracle(),
+    "ts_similarity_paa" ->
+      graft.analytics.TimeSeriesAnalytics.tsSimilarityPaaOracle(),
     "interval_join" ->
       """SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate
         |FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey

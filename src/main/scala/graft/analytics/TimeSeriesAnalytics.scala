@@ -1,0 +1,185 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed time-series similarity search over per-user daily
+  * activity series — the workload class the retrieved corpus keeps
+  * returning to (EDBT'19 streaming TS similarity, ICDE'21 REPOSE
+  * distributed top-k trajectory search; patterns only, no code reused).
+  *
+  * Series: each user's 30-day event-count vector (the testdata's
+  * events span 2024-01-01 → 2024-01-30). All similarity math is exact
+  * BIGINT (squared Euclidean on integer counts) so every result —
+  * including the approximate tier's — replays bit-for-bit in DuckDB;
+  * a float metric could not be hash-gated across engines.
+  *
+  * Two tiers, mirroring the ANN family's structure:
+  *   - [[tsSimilarity]]: exact top-k for a deterministic query panel —
+  *     the QA baseline (cost (n/mod)·n series pairs of d=30 ints).
+  *   - [[tsSimilarityPaa]]: the scale path — PAA (piecewise aggregate
+  *     approximation, Keogh et al.): each series collapses to 6
+  *     five-day integer sums, quantized by a CORPUS-RELATIVE step into
+  *     a discrete signature; candidates are pairs sharing the
+  *     signature (one equi-join on a dense key — never all-pairs),
+  *     verified with the exact distance. Approximate by design
+  *     (a close pair straddling a quantization boundary is missed);
+  *     the oracle replays the same candidate generation, so the gate
+  *     stays exact.
+  */
+object TimeSeriesAnalytics {
+
+  private val Days = 30
+  private val Seg = 5 // PAA segment length (6 segments over 30 days)
+
+  /** (user_id, arr) — the dense 30-long BIGINT daily-count series.
+    * One groupBy on (user, day) + one groupBy on user; the dense grid
+    * is built per user from its sparse day list (map lookup over a
+    * 30-element sequence — narrow), so no cross join materializes the
+    * grid.
+    */
+  private def series(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .selectExpr("user_id", "datediff(to_date(ts), date'2024-01-01') as d")
+      .where($"d" >= 0 && $"d" < Days)
+      .groupBy($"user_id", $"d").agg(count(lit(1)).as("c"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(collect_list(struct($"d", $"c"))).as("m"))
+      .selectExpr("user_id",
+        s"transform(sequence(0, ${Days - 1}), dd -> coalesce(m[dd], cast(0 as bigint))) as arr")
+  }
+
+  private val distExpr =
+    "aggregate(zip_with(qa, ca, (xa, ya) -> (xa - ya) * (xa - ya)), " +
+      "cast(0 as bigint), (acc, z) -> acc + z)"
+
+  /** Exact top-k similar users for the 1-in-10 query panel. */
+  def tsSimilarity(spark: SparkSession, sfDir: String, k: Int = 5,
+                   mod: Int = 10): DataFrame = {
+    import spark.implicits._
+    val s = series(spark, sfDir).localCheckpoint()
+    val q = s.where($"user_id" % mod === 0)
+      .select($"user_id".as("query_id"), $"arr".as("qa"))
+    val c = s.select($"user_id".as("neighbor_id"), $"arr".as("ca"))
+    q.join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("dist2", expr(distExpr))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"dist2".asc, $"neighbor_id".asc)))
+      .where($"rnk" <= k)
+      .select($"query_id", $"neighbor_id", $"dist2",
+        $"rnk".cast("int").as("rnk"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** Shared DuckDB CTE chain ending in `arrs(user_id, arr)` — the
+    * dense-grid construction (users × 30 days left-joined to sparse
+    * counts), identical series to the Spark side.
+    */
+  private val seriesCtes: String =
+    s"""daily AS (
+       |  SELECT user_id,
+       |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+       |         count(*) AS c
+       |  FROM events GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT u.user_id, gs.d
+       |  FROM (SELECT DISTINCT user_id FROM daily) u
+       |  CROSS JOIN (SELECT unnest(range(0, $Days)) AS d) gs
+       |), dense AS (
+       |  SELECT g.user_id, g.d, COALESCE(dc.c, 0) AS c
+       |  FROM grid g LEFT JOIN daily dc
+       |    ON g.user_id = dc.user_id AND g.d = dc.d
+       |  WHERE g.d >= 0 AND g.d < $Days
+       |), arrs AS (
+       |  SELECT user_id, list(CAST(c AS BIGINT) ORDER BY d) AS arr
+       |  FROM dense GROUP BY 1
+       |)""".stripMargin
+
+  private def distDuck(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(list_zip($a, $b), " +
+      s"zz -> (zz[1] - zz[2]) * (zz[1] - zz[2]))), " +
+      s"(za, zb) -> za + zb)"
+
+  def tsSimilarityOracle(k: Int = 5, mod: Int = 10): String =
+    s"""WITH $seriesCtes, pairs AS (
+       |  SELECT q.user_id AS query_id, c.user_id AS neighbor_id,
+       |         ${distDuck("q.arr", "c.arr")} AS dist2
+       |  FROM arrs q JOIN arrs c ON q.user_id <> c.user_id
+       |  WHERE q.user_id % $mod = 0
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, dist2,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY dist2 ASC, neighbor_id ASC) AS rnk
+       |  FROM pairs
+       |)
+       |SELECT query_id, neighbor_id, dist2, CAST(rnk AS INT) AS rnk
+       |FROM ranked WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  /** PAA-bucketed near-pair search: series whose quantized PAA
+    * signatures collide, verified with the exact distance against a
+    * corpus-relative threshold. The signature join is the only
+    * corpus-width stage — one equi-shuffle on a short string key; the
+    * quantization step derives from the corpus (mean events per
+    * (user, segment), floor 1) so the bucket structure survives any
+    * scale-up instead of degenerating to one giant bucket (small SF)
+    * or all-singletons (large SF).
+    */
+  def tsSimilarityPaa(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = series(spark, sfDir).localCheckpoint()
+    val nSeg = Days / Seg
+    // corpus-relative quantization step: mean count per (user, segment)
+    // `div` (not `/`): Spark's `/` on longs is double division and a
+    // truncating cast, DuckDB's `/` ROUNDS on cast — integer division
+    // is the only formulation both engines floor identically
+    val step = s
+      .agg(sum(expr("aggregate(arr, cast(0 as bigint), (sa, sx) -> sa + sx)"))
+        .as("tot"), count(lit(1)).as("nu"))
+      .selectExpr(s"greatest(cast(1 as bigint), tot div (nu * $nSeg)) as step")
+    val sig = s.crossJoin(broadcast(step))
+      .selectExpr("user_id", "arr", "step",
+        s"transform(sequence(0, ${nSeg - 1}), si -> " +
+          s"aggregate(slice(arr, si * $Seg + 1, $Seg), cast(0 as bigint), " +
+          "(pa, px) -> pa + px) div step) as paw")
+      .withColumn("sig", expr("array_join(paw, '-')"))
+    val thresh = expr(s"16 * step * step") // dist² ≤ 16·step² ⇒ near
+    sig.select($"user_id".as("u1"), $"arr".as("qa"), $"sig", $"step")
+      .join(sig.select($"user_id".as("u2"), $"arr".as("ca"), $"sig"), "sig")
+      .where($"u1" < $"u2")
+      .withColumn("dist2", expr(distExpr))
+      .where($"dist2" <= thresh)
+      .select($"u1", $"u2", $"dist2")
+      .orderBy($"u1", $"u2")
+  }
+
+  def tsSimilarityPaaOracle(): String = {
+    val nSeg = Days / Seg
+    s"""WITH $seriesCtes, st AS (
+       |  SELECT greatest(CAST(1 AS BIGINT),
+       |    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+       |           (sa, sx) -> sa + sx)) AS BIGINT)
+       |      // (count(*) * $nSeg)) AS step
+       |  FROM arrs
+       |), sigs AS (
+       |  -- step cross-joined as a plain column: DuckDB allows outer
+       |  -- COLUMN references inside lambdas but not subqueries
+       |  SELECT user_id, arr,
+       |         array_to_string(list_transform(range(0, $nSeg), si ->
+       |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             arr[si * $Seg + 1 : si * $Seg + $Seg]),
+       |             (pa, px) -> pa + px) // step), '-') AS sig
+       |  FROM arrs CROSS JOIN st
+       |)
+       |SELECT a.user_id AS u1, b.user_id AS u2,
+       |       ${distDuck("a.arr", "b.arr")} AS dist2
+       |FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.user_id < b.user_id
+       |WHERE ${distDuck("a.arr", "b.arr")} <=
+       |      16 * (SELECT step * step FROM st)
+       |ORDER BY u1, u2""".stripMargin
+  }
+}

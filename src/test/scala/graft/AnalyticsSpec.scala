@@ -1141,6 +1141,40 @@ class AnalyticsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("ts_similarity: top-k == brute-force nearest series; PAA tier sound") {
+    // reconstruct every user's 30-day series from raw events
+    val daily = events
+      .selectExpr("user_id", "datediff(to_date(ts), date'2024-01-01') as d")
+      .where($"d" >= 0 && $"d" < 30)
+      .groupBy($"user_id", $"d").agg(count(lit(1)).as("c"))
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (u, rows) =>
+        val arr = Array.fill(30)(0L)
+        rows.foreach { case (_, d, c) => arr(d) = c }
+        u -> arr
+      }
+    def dist2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val got = TimeSeriesAnalytics.tsSimilarity(spark, sf)
+      .select($"query_id", $"neighbor_id", $"dist2", $"rnk")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    for ((q, n, d, r) <- got) {
+      assert(d == dist2(daily(q), daily(n)), s"dist mismatch for ($q,$n)")
+      // rank r ⇒ at most r-1 neighbors strictly better (ties by id)
+      val better = daily.count { case (u, arr) =>
+        val du = dist2(daily(q), arr)
+        u != q && (du < d || (du == d && u < n)) }
+      assert(better == r - 1, s"rank $r wrong for ($q,$n): $better better")
+    }
+    // PAA tier: every emitted pair is genuinely near (sound); exact
+    // distances replayed from the raw series
+    val paa = TimeSeriesAnalytics.tsSimilarityPaa(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    for ((u1, u2, d) <- paa)
+      assert(d == dist2(daily(u1), daily(u2)) && u1 < u2)
+  }
+
   test("graph_triangles: degree-oriented counts == brute-force enumeration") {
     val got = GraphAnalytics.graphTriangles(spark, sf)
       .as[(Long, Long)].collect().toMap
