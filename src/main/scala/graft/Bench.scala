@@ -46,15 +46,30 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .filter { case (n, _) =>
         !diag(n) || runDiag || only.exists(_.contains(n)) }
-    for ((_, fn) <- sorted)
+    // Each invocation of a query that localCheckpoints (dedup shingle
+    // encodings, triangle adjacency, TS series, …) persists fresh RDD
+    // blocks that nothing unpersists — across a warm pass + 3 reps ×
+    // 119 queries the block manager fills up and late-alphabet heavy
+    // queries pay spill/GC pressure that is HARNESS debt, not query
+    // cost (graph_triangles measured 21.2 s inside the full sweep vs
+    // 7.5 s solo before this). Dropping leftover persisted RDDs after
+    // every invocation keeps each measurement at steady state.
+    def clearLeftoverBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    for ((_, fn) <- sorted) {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      clearLeftoverBlocks()
+    }
     val results = sorted.map { case (name, fn) =>
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         // a crash must read as a failure (-1), never as a fast timing
-        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
+        clearLeftoverBlocks() // outside the timed window
+        dt
       }.sorted
       name -> (if (reps.exists(_.isNaN)) -1.0 else reps(1)) // median of 3
     }
