@@ -56,12 +56,23 @@ object TimeSeriesAnalytics {
     "aggregate(zip_with(qa, ca, (xa, ya) -> (xa - ya) * (xa - ya)), " +
       "cast(0 as bigint), (acc, z) -> acc + z)"
 
-  /** Exact top-k similar users for the 1-in-10 query panel. */
+  /** Fixed-size query panel: 1-in-mod with mod scaled so the panel
+    * stays ~50 users — the [[graft.textops.Similarity]] rule. A FIXED
+    * mod makes the exact baseline quadratic (panel ×10 × corpus ×10 =
+    * ×100 pairs; measured 91 s at sf1 before this); a fixed PANEL
+    * keeps it linear in the corpus. Resolves to the oracle constant
+    * (10) at the correctness tiers (150 / 1 500 users).
+    */
+  private[graft] def autoMod(nUsers: Long): Int =
+    math.max(10, (nUsers / 50L).toInt)
+
+  /** Exact top-k similar users for the deterministic query panel. */
   def tsSimilarity(spark: SparkSession, sfDir: String, k: Int = 5,
-                   mod: Int = 10): DataFrame = {
+                   mod: Int = -1): DataFrame = {
     import spark.implicits._
     val s = series(spark, sfDir).localCheckpoint()
-    val q = s.where($"user_id" % mod === 0)
+    val m = if (mod > 0) mod else autoMod(s.count())
+    val q = s.where($"user_id" % m === 0)
       .select($"user_id".as("query_id"), $"arr".as("qa"))
     val c = s.select($"user_id".as("neighbor_id"), $"arr".as("ca"))
     q.join(c, $"query_id" =!= $"neighbor_id")
@@ -105,12 +116,17 @@ object TimeSeriesAnalytics {
       s"zz -> (zz[1] - zz[2]) * (zz[1] - zz[2]))), " +
       s"(za, zb) -> za + zb)"
 
-  def tsSimilarityOracle(k: Int = 5, mod: Int = 10): String =
-    s"""WITH $seriesCtes, pairs AS (
+  /** The oracle derives the panel modulus from the corpus with the
+    * same rule as [[autoMod]] — oracle parity at every SF, no tier
+    * coupling (the similarity-family geomCte pattern). */
+  def tsSimilarityOracle(k: Int = 5): String =
+    s"""WITH $seriesCtes, tsgeom AS (
+       |  SELECT greatest(10, count(*) // 50) AS md FROM arrs
+       |), pairs AS (
        |  SELECT q.user_id AS query_id, c.user_id AS neighbor_id,
        |         ${distDuck("q.arr", "c.arr")} AS dist2
        |  FROM arrs q JOIN arrs c ON q.user_id <> c.user_id
-       |  WHERE q.user_id % $mod = 0
+       |  WHERE q.user_id % (SELECT md FROM tsgeom) = 0
        |), ranked AS (
        |  SELECT query_id, neighbor_id, dist2,
        |         row_number() OVER (PARTITION BY query_id
