@@ -28,6 +28,7 @@ object SparkEntry {
     "uv_approx"       -> ((s, d) => UserBehaviorAnalytics.uvApprox(s, d)),
     "uv_approx_kmv"   -> ((s, d) => UserBehaviorAnalytics.uvApproxKmv(s, d)),
     "uv_approx_kmv_agg" -> ((s, d) => UserBehaviorAnalytics.uvApproxKmvAgg(s, d)),
+    "uv_cube"         -> ((s, d) => UserBehaviorAnalytics.uvCube(s, d)),
     "user_sessions"   -> ((s, d) => UserBehaviorAnalytics.userSessions(s, d)),
     "user_retention"  -> ((s, d) => UserBehaviorAnalytics.userRetention(s, d)),
     "retention_kmv"   -> ((s, d) => UserBehaviorAnalytics.retentionKmv(s, d)),
@@ -231,6 +232,7 @@ object SparkEntry {
     // the aggregator form is bit-identical to the relational form by
     // construction (order-independent K-min distinct set) — same oracle
     "uv_approx_kmv_agg" -> UserBehaviorAnalytics.uvApproxKmvOracle,
+    "uv_cube"           -> UserBehaviorAnalytics.uvCubeOracle,
     "user_sessions" -> UserBehaviorAnalytics.userSessionsOracle,
     "user_retention" -> UserBehaviorAnalytics.userRetentionOracle,
     "retention_kmv"  -> UserBehaviorAnalytics.retentionKmvOracle,

@@ -582,6 +582,67 @@ object UserBehaviorAnalytics {
        |FROM pairs p JOIN jv ON p.day = jv.day ORDER BY p.day""".stripMargin
   }
 
+  /** Distinct-user estimates for EVERY cell of the (event_type × day)
+    * cube lattice in ONE Expand pass — grouping sets married to the
+    * mergeable KMV sketch. Exact `countDistinct` under CUBE shuffles
+    * the full (user × lattice-cell) pair stream (each input row
+    * expands into all 4 grouping sets BEFORE the distinct), which at
+    * 100 TB is 4× the corpus through the exchange; the sketch cube's
+    * agg state is a bounded sorted array per cell, so map-side partial
+    * aggregation collapses every task's contribution to ≤ K longs per
+    * cell and the exchange carries O(K · cells). Cells with < K
+    * distinct hashes report the exact count (the whole lattice at the
+    * correctness tiers' small cells; the global cell exercises the
+    * sketch regime from sf0.1 up). DuckDB replays every estimate
+    * bit-for-bit — one rank-KMV block per grouping set.
+    */
+  def uvCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_type", to_date($"ts").as("day"),
+        expr("poly_hash(concat(cast(user_id as string), '-kmv'))").as("h"))
+      .cube($"event_type", $"day")
+      .agg(graft.functions.KmvAggregator.kmvSketch(col("h")).as("sk"))
+      .selectExpr("coalesce(event_type, '(all)') as event_type",
+        "coalesce(cast(day as string), '(all)') as day",
+        "size(sk) as cnt", "element_at(sk, -1) as kth")
+      .select($"event_type", $"day", expr(KmvEstimate).as("uv_kmv"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val uvCubeOracle: String = {
+    import graft.textops.TextHash.{phDuck, P}
+    // one rank-KMV block per grouping set: the distinct-hash set must
+    // be re-deduped per set (collapsing a dim merges its hash sets)
+    def block(et: String, day: String, keys: String): String =
+      s"""  SELECT $et AS event_type, $day AS day, count(*) AS cnt, max(h) AS kth
+         |  FROM (
+         |    SELECT *, row_number() OVER (${
+             if (keys.isEmpty) "" else s"PARTITION BY $keys "
+           }ORDER BY h ASC) AS rnk
+         |    FROM (SELECT DISTINCT ${if (keys.isEmpty) "" else s"$keys, "}h
+         |          FROM base)
+         |  ) rk WHERE rnk <= $KmvK
+         |  GROUP BY ${if (keys.isEmpty) "1, 2" else keys}""".stripMargin
+    s"""WITH base AS (
+       |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       |         ${phDuck("CAST(user_id AS VARCHAR) || '-kmv'", "u")} AS h
+       |  FROM events
+       |), cells AS (
+       |${block("event_type", "day", "event_type, day")}
+       |  UNION ALL
+       |${block("event_type", "'(all)'", "event_type")}
+       |  UNION ALL
+       |${block("'(all)'", "day", "day")}
+       |  UNION ALL
+       |${block("'(all)'", "'(all)'", "")}
+       |)
+       |SELECT event_type, day,
+       |       CASE WHEN cnt < $KmvK THEN CAST(cnt AS DOUBLE)
+       |            ELSE ${KmvK - 1}e0 * ${P}e0 / kth END AS uv_kmv
+       |FROM cells ORDER BY event_type, day""".stripMargin
+  }
+
   val uvApproxKmvOracle: String = {
     import graft.textops.TextHash.{phDuck, P}
     s"""WITH v AS (

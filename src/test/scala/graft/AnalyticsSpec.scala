@@ -1141,6 +1141,25 @@ class AnalyticsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("uv_cube: full lattice, exact cells == countDistinct, estimates sane") {
+    val df = UserBehaviorAnalytics.uvCube(spark, sf).cache()
+    val nTypes = events.select($"event_type").distinct().count()
+    val nDays = events.select(to_date($"ts")).distinct().count()
+    assert(df.count() == (nTypes + 1) * (nDays + 1), "lattice incomplete")
+    // below the sketch threshold (K=256) every cell reports EXACT
+    // distinct counts — compare the fully-grouped cells to countDistinct
+    val want = events
+      .groupBy($"event_type", to_date($"ts").cast("string").as("day"))
+      .agg(countDistinct($"user_id").cast("double").as("uv"))
+      .as[(String, String, Double)].collect()
+      .map { case (t, d, v) => (t, d) -> v }.toMap
+    val got = df.where($"event_type" =!= "(all)" && $"day" =!= "(all)")
+      .as[(String, String, Double)].collect()
+      .map { case (t, d, v) => (t, d) -> v }.toMap
+    assert(got == want, "sub-K cube cells diverge from exact countDistinct")
+    df.unpersist()
+  }
+
   test("ts_similarity: top-k == brute-force nearest series; PAA tier sound") {
     // reconstruct every user's 30-day series from raw events
     val daily = events
