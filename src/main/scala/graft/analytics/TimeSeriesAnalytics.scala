@@ -173,6 +173,55 @@ object TimeSeriesAnalytics {
       .orderBy($"u1", $"u2")
   }
 
+  /** Persist the per-user series table — the TS-search serving index
+    * (O(users) rows of 30 BIGINTs; the aggregation over raw events is
+    * the expensive pass, so production serves from the snapshot and
+    * refreshes it on the ingest cadence). */
+  def materializeSeries(spark: SparkSession, sfDir: String,
+                        outDir: String): Unit =
+    series(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/ts_series")
+
+  /** Top-k nearest stored series for an arbitrary batch of
+    * (query_id, arr) query series — exact scoring against the
+    * snapshot (same BIGINT distance as [[tsSimilarity]]); queries are
+    * stateless rows, so per-batch search is exact serving. */
+  def tsSearchFrom(spark: SparkSession, outDir: String,
+                   queries: DataFrame, k: Int = 5,
+                   excludeSelfId: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val stored = spark.read.parquet(s"$outDir/ts_series")
+      .select($"user_id".as("neighbor_id"), $"arr".as("ca"))
+    val q = queries.selectExpr("query_id", "cast(arr as array<bigint>) as qa")
+    q.join(stored,
+        if (excludeSelfId) $"query_id" =!= $"neighbor_id" else lit(true))
+      .withColumn("dist2", expr(distExpr))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"dist2".asc, $"neighbor_id".asc)))
+      .where($"rnk" <= k)
+      .select($"query_id", $"neighbor_id", $"dist2",
+        $"rnk".cast("int").as("rnk"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** TS search AS A STREAM: query series arrive continuously, each
+    * micro-batch searched against the stored snapshot via
+    * [[tsSearchFrom]]; results land partitioned by batch_id with
+    * dynamic partition overwrite (replay-idempotent — the
+    * [[graft.textops.Pipelines.annSearchStream]] contract). */
+  def tsSearchStream(queries: DataFrame, outDir: String,
+                     resultDir: String, k: Int = 5,
+                     excludeSelfId: Boolean = false) =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        tsSearchFrom(batch.sparkSession, outDir, batch, k, excludeSelfId)
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(resultDir)
+      }
+
   def tsSimilarityPaaOracle(): String = {
     val nSeg = Days / Seg
     s"""WITH $seriesCtes, st AS (

@@ -812,6 +812,35 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tsSearchStream: streamed query series == batch ts_similarity on the panel") {
+    implicit val ctx = spark.sqlContext
+    import graft.analytics.TimeSeriesAnalytics
+    val dir = java.nio.file.Files.createTempDirectory("grafttss").toString
+    TimeSeriesAnalytics.materializeSeries(spark, sf, dir)
+    val ms = MemoryStream[(Long, Seq[Long])]
+    val q = TimeSeriesAnalytics.tsSearchStream(
+      ms.toDF().toDF("query_id", "arr"), dir, s"$dir/results",
+      excludeSelfId = true).start()
+    try {
+      // feed the batch query's own panel through the stream
+      val mod = TimeSeriesAnalytics.autoMod(
+        spark.read.parquet(s"$dir/ts_series").count())
+      val panel = spark.read.parquet(s"$dir/ts_series")
+        .where(expr(s"user_id % $mod = 0"))
+        .selectExpr("user_id as query_id", "arr")
+        .as[(Long, Seq[Long])].collect().toSeq
+      panel.grouped(math.max(panel.size / 2, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val cols = Seq("query_id", "neighbor_id", "dist2", "rnk")
+      val got = spark.read.parquet(s"$dir/results")
+        .selectExpr(cols: _*).as[(Long, Long, Long, Int)].collect().toSet
+      val want = TimeSeriesAnalytics.tsSimilarity(spark, sf)
+        .selectExpr(cols: _*).as[(Long, Long, Long, Int)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        "streamed TS search diverged from the live panel query")
+    } finally q.stop()
+  }
+
   test("rangeJoinStream: bucket-keyed stream-stream join == batch range_join") {
     implicit val ctx = spark.sqlContext
     import graft.analytics.DetectionAnalytics
