@@ -29,6 +29,8 @@ object SparkEntry {
     "uv_approx_kmv"   -> ((s, d) => UserBehaviorAnalytics.uvApproxKmv(s, d)),
     "uv_approx_kmv_agg" -> ((s, d) => UserBehaviorAnalytics.uvApproxKmvAgg(s, d)),
     "uv_cube"         -> ((s, d) => UserBehaviorAnalytics.uvCube(s, d)),
+    "value_quantiles_sketch" -> ((s, d) =>
+      RelationalAnalytics.valueQuantilesSketch(s, d)),
     "user_sessions"   -> ((s, d) => UserBehaviorAnalytics.userSessions(s, d)),
     "user_retention"  -> ((s, d) => UserBehaviorAnalytics.userRetention(s, d)),
     "retention_kmv"   -> ((s, d) => UserBehaviorAnalytics.retentionKmv(s, d)),
@@ -233,6 +235,8 @@ object SparkEntry {
     // construction (order-independent K-min distinct set) — same oracle
     "uv_approx_kmv_agg" -> UserBehaviorAnalytics.uvApproxKmvOracle,
     "uv_cube"           -> UserBehaviorAnalytics.uvCubeOracle,
+    "value_quantiles_sketch" ->
+      RelationalAnalytics.valueQuantilesSketchOracle,
     "user_sessions" -> UserBehaviorAnalytics.userSessionsOracle,
     "user_retention" -> UserBehaviorAnalytics.userRetentionOracle,
     "retention_kmv"  -> UserBehaviorAnalytics.retentionKmvOracle,

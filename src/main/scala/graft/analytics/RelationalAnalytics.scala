@@ -532,6 +532,85 @@ object RelationalAnalytics {
       .orderBy($"event_type")
   }
 
+  /** Per-type quantiles from a BOUNDED-STATE hash sample — the
+    * quantile member of the sketch family (KMV = distinct, Count-Min
+    * = frequency): [[graft.functions.HashSampleAgg]] keeps the ≤ K
+    * (hash, value) pairs with the smallest salted row hashes, a
+    * uniform-without-replacement sample maintained in ≤ K·16 bytes of
+    * aggregation state per group. `value_percentiles_sampled`'s 5 %
+    * gate grows with the corpus and is a scan-side filter;
+    * this K-bounded form is mergeable aggregation STATE — the version
+    * a streaming `groupBy.agg` can carry ([[valueQuantilesStream]]),
+    * and at 100 TB the exchange moves O(K·groups) rows where the
+    * exact percentile sorts whole groups. Both engines interpolate
+    * type-7 over the IDENTICAL deterministic sample, so the doubles
+    * hash-gate.
+    */
+  def valueQuantilesSketch(spark: SparkSession, sfDir: String): DataFrame =
+    valueQuantilesFinish(
+      valueQuantilesState(Tables.events(spark, sfDir)))
+
+  /** The bounded sample as an aggregation (shared batch/stream). */
+  private[graft] def valueQuantilesState(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("event_type",
+        "poly_hash(concat(cast(event_id as string), '-q')) as h", "value")
+      .groupBy($"event_type")
+      .agg(graft.functions.HashSampleAggregator
+        .hashSample($"h", $"value").as("samp"))
+  }
+
+  /** Quantiles over the finished sample (shared batch/stream). */
+  private[graft] def valueQuantilesFinish(state: DataFrame): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    state
+      .select($"event_type", explode($"samp").as("s"))
+      .select($"event_type", $"s._2".as("v"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_sample"),
+        expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.9)").as("p90"))
+      .orderBy($"event_type")
+  }
+
+  /** The quantile dashboard AS A STREAM: the bounded sample is the
+    * streaming aggregation state (complete mode, ≤ K pairs per
+    * group), quantiles re-finished per micro-batch on the O(groups)
+    * snapshot and fully overwritten — replay-idempotent (the
+    * mixturePlanStream contract). */
+  def valueQuantilesStream(events: DataFrame, resultDir: String) =
+    valueQuantilesState(events)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (snap: DataFrame, _: Long) =>
+        valueQuantilesFinish(snap)
+          .write.mode("overwrite").parquet(resultDir)
+      }
+
+  val valueQuantilesSketchOracle: String = {
+    import graft.textops.TextHash.phDuck
+    s"""WITH hv AS (
+       |  SELECT event_type,
+       |         ${phDuck("CAST(event_id AS VARCHAR) || '-q'", "vq")} AS h,
+       |         value FROM events
+       |), hm AS (
+       |  -- equal hashes keep the MIN value (the aggregator's
+       |  -- order-independent collision rule)
+       |  SELECT event_type, h, min(value) AS v FROM hv GROUP BY 1, 2
+       |), rk AS (
+       |  SELECT event_type, v,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY h ASC) AS rnk
+       |  FROM hm
+       |)
+       |SELECT event_type, count(*) AS n_sample,
+       |       quantile_cont(v, 0.5) AS p50,
+       |       quantile_cont(v, 0.9) AS p90
+       |FROM rk WHERE rnk <= 256 GROUP BY 1 ORDER BY event_type""".stripMargin
+  }
+
   /** Trailing z-score anomaly detection: each (event_type, day) total
     * scored against the mean/stddev of its 7 preceding days (frame
     * excludes the current row — scoring a point against statistics

@@ -1141,6 +1141,27 @@ class AnalyticsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("value_quantiles_sketch: sample values from the group, estimates near exact") {
+    val sketch = RelationalAnalytics.valueQuantilesSketch(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    val exact = RelationalAnalytics.valuePercentiles(spark, sf)
+      .select($"event_type", $"p50", $"p90")
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(sketch.nonEmpty)
+    for ((t, n, p50, p90) <- sketch) {
+      // bounded state: never more than K kept
+      assert(n <= 256, s"$t sample exceeds K")
+      // a 200-ish uniform sample puts the empirical median within a
+      // loose band of the true one on value ~ U-ish data
+      val (e50, e90) = exact(t)
+      assert(math.abs(p50 - e50) <= math.max(10.0, 0.25 * math.abs(e50)),
+        s"$t: sketch p50 $p50 far from exact $e50")
+      assert(math.abs(p90 - e90) <= math.max(10.0, 0.25 * math.abs(e90)),
+        s"$t: sketch p90 $p90 far from exact $e90")
+    }
+  }
+
   test("uv_cube: full lattice, exact cells == countDistinct, estimates sane") {
     val df = UserBehaviorAnalytics.uvCube(spark, sf).cache()
     val nTypes = events.select($"event_type").distinct().count()

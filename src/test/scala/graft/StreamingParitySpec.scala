@@ -812,6 +812,31 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("valueQuantilesStream: bounded-sample state converges to batch sketch quantiles") {
+    implicit val ctx = spark.sqlContext
+    import graft.analytics.RelationalAnalytics
+    val dir = java.nio.file.Files.createTempDirectory("graftvqs").toString
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = RelationalAnalytics.valueQuantilesStream(
+      ms.toDF().toDF("event_id", "event_type", "value"),
+      s"$dir/quantiles").start()
+    try {
+      val evs = Tables.events(spark, sf)
+        .select($"event_id", $"event_type", $"value")
+        .as[(Long, String, Double)].collect().toSeq
+      evs.grouped(math.max(evs.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val cols = Seq("event_type", "n_sample", "p50", "p90")
+      val got = spark.read.parquet(s"$dir/quantiles").selectExpr(cols: _*)
+        .as[(String, Long, Double, Double)].collect().toSet
+      val want = RelationalAnalytics.valueQuantilesSketch(spark, sf)
+        .selectExpr(cols: _*)
+        .as[(String, Long, Double, Double)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        "streamed bounded-sample quantiles diverged from the batch sketch")
+    } finally q.stop()
+  }
+
   test("tsSearchStream: streamed query series == batch ts_similarity on the panel") {
     implicit val ctx = spark.sqlContext
     import graft.analytics.TimeSeriesAnalytics
