@@ -62,4 +62,52 @@ class ParquetSinkSpec extends AnyFunSuite {
       spark.sql("DROP DATABASE IF EXISTS graft_sink_test CASCADE")
     }
   }
+
+  test("z-ordered write: per-file ranges are narrow on BOTH keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graftz").toString
+    val events = Tables.events(spark, sf)
+      .select($"event_id", $"user_id",
+        datediff(to_date($"ts"), lit("2024-01-01")).as("day"))
+    ParquetSink.writeZOrdered(events, s"$dir/z", "user_id", "day",
+      bits = 8, parts = 8)
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == events.count(), "z-ordered write lost rows")
+    assert(back.columns.toSet == Set("event_id", "user_id", "day"),
+      "helper columns leaked into the files")
+    // per-file min/max spans: with z-ordering, EVERY file covers a
+    // small rectangle of the (user, day) space; a plain
+    // sort-by-user layout would leave day spans at full width
+    def spans(path: String): (Double, Double) = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      assert(files.length >= 4, "too few files to measure clustering")
+      val perFile = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max($"user_id") - min($"user_id"),
+            max($"day") - min($"day"))
+          .as[(Long, Int)].collect().head
+        (r._1.toDouble, r._2.toDouble)
+      }
+      (perFile.map(_._1).sum / perFile.length,
+        perFile.map(_._2).sum / perFile.length)
+    }
+    val (uSpan, dSpan) = spans(s"$dir/z")
+    val Array((uGlob, dGlob)) = events
+      .agg((max($"user_id") - min($"user_id")).cast("double"),
+        (max($"day") - min($"day")).cast("double"))
+      .as[(Double, Double)].collect()
+    assert(uSpan <= 0.6 * uGlob,
+      s"user span $uSpan not clustered vs global $uGlob")
+    assert(dSpan <= 0.6 * dGlob,
+      s"day span $dSpan not clustered vs global $dGlob")
+    // contrast: single-column sort leaves the OTHER key at full width
+    events.repartitionByRange(8, $"user_id")
+      .sortWithinPartitions($"user_id")
+      .write.parquet(s"$dir/u")
+    val (_, dSpanU) = spans(s"$dir/u")
+    assert(dSpanU >= 0.9 * dGlob,
+      "sorted-by-user baseline unexpectedly clustered on day too")
+    assert(dSpan < 0.7 * dSpanU,
+      s"z-order day span $dSpan not better than sort-by-user $dSpanU")
+  }
 }
