@@ -92,10 +92,16 @@ object TimeSeriesAnalytics {
     */
   private val seriesCtes: String =
     s"""daily AS (
+       |  -- in-window filter HERE, not only in dense: a user whose
+       |  -- events all fall outside [0, $Days) must not appear at all
+       |  -- (the Spark side drops them before its per-user groupBy)
        |  SELECT user_id,
        |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
        |         count(*) AS c
-       |  FROM events GROUP BY 1, 2
+       |  FROM events
+       |  WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 0
+       |    AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < $Days
+       |  GROUP BY 1, 2
        |), grid AS (
        |  SELECT u.user_id, gs.d
        |  FROM (SELECT DISTINCT user_id FROM daily) u

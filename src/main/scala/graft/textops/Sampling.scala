@@ -281,7 +281,10 @@ object Sampling {
         "cast(wq as double) / total_wq as w_share",
         "cast(corpus_tokens div 2 as double) * (cast(wq as double) / total_wq) as target_tokens")
       .selectExpr("source", "n_docs", "src_tokens", "w_share", "target_tokens",
-        "target_tokens / src_tokens as epochs_raw")
+        // greatest(...,1): a source whose docs are all empty text has
+        // src_tokens = 0 — Spark's x/0 is NULL where DuckDB's is NaN,
+        // so the guard must live in BOTH formulations identically
+        "target_tokens / greatest(src_tokens, 1) as epochs_raw")
       .selectExpr("source", "n_docs", "src_tokens", "w_share", "target_tokens",
         "least(epochs_raw, cast(4.0 as double)) as epochs",
         "epochs_raw > cast(4.0 as double) as capped",
@@ -311,7 +314,8 @@ object Sampling {
        |         CAST(corpus_tokens // 2 AS DOUBLE)
        |           * (CAST(wq AS DOUBLE) / total_wq) AS target_tokens,
        |         CAST(corpus_tokens // 2 AS DOUBLE)
-       |           * (CAST(wq AS DOUBLE) / total_wq) / src_tokens AS epochs_raw
+       |           * (CAST(wq AS DOUBLE) / total_wq)
+       |           / greatest(src_tokens, 1) AS epochs_raw
        |  FROM w CROSS JOIN totals
        |)
        |SELECT source, n_docs, src_tokens, w_share, target_tokens,
