@@ -52,6 +52,7 @@ object SparkEntry {
       TimeSeriesAnalytics.tsSimilarityPaa(s, d)),
     "asof_attribution"  -> ((s, d) => DetectionAnalytics.asofAttribution(s, d)),
     "cep_funnel"        -> ((s, d) => DetectionAnalytics.cepFunnel(s, d)),
+    "funnel_rates"      -> ((s, d) => DetectionAnalytics.funnelRates(s, d)),
     "cep_funnel_relaxed" -> ((s, d) => DetectionAnalytics.cepFunnelRelaxed(s, d)),
     "cep_absence"        -> ((s, d) => DetectionAnalytics.cepAbsence(s, d)),
     "cep_bursts"         -> ((s, d) => DetectionAnalytics.cepBursts(s, d)),
@@ -353,6 +354,7 @@ object SparkEntry {
         |  ON v.user_id = p.p_user AND v.view_ts >= p.purchase_ts
         |ORDER BY view_id""".stripMargin,
     "cep_funnel"           -> DetectionAnalytics.cepFunnelOracle,
+    "funnel_rates"         -> DetectionAnalytics.funnelRatesOracle,
     "cep_funnel_relaxed"   -> DetectionAnalytics.cepFunnelRelaxedOracle,
     "cep_absence"          -> DetectionAnalytics.cepAbsenceOracle,
     "cep_bursts"           -> DetectionAnalytics.cepBurstsOracle,

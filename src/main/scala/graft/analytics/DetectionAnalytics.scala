@@ -184,6 +184,61 @@ object DetectionAnalytics {
       |       o2 AS end_event, t2 AS end_ts
       |FROM j2 ORDER BY user_id, start_event""".stripMargin
 
+  /** Funnel CONVERSION-RATE dashboard: per signup-day cohort, how many
+    * signups reach the purchase step (≤ 72 h) and the full
+    * signup→purchase→click chain — the product-analytics rollup built
+    * compositionally from the SAME generic Pattern API at prefix
+    * lengths 2 and 3 (each prefix compiles to its own forward as-of
+    * chain; a signup event is "converted at step k" iff the k-step
+    * pattern matched it as start_event). Counts are per signup EVENT;
+    * the aggregation is one groupBy over O(days) keys, and the rate
+    * division is written identically on both engines.
+    */
+  def funnelRates(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val prefix2 = graft.cep.Pattern(relaxedFunnelPattern.rawSteps.take(2),
+      withinUs = relaxedFunnelPattern.withinUs, strict = false)
+    val c2 = prefix2.compileBatch(ev, $"user_id", $"ts", $"event_id")
+      .select($"start_event").distinct().withColumn("hit2", lit(1))
+    val c3 = relaxedFunnelPattern
+      .compileBatch(ev, $"user_id", $"ts", $"event_id")
+      .select($"start_event").distinct().withColumn("hit3", lit(1))
+    ev.where($"event_type" === "signup")
+      .select(to_date($"ts").cast("string").as("cohort_day"),
+        $"event_id".as("start_event"))
+      .join(c2, Seq("start_event"), "left")
+      .join(c3, Seq("start_event"), "left")
+      .groupBy($"cohort_day")
+      .agg(count(lit(1)).as("n_signups"),
+        sum(coalesce($"hit2", lit(0))).as("n_purchase"),
+        sum(coalesce($"hit3", lit(0))).as("n_full"))
+      .selectExpr("cohort_day", "n_signups", "n_purchase", "n_full",
+        "cast(n_purchase as double) / n_signups as rate_purchase",
+        "cast(n_full as double) / n_signups as rate_full")
+      .orderBy($"cohort_day")
+  }
+
+  val funnelRatesOracle: String =
+    """WITH s0 AS (SELECT user_id, ts AS t0, event_id AS o0 FROM events WHERE event_type = 'signup'),
+      |s1 AS (SELECT user_id AS u1, ts AS t1, event_id AS o1 FROM events WHERE event_type = 'purchase'),
+      |s2 AS (SELECT user_id AS u2, ts AS t2, event_id AS o2 FROM events WHERE event_type = 'click'),
+      |j1 AS (SELECT * FROM s0 ASOF JOIN s1 ON s0.user_id = s1.u1 AND s0.t0 < s1.t1
+      |       WHERE epoch_us(t1) - epoch_us(t0) <= 259200000000),
+      |j2 AS (SELECT * FROM j1 ASOF JOIN s2 ON j1.user_id = s2.u2 AND j1.t1 < s2.t2
+      |       WHERE epoch_us(t2) - epoch_us(t0) <= 259200000000),
+      |agg AS (
+      |  SELECT CAST(CAST(s0.t0 AS DATE) AS VARCHAR) AS cohort_day,
+      |         count(*) AS n_signups,
+      |         CAST(sum(CASE WHEN s0.o0 IN (SELECT o0 FROM j1) THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |         CAST(sum(CASE WHEN s0.o0 IN (SELECT o0 FROM j2) THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+      |  FROM s0 GROUP BY 1
+      |)
+      |SELECT cohort_day, n_signups, n_purchase, n_full,
+      |       CAST(n_purchase AS DOUBLE) / n_signups AS rate_purchase,
+      |       CAST(n_full AS DOUBLE) / n_signups AS rate_full
+      |FROM agg ORDER BY cohort_day""".stripMargin
+
   /** Absence instance (Flink `notFollowedBy`): signups with no purchase
     * in the following 24 h — the order-timeout side output expressed
     * through the generic pattern API (its rows are exactly

@@ -1141,6 +1141,23 @@ class AnalyticsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("funnel_rates: monotone steps, totals tie out to the CEP pattern matches") {
+    val fr = DetectionAnalytics.funnelRates(spark, sf).cache()
+    // conversion can only shrink down the funnel
+    assert(fr.where($"n_full" > $"n_purchase" ||
+      $"n_purchase" > $"n_signups").isEmpty, "funnel steps not monotone")
+    val (s1, s3) = fr.agg(sum($"n_signups"), sum($"n_full"))
+      .as[(Long, Long)].collect().head
+    assert(s1 == events.where($"event_type" === "signup").count())
+    // full-funnel conversions == distinct start events of the 3-step
+    // relaxed CEP query
+    val cepStarts = DetectionAnalytics.cepFunnelRelaxed(spark, sf)
+      .select($"start_event").distinct().count()
+    assert(s3 == cepStarts,
+      s"full-funnel total $s3 != CEP relaxed start events $cepStarts")
+    fr.unpersist()
+  }
+
   test("value_quantiles_sketch: sample values from the group, estimates near exact") {
     val sketch = RelationalAnalytics.valueQuantilesSketch(spark, sf)
       .as[(String, Long, Double, Double)].collect()
