@@ -127,6 +127,8 @@ object SparkEntry {
     "quality_gopher"    -> ((s, d) => TextStats.qualityGopher(s, d)),
     "source_datacard"   -> ((s, d) => TextStats.sourceDatacard(s, d)),
     "bm25_rank"         -> ((s, d) => TextStats.bm25Rank(s, d)),
+    "phrase_search"     -> ((s, d) => TextStats.phraseSearch(s, d)),
+    "corpus_drift"      -> ((s, d) => TextStats.corpusDrift(s, d)),
     "ngram_next"        -> ((s, d) => TextStats.ngramNext(s, d)),
     "ngram_lm_score"    -> ((s, d) => TextStats.ngramLmScore(s, d)),
     "value_histogram"   -> ((s, d) => RelationalAnalytics.valueHistogram(s, d)),
@@ -496,6 +498,8 @@ object SparkEntry {
     "quality_gopher"      -> TextStats.qualityGopherOracle(),
     "source_datacard"     -> TextStats.sourceDatacardOracle,
     "bm25_rank"           -> TextStats.bm25RankOracle(),
+    "phrase_search"       -> TextStats.phraseSearchOracle(),
+    "corpus_drift"        -> TextStats.corpusDriftOracle(),
     "ngram_next"          -> TextStats.ngramNextOracle(),
     "ngram_lm_score"      -> TextStats.ngramLmScoreOracle,
     "value_histogram"     -> RelationalAnalytics.valueHistogramOracle,

@@ -1017,4 +1017,148 @@ object TextStats {
        |JOIN uni u ON c.source = u.source
        |LEFT JOIN tri t ON c.source = t.source
        |ORDER BY c.source""".stripMargin
+
+  /** Exact phrase search over a positional inverted index — the
+    * retrieval primitive [[bm25Rank]]'s bag-of-words scoring can't
+    * express (REF scope: the reference's URL/item hot-lists are
+    * keyword-free; phrase search is the corpus-index companion op a
+    * training-data engine needs for targeted contamination and
+    * boilerplate probes).
+    *
+    * Plan shape — m-way POSTING-LIST equi-join, never a scan of
+    * non-matching tokens past the first filter: positions are exploded
+    * once, filtered to the phrase's terms immediately above the explode
+    * (so the shuffle only ever carries phrase-term postings), and
+    * localCheckpointed once (m consumers; the per-term filters differ
+    * so Catalyst would otherwise recompute the explode subtree m
+    * times). Each term i's postings are keyed by (doc_id, pos − i) and
+    * equi-joined to the running match set on (doc_id, start) — the
+    * offset is folded INTO the join key, so every stage is a hash
+    * equi-join, and because all m−1 joins share the same key, the
+    * first join's exchange partitioning is reused by the rest (one
+    * shuffle of each posting list, no re-shuffle of the accumulator).
+    * A same-key m-way join chain at 100 TB is |postings(w_i)|-bounded —
+    * the classic intersection cost — with no step proportional to
+    * corpus size.
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String,
+                   phrase: Seq[String] = Seq("table", "part")): DataFrame = {
+    import spark.implicits._
+    require(phrase.size >= 2, "phrase search needs at least two terms")
+    val postings = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", s"$tokensSpark as tokens")
+      .select($"doc_id", posexplode($"tokens").as(Seq("pos", "token")))
+      .where(expr(inList("token", phrase.distinct)))
+      .localCheckpoint()
+    var cur = postings.where($"token" === phrase.head)
+      .select($"doc_id", $"pos".cast("long").as("start"))
+    for (i <- 1 until phrase.size)
+      cur = cur.join(
+        postings.where($"token" === phrase(i))
+          .select($"doc_id", ($"pos".cast("long") - i).as("start")),
+        Seq("doc_id", "start"))
+    cur.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"), min($"start").cast("int").as("first_pos"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB replay is per-row list arithmetic (adjacency checked inside
+    * each document's token list) — same result set as the distributed
+    * posting join; positions are 0-based in both engines.
+    */
+  def phraseSearchOracle(phrase: Seq[String] = Seq("table", "part")): String = {
+    val m = phrase.size
+    val conds = phrase.zipWithIndex
+      .map { case (w, i) => s"tokens[pi + ${i + 1}] = '$w'" }.mkString(" AND ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensDuck AS tokens FROM documents
+       |), hits AS (
+       |  SELECT doc_id,
+       |         list_filter(range(0, len(tokens) - ${m - 1}),
+       |                     pi -> $conds) AS ps
+       |  FROM toks
+       |)
+       |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_hits,
+       |       CAST(list_min(ps) AS INT) AS first_pos
+       |FROM hits WHERE len(ps) > 0 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Term-distribution drift per source vs the corpus-wide distribution
+    * — the monitoring op run between corpus snapshots ("did src7's
+    * token mix move?"). Emits the top-k (source, term) cells by
+    * |p_source − p_corpus|, INCLUDING vanished terms (tf = 0 in a
+    * source): the report lattice is sources × top-V vocabulary, left-
+    * joined to the observed counts, so a term that disappeared from a
+    * source surfaces with a negative delta instead of silently dropping
+    * out of the report.
+    *
+    * Exactness: probabilities are integer micro-units
+    * (`(1e6·tf) div total`) — associative BIGINT sums + truncating
+    * division replay bit-identically in DuckDB; a double ratio would
+    * be partition-order dependent in its low bits.
+    *
+    * Scale shape: one map-side-partial (source, token) count feeds all
+    * four consumers via a single localCheckpoint; the vocabulary is
+    * capped to the top-V corpus terms (deterministic (ctf desc, token)
+    * cut — a TakeOrderedAndProject, output V rows regardless of true
+    * vocab size) so the lattice is O(sources · V) and both dictionaries
+    * broadcast. Nothing downstream of the first aggregate is
+    * proportional to corpus volume.
+    */
+  def corpusDrift(spark: SparkSession, sfDir: String,
+                  topV: Int = 1000, k: Int = 100): DataFrame = {
+    import spark.implicits._
+    val stf = Tables.documents(spark, sfDir)
+      .selectExpr("source", s"$tokensSpark as tokens")
+      .select($"source", explode($"tokens").as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val stot = stf.groupBy($"source").agg(sum($"tf").as("stotal"))
+    val ctf = stf.groupBy($"token").agg(sum($"tf").as("ctf"))
+      .orderBy($"ctf".desc, $"token").limit(topV)
+    val ctot = stf.agg(sum($"tf").as("ctotal"))
+    // pre-filter the observed counts to the reported vocabulary so the
+    // lattice's left join sees a (sources × V)-bounded build side — the
+    // full stf is vocab-sized (long-tail tokens), not report-sized
+    val stfTop = stf.join(broadcast(ctf.select($"token")), Seq("token"))
+    stot.crossJoin(broadcast(ctf))
+      .join(broadcast(stfTop), Seq("source", "token"), "left")
+      .withColumn("tf", coalesce($"tf", lit(0L)))
+      .crossJoin(broadcast(ctot))
+      .withColumn("p_src_micro", expr("(1000000 * tf) div stotal"))
+      .withColumn("p_corpus_micro", expr("(1000000 * ctf) div ctotal"))
+      .withColumn("delta_micro", $"p_src_micro" - $"p_corpus_micro")
+      .orderBy(abs($"delta_micro").desc, $"source", $"token")
+      .limit(k)
+      .select($"source", $"token", $"tf", $"p_src_micro",
+        $"p_corpus_micro", $"delta_micro")
+  }
+
+  def corpusDriftOracle(topV: Int = 1000, k: Int = 100): String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest($tokensDuck) AS token FROM documents
+       |), stf AS (
+       |  SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2
+       |), stot AS (
+       |  SELECT source, CAST(sum(tf) AS BIGINT) AS stotal FROM stf GROUP BY 1
+       |), ctf AS (
+       |  SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM stf
+       |  GROUP BY 1 ORDER BY ctf DESC, token LIMIT $topV
+       |), ctot AS (
+       |  SELECT CAST(sum(tf) AS BIGINT) AS ctotal FROM stf
+       |), lat AS (
+       |  SELECT st.source, c.token, COALESCE(s.tf, 0) AS tf,
+       |         CAST((1000000 * COALESCE(s.tf, 0)) // st.stotal AS BIGINT)
+       |           AS p_src_micro,
+       |         CAST((1000000 * c.ctf) // ct.ctotal AS BIGINT)
+       |           AS p_corpus_micro
+       |  FROM stot st CROSS JOIN ctf c
+       |  LEFT JOIN stf s ON s.source = st.source AND s.token = c.token
+       |  CROSS JOIN ctot ct
+       |)
+       |SELECT source, token, CAST(tf AS BIGINT) AS tf, p_src_micro,
+       |       p_corpus_micro, p_src_micro - p_corpus_micro AS delta_micro
+       |FROM lat
+       |ORDER BY abs(p_src_micro - p_corpus_micro) DESC, source, token
+       |LIMIT $k""".stripMargin
 }

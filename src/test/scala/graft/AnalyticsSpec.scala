@@ -807,6 +807,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.forall(_.getLong(2) <= 3), "more matched terms than query tokens")
   }
 
+  test("phrase_search: every reported hit is a real adjacency; extending the phrase refines") {
+    val hits = TextStats.phraseSearch(spark, sf)
+    assert(hits.count() > 0, "default phrase absent from the corpus — test has no bite")
+    assert(hits.where($"n_hits" < 1 || $"first_pos" < 0).isEmpty)
+    // first_pos must index an actual occurrence in the raw token stream
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", s"${TextHash.tokensSpark} as tokens")
+    assert(hits.join(docs, "doc_id")
+      .where(expr("tokens[first_pos] <> 'table' OR tokens[first_pos + 1] <> 'part'"))
+      .isEmpty, "first_pos does not point at the phrase")
+    // a 3-term extension is a refinement: its matches are a subset with
+    // no more occurrences per doc
+    val ext = TextStats.phraseSearch(spark, sf, Seq("table", "part", "value"))
+      .select($"doc_id", $"n_hits".as("ext_hits"))
+    assert(ext.join(hits, Seq("doc_id"), "left_anti").isEmpty,
+      "extended phrase matched a doc the prefix did not")
+    assert(ext.join(hits, "doc_id").where($"ext_hits" > $"n_hits").isEmpty,
+      "extended phrase has more occurrences than its prefix")
+  }
+
+  test("corpus_drift: probabilities bounded micro-units, delta consistent, cut ordered") {
+    val r = TextStats.corpusDrift(spark, sf)
+    assert(r.where($"p_src_micro" < 0 || $"p_src_micro" > 1000000L ||
+      $"p_corpus_micro" < 0 || $"p_corpus_micro" > 1000000L).isEmpty)
+    assert(r.where($"delta_micro" =!= ($"p_src_micro" - $"p_corpus_micro")).isEmpty)
+    // lattice semantics: a zero-count cell means the source lacks the
+    // term entirely — its p_src must be 0 and its delta negative
+    assert(r.where($"tf" === 0L &&
+      ($"p_src_micro" =!= 0L || $"delta_micro" >= 0L)).isEmpty)
+    val deltas = r.select(abs($"delta_micro")).collect().map(_.getLong(0)).toSeq
+    assert(deltas.nonEmpty && deltas.zip(deltas.tail).forall { case (a, b) => a >= b },
+      "report not ordered by |delta| — the top-k cut is not the top k")
+  }
+
   test("oov_rate: bounded, and a vocabulary covering every token gives rate 0") {
     val r = TextStats.oovRate(spark, sf)
     assert(r.where($"oov_rate" < 0 || $"oov_rate" > 1 || $"n_oov" > $"n_tokens").isEmpty)

@@ -140,6 +140,25 @@ class PlanSpec extends AnyFunSuite {
       "top-k degraded to a global sort")
   }
 
+  test("phrase_search: postings materialized once; every stage a hash equi-join") {
+    val plan = planString(graft.textops.TextStats.phraseSearch(spark, sf))
+    // postings are localCheckpoint'd: the per-term consumers must not
+    // re-run the posexplode subtree
+    assert(!plan.contains("Generate"),
+      "posexplode recomputed above the checkpoint — postings not shared")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "position offset fell out of the join key — adjacency degraded to a theta join")
+  }
+
+  test("corpus_drift: dictionaries broadcast; report cut is TakeOrdered") {
+    val plan = planString(graft.textops.TextStats.corpusDrift(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k drift cut degraded to a global sort")
+    assert(plan.contains("BroadcastHashJoin"),
+      "vocab/count dictionaries not broadcast into the lattice join")
+  }
+
   test("oov_rate: vocabulary probe is broadcast — token stream never sort-merges") {
     val plan = planString(graft.textops.TextStats.oovRate(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), "vocab probe not broadcast")
