@@ -340,6 +340,44 @@ object Pipelines {
 
   private val AnnPartitions = 64
 
+  /** Persist the positional postings index for phrase serving — the
+    * search-index analog of [[materializeAnn]]: `(token, doc_id, pos)`
+    * rows partitioned by a poly-hash prefix of the TOKEN. A phrase
+    * query then reads at most m of the `PostingsPartitions` directories
+    * (plan-time partition pruning) instead of the corpus — the build
+    * cost is one explode + one partitioned write per snapshot, and the
+    * serving cost is |postings of the phrase's terms|, corpus-size-
+    * independent.
+    */
+  def materializePostings(spark: SparkSession, sfDir: String,
+                          outDir: String): Unit = {
+    import spark.implicits._
+    val postings = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", s"${TextHash.tokensSpark} as tokens")
+      .select($"doc_id", posexplode($"tokens").as(Seq("pos", "token")))
+      .withColumn("pt", expr(s"poly_hash(token) % $PostingsPartitions"))
+    ParquetSink.writePartitioned(postings, s"$outDir/postings", Seq("pt"))
+  }
+
+  private val PostingsPartitions = 64
+
+  /** Phrase search served from the stored postings index: partition
+    * literals are computed driver-side with the same poly-hash fold the
+    * writer used ([[TextHash.phScala]] — no Spark job), so the scan's
+    * PartitionFilters prune every non-phrase directory, and the m-way
+    * adjacency join ([[TextStats.phraseJoin]]) is identical to the live
+    * query's. Row-for-row equal to [[TextStats.phraseSearch]].
+    */
+  def phraseSearchFrom(spark: SparkSession, outDir: String,
+                       phrase: Seq[String]): DataFrame = {
+    TextStats.checkPhrase(phrase)
+    val pts = phrase.distinct.map(w => TextHash.phScala(w) % PostingsPartitions)
+    val postings = spark.read.parquet(s"$outDir/postings")
+      .where(col("pt").isin(pts.distinct: _*) &&
+        col("token").isin(phrase.distinct: _*))
+    TextStats.phraseJoin(postings, phrase)
+  }
+
   /** ANN search for ARBITRARY query vectors against the stored index —
     * the real serving signature (the `similarity_*` queries always
     * search the corpus against itself; a production query set is new

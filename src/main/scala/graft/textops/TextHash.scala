@@ -48,6 +48,15 @@ object TextHash {
   def tokenHash60Duck(tk: String, sfx: String): String =
     s"${phDuck(tk, sfx + "p")} + ${phDuck(tk, sfx + "q", 37)} * 1073741824"
 
+  /** Driver-side replica of the `poly_hash` fold — lets serving code
+    * compute a token's partition literal WITHOUT a Spark job (e.g. the
+    * phrase-search index prune). `Char.toInt` equals Spark `ascii()`
+    * for all BMP code points, which covers the whitespace-token
+    * alphabet this index stores.
+    */
+  def phScala(s: String, mult: Long = 31): Long =
+    s.foldLeft(0L)((a, c) => (a * mult + c.toInt) % P)
+
   /** Whitespace tokenization with empty tokens dropped — identical
     * token arrays in both engines regardless of leading/trailing
     * whitespace or split-empties semantics.

@@ -1041,15 +1041,20 @@ object TextStats {
     * the classic intersection cost — with no step proportional to
     * corpus size.
     */
-  def phraseSearch(spark: SparkSession, sfDir: String,
-                   phrase: Seq[String] = Seq("table", "part")): DataFrame = {
-    import spark.implicits._
+  private[graft] def checkPhrase(phrase: Seq[String]): Unit = {
     require(phrase.size >= 2, "phrase search needs at least two terms")
-    val postings = Tables.documents(spark, sfDir)
-      .selectExpr("doc_id", s"$tokensSpark as tokens")
-      .select($"doc_id", posexplode($"tokens").as(Seq("pos", "token")))
-      .where(expr(inList("token", phrase.distinct)))
-      .localCheckpoint()
+    require(phrase.forall(_.matches("[A-Za-z0-9_]+")),
+      "phrase terms must be plain word tokens")
+  }
+
+  /** The m-way adjacency join over a `(doc_id, pos, token)` postings
+    * frame — shared by the live query (postings from an inline explode)
+    * and the serving path (postings from the stored partitioned index,
+    * [[Pipelines.phraseSearchFrom]]).
+    */
+  private[graft] def phraseJoin(postings: DataFrame,
+                                phrase: Seq[String]): DataFrame = {
+    import postings.sparkSession.implicits._
     var cur = postings.where($"token" === phrase.head)
       .select($"doc_id", $"pos".cast("long").as("start"))
     for (i <- 1 until phrase.size)
@@ -1060,6 +1065,41 @@ object TextStats {
     cur.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_hits"), min($"start").cast("int").as("first_pos"))
       .orderBy($"doc_id")
+  }
+
+  def phraseSearch(spark: SparkSession, sfDir: String,
+                   phrase: Seq[String] = Seq("table", "part")): DataFrame = {
+    import spark.implicits._
+    checkPhrase(phrase)
+    val postings = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", s"$tokensSpark as tokens")
+      .select($"doc_id", posexplode($"tokens").as(Seq("pos", "token")))
+      .where(expr(inList("token", phrase.distinct)))
+      .localCheckpoint()
+    phraseJoin(postings, phrase)
+  }
+
+  /** Streaming-safe NARROW form of the same search: a per-row adjacency
+    * scan inside each document's token list — zero shuffles, so it
+    * applies unchanged to a `readStream` source as the ingest-time
+    * phrase monitor (append mode, stateless). Agrees with the posting-
+    * join form row-for-row; the join form wins when the phrase is
+    * selective over a stored index (it never reads non-phrase tokens),
+    * the narrow form wins on a firehose where every document is scanned
+    * once anyway.
+    */
+  def phraseHitsFrom(docs: DataFrame,
+                     phrase: Seq[String] = Seq("table", "part")): DataFrame = {
+    checkPhrase(phrase)
+    val conds = phrase.zipWithIndex
+      .map { case (w, i) => s"tokens[pi + $i] = '$w'" }.mkString(" AND ")
+    docs.selectExpr("doc_id", s"$tokensSpark as tokens")
+      .where(s"size(tokens) >= ${phrase.size}")
+      .selectExpr("doc_id",
+        s"filter(sequence(0, size(tokens) - ${phrase.size}), pi -> $conds) as ps")
+      .where("size(ps) > 0")
+      .selectExpr("doc_id", "cast(size(ps) as bigint) as n_hits",
+        "cast(ps[0] as int) as first_pos")
   }
 
   /** DuckDB replay is per-row list arithmetic (adjacency checked inside

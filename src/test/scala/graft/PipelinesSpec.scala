@@ -110,6 +110,29 @@ class PipelinesSpec extends AnyFunSuite {
       "minhash replay diverged from the one-shot verdicts")
   }
 
+  test("materialized postings index: served phrase search == live; scan prunes partitions") {
+    import graft.textops.TextStats
+    val dir = java.nio.file.Files.createTempDirectory("graftpost").toString
+    Pipelines.materializePostings(spark, sf, dir)
+    val phrase = Seq("table", "part")
+    val served = Pipelines.phraseSearchFrom(spark, dir, phrase)
+    assert(rows(served) == rows(TextStats.phraseSearch(spark, sf, phrase)),
+      "stored-index phrase search diverged from the live query")
+    // the narrow (streaming-safe) per-row form is a third independent
+    // formulation — all three must agree
+    assert(rows(TextStats.phraseHitsFrom(Tables.documents(spark, sf), phrase)
+        .orderBy($"doc_id")) ==
+      rows(TextStats.phraseSearch(spark, sf, phrase)),
+      "narrow adjacency scan diverged from the posting join")
+    // the phrase's term partitions must reach the scan as
+    // PartitionFilters — reading all 64 directories would make serving
+    // cost corpus-sized
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pt"),
+      s"postings scan does not prune term partitions, plan:\n$plan")
+  }
+
   test("materialized ANN index: stored probe == live similarity_ivf; external queries work") {
     import graft.textops.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graftann").toString

@@ -580,6 +580,27 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("phraseHitsFrom on a stream == batch phrase_search (narrow transform, no state)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.textops.TextStats.phraseHitsFrom(
+        ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("phrase_stream")
+      .outputMode("append").start()
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      docs.grouped(math.max(docs.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = spark.table("phrase_stream")
+        .as[(Long, Long, Int)].collect().toSet
+      val want = graft.textops.TextStats.phraseSearch(spark, sf)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        "ingest-time phrase monitor diverged from the batch posting join")
+    } finally q.stop()
+  }
+
   test("piiScrubFrom on a stream == batch pii_scrub (narrow transform, no state)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, String)]
