@@ -1146,13 +1146,25 @@ object TextStats {
     * proportional to corpus volume.
     */
   def corpusDrift(spark: SparkSession, sfDir: String,
-                  topV: Int = 1000, k: Int = 100): DataFrame = {
+                  topV: Int = 1000, k: Int = 100): DataFrame =
+    corpusDriftFinish(
+      Tables.documents(spark, sfDir)
+        .selectExpr("source", s"$tokensSpark as tokens")
+        .select(col("source"), explode(col("tokens")).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf")),
+      topV, k)
+
+  /** The report math over a `(source, token, tf)` count frame — split
+    * out so [[corpusDriftStream]] finishes each micro-batch's
+    * incrementally-maintained counts exactly as the batch query does
+    * (the mixturePlanFinish pattern: bounded state, identical finish).
+    */
+  private[graft] def corpusDriftFinish(stfIn: DataFrame,
+                                       topV: Int = 1000,
+                                       k: Int = 100): DataFrame = {
+    val spark = stfIn.sparkSession
     import spark.implicits._
-    val stf = Tables.documents(spark, sfDir)
-      .selectExpr("source", s"$tokensSpark as tokens")
-      .select($"source", explode($"tokens").as("token"))
-      .groupBy($"source", $"token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val stf = stfIn.localCheckpoint() // four consumers below
     val stot = stf.groupBy($"source").agg(sum($"tf").as("stotal"))
     val ctf = stf.groupBy($"token").agg(sum($"tf").as("ctf"))
       .orderBy($"ctf".desc, $"token").limit(topV)
@@ -1173,6 +1185,24 @@ object TextStats {
       .select($"source", $"token", $"tf", $"p_src_micro",
         $"p_corpus_micro", $"delta_micro")
   }
+
+  /** The drift report maintained LIVE over a document stream: the
+    * (source, token) counts are complete-mode aggregation state —
+    * bounded by sources × vocabulary, never by stream length — and
+    * each micro-batch re-finishes the report snapshot with the exact
+    * batch math ([[corpusDriftFinish]]). Overwrite per batch =
+    * replay-idempotent (the eventsCompactForeachBatch contract).
+    */
+  def corpusDriftStream(docs: DataFrame, resultDir: String,
+                        topV: Int = 1000, k: Int = 100) =
+    docs.selectExpr("source", s"$tokensSpark as tokens")
+      .select(col("source"), explode(col("tokens")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (stf: DataFrame, _: Long) =>
+        corpusDriftFinish(stf, topV, k)
+          .write.mode("overwrite").parquet(resultDir)
+      }
 
   def corpusDriftOracle(topV: Int = 1000, k: Int = 100): String =
     s"""WITH toks AS (

@@ -941,6 +941,27 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("corpusDriftStream: live (source, token) counts converge to batch corpus_drift") {
+    implicit val ctx = spark.sqlContext
+    import graft.textops.TextStats
+    val dir = java.nio.file.Files.createTempDirectory("graftdrift").toString
+    val ms = MemoryStream[(String, String)]
+    val q = TextStats.corpusDriftStream(
+      ms.toDF().toDF("source", "text"), s"$dir/drift").start()
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select($"source", $"text").as[(String, String)].collect().toSeq
+      docs.grouped(math.max(docs.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = spark.read.parquet(s"$dir/drift")
+        .as[(String, String, Long, Long, Long, Long)].collect().toSet
+      val want = TextStats.corpusDrift(spark, sf)
+        .as[(String, String, Long, Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        "streamed drift report diverged from the batch report")
+    } finally q.stop()
+  }
+
   test("qualityGopherFrom on a stream == batch quality_gopher (narrow rep_ratio form)") {
     implicit val ctx = spark.sqlContext
     import graft.textops.TextStats
