@@ -147,6 +147,7 @@ object SparkEntry {
     "doc_chunks"        -> ((s, d) => Packing.docChunks(s, d)),
     "chunk_dedup"       -> ((s, d) => Packing.chunkDedup(s, d)),
     "shipping_priority" -> ((s, d) => RelationalAnalytics.shippingPriority(s, d)),
+    "supplier_blame"    -> ((s, d) => RelationalAnalytics.supplierBlame(s, d)),
     "events_compact"    -> ((s, d) => RelationalAnalytics.eventsCompact(s, d)),
     "table_profile"     -> ((s, d) => RelationalAnalytics.tableProfile(s, d)),
   )
@@ -518,6 +519,7 @@ object SparkEntry {
     "doc_chunks"          -> Packing.docChunksOracle(),
     "chunk_dedup"         -> Packing.chunkDedupOracle(),
     "shipping_priority"   -> RelationalAnalytics.shippingPriorityOracle(),
+    "supplier_blame"      -> RelationalAnalytics.supplierBlameOracle(),
     "events_compact"      -> RelationalAnalytics.eventsCompactOracle,
     "table_profile"       -> RelationalAnalytics.tableProfileOracle,
   )

@@ -153,6 +153,76 @@ object RelationalAnalytics {
       .select($"o_orderkey", $"o_orderdate", $"o_orderpriority", $"revenue")
   }
 
+  /** TPC-H Q21 shape (suppliers-who-kept-orders-waiting) on the trimmed
+    * schema: for FINALIZED multi-supplier orders, blame the supplier
+    * who was the ONLY late one ("late" = shipped > `lateDays` after the
+    * order date — this schema has no commit/receipt dates), and rank
+    * suppliers by blamed-order count.
+    *
+    * The textbook formulation is a correlated EXISTS (another supplier
+    * on the order) + NOT EXISTS (another LATE supplier) — two extra
+    * correlated scans of lineitem that Spark would decorrelate into two
+    * more joins of the fact table against itself. This writes the
+    * decorrelated form directly as a TWO-LEVEL aggregate: per
+    * (order, supplier) late flags, then per order
+    * (n_supp, n_late, the unique late supplier), one pass total. The
+    * orders⋈lineitem join hash-partitions on orderkey and BOTH
+    * aggregate levels cluster by a superset-compatible key, so the
+    * entire per-order pipeline runs on the join's exchange — one
+    * shuffle of each table, no Expand (explicit two-level beats
+    * count-distinct rewrites), then O(suppliers) rows onward.
+    */
+  def supplierBlame(spark: SparkSession, sfDir: String,
+                    lateDays: Int = 60, k: Int = 100): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val ord = Tables.orders(spark, sfDir)
+      .where($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderdate")
+    val perSupp = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .withColumn("late",
+        expr(s"l_shipdate > o_orderdate + interval $lateDays days"))
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"late").as("supp_late"))
+    val perOrder = perSupp.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when($"supp_late", 1L).otherwise(0L)).as("n_late"),
+        max(when($"supp_late", $"l_suppkey")).as("s_suppkey"))
+      .where($"n_supp" > 1 && $"n_late" === 1)
+    perOrder.groupBy($"s_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(
+        Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name")),
+        "s_suppkey")
+      .orderBy($"numwait".desc, $"s_name", $"s_suppkey")
+      .limit(k)
+      .select($"s_suppkey", $"s_name", $"numwait")
+  }
+
+  def supplierBlameOracle(lateDays: Int = 60, k: Int = 100): String =
+    s"""WITH per_supp AS (
+       |  SELECT l.l_orderkey, l.l_suppkey,
+       |         max(l.l_shipdate > o.o_orderdate + INTERVAL $lateDays DAY)
+       |           AS supp_late
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE o.o_orderstatus = 'F'
+       |  GROUP BY 1, 2
+       |), per_order AS (
+       |  SELECT l_orderkey, count(*) AS n_supp,
+       |         CAST(sum(CASE WHEN supp_late THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_late,
+       |         max(CASE WHEN supp_late THEN l_suppkey END) AS s_suppkey
+       |  FROM per_supp GROUP BY 1
+       |)
+       |SELECT p.s_suppkey, s.s_name, count(*) AS numwait
+       |FROM per_order p
+       |JOIN supplier s ON p.s_suppkey = s.s_suppkey
+       |WHERE p.n_supp > 1 AND p.n_late = 1
+       |GROUP BY 1, 2
+       |ORDER BY numwait DESC, s.s_name, p.s_suppkey
+       |LIMIT $k""".stripMargin
+
   def shippingPriorityOracle(n: Int = 10, cutoff: String = "1998-06-01"): String =
     s"""SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))

@@ -807,6 +807,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.forall(_.getLong(2) <= 3), "more matched terms than query tokens")
   }
 
+  test("supplier_blame: blame requires a uniquely-late supplier on a multi-supplier F order") {
+    val r = RelationalAnalytics.supplierBlame(spark, sf)
+    assert(r.count() > 0)
+    assert(r.where($"numwait" < 1).isEmpty)
+    // independent recomputation of one blamed order set: every blamed
+    // (order, supplier) must have n_supp > 1, exactly one late supplier,
+    // and that supplier must be the blamed one
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).where($"o_orderstatus" === "F"),
+        $"l_orderkey" === $"o_orderkey")
+      .withColumn("late", expr("l_shipdate > o_orderdate + interval 60 days"))
+      .groupBy($"l_orderkey", $"l_suppkey").agg(max($"late").as("sl"))
+      .groupBy($"l_orderkey")
+      .agg(countDistinct($"l_suppkey").as("ns"),
+        sum(when($"sl", 1L).otherwise(0L)).as("nl"),
+        max(when($"sl", $"l_suppkey")).as("blame"))
+      .where($"ns" > 1 && $"nl" === 1)
+    val wantTotal = li.count()
+    assert(r.agg(sum($"numwait")).head().getLong(0) == wantTotal,
+      "numwait totals disagree with the independent count-distinct recomputation")
+  }
+
   test("phrase_search: every reported hit is a real adjacency; extending the phrase refines") {
     val hits = TextStats.phraseSearch(spark, sf)
     assert(hits.count() > 0, "default phrase absent from the corpus — test has no bite")

@@ -140,6 +140,25 @@ class PlanSpec extends AnyFunSuite {
       "top-k degraded to a global sort")
   }
 
+  test("supplier_blame: per-order pipeline rides the join exchange — no Expand, no extra shuffle") {
+    val plan = planString(RelationalAnalytics.supplierBlame(spark, sf))
+    assert(!plan.contains("Expand"),
+      "count-distinct rewrite appeared — two-level aggregate degraded to Expand")
+    // one exchange per fact input + the tiny post-filter supplier agg;
+    // a 4th fact-sized exchange would mean the per-order aggregates
+    // did NOT reuse the orderkey join partitioning (count the FINAL
+    // adaptive plan only — toString appends the pre-AQE Initial Plan,
+    // which would double-count every exchange)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val factExchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(factExchanges <= 3,
+      s"$factExchanges hash exchanges — per-order aggregate re-shuffled the join output:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k degraded to a global sort")
+    assert(plan.contains("BroadcastHashJoin"),
+      "supplier dim not broadcast")
+  }
+
   test("phrase_search: postings materialized once; every stage a hash equi-join") {
     val plan = planString(graft.textops.TextStats.phraseSearch(spark, sf))
     // postings are localCheckpoint'd: the per-term consumers must not
