@@ -361,6 +361,61 @@ object Pipelines {
 
   private val PostingsPartitions = 64
 
+  /** Persist the reference term distribution for incremental drift:
+    * the corpus-wide (token, tf) counts, their total, and the top-V
+    * vocabulary cut — O(vocab) rows once per snapshot. A new crawl
+    * batch is then judged against the FROZEN reference without ever
+    * rescanning the reference corpus (the materializeEval asymmetry:
+    * the stored side is the small bounded one).
+    */
+  def materializeTermCounts(spark: SparkSession, sfDir: String,
+                            outDir: String, topV: Int = 1000): Unit = {
+    import spark.implicits._
+    val ctf = Tables.documents(spark, sfDir)
+      .selectExpr(s"explode(${TextHash.tokensSpark}) as token")
+      .groupBy($"token").agg(count(lit(1)).as("ctf"))
+      .localCheckpoint() // feeds the total AND the top-V cut
+    val ctot = ctf.agg(sum($"ctf").as("ctotal"))
+    ctf.orderBy($"ctf".desc, $"token").limit(topV)
+      .crossJoin(broadcast(ctot))
+      .write.mode("overwrite").parquet(s"$outDir/term_counts")
+  }
+
+  /** Term-distribution drift of an incoming batch AGAINST the stored
+    * reference snapshot — the production form of
+    * [[TextStats.corpusDrift]]'s within-corpus report ("did this
+    * week's crawl move from the corpus we trained on?"). The reference
+    * side is the O(topV) stored table (broadcast); the batch side is
+    * one map-side-partial token count restricted to the reference
+    * vocabulary — so a batch term the reference never saw is out of
+    * scope (the reference's top-V defines the monitored dimensions,
+    * exactly like the within-corpus lattice), while a reference term
+    * MISSING from the batch reports p_batch = 0, delta = −p_ref.
+    * Probabilities are integer micro-units; p_batch is relative to the
+    * batch's FULL token volume (not just monitored terms), mirroring
+    * the within-corpus report's corpus-total denominator.
+    */
+  def corpusDriftAgainst(batch: DataFrame, outDir: String,
+                         k: Int = 100): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val ref = spark.read.parquet(s"$outDir/term_counts")
+    val toks = batch.selectExpr(s"explode(${TextHash.tokensSpark}) as token")
+    val btot = toks.agg(count(lit(1)).as("btotal"))
+    val btf = toks.join(broadcast(ref.select($"token")), Seq("token"))
+      .groupBy($"token").agg(count(lit(1)).as("tf"))
+    ref.join(broadcast(btf), Seq("token"), "left")
+      .withColumn("tf", coalesce($"tf", lit(0L)))
+      .crossJoin(broadcast(btot))
+      .withColumn("p_batch_micro", expr("(1000000 * tf) div greatest(btotal, 1)"))
+      .withColumn("p_ref_micro", expr("(1000000 * ctf) div ctotal"))
+      .withColumn("delta_micro", $"p_batch_micro" - $"p_ref_micro")
+      .orderBy(abs($"delta_micro").desc, $"token")
+      .limit(k)
+      .select($"token", $"tf", $"p_batch_micro", $"p_ref_micro",
+        $"delta_micro")
+  }
+
   /** Phrase search served from the stored postings index: partition
     * literals are computed driver-side with the same poly-hash fold the
     * writer used ([[TextHash.phScala]] — no Spark job), so the scan's

@@ -133,6 +133,25 @@ class PipelinesSpec extends AnyFunSuite {
       s"postings scan does not prune term partitions, plan:\n$plan")
   }
 
+  test("materialized term counts: self-drift is exactly zero; a narrowed batch reports negative deltas") {
+    val dir = java.nio.file.Files.createTempDirectory("graftterms").toString
+    Pipelines.materializeTermCounts(spark, sf, dir)
+    val docs = Tables.documents(spark, sf)
+    // replaying the reference corpus as the batch: every monitored term
+    // has identical micro-probabilities — the report must be all-zero
+    val self = Pipelines.corpusDriftAgainst(docs, dir)
+    assert(self.count() > 0)
+    assert(self.where($"delta_micro" =!= 0L).isEmpty,
+      "reference-vs-itself drift is not identically zero")
+    // a single-source batch: any reference term it lacks must surface
+    // as tf = 0 with a non-positive delta, never drop out
+    val one = Pipelines.corpusDriftAgainst(
+      docs.where($"source" === "src0"), dir)
+    assert(one.where($"tf" === 0L &&
+      ($"p_batch_micro" =!= 0L || $"delta_micro" > 0L)).isEmpty)
+    assert(one.where($"delta_micro" =!= ($"p_batch_micro" - $"p_ref_micro")).isEmpty)
+  }
+
   test("materialized ANN index: stored probe == live similarity_ivf; external queries work") {
     import graft.textops.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graftann").toString
