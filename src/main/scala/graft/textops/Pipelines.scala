@@ -185,6 +185,9 @@ object Pipelines {
                                            outDir: String,
                                            verdictDir: String): Unit = {
     val spark = batch.sparkSession
+    // the localCheckpoint'd band table lives exactly one batch: release
+    // its blocks on exit or a long-running stream leaks one per batch
+    graft.streaming.BlockHygiene.releasingNewPersists(spark) {
     val bands = Dedup.minhashBucketsFrom(
         batch.withColumn("is_new", lit(true)))
       .withColumn("pb", pmod(col("band_hash"), lit(BucketPartitions)))
@@ -201,6 +204,7 @@ object Pipelines {
     ParquetSink.writePartitioned(
       bands.withColumn("is_new", lit(false)).withColumn("batch_id", lit(id)),
       s"$outDir/minhash_buckets", Seq("pb"), mode = "append")
+    }
   }
 
   // ---------------------------------------------------- span dedup loop
@@ -273,6 +277,9 @@ object Pipelines {
                                     outDir: String, cleanDir: String,
                                     span: Int = 20): Unit = {
     val spark = batch.sparkSession
+    // one-batch lifetime for the checkpointed span table (see
+    // dedupIncrementalBatch): release its blocks on exit
+    graft.streaming.BlockHygiene.releasingNewPersists(spark) {
     val spans = Dedup.docSpans(
       batch.select(col("doc_id"), col("text")), span).localCheckpoint()
     Dedup.spanVerdicts(spans, readSpanIndex(spark, outDir, beforeBatch = id))
@@ -285,6 +292,7 @@ object Pipelines {
         .withColumn("ps", pmod(hash(col("span_text")), lit(BucketPartitions)))
         .withColumn("batch_id", lit(id)),
       s"$outDir/span_index", Seq("ps"), mode = "append")
+    }
   }
 
   /** Materialized near-dup edges for the given evidence tiers.

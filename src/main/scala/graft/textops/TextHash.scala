@@ -50,12 +50,15 @@ object TextHash {
 
   /** Driver-side replica of the `poly_hash` fold — lets serving code
     * compute a token's partition literal WITHOUT a Spark job (e.g. the
-    * phrase-search index prune). `Char.toInt` equals Spark `ascii()`
-    * for all BMP code points, which covers the whitespace-token
-    * alphabet this index stores.
+    * phrase-search index prune). `poly_hash` folds over the string's
+    * UTF-8 BYTES (GraftExpressions: `b(i) & 0xff`), so this replica
+    * folds over the same bytes — identical for ALL inputs, not just
+    * the ASCII range a char-fold would cover (TextOpsSpec pins a
+    * non-ASCII token through both paths).
     */
   def phScala(s: String, mult: Long = 31): Long =
-    s.foldLeft(0L)((a, c) => (a * mult + c.toInt) % P)
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .foldLeft(0L)((a, b) => (a * mult + (b & 0xff)) % P)
 
   /** Whitespace tokenization with empty tokens dropped — identical
     * token arrays in both engines regardless of leading/trailing

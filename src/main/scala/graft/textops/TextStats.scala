@@ -1200,8 +1200,14 @@ object TextStats {
       .groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf"))
       .writeStream.outputMode("complete")
       .foreachBatch { (stf: DataFrame, _: Long) =>
-        corpusDriftFinish(stf, topV, k)
-          .write.mode("overwrite").parquet(resultDir)
+        // corpusDriftFinish localCheckpoints the count frame; release
+        // the batch's blocks once the report is written so a long-
+        // running stream doesn't leak one persisted RDD per batch
+        graft.streaming.BlockHygiene.releasingNewPersists(
+            stf.sparkSession) {
+          corpusDriftFinish(stf, topV, k)
+            .write.mode("overwrite").parquet(resultDir)
+        }
       }
 
   def corpusDriftOracle(topV: Int = 1000, k: Int = 100): String =

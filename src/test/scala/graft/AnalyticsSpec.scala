@@ -855,9 +855,15 @@ class AnalyticsSpec extends AnyFunSuite {
       $"p_corpus_micro" < 0 || $"p_corpus_micro" > 1000000L).isEmpty)
     assert(r.where($"delta_micro" =!= ($"p_src_micro" - $"p_corpus_micro")).isEmpty)
     // lattice semantics: a zero-count cell means the source lacks the
-    // term entirely — its p_src must be 0 and its delta negative
+    // term entirely — its p_src must be 0 and its delta non-positive
+    // (== 0 is legal when the corpus probability truncates to 0 micro-
+    // units; strict negativity would make the test brittle on small
+    // corpora, not the code wrong)
     assert(r.where($"tf" === 0L &&
-      ($"p_src_micro" =!= 0L || $"delta_micro" >= 0L)).isEmpty)
+      ($"p_src_micro" =!= 0L || $"delta_micro" > 0L)).isEmpty)
+    assert(r.where($"tf" === 0L && $"p_corpus_micro" > 0L &&
+      $"delta_micro" >= 0L).isEmpty,
+      "vanished term with nonzero corpus probability must have strictly negative delta")
     val deltas = r.select(abs($"delta_micro")).collect().map(_.getLong(0)).toSeq
     assert(deltas.nonEmpty && deltas.zip(deltas.tail).forall { case (a, b) => a >= b },
       "report not ordered by |delta| — the top-k cut is not the top k")

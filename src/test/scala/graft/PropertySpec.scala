@@ -99,6 +99,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("phScala driver replica == poly_hash expression, including non-ASCII") {
+    // phScala computes partition literals for the phrase-search index
+    // prune WITHOUT a Spark job — it must replicate the native
+    // expression's UTF-8 BYTE fold for all inputs, not just ASCII
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.chooseNum(32, 126).map(_.toChar),          // ASCII
+      Gen.oneOf('é', 'ü', 'ß', 'щ', '中', '文'))).map(_.mkString)
+    forAll(Gen.listOfN(40, gen)) { strs =>
+      // include a surrogate-pair emoji (4-byte UTF-8) explicitly
+      val all = strs :+ "naïve" :+ "中文词" :+ new String(Character.toChars(0x1F642)) :+ ""
+      val df = all.toDF("s")
+      val native = df.selectExpr("s", "poly_hash(s) as h")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      all.foreach { s =>
+        assert(graft.textops.TextHash.phScala(s) == native(s),
+          s"phScala diverges from poly_hash on ${s.getBytes("UTF-8").toSeq}")
+      }
+    }
+  }
+
   test("window_hashes native == HOF substring/char-fold for arbitrary ASCII strings") {
     val asciiGen = Gen.listOf(Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString)
     forAll(Gen.listOfN(30, asciiGen)) { strs =>

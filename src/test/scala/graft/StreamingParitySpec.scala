@@ -949,10 +949,17 @@ class StreamingParitySpec extends AnyFunSuite {
     val q = TextStats.corpusDriftStream(
       ms.toDF().toDF("source", "text"), s"$dir/drift").start()
     try {
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val docs = Tables.documents(spark, sf)
         .select($"source", $"text").as[(String, String)].collect().toSeq
       docs.grouped(math.max(docs.size / 3, 1))
         .foreach { b => ms.addData(b); q.processAllAvailable() }
+      // block hygiene: each micro-batch's localCheckpoint blocks must be
+      // released when its report is written — a long-running stream must
+      // not accumulate persisted RDDs (BlockHygiene.releasingNewPersists)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+      assert(leaked.isEmpty,
+        s"corpusDriftStream leaked ${leaked.size} persisted RDDs across batches")
       val got = spark.read.parquet(s"$dir/drift")
         .as[(String, String, Long, Long, Long, Long)].collect().toSet
       val want = TextStats.corpusDrift(spark, sf)
