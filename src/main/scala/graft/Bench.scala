@@ -61,6 +61,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       clearLeftoverBlocks()
     }
+    // Host-calibration scalar: same-code sweep totals have spanned
+    // 67-83 s round-over-round purely from host contention (BASELINE
+    // progression table), costing a round of interpretation each time.
+    // Time one fixed, shuffle-typical query (pricing_summary: full
+    // lineitem scan + hash agg) 5× after warm-up and record the median;
+    // BENCH_rN/BENCH_rN-1 ratios can then be normalized by calib ratio.
+    val calib = SparkEntry.queries.get("pricing_summary").map { fn =>
+      val reps = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        clearLeftoverBlocks()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      reps(2)
+    }.getOrElse(-1.0)
     val results = sorted.map { case (name, fn) =>
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -86,7 +101,7 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val servingTotal = servingResults.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${fmt(servingTotal)},"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(servingTotal)},"unit":"sec","calib":${fmt(calib)},"queries":${toJson(results)},"sf":"$sfDir"}"""
     // lossless artifact: the driver scrapes the log tail, which has
     // truncated the (multi-KB, 80-query) JSON line before — persist the
     // full record to a file too, so the bench result never depends on
@@ -111,7 +126,7 @@ object Bench {
       acc :+= r; len += r._1.length + 12
     }
     val summary =
-      s"""{"metric":"total","value":${fmt(servingTotal)},"unit":"sec","queries":${toJson(acc.sortBy(_._1))},"sf":"$sfDir","n":${results.size},"serving_n":${servingResults.size},"all_s":${fmt(total)},"diag_s":${fmt(diagResults.map(_._2).sum)},"queries_truncated_to_slowest":${acc.size},"full":"${outPath}"}"""
+      s"""{"metric":"total","value":${fmt(servingTotal)},"unit":"sec","calib":${fmt(calib)},"queries":${toJson(acc.sortBy(_._1))},"sf":"$sfDir","n":${results.size},"serving_n":${servingResults.size},"all_s":${fmt(total)},"diag_s":${fmt(diagResults.map(_._2).sum)},"queries_truncated_to_slowest":${acc.size},"full":"${outPath}"}"""
     println(summary)
     System.out.flush()
   }

@@ -157,10 +157,18 @@ object SparkEntry {
     * Still oracled in Verify — correctness coverage is unchanged — but
     * Bench skips them unless SPARK_GRAFT_DIAG=1 (or SPARK_GRAFT_ONLY
     * names them), so the headline total tracks serving cost.
+    *
+    * The UNCAPPED superlinear dedup tiers live here too: their own
+    * skew rehearsals disqualify them at scale (305 s uncapped vs 26 s
+    * capped on the sf1 boilerplate tier; clusters 3.0× vs 1.03× —
+    * BASELINE.md skew table), and their `_capped` siblings are
+    * output-identical at the correctness tiers. They remain oracled
+    * exactness anchors, not serving paths.
     */
   val diagnosticQueries: Set[String] =
     Set("dedup_candidate_stats", "dedup_substring_curve",
-      "similarity_cell_stats")
+      "similarity_cell_stats",
+      "dedup_ngram_jaccard", "dedup_clusters_multi")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
