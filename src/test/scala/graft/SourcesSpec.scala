@@ -152,6 +152,83 @@ class SourcesSpec extends AnyFunSuite {
       == createRow.head)
   }
 
+  test("kafka loopback e2e: encode -> simulated topic -> streaming parse+agg -> re-encode") {
+    // No broker or connector jar exists in this container (zero egress),
+    // so the network hop is the ONE stage that cannot run. This test
+    // closes everything around it: the producer projection (encodeCsv,
+    // keyed), a simulated topic that enforces Kafka's delivery contract
+    // (key -> one partition via murmur-style hash, per-partition
+    // monotone offsets, per-key order preserved), the consumer parse
+    // (parseUserBehavior over the EXACT kafka output schema), a
+    // windowed streaming aggregation, and the writer re-encode whose
+    // output parses back to the same rows. A deployment with the
+    // connector jar swaps only the hop: reader(...).load() / writer().
+    implicit val ctx = spark.sqlContext
+    val behaviors = (0 until 300).map { i =>
+      CsvSources.UserBehavior(1000L + i % 17, 100L + i % 7, i % 5,
+        if (i % 4 == 0) "buy" else "pv", 1511658000L + i * 60)
+    }
+    // producer side: the writer's own projection, keyed by itemId
+    val enc = sources.KafkaSources.encodeCsv(behaviors.toDF(),
+      keyCol = Some("itemId"))
+    assert(enc.columns.toSeq == Seq("key", "value"))
+    val produced = enc.as[(String, String)].collect().toSeq
+    // simulated topic: Kafka's contract, driver-side
+    val nPart = 3
+    var offsets = Map.empty[Int, Long].withDefaultValue(0L)
+    val topic = produced.map { case (k, v) =>
+      val p = math.floorMod(k.hashCode, nPart)
+      val off = offsets(p); offsets += p -> (off + 1)
+      (k.getBytes("UTF-8"), v.getBytes("UTF-8"), "behaviors", p, off,
+        new java.sql.Timestamp(System.currentTimeMillis()), 0)
+    }
+    // contract assertions: a key maps to exactly one partition; offsets
+    // are dense and monotone per partition (so per-key order survives)
+    assert(topic.groupBy(r => new String(r._1)).forall(_._2.map(_._4).distinct.size == 1))
+    topic.groupBy(_._4).foreach { case (_, rs) =>
+      assert(rs.map(_._5) == (0L until rs.size).toSeq) }
+    // consumer side: kafka-schema MemoryStream -> parse -> windowed agg
+    val ms = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long,
+      java.sql.Timestamp, Int)]
+    val kafkaDf = ms.toDF().toDF("key", "value", "topic", "partition",
+      "offset", "timestamp", "timestampType")
+    val counts = sources.KafkaSources.parseUserBehavior(kafkaDf)
+      .where($"behavior" === "pv")
+      .groupBy(window(timestamp_seconds($"timestamp"), "1 hour"), $"itemId")
+      .count()
+      .select($"window.end".as("window_end"), $"itemId", $"count".as("cnt"))
+    val q = counts.writeStream.format("memory").queryName("kafka_loopback")
+      .outputMode("complete").start()
+    try {
+      // feed partition-by-partition in offset order, as a consumer would
+      topic.groupBy(_._4).toSeq.sortBy(_._1)
+        .foreach { case (_, rs) => ms.addData(rs.sortBy(_._5)) }
+      q.processAllAvailable()
+      val got = spark.table("kafka_loopback")
+        .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+      val want = behaviors.toDF().where($"behavior" === "pv")
+        .groupBy(window(timestamp_seconds($"timestamp"), "1 hour"), $"itemId")
+        .count()
+        .select($"window.end", $"itemId", $"count")
+        .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        "kafka-loopback streaming counts diverged from batch on the same rows")
+      // writer side: re-encode the result and parse it back (the egress
+      // half of the loop — KafkaProducerUtil analog)
+      val out = spark.table("kafka_loopback")
+        .select(unix_micros($"window_end").as("we"), $"itemId", $"cnt")
+      val reenc = sources.KafkaSources.encodeCsv(out, keyCol = Some("itemId"))
+        .select($"value").as[String].collect().toSeq
+      val back = kafkaShaped(reenc).select(from_csv($"value".cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "we LONG, itemId LONG, cnt LONG"),
+          Map.empty[String, String]).as("r")).select("r.*")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(back == out.as[(Long, Long, Long)].collect().toSet,
+        "writer re-encode did not parse back to the emitted rows")
+    } finally q.stop()
+  }
+
   test("foreachBatch streaming top-N == batch rank on final state") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[EvFull]
