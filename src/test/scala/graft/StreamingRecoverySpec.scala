@@ -412,6 +412,123 @@ class StreamingRecoverySpec extends AnyFunSuite {
     } finally { q2.stop(); vocab.unpersist() }
   }
 
+  // ---- complete-mode aggregation-state streams on RocksDB (VERDICT r9
+  // #6): the late-round-9 dashboard streams hold their entire report
+  // state in the complete-mode aggregation — a restart must restore it
+  // from the checkpoint (the committed first half is never replayed)
+  // and the final overwritten report must equal the batch query over
+  // ALL rows, bit-for-bit, with state on RocksDB + changelog.
+
+  /** Two-phase restart harness: write half the rows as a parquet file
+    * source, run the query to a hard stop, write the rest, restart
+    * from the same checkpoint. `mkQuery(streamDf, ck, root)` builds
+    * the started query; returns `root` so callers read the report.
+    */
+  private def runCompleteRecovery(src: org.apache.spark.sql.DataFrame)(
+      mkQuery: (org.apache.spark.sql.DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery): String = {
+    val root = java.nio.file.Files.createTempDirectory("graftcmrec").toString
+    val inDir = s"$root/in"; val ck = s"$root/ck"
+    new java.io.File(inDir).mkdirs()
+    val schema = src.schema
+    val rows = src.collect()
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    def writeChunk(rs: Array[org.apache.spark.sql.Row], name: String): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rs.toSeq, 1), schema)
+        .write.parquet(s"$inDir/$name")
+    def streamDf = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(inDir)
+    writeChunk(h1, "chunk1")
+    val q1 = mkQuery(streamDf, ck, root)
+    try q1.processAllAvailable() finally q1.stop()
+    writeChunk(h2, "chunk2")
+    val q2 = mkQuery(streamDf, ck, root)
+    try q2.processAllAvailable() finally q2.stop()
+    root
+  }
+
+  test("corpusDriftStream restarts from checkpoint on RocksDB: (source, token) counts survive") {
+    withConfs(Session.RocksDbStateStore) {
+      import graft.textops.TextStats
+      val docs = Tables.documents(spark, sf).select($"source", $"text")
+      val root = runCompleteRecovery(docs) { (in, ck, root) =>
+        TextStats.corpusDriftStream(in, s"$root/drift")
+          .option("checkpointLocation", ck).start()
+      }
+      val got = spark.read.parquet(s"$root/drift")
+        .as[(String, String, Long, Long, Long, Long)].collect().toSet
+      val want = TextStats.corpusDrift(spark, sf)
+        .as[(String, String, Long, Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        "post-restart drift report diverged from batch — state not restored")
+    }
+  }
+
+  test("mixturePlanStream restarts from checkpoint on RocksDB: source ledgers survive") {
+    withConfs(Session.RocksDbStateStore) {
+      import graft.textops.Sampling
+      val docs = Tables.documents(spark, sf).select($"source", $"text")
+      val root = runCompleteRecovery(docs) { (in, ck, root) =>
+        Sampling.mixturePlanStream(in, s"$root/plan")
+          .option("checkpointLocation", ck).start()
+      }
+      val cols = Seq("source", "n_docs", "src_tokens", "w_share", "epochs",
+        "capped", "deficit_tokens")
+      val got = spark.read.parquet(s"$root/plan").selectExpr(cols: _*)
+        .as[(String, Long, Long, Double, Double, Boolean, Double)]
+        .collect().toSet
+      val want = Sampling.mixturePlan(spark, sf).selectExpr(cols: _*)
+        .as[(String, Long, Long, Double, Double, Boolean, Double)]
+        .collect().toSet
+      assert(want.nonEmpty && got == want,
+        "post-restart mixture ledger diverged from batch — state not restored")
+    }
+  }
+
+  test("valueQuantilesStream restarts from checkpoint on RocksDB: bounded samples survive") {
+    withConfs(Session.RocksDbStateStore) {
+      import graft.analytics.RelationalAnalytics
+      val evs = Tables.events(spark, sf)
+        .select($"event_id", $"event_type", $"value")
+      val root = runCompleteRecovery(evs) { (in, ck, root) =>
+        RelationalAnalytics.valueQuantilesStream(in, s"$root/quantiles")
+          .option("checkpointLocation", ck).start()
+      }
+      val cols = Seq("event_type", "n_sample", "p50", "p90")
+      val got = spark.read.parquet(s"$root/quantiles").selectExpr(cols: _*)
+        .as[(String, Long, Double, Double)].collect().toSet
+      val want = RelationalAnalytics.valueQuantilesSketch(spark, sf)
+        .selectExpr(cols: _*)
+        .as[(String, Long, Double, Double)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        "post-restart quantile report diverged from batch — state not restored")
+    }
+  }
+
+  test("retentionKmvStream restarts from checkpoint on RocksDB: day sketches survive") {
+    withConfs(Session.RocksDbStateStore) {
+      import graft.analytics.UserBehaviorAnalytics
+      val evs = Tables.events(spark, sf).select($"ts", $"user_id")
+      val root = runCompleteRecovery(evs) { (in, ck, root) =>
+        StreamingAnalytics.retentionKmvStream(in)
+          .writeStream.outputMode("complete")
+          .foreachBatch { (snap: org.apache.spark.sql.DataFrame, _: Long) =>
+            UserBehaviorAnalytics.retentionKmvFinish(snap)
+              .write.mode("overwrite").parquet(s"$root/retention")
+          }
+          .option("checkpointLocation", ck).start()
+      }
+      val cols = Seq("day", "day_next", "uv_a", "uv_b", "uv_union",
+        "jaccard", "est_retained")
+      val got = spark.read.parquet(s"$root/retention").selectExpr(cols: _*)
+        .collect().toSeq.map(_.toSeq).toSet
+      val want = UserBehaviorAnalytics.retentionKmv(spark, sf)
+        .selectExpr(cols: _*).collect().toSeq.map(_.toSeq).toSet
+      assert(want.nonEmpty && got == want,
+        "post-restart retention report diverged from batch — sketches not restored")
+    }
+  }
+
   test("outlierGateStream replays an uncommitted batch idempotently after restart") {
     import graft.textops.{Pipelines, Similarity}
     val root = java.nio.file.Files.createTempDirectory("graftgrecov").toString
