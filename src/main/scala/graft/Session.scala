@@ -31,6 +31,17 @@ object Session {
     // (measured 81.6 s → 47.9 s over the 32-query sf0.1 bench), while a
     // TB-scale shuffle still fans out to size/advisory partitions.
     .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    // AQE can only coalesce DOWN from the initial shuffle partition
+    // count (it splits only skewed join partitions), so the ceiling
+    // must be HIGH and byte-sizing brings it down: with the ceiling at
+    // `parallelism` (32), the sf10 graph_triangles rehearsal put
+    // 120 M array-carrying edge rows into 32 sort partitions —
+    // GB-scale sort buffers, GCLocker thrash, a dead run. 16× the
+    // parallelism keeps every partition advisory-sized at any SF while
+    // small shuffles still coalesce to one task (parallelismFirst off).
+    // A 1000-executor deployment sets this to O(10⁴-10⁵) the same way.
+    .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      (parallelism * 16).toString)
     // 16m advisory suits the single-node bench; a 1000-executor deploy
     // reading 100 TB would raise this to 64-256m (fewer, beefier tasks)
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
