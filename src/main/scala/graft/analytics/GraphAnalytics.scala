@@ -156,19 +156,28 @@ object GraphAnalytics {
       .distinct()
     val deg = und.select($"u".as("n")).union(und.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("d"))
-    // orient low (deg, id) → high (deg, id); localCheckpoint: feeds
-    // the adjacency build AND the per-edge probe
+    // orient low (deg, id) → high (deg, id)
     val oriented = und
       .join(deg.select($"n".as("u"), $"d".as("du")), "u")
       .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
       .selectExpr(
         "case when du < dv or (du = dv and u < v) then u else v end as src",
         "case when du < dv or (du = dv and u < v) then v else u end as dst")
-      .localCheckpoint()
+    // One adjacency row per node, out-list ≤ O(√m) by the orientation.
+    // localCheckpoint: n rows (vs the m-row edge list) — reused by the
+    // explode probe AND the dst-side join below.
     val adj = oriented.groupBy($"src")
       .agg(sort_array(collect_list($"dst")).as("nbrs"))
-    val withNbrs = oriented
-      .join(adj.select($"src", $"nbrs".as("nu")), Seq("src"))
+      .localCheckpoint()
+    // Edge iterator WITHOUT re-joining the edge list: adj came from
+    // groupBy(src) over `oriented`, so exploding each out-list
+    // regenerates exactly the (src, dst) edges with N⁺(src) already
+    // attached — the first sf10 formulation shuffled the m-row
+    // array-carrying intermediate through an extra join on src (the
+    // spill driver at 120 M edges: 35-50 GB vs 28.6 GiB memory); this
+    // leaves ONE wide shuffle (the dst-side adjacency join) in the plan.
+    val withNbrs = adj
+      .select($"src", $"nbrs".as("nu"), explode($"nbrs").as("dst"))
       .join(adj.select($"src".as("dst"), $"nbrs".as("nv")), Seq("dst"), "left")
       .withColumn("ws", expr("array_intersect(nu, coalesce(nv, array()))"))
       .where(size($"ws") > 0)

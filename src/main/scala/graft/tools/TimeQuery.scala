@@ -6,6 +6,16 @@ import org.apache.spark.sql.SparkSession
 /** Perf loop: `runMain graft.tools.TimeQuery <sfDir> <query> [reps]` —
   * times one SparkEntry query repeatedly in a warm session (steady-state
   * numbers, JIT/codegen warm-up excluded per BASELINE.md methodology).
+  *
+  * Scratch hygiene between reps: shuffle files are only deleted when the
+  * ContextCleaner notices the ShuffleDependency was garbage-collected —
+  * with a large driver heap that can be NEVER, so a query that spills
+  * tens of GB per invocation (sf10 graph_triangles) exhausts local disk
+  * across warm+reps long before any single invocation would. After each
+  * rep we drop leftover persisted RDDs (localCheckpoint blocks) and
+  * force a driver GC so the cleaner reclaims dead shuffles before the
+  * next rep starts. SPARK_GRAFT_CONF ("k=v;k=v") overrides session conf
+  * for perf experiments (e.g. io.compression.codec=zstd at big SF).
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
@@ -13,17 +23,31 @@ object TimeQuery {
     val names = args(1).split(',')
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Session.tune(
+    var b = Session.tune(
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    for (kv <- sys.env.getOrElse("SPARK_GRAFT_CONF", "").split(';')
+         if kv.contains('=')) {
+      val Array(k, v) = kv.split("=", 2)
+      b = b.config(k, v)
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def scrub(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc() // let ContextCleaner reap dead shuffle files
+    }
     SparkEntry.entry(spark).count() // warm-up
+    scrub()
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        scrub()
+        dt
       }
       println(f"TIMEQ $name%-24s ${times.map(t => f"$t%.2f").mkString(" ")}")
     }
