@@ -182,9 +182,18 @@ object GraphAnalytics {
       .withColumn("ws", expr("array_intersect(nu, coalesce(nv, array()))"))
       .where(size($"ws") > 0)
       .select($"src", $"dst", $"ws", size($"ws").cast("long").as("ntri"))
-    val contributions = withNbrs.select($"src".as("part_id"), $"ntri")
-      .union(withNbrs.select($"dst".as("part_id"), $"ntri"))
-      .union(withNbrs.select(explode($"ws").as("part_id"), lit(1L).as("ntri")))
+    // All three contribution streams (+|∩| to u and v, +1 to each w)
+    // from ONE pass over the joined rows: a 3-way union of selects on
+    // withNbrs re-executes the adjacency join per branch (exchange
+    // reuse does not cover the explode side — measured three distinct
+    // dst exchanges), so emit a combined contribution array and
+    // explode once instead.
+    val contributions = withNbrs.select(explode(concat(
+        array(struct($"src".as("part_id"), $"ntri".as("n")),
+              struct($"dst".as("part_id"), $"ntri".as("n"))),
+        transform($"ws", w => struct(w.as("part_id"), lit(1L).as("n")))
+      )).as("c"))
+      .select($"c.part_id".as("part_id"), $"c.n".as("ntri"))
     contributions.groupBy($"part_id")
       .agg(sum($"ntri").as("n_triangles"))
       .orderBy($"part_id")

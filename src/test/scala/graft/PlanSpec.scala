@@ -318,6 +318,41 @@ class PlanSpec extends AnyFunSuite {
       "edge-iterator intersect lost — wedge rows would materialize again")
   }
 
+  test("graph_triangles: the m-row array-carrying intermediate shuffles ONCE (explode probe, round 10)") {
+    // adj = groupBy(src) over the oriented edges, so explode(nbrs)
+    // regenerates the edge list with N⁺(src) attached — re-joining it
+    // on src would shuffle the wide intermediate a second time (the
+    // sf10 spill driver: 513 s vs 360 s, 35-50 GB spill). Pin: the
+    // physical plan holds at most TWO DISTINCT exchanges carrying an
+    // array<> column — the two sides of the single dst-side adjacency
+    // join (the explode itself is narrow; reuse across the three
+    // contribution branches is ReusedExchange, not new shuffles). The
+    // round-9 formulation had three (adj into the src join, then the
+    // wide intermediate plus adj again into the dst join).
+    val df = GraphAnalytics.graphTriangles(spark, sf)
+    df.collect() // materialize AQE final plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeLike, ReusedExchangeExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _: ReusedExchangeExec => Nil // a reuse is not a new shuffle
+      case other => (other.children ++ other.subqueries).flatMap(walk)
+    })
+    val arrayShuffles = walk(df.queryExecution.executedPlan).collect {
+      case s: ShuffleExchangeLike
+          if s.output.exists(_.dataType.typeName.startsWith("array")) => s
+    }
+    // distinct by reference: AQE materializes each exchange once; the
+    // same stage object can surface at several tree positions
+    val distinct = arrayShuffles
+      .groupBy(System.identityHashCode(_)).map(_._2.head).toSeq
+    assert(distinct.size <= 2,
+      s"${distinct.size} distinct shuffles carry adjacency arrays — the edge list is being re-joined on src again:\n" +
+        distinct.map(s => s.simpleString(200)).mkString("\n"))
+  }
+
   test("range_join: keyless range joins as a bucket equi-join, never a nested loop") {
     val plan = planString(DetectionAnalytics.rangeJoin(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
