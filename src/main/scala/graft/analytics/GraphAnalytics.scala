@@ -154,6 +154,17 @@ object GraphAnalytics {
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
+    triangleParticipation(und)
+  }
+
+  /** Counting core over an undirected edge list (`u` < `v`, distinct):
+    * per-node triangle participation counts. Factored out of
+    * [[graphTriangles]] so the orientation/tie-break logic is
+    * property-testable against brute force on arbitrary random graphs,
+    * not just the co-purchase build. */
+  private[graft] def triangleParticipation(und: DataFrame): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
     val deg = und.select($"u".as("n")).union(und.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("d"))
     // orient low (deg, id) → high (deg, id)

@@ -592,4 +592,40 @@ class PropertySpec extends AnyFunSuite {
       assert(bag(fileRoundTrip(K.encodeApacheLog(ap.toDF()), K.parseApacheLog)) == bag(ap))
     }
   }
+
+  test("triangleParticipation == brute-force enumeration on random graphs (degree ties included)") {
+    // The degree orientation's correctness argument (each triangle
+    // counted once at its unique lowest-(deg,id) apex; closing edge
+    // oriented by rank transitivity) must hold on ARBITRARY graphs —
+    // including heavy degree ties, isolated edges, stars and near-
+    // cliques the co-purchase build never produces. Small id space
+    // forces dense collisions and many equal-degree nodes.
+    val edgeGen = for {
+      nNodes <- org.scalacheck.Gen.chooseNum(4, 14)
+      nEdges <- org.scalacheck.Gen.chooseNum(3, 40)
+      es <- org.scalacheck.Gen.listOfN(nEdges, for {
+        a <- org.scalacheck.Gen.chooseNum(0, nNodes - 1)
+        b <- org.scalacheck.Gen.chooseNum(0, nNodes - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct
+    forAll(edgeGen, n = 12) { edges =>
+      whenever(edges.nonEmpty) {
+        val und = edges.toDF("u", "v")
+        val got = graft.analytics.GraphAnalytics.triangleParticipation(und)
+          .as[(Long, Long)].collect().toMap
+        // brute force: every node triple with all three edges present
+        val eset = edges.toSet
+        def has(a: Long, b: Long) = eset.contains((math.min(a, b), math.max(a, b)))
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val want = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for {
+          i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+          (a, b, c) = (nodes(i), nodes(j), nodes(k))
+          if has(a, b) && has(b, c) && has(a, c)
+        } { want(a) += 1; want(b) += 1; want(c) += 1 }
+        assert(got == want.toMap,
+          s"participation mismatch on edges=$edges")
+      }
+    }
+  }
 }
