@@ -628,4 +628,35 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("connectedComponents == union-find on random graphs (incl. isolated nodes, empty edge sets)") {
+    // hash-min label propagation + path-halving must converge to the
+    // true components on arbitrary graphs — long chains (propagation
+    // distance), multi-component forests, isolated nodes (bypass the
+    // loop entirely), and the empty-edge corner all at once.
+    val graphGen = for {
+      nNodes <- org.scalacheck.Gen.chooseNum(1, 16)
+      nEdges <- org.scalacheck.Gen.chooseNum(0, 20)
+      es <- org.scalacheck.Gen.listOfN(nEdges, for {
+        a <- org.scalacheck.Gen.chooseNum(0, nNodes - 1)
+        b <- org.scalacheck.Gen.chooseNum(0, nNodes - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (nNodes, es.filter(e => e._1 != e._2).distinct)
+    forAll(graphGen, n = 12) { case (nNodes, edges) =>
+      val nodes = (0L until nNodes.toLong).toDF("id")
+      val pairs = edges.toDF("a", "b")
+      val got = graft.textops.Dedup.connectedComponents(nodes, pairs)
+        .as[(Long, Long)].collect().toMap
+      // union-find ground truth; component label = min member id,
+      // matching the hash-min fixed point
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until nNodes).map(i => i.toLong -> find(i).toLong).toMap
+      assert(got == want, s"components mismatch on n=$nNodes edges=$edges")
+    }
+  }
 }
