@@ -55,11 +55,24 @@ object GraphAnalytics {
           col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
+    val nodes = Tables.part(spark, sfDir).select($"p_partkey".as("v"))
+    rankFixedPoint(nodes, edges)
+      .select($"v".as("part_id"), $"r".as("rank_micro"))
+      .orderBy($"part_id")
+  }
+
+  /** The [[itemRank]] iteration core over an arbitrary node set (`v`)
+    * and directed edge list (`src`, `dst`, distinct): `Iters` rounds of
+    * the micro-unit fixed point. Factored so the join/agg plumbing is
+    * property-testable against a plain-Scala replay on random digraphs
+    * (dangling nodes, multi-component) beyond the co-purchase build. */
+  private[graft] def rankFixedPoint(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
     // (src, dst, out-degree of src) — kept LAZY: the identical subtree
     // under every round dedupes to one ReusedExchange in the plan
     val edgesD = edges.join(deg, "src")
-    val nodes = Tables.part(spark, sfDir).select($"p_partkey".as("v"))
     var ranks = nodes.select($"v", lit(BaseMicro).as("r"))
     for (_ <- 1 to Iters) {
       val contribs = edgesD
@@ -78,8 +91,7 @@ object GraphAnalytics {
       // slower). At hundreds of iterations, or on a real cluster where
       // lineage length is the fault-recovery path, cut every ~10 rounds.
     }
-    ranks.select($"v".as("part_id"), $"r".as("rank_micro"))
-      .orderBy($"part_id")
+    ranks
   }
 
   /** DuckDB replay: the same fixed-point arithmetic with the iteration

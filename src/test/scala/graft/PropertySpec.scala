@@ -659,4 +659,35 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"components mismatch on n=$nNodes edges=$edges")
     }
   }
+
+  test("rankFixedPoint == plain-Scala micro-unit replay on random digraphs (dangling nodes included)") {
+    // Independent replay of the integer fixed point (r div d per edge,
+    // teleport + 85% damp, floor division throughout) over maps — the
+    // DataFrame plumbing (degree join, contribution agg, left-join
+    // back to the node set) must reproduce it exactly, including nodes
+    // with no in-edges (teleport floor) and dangling nodes (their mass
+    // is dropped by the pruned-PageRank contract, not redistributed).
+    val digraphGen = for {
+      nNodes <- org.scalacheck.Gen.chooseNum(2, 12)
+      nEdges <- org.scalacheck.Gen.chooseNum(0, 25)
+      es <- org.scalacheck.Gen.listOfN(nEdges, for {
+        a <- org.scalacheck.Gen.chooseNum(0, nNodes - 1)
+        b <- org.scalacheck.Gen.chooseNum(0, nNodes - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (nNodes, es.filter(e => e._1 != e._2).distinct)
+    forAll(digraphGen, n = 10) { case (nNodes, edges) =>
+      val nodesDf = (0L until nNodes.toLong).toDF("v")
+      val got = graft.analytics.GraphAnalytics
+        .rankFixedPoint(nodesDf, edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      var r = (0L until nNodes.toLong).map(_ -> 1000000L).toMap
+      for (_ <- 1 to graft.analytics.GraphAnalytics.Iters) {
+        val c = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for ((s, d) <- edges) c(d) += r(s) / outDeg(s)
+        r = (0L until nNodes.toLong).map(v => v -> (150000L + 85L * c(v) / 100L)).toMap
+      }
+      assert(got == r, s"rank mismatch on n=$nNodes edges=$edges")
+    }
+  }
 }
