@@ -164,11 +164,22 @@ object SparkEntry {
     * BASELINE.md skew table), and their `_capped` siblings are
     * output-identical at the correctness tiers. They remain oracled
     * exactness anchors, not serving paths.
+    *
+    * similarity_pq (round 11): dominated as a SERVING tier by its
+    * sibling similarity_sq8 at this dimensionality — 40.2 s vs 28.1 s
+    * at sf1 on the SAME candidate set (BASELINE "PQ note"): a packed-
+    * LUT ADC scan cannot beat one codegen'd 64-wide dot in a row-
+    * pipeline engine, and the property PQ actually buys — a 64×
+    * smaller stored index — only pays when the index is materialized
+    * and scan IO dominates, which is not this bench's shape. Kept as
+    * an oracled exactness anchor (the ADC arithmetic replays bit-for-
+    * bit in DuckDB), demoted out of the serving total.
     */
   val diagnosticQueries: Set[String] =
     Set("dedup_candidate_stats", "dedup_substring_curve",
       "similarity_cell_stats",
-      "dedup_ngram_jaccard", "dedup_clusters_multi")
+      "dedup_ngram_jaccard", "dedup_clusters_multi",
+      "similarity_pq")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -157,7 +157,8 @@ object GraphAnalytics {
     * plain id-ordering (u<v<w) — orientation changes the work bound,
     * never the triangles.
     */
-  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+  def graphTriangles(spark: SparkSession, sfDir: String,
+                     buckets: Int = 1): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_partkey")
     val und = li.as("a")
@@ -166,15 +167,32 @@ object GraphAnalytics {
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
-    triangleParticipation(und)
+    triangleParticipation(und, buckets)
   }
 
   /** Counting core over an undirected edge list (`u` < `v`, distinct):
     * per-node triangle participation counts. Factored out of
     * [[graphTriangles]] so the orientation/tie-break logic is
     * property-testable against brute force on arbitrary random graphs,
-    * not just the co-purchase build. */
-  private[graft] def triangleParticipation(und: DataFrame): DataFrame = {
+    * not just the co-purchase build.
+    *
+    * `buckets` > 1 is the single-node memory-cliff remedy (round 11):
+    * the one wide shuffle left in the plan — the dst-side adjacency
+    * join over the m-row exploded probe — peaks at 35-50 GB of
+    * spill/shuffle at sf10 (120 M edges) on one machine, which is a
+    * HARDWARE bound, not a plan defect (on a cluster the per-executor
+    * working set stays sf1-sized). Partitioning the probe by
+    * pmod(hash(dst), B) and running the B passes as SEQUENTIAL jobs
+    * caps the wide shuffle at ~m/B rows per pass; each pass reduces to
+    * an n-row per-node partial (localCheckpoint — the same n-row
+    * materialization the adjacency already pays) and the partials
+    * union into the final sum. Per-node counts are additive over any
+    * partition of the probe edges, so the split is semantics-free —
+    * the property suite pins bucketed ≡ single-pass on random graphs.
+    * Default stays 1 (below the cliff the extra job rounds only cost);
+    * the serving query is unchanged. */
+  private[graft] def triangleParticipation(und: DataFrame,
+                                           buckets: Int = 1): DataFrame = {
     val spark = und.sparkSession
     import spark.implicits._
     val deg = und.select($"u".as("n")).union(und.select($"v".as("n")))
@@ -199,27 +217,43 @@ object GraphAnalytics {
     // array-carrying intermediate through an extra join on src (the
     // spill driver at 120 M edges: 35-50 GB vs 28.6 GiB memory); this
     // leaves ONE wide shuffle (the dst-side adjacency join) in the plan.
-    val withNbrs = adj
-      .select($"src", $"nbrs".as("nu"), explode($"nbrs").as("dst"))
-      .join(adj.select($"src".as("dst"), $"nbrs".as("nv")), Seq("dst"), "left")
-      .withColumn("ws", expr("array_intersect(nu, coalesce(nv, array()))"))
-      .where(size($"ws") > 0)
-      .select($"src", $"dst", $"ws", size($"ws").cast("long").as("ntri"))
-    // All three contribution streams (+|∩| to u and v, +1 to each w)
-    // from ONE pass over the joined rows: a 3-way union of selects on
-    // withNbrs re-executes the adjacency join per branch (exchange
-    // reuse does not cover the explode side — measured three distinct
-    // dst exchanges), so emit a combined contribution array and
-    // explode once instead.
-    val contributions = withNbrs.select(explode(concat(
-        array(struct($"src".as("part_id"), $"ntri".as("n")),
-              struct($"dst".as("part_id"), $"ntri".as("n"))),
-        transform($"ws", w => struct(w.as("part_id"), lit(1L).as("n")))
-      )).as("c"))
-      .select($"c.part_id".as("part_id"), $"c.n".as("ntri"))
-    contributions.groupBy($"part_id")
-      .agg(sum($"ntri").as("n_triangles"))
-      .orderBy($"part_id")
+    def passCounts(bucket: Option[(Int, Int)]): DataFrame = {
+      val probe = adj
+        .select($"src", $"nbrs".as("nu"), explode($"nbrs").as("dst"))
+      val kept = bucket match {
+        case Some((b, i)) => probe.where(pmod(hash($"dst"), lit(b)) === i)
+        case None         => probe
+      }
+      val withNbrs = kept
+        .join(adj.select($"src".as("dst"), $"nbrs".as("nv")), Seq("dst"), "left")
+        .withColumn("ws", expr("array_intersect(nu, coalesce(nv, array()))"))
+        .where(size($"ws") > 0)
+        .select($"src", $"dst", $"ws", size($"ws").cast("long").as("ntri"))
+      // All three contribution streams (+|∩| to u and v, +1 to each w)
+      // from ONE pass over the joined rows: a 3-way union of selects on
+      // withNbrs re-executes the adjacency join per branch (exchange
+      // reuse does not cover the explode side — measured three distinct
+      // dst exchanges), so emit a combined contribution array and
+      // explode once instead.
+      withNbrs.select(explode(concat(
+          array(struct($"src".as("part_id"), $"ntri".as("n")),
+                struct($"dst".as("part_id"), $"ntri".as("n"))),
+          transform($"ws", w => struct(w.as("part_id"), lit(1L).as("n")))
+        )).as("c"))
+        .select($"c.part_id".as("part_id"), $"c.n".as("ntri"))
+        .groupBy($"part_id")
+        .agg(sum($"ntri").as("n_triangles"))
+    }
+    val counts =
+      if (buckets <= 1) passCounts(None)
+      else (0 until buckets)
+        // eager localCheckpoint per pass = the passes run as SEQUENTIAL
+        // jobs and each reduces to an n-row partial before the next
+        // pass's wide shuffle starts — the peak-shuffle cap is the point
+        .map(i => passCounts(Some((buckets, i))).localCheckpoint())
+        .reduce(_ union _)
+        .groupBy($"part_id").agg(sum($"n_triangles").as("n_triangles"))
+    counts.orderBy($"part_id")
   }
 
   val graphTrianglesOracle: String =

@@ -1,6 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+import scala.util.DynamicVariable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Per-micro-batch storage hygiene for `foreachBatch` sinks.
   *
@@ -14,18 +18,50 @@ import org.apache.spark.sql.SparkSession
   * without bound: exactly the spill/GC-pressure class the v20 bench
   * block-hygiene fix measured (21 s vs 7.5 s on graph_triangles).
   *
-  * [[releasingNewPersists]] brackets a foreachBatch body: it diffs the
-  * driver's persistent-RDD registry before/after and unpersists only
-  * what the body itself persisted, so blocks owned by other queries
-  * (or a concurrent batch run in the same session) are never touched.
+  * [[releasingNewPersists]] brackets a foreachBatch body and, on exit,
+  * unpersists exactly the RDDs the body registered through
+  * [[checkpointTracked]] — NOT a before/after diff of the driver's
+  * whole persistent-RDD registry. The distinction matters in a shared
+  * session: a registry diff would sweep anything persisted during the
+  * bracket window, including an RDD a concurrently-running query just
+  * `localCheckpoint`'d, and unpersisting someone else's checkpoint
+  * destroys its only copy (lineage is truncated). The tracked set is
+  * held in a [[DynamicVariable]] (thread-local), so concurrent
+  * foreachBatch bodies on different streams each release only their
+  * own blocks.
+  *
+  * Contract: inside a bracketed body, materialize with
+  * [[checkpointTracked]] instead of bare `localCheckpoint()`. Outside
+  * a bracket, [[checkpointTracked]] degrades to a plain
+  * `localCheckpoint()` — batch callers (Bench, Verify) need no
+  * changes and keep their own leftover-block sweep.
   */
 object BlockHygiene {
+  private val active =
+    new DynamicVariable[Option[mutable.Set[Int]]](None)
+
+  /** `df.localCheckpoint()` whose persisted RDD is registered with the
+    * innermost [[releasingNewPersists]] bracket on this thread (no-op
+    * registration outside a bracket). The persisted RDD id is read off
+    * the checkpointed frame's own [[LogicalRDD]] leaf — exact
+    * ownership, no registry diffing, no race with concurrent queries.
+    */
+  def checkpointTracked(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    for (buf <- active.value; id <- persistedRddId(ck)) buf += id
+    ck
+  }
+
+  private def persistedRddId(ck: DataFrame): Option[Int] =
+    ck.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd.id }
+
   def releasingNewPersists[A](spark: SparkSession)(body: => A): A = {
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    try body
-    finally sc.getPersistentRDDs
-      .filter { case (id, _) => !before(id) }
-      .values.foreach(_.unpersist(blocking = false))
+    val buf = mutable.Set.empty[Int]
+    try active.withValue(Some(buf))(body)
+    finally {
+      val registry = spark.sparkContext.getPersistentRDDs
+      buf.foreach(id =>
+        registry.get(id).foreach(_.unpersist(blocking = false)))
+    }
   }
 }

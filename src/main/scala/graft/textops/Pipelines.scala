@@ -188,10 +188,9 @@ object Pipelines {
     // the localCheckpoint'd band table lives exactly one batch: release
     // its blocks on exit or a long-running stream leaks one per batch
     graft.streaming.BlockHygiene.releasingNewPersists(spark) {
-    val bands = Dedup.minhashBucketsFrom(
-        batch.withColumn("is_new", lit(true)))
-      .withColumn("pb", pmod(col("band_hash"), lit(BucketPartitions)))
-      .localCheckpoint()
+    val bands = graft.streaming.BlockHygiene.checkpointTracked(
+      Dedup.minhashBucketsFrom(batch.withColumn("is_new", lit(true)))
+        .withColumn("pb", pmod(col("band_hash"), lit(BucketPartitions))))
     val base = spark.read.parquet(s"$outDir/minhash_buckets")
       .where(col("batch_id") < id)
     val ySide = base.select(bands.columns.map(col): _*).union(bands)
@@ -280,8 +279,8 @@ object Pipelines {
     // one-batch lifetime for the checkpointed span table (see
     // dedupIncrementalBatch): release its blocks on exit
     graft.streaming.BlockHygiene.releasingNewPersists(spark) {
-    val spans = Dedup.docSpans(
-      batch.select(col("doc_id"), col("text")), span).localCheckpoint()
+    val spans = graft.streaming.BlockHygiene.checkpointTracked(
+      Dedup.docSpans(batch.select(col("doc_id"), col("text")), span))
     Dedup.spanVerdicts(spans, readSpanIndex(spark, outDir, beforeBatch = id))
       .withColumn("batch_id", lit(id))
       .write.mode("overwrite")

@@ -1164,7 +1164,10 @@ object TextStats {
                                        k: Int = 100): DataFrame = {
     val spark = stfIn.sparkSession
     import spark.implicits._
-    val stf = stfIn.localCheckpoint() // four consumers below
+    // four consumers below; tracked so corpusDriftStream's bracket can
+    // release exactly this block per micro-batch (plain localCheckpoint
+    // when called from the batch query — see BlockHygiene)
+    val stf = graft.streaming.BlockHygiene.checkpointTracked(stfIn)
     val stot = stf.groupBy($"source").agg(sum($"tf").as("stotal"))
     val ctf = stf.groupBy($"token").agg(sum($"tf").as("ctf"))
       .orderBy($"ctf".desc, $"token").limit(topV)

@@ -1,0 +1,37 @@
+package graft.tools
+
+import graft.Session
+import graft.textops.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Prints recall@5 + serving time for the SRP-LSH tiers (exact-bucket
+  * and multiprobe) at a tier — the measurement behind the T = b probe
+  * law in [[Similarity]] (round-11 fix for the fixed-T=8 decade decay:
+  * recall 0.34→0.24 with cost ×9.6 per 10× data).
+  * Usage: `LshProbe <sfDir> [reps=3]`
+  */
+object LshProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Session.tune(
+        SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    for (mp <- Seq(false, true)) {
+      val r = Similarity.similarityRecallLsh(spark, sfDir, multiprobe = mp)
+        .agg(avg($"recall")).head.getDouble(0)
+      val serve = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        (if (mp) Similarity.similarityLshMultiprobe(spark, sfDir)
+         else Similarity.similarityLsh(spark, sfDir)).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(reps / 2)
+      println(f"LSH multiprobe=$mp%-5s avg_recall=$r%.3f serve_s=$serve%.2f")
+    }
+    spark.stop()
+  }
+}

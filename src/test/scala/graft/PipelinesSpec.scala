@@ -177,9 +177,11 @@ class PipelinesSpec extends AnyFunSuite {
         graft.textops.TextHash.phScala(w) % 64).distinct
       val expected = pts.map { pt =>
         val d = java.nio.file.Paths.get(s"$dir/postings/pt=$pt")
-        if (java.nio.file.Files.exists(d))
-          java.nio.file.Files.list(d).filter(_.toString.endsWith(".parquet")).count()
-        else 0L
+        if (java.nio.file.Files.exists(d)) {
+          val s = java.nio.file.Files.list(d) // must close: holds a dir handle
+          try s.filter(_.toString.endsWith(".parquet")).count()
+          finally s.close()
+        } else 0L
       }.sum
       val numFiles = s.metrics.get("numFiles").map(_.value)
       assert(numFiles.forall(_ <= expected),

@@ -625,6 +625,15 @@ class PropertySpec extends AnyFunSuite {
         } { want(a) += 1; want(b) += 1; want(c) += 1 }
         assert(got == want.toMap,
           s"participation mismatch on edges=$edges")
+        // the dst-hash bucketed probe (the sf10 peak-shuffle cap) is a
+        // pure partition of the probe edges — per-node counts are
+        // additive over it, so any bucket count must reproduce the
+        // single-pass result exactly
+        val bucketed = graft.analytics.GraphAnalytics
+          .triangleParticipation(und, buckets = 3)
+          .as[(Long, Long)].collect().toMap
+        assert(bucketed == want.toMap,
+          s"bucketed participation mismatch on edges=$edges")
       }
     }
   }
