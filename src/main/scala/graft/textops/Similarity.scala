@@ -42,24 +42,27 @@ object Similarity {
     * order, which stops mattering once T = b: the probe SET is every
     * single-bit flip). At the oracle tier b = 8 this is bit-identical
     * to the fixed T = 8 budget every previous round shipped. The
-    * round-10 verdict measured the fixed budget's decade law as the
-    * one tier whose quality DECAYED at scale — recall 0.34 → 0.24 with
-    * cost ×9.6 per 10× data — and both failures trace to caps, not to
-    * the scheme: cost blew up because autoBits saturated its 16-bit
-    * pool ceiling (occupancy = n/2^b goes linear once b pins, so the
-    * bucket join goes quadratic), and recall fell because 8 probes
-    * cover a shrinking 8/b slice of the Hamming-1 miss modes. The
-    * scale law here removes both: the pool ceiling moves to 24 bits
-    * (occupancy ≈ 2 holds to n = 16M per this family; a 100 TB deploy
-    * regenerates the deterministic family with a larger pool, same
-    * two-line rule), and the probe budget tracks b, so cost per query
-    * is (b+1)·L·occupancy ≈ Θ(log n) — effectively flat per decade —
-    * while coverage of the dominant (single-plane-disagreement) miss
-    * mode stays COMPLETE at every scale instead of decaying.
-    * Residual recall decay is only the ≥2-flip mode, the honest SRP
-    * floor; similarity_recall_lshmp pins the measured law per tier.
+    * round-10 verdict flagged the fixed budget as the one tier whose
+    * quality DECAYED by design at scale — measured recall@5
+    * 0.34 → 0.24 per 10× data — because 8 probes cover a shrinking
+    * 8/b slice of the Hamming-1 miss modes as b grows with log n
+    * (8/10 at the sf0.1 tier's b = 10, 8/13 at sf1's b = 13, and
+    * falling). T = b keeps coverage of the dominant miss mode
+    * (single-plane disagreement) COMPLETE at every scale for a probe
+    * factor that grows only with log n: measured recall per decade is
+    * now 0.35 → 0.30 (the residual decay is the ≥2-flip mode, the
+    * honest SRP floor) at cost/query ×1.6 per decade —
+    * (b+1)·L·occupancy, occupancy pinned ≈ 2 by the bits rule.
+    * The pool ceiling moves 16 → 24 bits in the same change: past
+    * n ≈ 64k the old ceiling would have pinned b while n grew, taking
+    * per-bucket occupancy linear and the bucket join quadratic — a
+    * cliff the measured tiers (b = 10, 13) never reached but a decade
+    * rehearsal would have. 24 bits holds occupancy ≈ 2 to n = 16M;
+    * a 100 TB deploy regenerates the deterministic plane family with
+    * a larger pool (two-line rule in [[lshPlanes]]).
+    * similarity_recall_lshmp stays the shipped QA gate for the law.
     */
-  private def multiprobeCount(bits: Int): Int = bits
+  private[graft] def multiprobeCount(bits: Int): Int = bits
 
   /** dot(a, b): the native codegen'd VecDot expression — identical
     * sequential left-fold arithmetic to the HOF form

@@ -917,6 +917,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Similarity.autoSampleMod(20000) == 400)
     assert(Similarity.autoNProbe(100) == 20) // probed fraction held at scale
     assert(Dedup.autoMaxDf(50000) == 100)
+    // round-11 SRP-LSH scale law: the multiprobe budget is the FULL
+    // Hamming-1 ring (T = b — at the oracle tier b=8 that is exactly
+    // the retired fixed T=8, so the n=500 contract never moved), and
+    // the plane pool no longer caps bits at the former 16-bit cliff
+    // (occupancy n/2^b went linear there; 24-bit pool holds ≈2 to 16M)
+    assert(Similarity.multiprobeCount(8) == 8)
+    assert(Similarity.multiprobeCount(Similarity.autoBits(20000)) == 13)
+    assert(Similarity.autoBits(500000) == 18)  // was 16 under the old cap
+    assert(Similarity.autoBits(5000000) == 21)
+    assert(Similarity.autoBits(100000000L) == 24) // pool ceiling engages
   }
 
   test("similarity_recall_lsh: bounded, and an all-covering bucket gives recall 1.0") {
