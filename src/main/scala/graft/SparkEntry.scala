@@ -105,6 +105,7 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => Dedup.dedupContainment(s, d)),
     "dedup_candidate_stats" -> ((s, d) => Dedup.dedupCandidateStats(s, d)),
     "similarity_cell_stats" -> ((s, d) => Similarity.similarityCellStats(s, d)),
+    "similarity_lsh_stats" -> ((s, d) => Similarity.similarityLshStats(s, d)),
     "dedup_substring_curve" -> ((s, d) => Dedup.substringDfCurve(s, d)),
     "similarity_recall_lshmp" -> ((s, d) =>
       Similarity.similarityRecallLsh(s, d, multiprobe = true)),
@@ -177,7 +178,7 @@ object SparkEntry {
     */
   val diagnosticQueries: Set[String] =
     Set("dedup_candidate_stats", "dedup_substring_curve",
-      "similarity_cell_stats",
+      "similarity_cell_stats", "similarity_lsh_stats",
       "dedup_ngram_jaccard", "dedup_clusters_multi",
       "similarity_pq")
 
@@ -495,6 +496,7 @@ object SparkEntry {
     "similarity_recall_lsh" -> Similarity.similarityRecallLshOracle(),
     "similarity_lsh_multiprobe" -> Similarity.similarityLshMultiprobeOracle,
     "similarity_cell_stats" -> Similarity.similarityCellStatsOracle,
+    "similarity_lsh_stats" -> Similarity.similarityLshStatsOracle,
     "pii_scrub"           -> Scrub.piiScrubOracle,
     "dedup_containment"   -> Dedup.dedupContainmentOracle,
     "dedup_candidate_stats" -> Dedup.dedupCandidateStatsOracle(),

@@ -1418,6 +1418,70 @@ object Similarity {
                               tables: Int = LshTables, bits: Int = -1): DataFrame =
     lshRankTopK(lshCandidates(spark, sfDir, tables, bits, multiprobe = true), k)
 
+  /** Per-table SRP-LSH bucket-occupancy telemetry — the LSH analog of
+    * [[similarityCellStats]] (diagnostic tier, oracled): how a user
+    * measures whether the T = b probe law's cost model holds on THEIR
+    * corpus before trusting it. The model is cost/query ≈
+    * (b+1)·L·occupancy with occupancy ≈ 2 pinned by the bits rule;
+    * occ_avg (over USED buckets — 2^b is mostly empty by design, so
+    * the IVF-style divide-by-total would read as 0) is that occupancy
+    * term measured, occ_max × (b+1) bounds the hottest query's
+    * candidate load, and hot_buckets counts buckets past 4× the
+    * expected occupancy — the skew signal (clustered corpora
+    * concentrate; a hot bucket inflates every query probing it).
+    * One row per table; all integer arithmetic so DuckDB replays
+    * exactly.
+    */
+  def similarityLshStats(spark: SparkSession, sfDir: String,
+                         tables: Int = LshTables, bits: Int = -1): DataFrame = {
+    import spark.implicits._
+    val n = nVecs(spark, sfDir)
+    val b = if (bits >= 0) bits else autoBits(n)
+    require(tables <= LshTables && b <= MaxLshBits,
+      s"only $LshTables tables x $MaxLshBits deterministic hyperplanes generated")
+    val e = vectors(spark, sfDir)
+    val stackExpr = (0 until tables)
+      .map(t => s"$t, ${lshSigSpark(t, b)}").mkString(", ")
+    val hotT = 4L * math.max(1L, n / (1L << b))
+    e.selectExpr("vec_id", s"stack($tables, $stackExpr) as (tbl, sig)")
+      .groupBy($"tbl", $"sig").agg(count(lit(1)).as("occ"))
+      .groupBy($"tbl")
+      .agg(count(lit(1)).as("buckets_used"), sum($"occ").as("n_assigned"),
+        min($"occ").as("occ_min"), max($"occ").as("occ_max"),
+        sum(when($"occ" > hotT, 1L).otherwise(0L)).as("hot_buckets"))
+      .selectExpr("cast(tbl as int) as tbl", s"cast($b as int) as bits",
+        s"cast(${b + 1} as int) as probes_per_query",
+        "buckets_used", "n_assigned", "occ_min", "occ_max",
+        "cast(n_assigned as double) / buckets_used as occ_avg", "hot_buckets")
+      .orderBy($"tbl")
+  }
+
+  /** DuckDB replay of [[similarityLshStats]] via the shared bucket
+    * CTE chain; geometry and the hot threshold derive from the corpus.
+    */
+  lazy val similarityLshStatsOracle: String =
+    s"""WITH $geomCte, $lshPlanesDuck, e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), $lshBucketCtesDuck, occs AS (
+       |  SELECT tbl, sig, count(*) AS occ FROM buckets GROUP BY tbl, sig
+       |), hot AS (
+       |  SELECT 4 * greatest(CAST(1 AS BIGINT),
+       |    (SELECT count(*) FROM embeddings)
+       |      // (CAST(1 AS BIGINT) << $gBits)) AS t
+       |)
+       |SELECT CAST(tbl AS INT) AS tbl, CAST($gBits AS INT) AS bits,
+       |       CAST($gBits + 1 AS INT) AS probes_per_query,
+       |       CAST(count(*) AS BIGINT) AS buckets_used,
+       |       CAST(sum(occ) AS BIGINT) AS n_assigned,
+       |       CAST(min(occ) AS BIGINT) AS occ_min,
+       |       CAST(max(occ) AS BIGINT) AS occ_max,
+       |       CAST(CAST(sum(occ) AS BIGINT) AS DOUBLE) / count(*) AS occ_avg,
+       |       CAST(sum(CASE WHEN occ > (SELECT t FROM hot) THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hot_buckets
+       |FROM occs GROUP BY tbl ORDER BY tbl""".stripMargin
+
   val similarityLshOracle: String =
     s"""WITH $geomCte, $lshPlanesDuck, e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

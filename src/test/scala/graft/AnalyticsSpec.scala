@@ -929,6 +929,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Similarity.autoBits(100000000L) == 24) // pool ceiling engages
   }
 
+  test("similarity_lsh_stats: every vector lands in exactly one bucket per table") {
+    val n = Tables.embeddings(spark, sf).count()
+    val b = Similarity.autoBits(n)
+    val stats = Similarity.similarityLshStats(spark, sf).collect()
+    assert(stats.length == 4, "one telemetry row per table expected")
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_assigned") == n,
+        "per-table assignment must cover the corpus exactly once")
+      assert(r.getAs[Int]("bits") == b &&
+        r.getAs[Int]("probes_per_query") == b + 1) // the T = b law, visible
+      val used = r.getAs[Long]("buckets_used")
+      assert(used >= 1 && used <= math.min(n, 1L << b))
+      assert(r.getAs[Long]("occ_min") >= 1 &&
+        r.getAs[Long]("occ_max") <= n &&
+        r.getAs[Long]("occ_min") <= r.getAs[Long]("occ_max"))
+      assert(math.abs(r.getAs[Double]("occ_avg") - n.toDouble / used) < 1e-9)
+    }
+  }
+
   test("similarity_recall_lsh: bounded, and an all-covering bucket gives recall 1.0") {
     val r = Similarity.similarityRecallLsh(spark, sf)
     assert(r.where($"recall" < 0 || $"recall" > 1 || $"hits" > 5).isEmpty)

@@ -705,6 +705,10 @@ class StreamingParitySpec extends AnyFunSuite {
     val q = Pipelines.dedupIncrementalStream(
       ms.toDF().toDF("doc_id", "text"), dir, s"$dir/verdicts").start()
     try {
+      // block hygiene: each micro-batch checkpointTracks its band table
+      // and the bracket must release it (BlockHygiene) — a long-running
+      // crawl loop must not accumulate one persisted RDD per batch
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       // feed the "new" docs in ascending doc_id order across three
       // micro-batches — arrival order then matches the one-shot
       // replay's doc_id-based keep-first rule
@@ -715,6 +719,9 @@ class StreamingParitySpec extends AnyFunSuite {
         .sortBy(_._1).toSeq
       newDocs.grouped(math.max(newDocs.size / 3, 1))
         .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+      assert(leaked.isEmpty,
+        s"dedupIncrementalStream leaked ${leaked.size} persisted RDDs across batches")
       val cols = Seq("doc_id", "keep", "n_dups", "dup_of", "best_sim")
       val got = spark.read.parquet(s"$dir/verdicts")
         .selectExpr(cols: _*)
@@ -740,11 +747,17 @@ class StreamingParitySpec extends AnyFunSuite {
     val q = Pipelines.spanDedupStream(
       ms.toDF().toDF("doc_id", "text"), dir, s"$dir/clean").start()
     try {
+      // block hygiene: the tracked span-table checkpoint must be
+      // released per micro-batch (see dedupIncrementalStream test)
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val docs = Tables.documents(spark, sf)
         .select($"doc_id", $"text").as[(Long, String)].collect()
         .sortBy(_._1).toSeq
       docs.grouped(math.max(docs.size / 3, 1))
         .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+      assert(leaked.isEmpty,
+        s"spanDedupStream leaked ${leaked.size} persisted RDDs across batches")
       val cols = Seq("doc_id", "clean_text", "n_spans", "n_dropped")
       val got = spark.read.parquet(s"$dir/clean").selectExpr(cols: _*)
         .as[(Long, String, Long, Long)].collect().toSet
