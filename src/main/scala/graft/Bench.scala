@@ -54,9 +54,18 @@ object Bench {
     // cost (graph_triangles measured 21.2 s inside the full sweep vs
     // 7.5 s solo before this). Dropping leftover persisted RDDs after
     // every invocation keeps each measurement at steady state.
-    def clearLeftoverBlocks(): Unit =
+    // The System.gc() is the second half of the fix (ported from
+    // TimeQuery, round 11): shuffle files are only deleted when the
+    // ContextCleaner notices the ShuffleDependency was GC'd, and with
+    // a large driver heap that can be NEVER inside one sweep — at sf1
+    // the accumulated files put late-alphabet queries under disk/page-
+    // cache pressure that is, again, harness debt (seq_pack measured
+    // 11.25 s in-sweep vs 1.6 s solo). Runs outside the timed window.
+    def clearLeftoverBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     for ((_, fn) <- sorted) {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       clearLeftoverBlocks()
