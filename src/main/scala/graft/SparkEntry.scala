@@ -46,7 +46,14 @@ object SparkEntry {
     "tx_match"          -> ((s, d) => DetectionAnalytics.txMatch(s, d)),
     "interval_join"     -> ((s, d) => DetectionAnalytics.intervalJoin(s, d)),
     "range_join"        -> ((s, d) => DetectionAnalytics.rangeJoin(s, d)),
-    "graph_triangles"   -> ((s, d) => GraphAnalytics.graphTriangles(s, d)),
+    // SPARK_GRAFT_TRI_BUCKETS > 1 splits the one wide probe shuffle
+    // into that many sequential passes (union of additive partials —
+    // semantics-free, property-pinned). The ops knob for a deployment
+    // whose per-executor working set hits the sf10-scale memory cliff;
+    // below the cliff the extra job rounds only cost, so default 1.
+    "graph_triangles"   -> ((s, d) => GraphAnalytics.graphTriangles(s, d,
+      buckets = sys.env.get("SPARK_GRAFT_TRI_BUCKETS").map(_.trim.toInt)
+        .filter(_ >= 1).getOrElse(1))),
     "ts_similarity"     -> ((s, d) => TimeSeriesAnalytics.tsSimilarity(s, d)),
     "ts_similarity_paa" -> ((s, d) =>
       TimeSeriesAnalytics.tsSimilarityPaa(s, d)),
