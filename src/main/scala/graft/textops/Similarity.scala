@@ -1532,6 +1532,12 @@ object Similarity {
     * shipped ungraded, so a user tuning L×b had no quality signal.
     * Same scale argument as the IVF gate: the exact side is quadratic
     * only over the sample, which is how recall is measured at scale.
+    * The approx side is panel-bounded too: the `% mod` filter pushes
+    * through the rank window (query_id is the partition key) and into
+    * the bucket join's query branch, so the gate never materializes
+    * the full self-kNN — 28 s at 200 k clustered where the full serve
+    * is disk-bound (PlanSpec pins the pushdown; BASELINE §SRP-LSH
+    * third decade records the measurement).
     */
   def similarityRecallLsh(spark: SparkSession, sfDir: String, k: Int = 5,
                           sampleMod: Int = -1, tables: Int = LshTables,

@@ -309,6 +309,30 @@ class PlanSpec extends AnyFunSuite {
       "index side no longer computes bare signatures — probe fan-out leaked into the index")
   }
 
+  test("similarity_recall_lsh(mp): panel filter pushes below the rank window (gate is panel-bounded, not self-kNN)") {
+    // the QA gate filters the approx side to the deterministic query
+    // panel; Catalyst must push that modulo filter through the rank
+    // window and into the bucket join's query branch, or recall at a
+    // big tier silently pays the FULL n×topk self-kNN (measured: 28 s
+    // panel-bounded vs out-of-disk at 200 k clustered — BASELINE
+    // §SRP-LSH third decade)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
+    for (mp <- Seq(false, true)) {
+      val lp = graft.textops.Similarity
+        .similarityRecallLsh(spark, sf, multiprobe = mp)
+        .queryExecution.optimizedPlan
+      val windows = lp.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"mp=$mp: rank window vanished from the plan")
+      windows.foreach { w =>
+        val pushed = w.collect {
+          case f: Filter if f.condition.toString.contains("%") => f }
+        assert(pushed.nonEmpty,
+          s"mp=$mp: panel modulo filter no longer below the rank window — " +
+            s"the recall gate would run the full self-kNN:\n$lp")
+      }
+    }
+  }
+
   test("graph_triangles: adjacency build + per-edge probes stay equi-join, never cartesian") {
     val plan = planString(GraphAnalytics.graphTriangles(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
