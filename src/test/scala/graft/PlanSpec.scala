@@ -309,7 +309,7 @@ class PlanSpec extends AnyFunSuite {
       "index side no longer computes bare signatures — probe fan-out leaked into the index")
   }
 
-  test("similarity_recall_lsh(mp): panel filter pushes below the rank window (gate is panel-bounded, not self-kNN)") {
+  test("similarity recall gates (lsh/lshmp/ivf/ivf_trained/pq): panel filter pushes below the rank window (gate is panel-bounded, not self-kNN)") {
     // the QA gate filters the approx side to the deterministic query
     // panel; Catalyst must push that modulo filter through the rank
     // window and into the bucket join's query branch, or recall at a
@@ -317,17 +317,28 @@ class PlanSpec extends AnyFunSuite {
     // panel-bounded vs out-of-disk at 200 k clustered — BASELINE
     // §SRP-LSH third decade)
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
-    for (mp <- Seq(false, true)) {
-      val lp = graft.textops.Similarity
-        .similarityRecallLsh(spark, sf, multiprobe = mp)
-        .queryExecution.optimizedPlan
-      val windows = lp.collect { case w: LWindow => w }
-      assert(windows.nonEmpty, s"mp=$mp: rank window vanished from the plan")
+    import graft.textops.Similarity
+    val gates: Seq[(String, DataFrame)] = Seq(
+      "lsh" -> Similarity.similarityRecallLsh(spark, sf, multiprobe = false),
+      "lshmp" -> Similarity.similarityRecallLsh(spark, sf, multiprobe = true),
+      "ivf" -> Similarity.similarityRecall(spark, sf),
+      "ivf_trained" -> Similarity.similarityRecall(spark, sf, trained = true),
+      "pq" -> Similarity.similarityRecallPq(spark, sf))
+    for ((tier, df) <- gates) {
+      val lp = df.queryExecution.optimizedPlan
+      // only the per-QUERY rank windows must be panel-bounded; the
+      // index-side assignment windows (PQ/IVF cell ranking, PARTITION
+      // BY vec_id over ALL vectors) are correctly unfiltered — the
+      // whole index must stay probe-able
+      val windows = lp.collect {
+        case w: LWindow if w.partitionSpec.exists(
+          _.references.exists(_.name == "query_id")) => w }
+      assert(windows.nonEmpty, s"$tier: rank window vanished from the plan")
       windows.foreach { w =>
         val pushed = w.collect {
           case f: Filter if f.condition.toString.contains("%") => f }
         assert(pushed.nonEmpty,
-          s"mp=$mp: panel modulo filter no longer below the rank window — " +
+          s"$tier: panel modulo filter no longer below the rank window — " +
             s"the recall gate would run the full self-kNN:\n$lp")
       }
     }
