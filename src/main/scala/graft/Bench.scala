@@ -90,8 +90,13 @@ object Bench {
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
                    catch { case _: Throwable => false }
+          // dt BEFORE the scrub, same as the query loop — the round-11
+          // System.gc in clearLeftoverBlocks would otherwise put a full
+          // driver-GC pause INSIDE every calib rep (measured: calib
+          // 0.38 vs the same query's in-sweep 0.24 at sf0.1)
+          val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
           clearLeftoverBlocks()
-          if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
+          dt
         }.sorted
         if (reps.exists(_.isNaN)) -1.0 else reps(2)
       }.getOrElse(-1.0)
