@@ -1422,13 +1422,19 @@ object Similarity {
     * [[similarityCellStats]] (diagnostic tier, oracled): how a user
     * measures whether the T = b probe law's cost model holds on THEIR
     * corpus before trusting it. The model is cost/query ≈
-    * (b+1)·L·occupancy with occupancy ≈ 2 pinned by the bits rule;
-    * occ_avg (over USED buckets — 2^b is mostly empty by design, so
-    * the IVF-style divide-by-total would read as 0) is that occupancy
-    * term measured, occ_max × (b+1) bounds the hottest query's
-    * candidate load, and hot_buckets counts buckets past 4× the
-    * expected occupancy — the skew signal (clustered corpora
-    * concentrate; a hot bucket inflates every query probing it).
+    * (b+1)·L·occ_eff, where occ_eff is candidates per PROBE — most
+    * Hamming-1 probes land in sparse or empty buckets, so occ_eff
+    * (≈2.4 measured at sf0.1/sf1: 137 cand/query ÷ 14·4) sits well
+    * BELOW occ_avg, the per-USED-bucket mean reported here (8.5 at
+    * sf1 near-uniform; over used buckets because 2^b is mostly empty
+    * by design, so the IVF-style divide-by-total would read as 0).
+    * What occ_avg/occ_max/hot_buckets measure is the bucket-size
+    * SKEW that tells you when the uniform cost model breaks:
+    * clustered corpora concentrate (19–28 avg / thousands max at
+    * 200 k clustered — BASELINE §SRP-LSH third decade), every query
+    * probing a hot bucket inherits its size, and the right response
+    * is batch-the-queries serving, not the all-at-once self-kNN.
+    * hot_buckets counts buckets past 4× the expected occupancy.
     * One row per table; all integer arithmetic so DuckDB replays
     * exactly.
     */
