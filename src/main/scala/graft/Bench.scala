@@ -1,24 +1,13 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Session.tune: AQE + coalesce + skew-join + UTC + GraftExtensions —
-    // the library's recommended config, same knobs a cluster deploy sets.
-    // SPARK_GRAFT_CONF ("k=v;k=v") lets perf experiments override
-    // without recompiling.
-    var b = Session.tune(
-      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
-      .config("spark.ui.enabled", "false")
-    for (kv <- sys.env.getOrElse("SPARK_GRAFT_CONF", "").split(';')
-         if kv.contains('=')) {
-      val Array(k, v) = kv.split("=", 2)
-      b = b.config(k, v)
-    }
-    val spark = b.getOrCreate()
+    // Session.harnessBuilder: tune (AQE + coalesce + skew-join + UTC +
+    // GraftExtensions — the library's recommended config, same knobs a
+    // cluster deploy sets) + SPARK_GRAFT_CPUS sizing + SPARK_GRAFT_CONF
+    // overrides for perf experiments without recompiling.
+    val spark = Session.harnessBuilder(defaultCpus = "4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state methodology (matches BASELINE.md): one untimed warm
     // pass over EVERY query first — each query's first execution pays
@@ -52,20 +41,11 @@ object Bench {
     // 119 queries the block manager fills up and late-alphabet heavy
     // queries pay spill/GC pressure that is HARNESS debt, not query
     // cost (graph_triangles measured 21.2 s inside the full sweep vs
-    // 7.5 s solo before this). Dropping leftover persisted RDDs after
-    // every invocation keeps each measurement at steady state.
-    // The System.gc() is the second half of the fix (ported from
-    // TimeQuery, round 11): shuffle files are only deleted when the
-    // ContextCleaner notices the ShuffleDependency was GC'd, and with
-    // a large driver heap that can be NEVER inside one sweep — at sf1
-    // the accumulated files put late-alphabet queries under disk/page-
-    // cache pressure that is, again, harness debt (seq_pack measured
-    // 11.25 s in-sweep vs 1.6 s solo). Runs outside the timed window.
-    def clearLeftoverBlocks(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
-    }
+    // 7.5 s solo before this). Session.scrubBlocks (shared with the
+    // graft.tools mains) drops leftovers + forces a driver GC after
+    // every invocation, outside the timed window — see its doc for the
+    // shuffle-file half of the story.
+    def clearLeftoverBlocks(): Unit = Session.scrubBlocks(spark)
     for ((_, fn) <- sorted) {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       clearLeftoverBlocks()

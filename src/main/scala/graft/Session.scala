@@ -54,6 +54,44 @@ object Session {
     tune(master.fold(b)(b.master), parallelism)
   }
 
+  /** Measurement-harness builder shared by Bench and the graft.tools
+    * mains: [[tune]]d `local[SPARK_GRAFT_CPUS]` session, UI off, plus
+    * `SPARK_GRAFT_CONF` ("k=v;k=v") overrides. Every tool building its
+    * session here measures the SAME configuration surface as Bench —
+    * an LshProbe/TriProbe anchor taken under a conf override (e.g.
+    * io.compression.codec=zstd at big SF) stays reproducible and
+    * comparable to the bench it corroborates.
+    */
+  def harnessBuilder(defaultCpus: String = "32"): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    var b = tune(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .config("spark.ui.enabled", "false")
+    for (kv <- sys.env.getOrElse("SPARK_GRAFT_CONF", "").split(';')
+         if kv.contains('=')) {
+      val Array(k, v) = kv.split("=", 2)
+      b = b.config(k, v)
+    }
+    b
+  }
+
+  /** Inter-measurement scratch hygiene, shared by Bench/TimeQuery/
+    * LshProbe/TriProbe (one copy — the pre-round-11 Bench/TimeQuery
+    * divergence showed hand-ported copies drift): drop leftover
+    * persisted RDDs (localCheckpoint blocks nothing unpersists), then
+    * force a driver GC so the ContextCleaner notices dead
+    * ShuffleDependencies and reaps their shuffle files — with a large
+    * driver heap that can otherwise be NEVER within one sweep, and the
+    * accumulated spill puts later measurements under disk/page-cache
+    * pressure that is harness debt, not query cost (seq_pack 11.25 s
+    * in-sweep vs 1.18 s after this; sf10 graph_triangles exhausts
+    * local disk across reps without it). Call OUTSIDE timed windows.
+    */
+  def scrubBlocks(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
+  }
+
   /** Streaming state at 100× — the RocksDB state store knob.
     *
     * The default HDFSBackedStateStoreProvider keeps EVERY key of every

@@ -18,6 +18,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     UserBehaviorAnalytics.hotItemsTopN(spark, "/root/testdata/sf0.001")
 
+  // Parsed ONCE, eagerly: a malformed value must fail fast at startup
+  // with a clear message — parsed lazily inside the graph_triangles
+  // lambda, the NumberFormatException would be swallowed by Bench's
+  // per-query catch and the ops knob meant to rescue the query at sf10
+  // would instead silently report it as failed (-1).
+  private val triBuckets: Int =
+    sys.env.get("SPARK_GRAFT_TRI_BUCKETS").map(_.trim) match {
+      case None => 1
+      case Some(t) =>
+        val n = t.toIntOption.filter(_ >= 1)
+        require(n.isDefined,
+          s"SPARK_GRAFT_TRI_BUCKETS must be a positive integer, got '$t'")
+        n.get
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hot_items_topn"  -> ((s, d) => UserBehaviorAnalytics.hotItemsTopN(s, d)),
@@ -51,9 +66,8 @@ object SparkEntry {
     // semantics-free, property-pinned). The ops knob for a deployment
     // whose per-executor working set hits the sf10-scale memory cliff;
     // below the cliff the extra job rounds only cost, so default 1.
-    "graph_triangles"   -> ((s, d) => GraphAnalytics.graphTriangles(s, d,
-      buckets = sys.env.get("SPARK_GRAFT_TRI_BUCKETS").map(_.trim.toInt)
-        .filter(_ >= 1).getOrElse(1))),
+    "graph_triangles"   -> ((s, d) =>
+      GraphAnalytics.graphTriangles(s, d, buckets = triBuckets)),
     "ts_similarity"     -> ((s, d) => TimeSeriesAnalytics.tsSimilarity(s, d)),
     "ts_similarity_paa" -> ((s, d) =>
       TimeSeriesAnalytics.tsSimilarityPaa(s, d)),

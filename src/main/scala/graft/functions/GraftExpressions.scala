@@ -164,11 +164,15 @@ object GraftExpressions {
     * signature plus `nProbes` Hamming-1 variants flipping the planes
     * with the SMALLEST |projection| — for a true near neighbor the
     * low-margin planes are the ones most likely to sit on the wrong
-    * side, so a fixed probe budget buys most of the recall of flipping
-    * every plane. One fused pass: per-plane dots, base signature,
-    * margin selection (ties → lowest plane index), flips. Probe count
-    * is FIXED — independent of the adaptive bit count — so multiprobe
-    * fan-out does not grow as the index scales b with log n.
+    * side, so probing the lowest-margin flips buys most of the recall
+    * of flipping every plane. One fused pass: per-plane dots, base
+    * signature, margin selection (ties → lowest plane index), flips.
+    * `nProbes` is whatever the caller passes; since round 11 the
+    * serving tier passes T = b (the FULL Hamming-1 ring) so recall
+    * holds as the index scales b with log n — a fixed T probes a
+    * shrinking 2^-b fraction of buckets and decayed ~0.34→0.24 per
+    * decade while costing ×9.6 (the measured T=b law and its cost
+    * model live in Similarity.scala / PLANS.md).
     */
   case class SrpProbes(left: Expression, right: Expression, nProbes: Int)
       extends BinaryExpression {

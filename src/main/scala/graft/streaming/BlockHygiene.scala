@@ -1,7 +1,6 @@
 package graft.streaming
 
 import scala.collection.mutable
-import scala.util.DynamicVariable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
@@ -26,9 +25,15 @@ import org.apache.spark.sql.execution.LogicalRDD
   * bracket window, including an RDD a concurrently-running query just
   * `localCheckpoint`'d, and unpersisting someone else's checkpoint
   * destroys its only copy (lineage is truncated). The tracked set is
-  * held in a [[DynamicVariable]] (thread-local), so concurrent
-  * foreachBatch bodies on different streams each release only their
-  * own blocks.
+  * held in a plain [[ThreadLocal]] — deliberately NOT Scala's
+  * `DynamicVariable`, whose InheritableThreadLocal backing would make
+  * any thread spawned inside a bracket (a `writeStream.start()`, a
+  * parallel collection) inherit the buffer forever: its post-bracket
+  * `checkpointTracked` calls would register into a set nothing will
+  * ever sweep (a silent re-leak) and mutate it unsynchronized.
+  * Concurrent foreachBatch bodies on different streams each release
+  * only their own blocks; a spawned thread sees no bracket and
+  * degrades to plain `localCheckpoint()` as the contract states.
   *
   * Contract: inside a bracketed body, materialize with
   * [[checkpointTracked]] instead of bare `localCheckpoint()`. Outside
@@ -37,8 +42,9 @@ import org.apache.spark.sql.execution.LogicalRDD
   * changes and keep their own leftover-block sweep.
   */
 object BlockHygiene {
-  private val active =
-    new DynamicVariable[Option[mutable.Set[Int]]](None)
+  private val active = new ThreadLocal[Option[mutable.Set[Int]]] {
+    override def initialValue(): Option[mutable.Set[Int]] = None
+  }
 
   /** `df.localCheckpoint()` whose persisted RDD is registered with the
     * innermost [[releasingNewPersists]] bracket on this thread (no-op
@@ -48,7 +54,7 @@ object BlockHygiene {
     */
   def checkpointTracked(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint()
-    for (buf <- active.value; id <- persistedRddId(ck)) buf += id
+    for (buf <- active.get(); id <- persistedRddId(ck)) buf += id
     ck
   }
 
@@ -57,8 +63,11 @@ object BlockHygiene {
 
   def releasingNewPersists[A](spark: SparkSession)(body: => A): A = {
     val buf = mutable.Set.empty[Int]
-    try active.withValue(Some(buf))(body)
+    val saved = active.get()
+    active.set(Some(buf))
+    try body
     finally {
+      active.set(saved)
       val registry = spark.sparkContext.getPersistentRDDs
       buf.foreach(id =>
         registry.get(id).foreach(_.unpersist(blocking = false)))

@@ -2,7 +2,6 @@ package graft.tools
 
 import graft.Session
 import graft.textops.Similarity
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Prints recall@5 + serving time for the SRP-LSH tiers (exact-bucket
@@ -23,17 +22,12 @@ object LshProbe {
     val sfDir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
     val only = if (args.length > 2) Some(args(2)) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Session.tune(
-        SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // harnessBuilder: same SPARK_GRAFT_CPUS/CONF surface as Bench, so
+    // anchors recorded here reproduce under the same conf overrides
+    val spark = Session.harnessBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    def scrub(): Unit = { // see TimeQuery: reap dead shuffle files
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
-    }
+    def scrub(): Unit = Session.scrubBlocks(spark)
     val tiers = Seq(false, true).filter(mp => only.forall {
       case "mp" => mp; case "exact" => !mp; case _ => true })
     for (mp <- tiers) {

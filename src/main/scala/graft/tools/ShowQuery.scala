@@ -1,7 +1,6 @@
 package graft.tools
 
 import graft.{Session, SparkEntry}
-import org.apache.spark.sql.SparkSession
 
 /** Runs named SparkEntry queries at a tier and prints their rows —
   * the ops way to read the telemetry queries (`similarity_lsh_stats`,
@@ -12,12 +11,14 @@ import org.apache.spark.sql.SparkSession
 object ShowQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args(1).split(',')
+    val names = args(1).split(',').map(_.trim).filter(_.nonEmpty)
     val maxRows = if (args.length > 2) args(2).toInt else 50
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Session.tune(
-        SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // validate BEFORE paying session startup for a typo
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")}; known: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+    val spark = Session.harnessBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (name <- names) {
       println(s"\n========== $name @ $sfDir ==========")

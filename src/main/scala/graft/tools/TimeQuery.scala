@@ -1,7 +1,6 @@
 package graft.tools
 
 import graft.{Session, SparkEntry}
-import org.apache.spark.sql.SparkSession
 
 /** Perf loop: `runMain graft.tools.TimeQuery <sfDir> <query> [reps]` —
   * times one SparkEntry query repeatedly in a warm session (steady-state
@@ -14,34 +13,25 @@ import org.apache.spark.sql.SparkSession
   * across warm+reps long before any single invocation would. After each
   * rep we drop leftover persisted RDDs (localCheckpoint blocks) and
   * force a driver GC so the cleaner reclaims dead shuffles before the
-  * next rep starts. SPARK_GRAFT_CONF ("k=v;k=v") overrides session conf
-  * for perf experiments (e.g. io.compression.codec=zstd at big SF).
+  * next rep starts ([[graft.Session.scrubBlocks]]). SPARK_GRAFT_CONF
+  * ("k=v;k=v") overrides session conf for perf experiments (e.g.
+  * io.compression.codec=zstd at big SF) via
+  * [[graft.Session.harnessBuilder]].
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args(1).split(',')
+    val names = args(1).split(',').map(_.trim).filter(_.nonEmpty)
     val reps = if (args.length > 2) args(2).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    var b = Session.tune(
-        SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
-      .config("spark.ui.enabled", "false")
-    for (kv <- sys.env.getOrElse("SPARK_GRAFT_CONF", "").split(';')
-         if kv.contains('=')) {
-      val Array(k, v) = kv.split("=", 2)
-      b = b.config(k, v)
-    }
-    val spark = b.getOrCreate()
+    val spark = Session.harnessBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def scrub(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc() // let ContextCleaner reap dead shuffle files
-    }
+    def scrub(): Unit = Session.scrubBlocks(spark)
     SparkEntry.entry(spark).count() // warm-up
     scrub()
     for (name <- names) {
-      val fn = SparkEntry.queries(name)
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name'; known: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

@@ -2,14 +2,15 @@ package graft.tools
 
 import graft.Session
 import graft.analytics.GraphAnalytics
-import org.apache.spark.sql.SparkSession
 
 /** Times [[GraphAnalytics.graphTriangles]] at a tier for a list of
   * dst-hash bucket counts (1 = the single-pass serving form) — the
   * measurement behind the round-11 sf10 peak-shuffle cap.
   * Usage: `TriProbe <sfDir> [buckets1,buckets2,...] [reps]`
-  * (TimeQuery's scratch hygiene applies: persisted blocks dropped and
-  * a driver GC forced between reps so sf10 spill is reclaimed.)
+  * (`reps=0` runs the warm-up pass only — the big-SF mode where one
+  * invocation already costs minutes. [[graft.Session.scrubBlocks]]
+  * hygiene between reps so sf10 spill is reclaimed; SPARK_GRAFT_CONF
+  * overrides apply via [[graft.Session.harnessBuilder]].)
   */
 object TriProbe {
   def main(args: Array[String]): Unit = {
@@ -18,16 +19,9 @@ object TriProbe {
       if (args.length > 1) args(1).split(',').map(_.trim.toInt).toSeq
       else Seq(1, 8)
     val reps = if (args.length > 2) args(2).toInt else 2
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Session.tune(
-        SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = Session.harnessBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def scrub(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
-    }
+    def scrub(): Unit = Session.scrubBlocks(spark)
     for (b <- bucketCounts) {
       // rep 0 carries codegen/JIT warm-up — printed but excluded from
       // the steady figure (BASELINE methodology)
@@ -39,7 +33,8 @@ object TriProbe {
         println(f"TRI buckets=$b%-3d rows=$n%d t=$dt%.1f s${if (r == 0) " (warm-up)" else ""}")
         dt
       }.drop(1).sorted
-      println(f"TRI buckets=$b%-3d steady_median=${times(times.size / 2)}%.1f s")
+      if (times.nonEmpty)
+        println(f"TRI buckets=$b%-3d steady_median=${times(times.size / 2)}%.1f s")
     }
     spark.stop()
   }
