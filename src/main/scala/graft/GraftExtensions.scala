@@ -30,9 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoin.AsOfJoinStrategy)
     GraftExpressions.registrations.foreach { r =>
+      // the full 11-arg constructor (the 5-arg form is deprecated):
+      // arguments/examples/note/group/since/deprecated/source all
+      // empty — usage is the only doc surface these functions carry
       e.injectFunction((FunctionIdentifier(r.name),
         new ExpressionInfo("graft.functions.GraftExpressions", null, r.name,
-          r.usage, ""),
+          r.usage, "", "", "", "", "", "", ""),
         r.builder))
     }
   }

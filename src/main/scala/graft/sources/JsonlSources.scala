@@ -82,6 +82,6 @@ object JsonlSources {
     * given plan, so round-trips are stable).
     */
   def write(df: DataFrame, path: String): Unit =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
       .write.mode("overwrite").text(path)
 }

@@ -118,7 +118,7 @@ object KafkaSources {
     // field entirely and shift every later column on re-parse (the
     // OrderLog layout legitimately has an empty txId on 'create' rows)
     val value = concat_ws(",",
-      df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+      df.columns.toIndexedSeq.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
     keyCol match {
       case Some(k) => df.select(col(k).cast("string").as("key"), value.as("value"))
       case None => df.select(value.as("value"))

@@ -441,12 +441,12 @@ object Dedup {
   /** Explode `(doc_id, text, …)` docs to one row per non-overlapping
     * `span`-token window: (carry cols…, doc_id, span_idx, span_text). */
   private[graft] def docSpans(docs: DataFrame, span: Int): DataFrame =
-    docs.selectExpr((docs.columns.filter(_ != "text") :+ "split(text, ' ') as toks"): _*)
+    docs.selectExpr((docs.columns.filter(_ != "text") :+ "split(text, ' ') as toks").toIndexedSeq: _*)
       .selectExpr((docs.columns.filter(_ != "text") :+
         s"""posexplode(transform(
            |  sequence(0, cast(ceil(size(toks) / ${span}.0) as int) - 1),
            |  si -> array_join(slice(toks, si * $span + 1, $span), ' ')))
-           |  as (span_idx, span_text)""".stripMargin): _*)
+           |  as (span_idx, span_text)""".stripMargin).toIndexedSeq: _*)
 
   /** Reassemble per-doc cleaned text from span rows carrying a `keep`
     * flag: (doc_id, clean_text, n_spans, n_dropped), ordered. */
@@ -630,7 +630,7 @@ object Dedup {
     // sum over zero rows is null — an empty graph must return empty,
     // not NPE (labelSum treats it as 0, which converges immediately)
     def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum($"label")).head
+      val r = df.agg(sum($"label")).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     var prevSum = labelSum(labels)

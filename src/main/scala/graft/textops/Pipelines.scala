@@ -127,7 +127,7 @@ object Pipelines {
       .withColumn("pb", pmod($"band_hash", lit(BucketPartitions)))
       .localCheckpoint()
     val base = spark.read.parquet(s"$outDir/minhash_buckets")
-    val ySide = base.select(newBands.columns.map(col): _*)
+    val ySide = base.select(newBands.columns.toIndexedSeq.map(col): _*)
       .union(newBands)
     Dedup.incrementalVerdicts(spark, sfDir, newBands, ySide,
       keys = Seq("pb", "band_idx", "band_hash"), judgedPred = judgedPred)
@@ -193,7 +193,7 @@ object Pipelines {
         .withColumn("pb", pmod(col("band_hash"), lit(BucketPartitions))))
     val base = spark.read.parquet(s"$outDir/minhash_buckets")
       .where(col("batch_id") < id)
-    val ySide = base.select(bands.columns.map(col): _*).union(bands)
+    val ySide = base.select(bands.columns.toIndexedSeq.map(col): _*).union(bands)
     Dedup.incrementalVerdictsFrom(batch.select(col("doc_id")), bands,
         ySide, keys = Seq("pb", "band_idx", "band_hash"))
       .withColumn("batch_id", lit(id))

@@ -32,7 +32,7 @@ object LshProbe {
       case "mp" => mp; case "exact" => !mp; case _ => true })
     for (mp <- tiers) {
       val r = Similarity.similarityRecallLsh(spark, sfDir, multiprobe = mp)
-        .agg(avg($"recall")).head.getDouble(0)
+        .agg(avg($"recall")).head().getDouble(0)
       scrub()
       val serve =
         if (reps == 0) -1.0

@@ -27,7 +27,7 @@ object RecallProbe {
     for (trained <- Seq(false, true); np <- probes) {
       val r = Similarity.similarityRecall(spark, sfDir, nProbe = np,
           trained = trained)
-        .agg(avg($"recall")).head.getDouble(0)
+        .agg(avg($"recall")).head().getDouble(0)
       val serve = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         (if (trained) Similarity.similarityIvfTrained(spark, sfDir, nProbe = np)
