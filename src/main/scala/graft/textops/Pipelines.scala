@@ -38,6 +38,10 @@ import org.apache.spark.sql.functions._
   *     (assignments partitioned by cell prefix), written by
   *     [[materializeAnn]]: [[annSearchFrom]] runs ARBITRARY query
   *     vectors against storage.
+  *   - `pq_codebook/` + `pq_codes/` — the compressed-index twin
+  *     (codes partitioned by the same cell prefix), written by
+  *     [[materializePq]]: [[annSearchPqFrom]] ADC-scores stored codes
+  *     without ever reading a full candidate vector.
   *   - `minhash_buckets/` — the base corpus's MinHash band buckets
   *     with signatures in-bucket, **partitioned by `pb`** (band-hash
   *     prefix): the serving index for [[dedupIncrementalFrom]] — a
@@ -347,6 +351,31 @@ object Pipelines {
 
   private val AnnPartitions = 64
 
+  /** Persist the PQ serving index: the IVF centroid table (probe
+    * geometry — same layout `materializeAnn` writes), the
+    * corpus-size-independent PQ codebook, and the per-vector CODES
+    * partitioned by `pc`. A `pq_codes` row's payload is the 8 codes
+    * plus the norm (~24 B) against the 512 B raw double vector
+    * `ann_assign` stores — the order-of-magnitude on-disk footprint
+    * cut that makes PQ worth its ADC overhead at 100 TB, which the
+    * in-memory bench structurally can't show (BASELINE's "PQ note";
+    * `similarity_pq` is diagnostic-tier for exactly that reason).
+    * Serving never reads a full vector after the query-side LUT
+    * build: see [[annSearchPqFrom]].
+    */
+  def materializePq(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val (ranked, cb, codes, _) = Similarity.pqIndex(spark, sfDir)
+    Similarity.ivfCentroids(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/ann_centroids")
+    cb.write.mode("overwrite").parquet(s"$outDir/pq_codebook")
+    val assign = ranked.where(col("crk") === 1)
+      .select(col("vec_id"), col("nrm"), col("cell"))
+    ParquetSink.writePartitioned(
+      assign.join(Similarity.packPqCodes(codes), "vec_id")
+        .withColumn("pc", pmod(col("cell"), lit(AnnPartitions))),
+      s"$outDir/pq_codes", Seq("pc"))
+  }
+
   /** Persist the positional postings index for phrase serving — the
     * search-index analog of [[materializeAnn]]: `(token, doc_id, pos)`
     * rows partitioned by a poly-hash prefix of the TOKEN. A phrase
@@ -472,6 +501,48 @@ object Pipelines {
           .orderBy($"cosine".desc, $"vec_id".asc)))
       .where($"rnk" <= k)
       .select($"query_id", $"vec_id".as("neighbor_id"), $"cosine",
+        $"rnk".cast("int").as("rnk"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** ANN serving from the PQ snapshot — ADC-score stored CODES against
+    * the query-side lookup table and return the approx-cosine top-k.
+    * The candidate scan reads `pq_codes` only (codes + norm, never a
+    * vector), so at scale the scoring pass moves an order of magnitude
+    * fewer bytes than [[annSearchFrom]]'s full-vector scan; the trade
+    * is approximate ranks (exact re-rank is a k-per-query id-join any
+    * full-precision store can serve afterwards). Geometry and
+    * quantization match the live [[Similarity.similarityPq]]
+    * bit-for-bit — the spec pins stored == live on (neighbor,
+    * approx_cosine, rnk).
+    */
+  def annSearchPqFrom(spark: SparkSession, outDir: String, queries: DataFrame,
+                      k: Int = 5, nProbe: Int = -1,
+                      excludeSelfId: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val cent = spark.read.parquet(s"$outDir/ann_centroids")
+    val np = if (nProbe > 0) nProbe
+             else Similarity.autoNProbe(cent.count().toInt)
+    val q = queries.selectExpr("vec_id", "cast(v as array<double>) as v")
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    val cb = spark.read.parquet(s"$outDir/pq_codebook")
+    val lutArr = Similarity.pqLutFor(
+      q.selectExpr("vec_id as query_id", "v"), cb)
+    val probes = Similarity.ivfRankedFrom(q, cent, np)
+      .select($"vec_id".as("query_id"), $"nrm".as("qn"), $"cell")
+      .withColumn("pc", pmod($"cell", lit(AnnPartitions)))
+      .join(lutArr, "query_id")
+    val codes = spark.read.parquet(s"$outDir/pq_codes")
+    val cand = probes.join(codes, Seq("pc", "cell"))
+    val kept = if (excludeSelfId) cand.where($"query_id" =!= $"vec_id") else cand
+    kept
+      .withColumn("approx_cosine",
+        expr(s"(cast((${Similarity.pqAdcExpr}) as double) / 1000000000D) / (qn * nrm)"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"approx_cosine".desc, $"vec_id".asc)))
+      .where($"rnk" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"approx_cosine",
         $"rnk".cast("int").as("rnk"))
       .orderBy($"query_id", $"rnk")
   }

@@ -765,6 +765,13 @@ object Similarity {
   private val PqSub = 8   // = 64 / PqM
   private val PqK = 16
 
+  /** Fixed-layout subvector slice list — shared by the index build
+    * ([[pqIndex]]) and the serve-time query LUT ([[pqLutFor]]) so the
+    * two sides can never disagree on the subspace geometry. */
+  private val pqSlices: String = (0 until PqM)
+    .map(j => s"slice(v, ${j * PqSub + 1}, $PqSub)")
+    .mkString("array(", ", ", ")")
+
   /** IVF + product-quantized ADC scoring with exact re-rank — the
     * third compression rung of the ANN ladder (full-precision IVF →
     * SQ8's 1 byte/dim → PQ's m codes/VECTOR, here 8 codes ≈ 8 B
@@ -796,15 +803,12 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val ranked = ivfRanked(spark, sfDir, nCentroids, nProbe)
-    val slices = (0 until PqM)
-      .map(j => s"slice(v, ${j * PqSub + 1}, $PqSub)")
-      .mkString("array(", ", ", ")")
     val assign = ranked.where($"crk" === 1)
       .select($"vec_id", $"v", $"nrm", $"cell")
     // one subspace row per (vector, j) — built once, feeds BOTH the
     // encode side and the query-LUT side
     val vsub = assign
-      .selectExpr("vec_id", s"posexplode($slices) as (j, subv)")
+      .selectExpr("vec_id", s"posexplode($pqSlices) as (j, subv)")
       .localCheckpoint()
     val cent = vsub.where($"vec_id" < PqK)
       .selectExpr("j", "vec_id as cent_id", "subv as centv",
@@ -823,6 +827,54 @@ object Similarity {
     (ranked, cent, codes, lut)
   }
 
+  /** Pack per-(vector, subspace) code rows into the fixed-layout array
+    * [[pqAdcExpr]] indexes: (vec_id, codes[PqM]). */
+  private[textops] def packPqCodes(codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("j"), col("code")))).as("cs"))
+      .selectExpr("vec_id", "transform(cs, s -> s.code) as codes")
+
+  /** Pack per-(query, subspace, code) LUT rows into the (j, code)-
+    * ordered array [[pqAdcExpr]] indexes: (query_id, lut[PqM·PqK]). */
+  private[textops] def packPqLut(lut: DataFrame): DataFrame =
+    lut.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("j"), col("code"), col("pdot_q"))))
+        .as("ls"))
+      .selectExpr("query_id", "transform(ls, s -> s.pdot_q) as lut")
+
+  /** The per-query ADC lookup table against an arbitrary (possibly
+    * stored) codebook: queries `(query_id, v)` dot their subvectors
+    * against every codebook entry ONCE — O(PqM·PqK) rows per query,
+    * never a candidate vector — with the same 1e-9 floor quantization
+    * as the index build's LUT, so a stored-snapshot serve
+    * ([[graft.textops.Pipelines.annSearchPqFrom]]) scores
+    * bit-identically to the live [[similarityPq]]. */
+  private[textops] def pqLutFor(queries: DataFrame, cb: DataFrame): DataFrame =
+    packPqLut(queries
+      .selectExpr("query_id as vec_id", "v")
+      .selectExpr("vec_id", s"posexplode($pqSlices) as (j, subv)")
+      .join(broadcast(cb), "j")
+      .selectExpr("vec_id as query_id", "j", "cent_id as code",
+        s"cast(floor(${dotSpark("subv", "centv", "pl")} * 1000000000D) as bigint) as pdot_q"))
+
+  /** ADC over the packed arrays: Σ_j lut[j·k + codes[j]] — fixed
+    * expression order, BIGINT adds, identical fold in the DuckDB
+    * oracle. */
+  private[textops] val pqAdcExpr: String = (0 until PqM)
+    .map(j => s"element_at(lut, cast(element_at(codes, ${j + 1}) + ${j * PqK + 1} as int))")
+    .mkString(" + ")
+
+  /** The seeded IVF centroid table alone — what the stored-index
+    * builders snapshot as `ann_centroids` without paying the full
+    * assign pass. */
+  private[textops] def ivfCentroids(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val c = autoCentroids(nVecs(spark, sfDir))
+    vectors(spark, sfDir).where($"vec_id" < c)
+      .select($"vec_id".as("cent_id"), $"v".as("centv"), $"nrm".as("centn"))
+  }
+
   def similarityPq(spark: SparkSession, sfDir: String, k: Int = 5,
                    nCentroids: Int = -1, nProbe: Int = -1): DataFrame = {
     import spark.implicits._
@@ -834,12 +886,8 @@ object Similarity {
     // is the relational form of PQ's actual serving loop: codes are
     // m small ints per vector, the LUT is m·k entries per query, and
     // a candidate's score is m table lookups.
-    val codesArr = codes.groupBy($"vec_id")
-      .agg(sort_array(collect_list(struct($"j", $"code"))).as("cs"))
-      .selectExpr("vec_id", "transform(cs, s -> s.code) as codes")
-    val lutArr = lut.groupBy($"query_id")
-      .agg(sort_array(collect_list(struct($"j", $"code", $"pdot_q"))).as("ls"))
-      .selectExpr("query_id", "transform(ls, s -> s.pdot_q) as lut")
+    val codesArr = packPqCodes(codes)
+    val lutArr = packPqLut(lut)
     // Row width through the rank stage is a non-issue: Spark 4's
     // WindowGroupLimit runs a PARTIAL top-k per map partition BEFORE
     // the query_id exchange (PlanSpec pins it), so carrying qv/v for
@@ -853,16 +901,11 @@ object Similarity {
     val probes = ranked
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"), $"cell")
       .join(lutArr, "query_id")
-    // ADC: Σ_j lut[j·k + codes[j]] — fixed expression order, BIGINT
-    // adds, identical fold in the DuckDB oracle
-    val adcExpr = (0 until PqM)
-      .map(j => s"element_at(lut, cast(element_at(codes, ${j + 1}) + ${j * PqK + 1} as int))")
-      .mkString(" + ")
     probes
       .join(assign.select($"vec_id", $"v", $"nrm", $"cell", $"codes"), "cell")
       .where($"query_id" =!= $"vec_id")
       .withColumn("approx_cosine",
-        expr(s"(cast(($adcExpr) as double) / 1000000000D) / (qn * nrm)"))
+        expr(s"(cast(($pqAdcExpr) as double) / 1000000000D) / (qn * nrm)"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"query_id")
           .orderBy($"approx_cosine".desc, $"vec_id".asc)))

@@ -1,0 +1,74 @@
+package graft.tools
+
+import graft.{Session, Tables}
+import graft.textops.Pipelines
+import org.apache.spark.sql.functions._
+
+/** Sizes and times the two STORED ANN serving tiers against one
+  * snapshot directory: the full-vector IVF scan (`ann_assign`,
+  * 512 B/vector of raw doubles) vs the PQ ADC scan (`pq_codes`,
+  * 8 codes + a norm per vector) — the footprint-vs-compute trade the
+  * in-memory bench can't show (similarity_pq is diagnostic-tier
+  * precisely because a codegen'd 64-wide re-dot beats LUT adds when
+  * the vectors are already in memory; the stored index is where the
+  * codes' smaller scan pays). Prints, per tier: on-disk index bytes,
+  * median serve seconds for the full corpus-as-queries batch, and the
+  * PQ tier's top-k agreement with the full-vector serve (the ADC
+  * ranking loss — candidates are identical by construction, so any
+  * disagreement is quantization, not pruning).
+  * Usage: `AnnServeProbe <sfDir> [reps=3] [outDir=tmp]`
+  */
+object AnnServeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val dir = if (args.length > 2) args(2)
+              else java.nio.file.Files.createTempDirectory("graftannserve").toString
+    val spark = Session.harnessBuilder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def scrub(): Unit = Session.scrubBlocks(spark)
+
+    Pipelines.materializeAnn(spark, sfDir, dir)
+    Pipelines.materializePq(spark, sfDir, dir)
+    scrub()
+
+    def duBytes(p: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.filter(f => java.nio.file.Files.isRegularFile(f))
+        .mapToLong(f => java.nio.file.Files.size(f)).sum()
+      finally s.close()
+    }
+    val queries = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+
+    def timeIt(f: => Long): Double = {
+      f; scrub() // untimed warm pass (codegen/JIT — the Bench convention)
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        f
+        val dt = (System.nanoTime() - t0) / 1e9
+        scrub(); dt
+      }.sorted.apply(reps / 2)
+    }
+    val fullB = duBytes(s"$dir/ann_assign")
+    val pqB = duBytes(s"$dir/pq_codes") + duBytes(s"$dir/pq_codebook")
+    val fullS = timeIt(
+      Pipelines.annSearchFrom(spark, dir, queries, excludeSelfId = true).count())
+    val pqS = timeIt(
+      Pipelines.annSearchPqFrom(spark, dir, queries, excludeSelfId = true).count())
+    // rank-agreement of the ADC serve with the full-precision serve on
+    // the same stored candidates: |top-k ∩ top-k| / |top-k|
+    val fullTop = Pipelines.annSearchFrom(spark, dir, queries,
+      excludeSelfId = true).select($"query_id", $"neighbor_id")
+    val pqTop = Pipelines.annSearchPqFrom(spark, dir, queries,
+      excludeSelfId = true).select($"query_id", $"neighbor_id")
+    val agree = pqTop.join(fullTop, Seq("query_id", "neighbor_id"))
+      .count().toDouble / math.max(fullTop.count(), 1L)
+    scrub()
+    println(f"ann_serve full_vec bytes=$fullB%d serve_s=$fullS%.2f")
+    println(f"ann_serve pq_codes bytes=$pqB%d serve_s=$pqS%.2f " +
+      f"bytes_ratio=${fullB.toDouble / pqB}%.1f topk_agree=$agree%.3f")
+    spark.stop()
+  }
+}

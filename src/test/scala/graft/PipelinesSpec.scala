@@ -228,6 +228,29 @@ class PipelinesSpec extends AnyFunSuite {
     assert(hits.count() == 5, "external query did not return k neighbors")
   }
 
+  test("materialized PQ index: stored ADC probe == live similarity_pq; external queries work") {
+    import graft.textops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graftpq").toString
+    Pipelines.materializePq(spark, sf, dir)
+    // replaying the corpus as the query set against stored CODES must
+    // reproduce the live in-memory PQ query's ADC ranking exactly
+    // (live also carries the exact-cosine re-rank column — the stored
+    // serve's contract is the ADC rank, so compare through it)
+    val corpus = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    assert(rows(Pipelines.annSearchPqFrom(spark, dir, corpus,
+        excludeSelfId = true)) ==
+      rows(Similarity.similarityPq(spark, sf)
+        .select($"query_id", $"neighbor_id", $"approx_cosine", $"rnk")
+        .orderBy($"query_id", $"rnk")))
+    // an EXTERNAL query gets k ADC neighbors from codes alone
+    val external = corpus.limit(1)
+      .selectExpr("cast(1000000 as bigint) as vec_id",
+        "transform(v, x -> x + 0.001d) as v")
+    assert(Pipelines.annSearchPqFrom(spark, dir, external).count() == 5,
+      "external query did not return k ADC neighbors")
+  }
+
   test("incremental ingest: judge -> ingest -> judge next batch == live replay") {
     import org.apache.spark.sql.functions.{col, expr, lit, pmod}
     val dir = java.nio.file.Files.createTempDirectory("graftingest").toString
