@@ -58,10 +58,12 @@ object AnnServeProbe {
     val pqS = timeIt(
       Pipelines.annSearchPqFrom(spark, dir, queries, excludeSelfId = true).count())
     // rank-agreement of the ADC serve with the full-precision serve on
-    // the same stored candidates: |top-k ∩ top-k| / |top-k|
-    val fullTop = Pipelines.annSearchFrom(spark, dir, queries,
+    // the same stored candidates: |top-k ∩ top-k| / |top-k|. defs, not
+    // vals: the inter-measurement scrub releases localCheckpoint
+    // blocks, so a frame built before a scrub cannot be reused after
+    def fullTop = Pipelines.annSearchFrom(spark, dir, queries,
       excludeSelfId = true).select($"query_id", $"neighbor_id")
-    val pqTop = Pipelines.annSearchPqFrom(spark, dir, queries,
+    def pqTop = Pipelines.annSearchPqFrom(spark, dir, queries,
       excludeSelfId = true).select($"query_id", $"neighbor_id")
     val agree = pqTop.join(fullTop, Seq("query_id", "neighbor_id"))
       .count().toDouble / math.max(fullTop.count(), 1L)
@@ -69,6 +71,32 @@ object AnnServeProbe {
     println(f"ann_serve full_vec bytes=$fullB%d serve_s=$fullS%.2f")
     println(f"ann_serve pq_codes bytes=$pqB%d serve_s=$pqS%.2f " +
       f"bytes_ratio=${fullB.toDouble / pqB}%.1f topk_agree=$agree%.3f")
+    // the standard remedy, measured: widen the ADC pool and exact-
+    // re-rank the survivors with a pool-per-query id-join against the
+    // full-precision store — recovers agreement at a bounded extra
+    // cost (the scan is still codes-only; full vectors are read for
+    // pool rows per query, not per candidate)
+    val vecs = spark.read.parquet(s"$dir/ann_assign")
+      .select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"nrm".as("nn"))
+    val qside = queries
+      .selectExpr("vec_id as query_id", "v as qv", "sqrt(vec_dot(v, v)) as qn")
+    def rerank(pool: Int) = Pipelines
+      .annSearchPqFrom(spark, dir, queries, k = pool, excludeSelfId = true)
+      .join(vecs, "neighbor_id").join(qside, "query_id")
+      .withColumn("cosine", expr("vec_dot(qv, nv) / (qn * nn)"))
+      .withColumn("rrk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"cosine".desc, $"neighbor_id".asc)))
+      .where($"rrk" <= 5)
+      .select($"query_id", $"neighbor_id")
+    for (pool <- Seq(25, 100)) {
+      val rrS = timeIt(rerank(pool).count())
+      val agreeRr = rerank(pool).join(fullTop, Seq("query_id", "neighbor_id"))
+        .count().toDouble / math.max(fullTop.count(), 1L)
+      scrub()
+      println(f"ann_serve pq_rerank pool=$pool%d serve_s=$rrS%.2f " +
+        f"topk_agree=$agreeRr%.3f")
+    }
     spark.stop()
   }
 }
