@@ -19,6 +19,20 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("annSearchPqFrom: stored ADC serve scans codes only — no full-vector table in the plan") {
+    import graft.textops.Pipelines
+    val dir = java.nio.file.Files.createTempDirectory("graftpqplan").toString
+    Pipelines.materializePq(spark, sf, dir)
+    val queries = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val plan = planString(Pipelines.annSearchPqFrom(spark, dir, queries,
+      excludeSelfId = true))
+    assert(plan.contains("pq_codes"),
+      "stored codes are not the candidate side of the serve join")
+    assert(!plan.contains("ann_assign"),
+      "the ADC serve read the full-vector table — the footprint claim is void")
+  }
+
   test("item_rank: edge subtree dedupes to ReusedExchange across iterations") {
     val plan = planString(GraphAnalytics.itemRank(spark, sf))
     // one real exchange for the edge build + a ReusedExchange per
