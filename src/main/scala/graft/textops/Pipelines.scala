@@ -362,19 +362,45 @@ object Pipelines {
     * `similarity_pq` is diagnostic-tier for exactly that reason).
     * Serving never reads a full vector after the query-side LUT
     * build: see [[annSearchPqFrom]].
+    *
+    * `trainRounds > 0` swaps the seeded codebook for the per-subspace
+    * Lloyd-trained one ([[Similarity.pqTrainedCodebook]]); `codebookK`
+    * overrides the entries-per-subspace capacity (the live tier's
+    * PqK=16 is the oracle-replayable floor — capacity, not training,
+    * is the measured binding constraint for in-cluster discrimination,
+    * BASELINE PQ addendum). The serve side reads both knobs off the
+    * snapshot itself, so [[annSearchPqFrom]] needs no matching config.
     */
-  def materializePq(spark: SparkSession, sfDir: String, outDir: String): Unit = {
-    val (ranked, cb, codes, _) = Similarity.pqIndex(spark, sfDir)
+  def materializePq(spark: SparkSession, sfDir: String, outDir: String,
+                    trainRounds: Int = 0, codebookK: Int = -1): Unit = {
     Similarity.ivfCentroids(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/ann_centroids")
-    cb.write.mode("overwrite").parquet(s"$outDir/pq_codebook")
-    val assign = ranked.where(col("crk") === 1)
-      .select(col("vec_id"), col("nrm"), col("cell"))
+    if (trainRounds == 0 && codebookK <= 0) {
+      val (ranked, cb, codes, _) = Similarity.pqIndex(spark, sfDir)
+      cb.write.mode("overwrite").parquet(s"$outDir/pq_codebook")
+      writePqCodes(spark, outDir,
+        ranked.where(col("crk") === 1), Similarity.packPqCodes(codes))
+    } else {
+      // rounds = 0 with a codebookK override yields the seeded
+      // k-entry codebook (the Lloyd loop simply doesn't run)
+      val cb =
+        if (codebookK > 0)
+          Similarity.pqTrainedCodebook(spark, sfDir, trainRounds, codebookK)
+        else Similarity.pqTrainedCodebook(spark, sfDir, trainRounds)
+      cb.write.mode("overwrite").parquet(s"$outDir/pq_codebook")
+      val (_, assign) = Similarity.ivfServingIndex(spark, sfDir)
+      writePqCodes(spark, outDir, assign, Similarity.packPqCodes(
+        Similarity.pqEncode(assign.select(col("vec_id"), col("v")), cb)))
+    }
+  }
+
+  private def writePqCodes(spark: SparkSession, outDir: String,
+                           assign: DataFrame, codesArr: DataFrame): Unit =
     ParquetSink.writePartitioned(
-      assign.join(Similarity.packPqCodes(codes), "vec_id")
+      assign.select(col("vec_id"), col("nrm"), col("cell"))
+        .join(codesArr, "vec_id")
         .withColumn("pc", pmod(col("cell"), lit(AnnPartitions))),
       s"$outDir/pq_codes", Seq("pc"))
-  }
 
   /** Persist the positional postings index for phrase serving — the
     * search-index analog of [[materializeAnn]]: `(token, doc_id, pos)`
@@ -526,6 +552,9 @@ object Pipelines {
     val q = queries.selectExpr("vec_id", "cast(v as array<double>) as v")
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
     val cb = spark.read.parquet(s"$outDir/pq_codebook")
+    // the ADC stride is a property of the SNAPSHOT (its codebook's
+    // entries-per-subspace), not of the live tier's PqK constant
+    val adc = Similarity.pqAdcExprFor(Similarity.pqCodebookK(cb))
     val lutArr = Similarity.pqLutFor(
       q.selectExpr("vec_id as query_id", "v"), cb)
     val probes = Similarity.ivfRankedFrom(q, cent, np)
@@ -537,7 +566,7 @@ object Pipelines {
     val kept = if (excludeSelfId) cand.where($"query_id" =!= $"vec_id") else cand
     kept
       .withColumn("approx_cosine",
-        expr(s"(cast((${Similarity.pqAdcExpr}) as double) / 1000000000D) / (qn * nrm)"))
+        expr(s"(cast(($adc) as double) / 1000000000D) / (qn * nrm)"))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
           .orderBy($"approx_cosine".desc, $"vec_id".asc)))

@@ -857,12 +857,21 @@ object Similarity {
       .selectExpr("vec_id as query_id", "j", "cent_id as code",
         s"cast(floor(${dotSpark("subv", "centv", "pl")} * 1000000000D) as bigint) as pdot_q"))
 
-  /** ADC over the packed arrays: Σ_j lut[j·k + codes[j]] — fixed
-    * expression order, BIGINT adds, identical fold in the DuckDB
-    * oracle. */
-  private[textops] val pqAdcExpr: String = (0 until PqM)
-    .map(j => s"element_at(lut, cast(element_at(codes, ${j + 1}) + ${j * PqK + 1} as int))")
+  /** ADC over the packed arrays for a k-entry codebook:
+    * Σ_j lut[j·k + codes[j]] — fixed expression order, BIGINT adds,
+    * identical fold in the DuckDB oracle. The stride k must match the
+    * codebook the LUT was packed against ([[pqCodebookK]] reads it off
+    * a stored codebook). */
+  private[textops] def pqAdcExprFor(k: Int): String = (0 until PqM)
+    .map(j => s"element_at(lut, cast(element_at(codes, ${j + 1}) + ${j * k + 1} as int))")
     .mkString(" + ")
+
+  /** The live tier's ADC expression (PqK-entry stride). */
+  private[textops] val pqAdcExpr: String = pqAdcExprFor(PqK)
+
+  /** Entries per subspace of a codebook frame (PqM·k rows total). */
+  private[textops] def pqCodebookK(cb: DataFrame): Int =
+    (cb.count() / PqM).toInt
 
   /** The seeded IVF centroid table alone — what the stored-index
     * builders snapshot as `ann_centroids` without paying the full
@@ -873,6 +882,92 @@ object Similarity {
     val c = autoCentroids(nVecs(spark, sfDir))
     vectors(spark, sfDir).where($"vec_id" < c)
       .select($"vec_id".as("cent_id"), $"v".as("centv"), $"nrm".as("centn"))
+  }
+
+  /** Encode vectors `(vec_id, v)` against an arbitrary (possibly
+    * trained, possibly stored) PQ codebook — per subspace, the code of
+    * the best entry by the same dot − ‖c‖²/2 rule [[pqIndex]] uses, so
+    * seeded-codebook output is bit-identical to the inline build's. */
+  private[textops] def pqEncode(vecs: DataFrame, cb: DataFrame): DataFrame =
+    vecs.selectExpr("vec_id", s"posexplode($pqSlices) as (j, subv)")
+      .join(broadcast(cb), "j")
+      .withColumn("score", expr(s"${dotSpark("subv", "centv", "pe")} - cn2h"))
+      .withColumn("erk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("j"))
+          .orderBy(col("score").desc, col("cent_id").asc)))
+      .where(col("erk") === 1)
+      .select(col("vec_id"), col("j"), col("cent_id").as("code"))
+
+  /** Corpus-total best encoder score Σ_(vec,j) max(dot − ‖c‖²/2)
+    * under a codebook — a monotone proxy for NEGATIVE total L2
+    * quantization error (error = Σ‖subv‖² − 2·Σ best, and the first
+    * term is codebook-independent). Exposed for the Lloyd
+    * non-regression spec: trained score must be ≥ seeded. */
+  private[graft] def pqQuantScore(spark: SparkSession, sfDir: String,
+                                  cb: DataFrame): Double = {
+    import spark.implicits._
+    vectors(spark, sfDir)
+      .selectExpr("vec_id", s"posexplode($pqSlices) as (j, subv)")
+      .join(broadcast(cb), "j")
+      .withColumn("score", expr(s"${dotSpark("subv", "centv", "pq")} - cn2h"))
+      .groupBy($"vec_id", $"j").agg(max($"score").as("best"))
+      .agg(sum($"best")).head().getDouble(0)
+  }
+
+  /** Per-subspace Lloyd-trained PQ codebook with `k` entries — the
+    * FAISS `train()` step the seeded tier skips. Same engine-exact
+    * recipe as [[trainedCentroids]]: assign every (vector, subspace)
+    * row to its best entry by the encoder's own dot − ‖c‖²/2 rule,
+    * re-center per (j, code) in floor(1e6) BIGINT micro-units
+    * (order-independent sums, one fixed divide order), fixed `rounds`
+    * iterations, empty codes keep their entry. Seeded by the first
+    * `k` vectors' subvectors, so rounds = 0 yields the seeded
+    * k-entry codebook. Scale shape: each round is one broadcast
+    * assign pass over the n·PqM subspace rows plus an O(PqM·k·PqSub)
+    * partial-aggregated re-center — the codebook stays
+    * corpus-size-independent and broadcastable throughout. Measured
+    * caveat (BASELINE PQ addendum): on clustered data neither
+    * training nor k=64 fixes in-cluster ADC discrimination — that
+    * signal lives in the post-assignment residual (IVFADC's residual
+    * encoding is the identified follow-up). */
+  private[graft] def pqTrainedCodebook(spark: SparkSession, sfDir: String,
+                                       rounds: Int = 2,
+                                       k: Int = PqK): DataFrame = {
+    import spark.implicits._
+    val vsub = vectors(spark, sfDir)
+      .selectExpr("vec_id", s"posexplode($pqSlices) as (j, subv)")
+      .localCheckpoint()
+    var cent = vsub.where($"vec_id" < k)
+      .selectExpr("j", "vec_id as cent_id", "subv as centv",
+        s"${dotSpark("subv", "subv", "pc")} / 2D as cn2h")
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val assigned = vsub.join(broadcast(cent), "j")
+        .withColumn("score", expr(s"${dotSpark("subv", "centv", "pt")} - cn2h"))
+        .withColumn("erk", row_number().over(
+          Window.partitionBy($"vec_id", $"j")
+            .orderBy($"score".desc, $"cent_id".asc)))
+        .where($"erk" === 1)
+        .select($"j", $"cent_id", $"subv")
+      val means = assigned
+        .select($"j", $"cent_id", posexplode($"subv"))
+        .selectExpr("j", "cent_id", "cast(pos as int) as dim",
+          "cast(floor(col * 1000000) as bigint) as micro")
+        .groupBy($"j", $"cent_id", $"dim")
+        .agg(sum($"micro").as("sq"), count(lit(1)).as("cnt"))
+        .selectExpr("j", "cent_id", "dim",
+          "cast(sq as double) / cnt / 1000000.0 as m")
+        .groupBy($"j", $"cent_id")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), cs -> cs.m)")
+          .as("newv"))
+      cent = cent.select($"j", $"cent_id", $"centv".as("oldv"))
+        .join(means, Seq("j", "cent_id"), "left")
+        .selectExpr("j", "cent_id", "coalesce(newv, oldv) as centv")
+        .selectExpr("j", "cent_id", "centv",
+          s"${dotSpark("centv", "centv", "pc")} / 2D as cn2h")
+        .localCheckpoint()
+    }
+    cent
   }
 
   def similarityPq(spark: SparkSession, sfDir: String, k: Int = 5,

@@ -80,8 +80,8 @@ object AnnServeProbe {
       .select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"nrm".as("nn"))
     val qside = queries
       .selectExpr("vec_id as query_id", "v as qv", "sqrt(vec_dot(v, v)) as qn")
-    def rerank(pool: Int) = Pipelines
-      .annSearchPqFrom(spark, dir, queries, k = pool, excludeSelfId = true)
+    def rerank(d: String, pool: Int) = Pipelines
+      .annSearchPqFrom(spark, d, queries, k = pool, excludeSelfId = true)
       .join(vecs, "neighbor_id").join(qside, "query_id")
       .withColumn("cosine", expr("vec_dot(qv, nv) / (qn * nn)"))
       .withColumn("rrk", row_number().over(
@@ -90,12 +90,56 @@ object AnnServeProbe {
       .where($"rrk" <= 5)
       .select($"query_id", $"neighbor_id")
     for (pool <- Seq(25, 100)) {
-      val rrS = timeIt(rerank(pool).count())
-      val agreeRr = rerank(pool).join(fullTop, Seq("query_id", "neighbor_id"))
+      val rrS = timeIt(rerank(dir, pool).count())
+      val agreeRr = rerank(dir, pool)
+        .join(fullTop, Seq("query_id", "neighbor_id"))
         .count().toDouble / math.max(fullTop.count(), 1L)
       scrub()
       println(f"ann_serve pq_rerank pool=$pool%d serve_s=$rrS%.2f " +
         f"topk_agree=$agreeRr%.3f")
+    }
+    // Lloyd-trained codebook tier: same snapshot layout, trained PqK
+    // entries per subspace — the build-side fix for the seeded
+    // codebook's in-cluster discrimination collapse
+    val tdir = s"$dir-trained"
+    Pipelines.materializePq(spark, sfDir, tdir, trainRounds = 2)
+    scrub()
+    val pqTS = timeIt(Pipelines.annSearchPqFrom(spark, tdir, queries,
+      excludeSelfId = true).count())
+    val agreeT = Pipelines.annSearchPqFrom(spark, tdir, queries,
+        excludeSelfId = true).select($"query_id", $"neighbor_id")
+      .join(fullTop, Seq("query_id", "neighbor_id"))
+      .count().toDouble / math.max(fullTop.count(), 1L)
+    scrub()
+    println(f"ann_serve pq_trained serve_s=$pqTS%.2f topk_agree=$agreeT%.3f")
+    for (pool <- Seq(25, 100)) {
+      val agreeRr = rerank(tdir, pool)
+        .join(fullTop, Seq("query_id", "neighbor_id"))
+        .count().toDouble / math.max(fullTop.count(), 1L)
+      scrub()
+      println(f"ann_serve pq_trained_rerank pool=$pool%d topk_agree=$agreeRr%.3f")
+    }
+    // capacity tier: 64 seeded entries per subspace (4× the live
+    // tier's PqK=16) — the hypothesis that codebook CAPACITY, not
+    // training, binds in-cluster discrimination
+    val kdir = s"$dir-k64"
+    Pipelines.materializePq(spark, sfDir, kdir, codebookK = 64)
+    scrub()
+    val kB = duBytes(s"$kdir/pq_codes") + duBytes(s"$kdir/pq_codebook")
+    val pqKS = timeIt(Pipelines.annSearchPqFrom(spark, kdir, queries,
+      excludeSelfId = true).count())
+    val agreeK = Pipelines.annSearchPqFrom(spark, kdir, queries,
+        excludeSelfId = true).select($"query_id", $"neighbor_id")
+      .join(fullTop, Seq("query_id", "neighbor_id"))
+      .count().toDouble / math.max(fullTop.count(), 1L)
+    scrub()
+    println(f"ann_serve pq_k64 bytes=$kB%d serve_s=$pqKS%.2f topk_agree=$agreeK%.3f")
+    for (pool <- Seq(25)) {
+      val agreeRr = rerank(kdir, pool)
+        .join(fullTop, Seq("query_id", "neighbor_id"))
+        .count().toDouble / math.max(fullTop.count(), 1L)
+      scrub()
+      println(f"ann_serve pq_k64_rerank pool=$pool%d topk_agree=$agreeRr%.3f")
     }
     spark.stop()
   }

@@ -251,6 +251,39 @@ class PipelinesSpec extends AnyFunSuite {
       "external query did not return k ADC neighbors")
   }
 
+  test("trained PQ codebook: Lloyd non-regression vs seeded; deterministic; serve path codebook-agnostic") {
+    import graft.textops.Similarity
+    // Lloyd rounds must not increase total quantization error — the
+    // encoder-score proxy is monotone in negative error (tiny slack
+    // for the floor(1e6) micro-unit re-centering)
+    val seededScore = Similarity.pqQuantScore(spark, sf,
+      Similarity.pqIndex(spark, sf)._2)
+    val trained = Similarity.pqTrainedCodebook(spark, sf, rounds = 2)
+    assert(Similarity.pqQuantScore(spark, sf, trained) >= seededScore - 1e-3,
+      "training increased the total quantization error")
+    // engine-exact: a re-train reproduces the codebook bit-for-bit
+    val again = Similarity.pqTrainedCodebook(spark, sf, rounds = 2)
+    assert(rows(trained.orderBy($"j", $"cent_id")) ==
+      rows(again.orderBy($"j", $"cent_id")), "training is not deterministic")
+    // the serve path works unchanged on a trained snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graftpqt").toString
+    Pipelines.materializePq(spark, sf, dir, trainRounds = 2)
+    val corpus = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val served = Pipelines.annSearchPqFrom(spark, dir, corpus,
+      excludeSelfId = true)
+    assert(served.groupBy($"query_id").count().where($"count" =!= 5).isEmpty,
+      "trained snapshot did not serve k ADC neighbors per query")
+    // capacity override: the serve derives the ADC stride from the
+    // stored codebook itself, so a 64-entry snapshot works unchanged
+    val kdir = java.nio.file.Files.createTempDirectory("graftpqk").toString
+    Pipelines.materializePq(spark, sf, kdir, codebookK = 64)
+    assert(Pipelines.annSearchPqFrom(spark, kdir, corpus,
+        excludeSelfId = true)
+      .groupBy($"query_id").count().where($"count" =!= 5).isEmpty,
+      "64-entry snapshot did not serve k ADC neighbors per query")
+  }
+
   test("incremental ingest: judge -> ingest -> judge next batch == live replay") {
     import org.apache.spark.sql.functions.{col, expr, lit, pmod}
     val dir = java.nio.file.Files.createTempDirectory("graftingest").toString
