@@ -372,10 +372,40 @@ object Pipelines {
     * snapshot itself, so [[annSearchPqFrom]] needs no matching config.
     */
   def materializePq(spark: SparkSession, sfDir: String, outDir: String,
-                    trainRounds: Int = 0, codebookK: Int = -1): Unit = {
+                    trainRounds: Int = 0, codebookK: Int = -1,
+                    residual: Boolean = false): Unit = {
+    import spark.implicits._
     Similarity.ivfCentroids(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/ann_centroids")
-    if (trainRounds == 0 && codebookK <= 0) {
+    // single-row marker the serve reads: residual snapshots score
+    // dot(q, cell centroid) + ADC(residual), raw snapshots ADC alone
+    Seq(residual).toDF("residual")
+      .write.mode("overwrite").parquet(s"$outDir/pq_meta")
+    if (residual) {
+      // IVFADC (Jégou et al.): quantize r = v − cell centroid — the
+      // within-cell signal the raw-vector codebook can't resolve at
+      // any cheap K (the measured clustered-decade collapse,
+      // BASELINE PQ addendum)
+      val (cent, assign) = Similarity.ivfServingIndex(spark, sfDir)
+      val resid = assign
+        .join(broadcast(cent), assign("cell") === cent("cent_id"))
+        .selectExpr("vec_id", "nrm", "cell",
+          "zip_with(v, centv, (ra, rb) -> ra - rb) as v")
+        .localCheckpoint() // feeds codebook training AND the encode
+      // seed the residual codebook PAST the IVF seed range: vectors
+      // with vec_id < C are their own cell centroid, so their
+      // residuals are zero vectors — seeding from them collapses the
+      // codebook (Lloyd can't escape all-zero seeds; measured as the
+      // 0.012 clustered-decade agreement before this offset)
+      val ivfC = cent.count()
+      val cb = Similarity.pqTrainedCodebookFrom(
+        resid.selectExpr(s"vec_id - $ivfC as vec_id", "v"),
+        math.max(trainRounds, 0),
+        if (codebookK > 0) codebookK else Similarity.PqKDefault)
+      cb.write.mode("overwrite").parquet(s"$outDir/pq_codebook")
+      writePqCodes(spark, outDir, resid, Similarity.packPqCodes(
+        Similarity.pqEncode(resid.select(col("vec_id"), col("v")), cb)))
+    } else if (trainRounds == 0 && codebookK <= 0) {
       val (ranked, cb, codes, _) = Similarity.pqIndex(spark, sfDir)
       cb.write.mode("overwrite").parquet(s"$outDir/pq_codebook")
       writePqCodes(spark, outDir,
@@ -540,7 +570,10 @@ object Pipelines {
     * full-precision store can serve afterwards). Geometry and
     * quantization match the live [[Similarity.similarityPq]]
     * bit-for-bit — the spec pins stored == live on (neighbor,
-    * approx_cosine, rnk).
+    * approx_cosine, rnk). Residual snapshots (IVFADC) score
+    * dot(q, cell centroid) + ADC(residual) — the coarse term is
+    * computed once per PROBE (np rows/query), so the candidate scan
+    * is still codes-only.
     */
   def annSearchPqFrom(spark: SparkSession, outDir: String, queries: DataFrame,
                       k: Int = 5, nProbe: Int = -1,
@@ -553,12 +586,23 @@ object Pipelines {
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
     val cb = spark.read.parquet(s"$outDir/pq_codebook")
     // the ADC stride is a property of the SNAPSHOT (its codebook's
-    // entries-per-subspace), not of the live tier's PqK constant
+    // entries-per-subspace), not of the live tier's PqK constant;
+    // same for the residual marker (pre-marker snapshots are raw)
     val adc = Similarity.pqAdcExprFor(Similarity.pqCodebookK(cb))
+    val residual = scala.util.Try(
+      spark.read.parquet(s"$outDir/pq_meta")
+        .head().getBoolean(0)).getOrElse(false)
     val lutArr = Similarity.pqLutFor(
       q.selectExpr("vec_id as query_id", "v"), cb)
-    val probes = Similarity.ivfRankedFrom(q, cent, np)
-      .select($"vec_id".as("query_id"), $"nrm".as("qn"), $"cell")
+    val ranked = Similarity.ivfRankedFrom(q, cent, np)
+    // residual snapshots split the score: the exact dot(q, cell
+    // centroid) rides on the PROBE row (np per query — the coarse
+    // term), the ADC sum supplies only the within-cell residual
+    val probes = (if (residual)
+        ranked.join(broadcast(cent), ranked("cell") === cent("cent_id"))
+          .withColumn("qdotc", expr("vec_dot(v, centv)"))
+      else ranked.withColumn("qdotc", lit(0d)))
+      .select($"vec_id".as("query_id"), $"nrm".as("qn"), $"cell", $"qdotc")
       .withColumn("pc", pmod($"cell", lit(AnnPartitions)))
       .join(lutArr, "query_id")
     val codes = spark.read.parquet(s"$outDir/pq_codes")
@@ -566,7 +610,7 @@ object Pipelines {
     val kept = if (excludeSelfId) cand.where($"query_id" =!= $"vec_id") else cand
     kept
       .withColumn("approx_cosine",
-        expr(s"(cast(($adc) as double) / 1000000000D) / (qn * nrm)"))
+        expr(s"(qdotc + cast(($adc) as double) / 1000000000D) / (qn * nrm)"))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
           .orderBy($"approx_cosine".desc, $"vec_id".asc)))

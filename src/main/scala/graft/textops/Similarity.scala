@@ -873,6 +873,10 @@ object Similarity {
   private[textops] def pqCodebookK(cb: DataFrame): Int =
     (cb.count() / PqM).toInt
 
+  /** The live tier's codebook capacity, for snapshot builders that
+    * take an override but default to the oracle-replayable geometry. */
+  private[textops] val PqKDefault: Int = PqK
+
   /** The seeded IVF centroid table alone — what the stored-index
     * builders snapshot as `ann_centroids` without paying the full
     * assign pass. */
@@ -932,12 +936,26 @@ object Similarity {
     * encoding is the identified follow-up). */
   private[graft] def pqTrainedCodebook(spark: SparkSession, sfDir: String,
                                        rounds: Int = 2,
-                                       k: Int = PqK): DataFrame = {
+                                       k: Int = PqK): DataFrame =
+    pqTrainedCodebookFrom(
+      vectors(spark, sfDir).select(col("vec_id"), col("v")), rounds, k)
+
+  /** [[pqTrainedCodebook]] over an arbitrary `(vec_id, v)` frame —
+    * the residual-encoding build ([[graft.textops.Pipelines
+    * .materializePq]] with `residual = true`) trains on r = v − cell
+    * centroid instead of the raw corpus. */
+  private[textops] def pqTrainedCodebookFrom(vecs: DataFrame, rounds: Int,
+                                             k: Int): DataFrame = {
+    val spark = vecs.sparkSession
     import spark.implicits._
-    val vsub = vectors(spark, sfDir)
+    val vsub = vecs
       .selectExpr("vec_id", s"posexplode($pqSlices) as (j, subv)")
       .localCheckpoint()
-    var cent = vsub.where($"vec_id" < k)
+    // seeds are the [0, k) id window — callers that want a different
+    // seed population remap ids first (the residual build shifts by
+    // −C so cell-seed vectors, whose residuals are zero, fall below
+    // the window instead of inside it), so the lower bound matters
+    var cent = vsub.where($"vec_id" >= 0 && $"vec_id" < k)
       .selectExpr("j", "vec_id as cent_id", "subv as centv",
         s"${dotSpark("subv", "subv", "pc")} / 2D as cn2h")
       .localCheckpoint()

@@ -141,6 +141,28 @@ object AnnServeProbe {
       scrub()
       println(f"ann_serve pq_k64_rerank pool=$pool%d topk_agree=$agreeRr%.3f")
     }
+    // residual tier (IVFADC): codes quantize r = v − cell centroid —
+    // the published fix for the in-cluster collapse the raw tiers
+    // measure above; trained 2 rounds on the residuals
+    val rdir = s"$dir-residual"
+    Pipelines.materializePq(spark, sfDir, rdir, trainRounds = 2,
+      residual = true)
+    scrub()
+    val pqRS = timeIt(Pipelines.annSearchPqFrom(spark, rdir, queries,
+      excludeSelfId = true).count())
+    val agreeR = Pipelines.annSearchPqFrom(spark, rdir, queries,
+        excludeSelfId = true).select($"query_id", $"neighbor_id")
+      .join(fullTop, Seq("query_id", "neighbor_id"))
+      .count().toDouble / math.max(fullTop.count(), 1L)
+    scrub()
+    println(f"ann_serve pq_residual serve_s=$pqRS%.2f topk_agree=$agreeR%.3f")
+    for (pool <- Seq(25)) {
+      val agreeRr = rerank(rdir, pool)
+        .join(fullTop, Seq("query_id", "neighbor_id"))
+        .count().toDouble / math.max(fullTop.count(), 1L)
+      scrub()
+      println(f"ann_serve pq_residual_rerank pool=$pool%d topk_agree=$agreeRr%.3f")
+    }
     spark.stop()
   }
 }

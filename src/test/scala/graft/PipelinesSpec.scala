@@ -284,6 +284,43 @@ class PipelinesSpec extends AnyFunSuite {
       "64-entry snapshot did not serve k ADC neighbors per query")
   }
 
+  test("residual PQ snapshot (IVFADC): ADC == dot(q, centroid + recon(residual)); serves k per query") {
+    import org.apache.spark.sql.functions.{collect_list, max, sort_array, struct}
+    val dir = java.nio.file.Files.createTempDirectory("graftpqr").toString
+    Pipelines.materializePq(spark, sf, dir, trainRounds = 2, residual = true)
+    val corpus = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val served = Pipelines.annSearchPqFrom(spark, dir, corpus,
+      excludeSelfId = true)
+    assert(served.groupBy($"query_id").count().where($"count" =!= 5).isEmpty,
+      "residual snapshot did not serve k ADC neighbors per query")
+    // score identity: the served approx must equal the cosine of the
+    // query against (cell centroid + codebook reconstruction of the
+    // residual), up to the 8-term 1e-9 LUT floor
+    val cb = spark.read.parquet(s"$dir/pq_codebook")
+    val recon = spark.read.parquet(s"$dir/pq_codes")
+      .selectExpr("vec_id as neighbor_id", "cell",
+        "posexplode(codes) as (j, code)")
+      .join(cb.withColumnRenamed("cent_id", "code"), Seq("j", "code"))
+      .groupBy($"neighbor_id", $"cell")
+      .agg(sort_array(collect_list(struct($"j", $"centv"))).as("sc"))
+      .selectExpr("neighbor_id", "cell",
+        "flatten(transform(sc, s -> s.centv)) as rv")
+    val cent = spark.read.parquet(s"$dir/ann_centroids")
+      .selectExpr("cent_id as cell", "centv")
+    val vecs = corpus.selectExpr("vec_id", "v", "sqrt(vec_dot(v, v)) as nrm")
+    val err = served.join(recon, "neighbor_id")
+      .join(cent, "cell")
+      .join(vecs.selectExpr("vec_id as query_id", "v as qv", "nrm as qn"),
+        "query_id")
+      .join(vecs.selectExpr("vec_id as neighbor_id", "nrm as nn"),
+        "neighbor_id")
+      .selectExpr("abs(approx_cosine - " +
+        "(vec_dot(qv, centv) + vec_dot(qv, rv)) / (qn * nn)) as e")
+      .agg(max($"e")).head().getDouble(0)
+    assert(err < 1e-6, s"residual ADC diverged from reconstruction: $err")
+  }
+
   test("incremental ingest: judge -> ingest -> judge next batch == live replay") {
     import org.apache.spark.sql.functions.{col, expr, lit, pmod}
     val dir = java.nio.file.Files.createTempDirectory("graftingest").toString
