@@ -366,10 +366,14 @@ object Pipelines {
     * `trainRounds > 0` swaps the seeded codebook for the per-subspace
     * Lloyd-trained one ([[Similarity.pqTrainedCodebook]]); `codebookK`
     * overrides the entries-per-subspace capacity (the live tier's
-    * PqK=16 is the oracle-replayable floor — capacity, not training,
-    * is the measured binding constraint for in-cluster discrimination,
-    * BASELINE PQ addendum). The serve side reads both knobs off the
-    * snapshot itself, so [[annSearchPqFrom]] needs no matching config.
+    * PqK=16 is the oracle-replayable floor); `residual` builds the
+    * IVFADC form (codes quantize r = v − cell centroid). All three
+    * are measured in BASELINE's PQ addendum — on the synthetic
+    * clustered tier every variant converges (the within-cluster
+    * signal is isotropic noise), so ADC's production role is pool
+    * selection ahead of an exact re-rank. The serve side reads every
+    * knob off the snapshot itself, so [[annSearchPqFrom]] needs no
+    * matching config.
     */
   def materializePq(spark: SparkSession, sfDir: String, outDir: String,
                     trainRounds: Int = 0, codebookK: Int = -1,

@@ -930,10 +930,11 @@ object Similarity {
     * assign pass over the n·PqM subspace rows plus an O(PqM·k·PqSub)
     * partial-aggregated re-center — the codebook stays
     * corpus-size-independent and broadcastable throughout. Measured
-    * caveat (BASELINE PQ addendum): on clustered data neither
-    * training nor k=64 fixes in-cluster ADC discrimination — that
-    * signal lives in the post-assignment residual (IVFADC's residual
-    * encoding is the identified follow-up). */
+    * caveat (BASELINE PQ addendum): on the synthetic clustered data
+    * neither training, k=64, nor the residual (IVFADC) build fixes
+    * in-cluster ADC discrimination — the within-cluster structure
+    * there is isotropic noise no 32-bit code can rank, so ADC selects
+    * candidate pools and a wide-pool exact re-rank assigns ranks. */
   private[graft] def pqTrainedCodebook(spark: SparkSession, sfDir: String,
                                        rounds: Int = 2,
                                        k: Int = PqK): DataFrame =
