@@ -31,6 +31,20 @@ object PqServeExplain {
       s"aqeReads=${n("AQEShuffleRead")} skewed=${n("(?i)skew")} " +
       s"coalesced=${n("coalesced")} smj=${n("SortMergeJoin")} " +
       s"bhj=${n("BroadcastHashJoin")} shj=${n("ShuffledHashJoin")}")
+    // tie-density diagnostic on a 1% query panel: the fraction of
+    // DISTINCT ADC scores among a query's candidates — the
+    // comparator-fall-through suspect for why heavily tied codebooks
+    // serve slower (every sort compare on equal doubles falls through
+    // to the tiebreaker column)
+    import org.apache.spark.sql.functions.{avg, count, countDistinct, expr, lit}
+    val panel = queries.where(expr("vec_id % 100 = 0"))
+    val ties = Pipelines.annSearchPqFrom(spark, dir, panel,
+        k = Int.MaxValue, excludeSelfId = true)
+      .groupBy("query_id")
+      .agg(countDistinct("approx_cosine").as("d"), count(lit(1)).as("n"))
+      .agg(avg(expr("d / n")).as("df"), avg("n").as("an")).head()
+    println(f"pq_serve_explain ties dir=$dir " +
+      f"distinct_frac=${ties.getDouble(0)}%.4f avg_cand=${ties.getDouble(1)}%.1f")
     spark.stop()
   }
 }
