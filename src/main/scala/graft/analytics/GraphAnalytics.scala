@@ -246,13 +246,25 @@ object GraphAnalytics {
     }
     val counts =
       if (buckets <= 1) passCounts(None)
-      else (0 until buckets)
+      else {
         // eager localCheckpoint per pass = the passes run as SEQUENTIAL
         // jobs and each reduces to an n-row partial before the next
         // pass's wide shuffle starts — the peak-shuffle cap is the point
-        .map(i => passCounts(Some((buckets, i))).localCheckpoint())
-        .reduce(_ union _)
-        .groupBy($"part_id").agg(sum($"n_triangles").as("n_triangles"))
+        val partials = (0 until buckets)
+          .map(i => passCounts(Some((buckets, i))).localCheckpoint())
+        val total = partials.reduce(_ union _)
+          .groupBy($"part_id").agg(sum($"n_triangles").as("n_triangles"))
+          // n rows — the only block a library caller keeps alive; the
+          // B per-pass partials and the adjacency checkpoint are dead
+          // once this sum is materialized, and without this sweep a
+          // long-lived session accumulates B+1 persisted RDDs per call
+          .localCheckpoint()
+        (partials :+ adj).foreach(df =>
+          df.queryExecution.analyzed.collectFirst {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }.foreach(_.unpersist(blocking = false)))
+        total
+      }
     counts.orderBy($"part_id")
   }
 

@@ -61,14 +61,38 @@ object BlockHygiene {
   private def persistedRddId(ck: DataFrame): Option[Int] =
     ck.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd.id }
 
+  /** Debug re-leak detector (off by default). When enabled — via the
+    * system property `graft.blockHygiene.debug=true` or by tests
+    * swapping [[onUntracked]] — [[releasingNewPersists]] ALSO diffs
+    * the driver's persistent-RDD registry across the bracket and
+    * reports any new persisted RDD the body created WITHOUT
+    * [[checkpointTracked]]: the silent re-leak class this module
+    * exists to prevent (a future plain `.localCheckpoint()` added deep
+    * inside a bracketed Dedup/TextStats helper would otherwise leak
+    * one persisted RDD per micro-batch, detected only in a
+    * long-running stream). The detector only REPORTS — it never
+    * unpersists an untracked id, because in a shared session that id
+    * may belong to a concurrently-running query whose only copy the
+    * checkpoint is. The sweep itself stays tracked-ids-only.
+    */
+  @volatile var onUntracked: Set[Int] => Unit = ids =>
+    if (sys.props.get("graft.blockHygiene.debug").contains("true"))
+      System.err.println(
+        s"[BlockHygiene] untracked new persisted RDDs inside bracket " +
+        s"(plain localCheckpoint instead of checkpointTracked?): " +
+        ids.toSeq.sorted.mkString(", "))
+
   def releasingNewPersists[A](spark: SparkSession)(body: => A): A = {
     val buf = mutable.Set.empty[Int]
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val saved = active.get()
     active.set(Some(buf))
     try body
     finally {
       active.set(saved)
       val registry = spark.sparkContext.getPersistentRDDs
+      val untracked = registry.keySet -- before -- buf
+      if (untracked.nonEmpty) onUntracked(untracked.toSet)
       buf.foreach(id =>
         registry.get(id).foreach(_.unpersist(blocking = false)))
     }

@@ -113,9 +113,12 @@ object Bpe {
        |)""".stripMargin
 
   /** One training round over `(word, freq, seq)`: returns the merge
-    * row and the re-encoded vocabulary. */
-  private def round(spark: SparkSession, seqs: DataFrame,
-                    r: Int): (DataFrame, DataFrame) = {
+    * row and the re-encoded vocabulary. `private[graft]` so
+    * `tools.BpeProbe` can drive the R≫4 merge-round law measurement
+    * with its own instrumented loop (correctness stays pinned by the
+    * R=4 oracle). */
+  private[graft] def round(spark: SparkSession, seqs: DataFrame,
+                           r: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     val pairs = seqs
       .selectExpr("freq",
@@ -154,6 +157,13 @@ object Bpe {
 
   /** Runs the unrolled rounds; returns (merge rows, final re-encoded
     * vocabulary `(word, freq, seq)`). */
+  /** Unpersist a localCheckpoint'd frame's backing RDD (the frame is
+    * dead after this — lineage was truncated). */
+  private[graft] def unpersistCk(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   private def train(spark: SparkSession,
                     words: DataFrame): (DataFrame, DataFrame) = {
     var seqs = words
@@ -162,10 +172,17 @@ object Bpe {
       .localCheckpoint()
     val rows = (1 to Rounds).map { r =>
       val (best, applied) = round(spark, seqs, r)
-      seqs = applied
+      // n_symbols_after is forced EAGERLY (1 row off the just-
+      // checkpointed vocabulary) so the previous round's vocabulary
+      // block can be released here: the loop then holds O(1) vocab
+      // blocks instead of O(R) — at the R=4 serving grain a nicety,
+      // at the R=64 law-measurement grain (tools.BpeProbe) the
+      // difference between a bounded loop and an unbounded block leak.
       val nAfter = applied
-        .agg(sum(expr("freq * size(seq)")).as("n_symbols_after"))
-      best.crossJoin(broadcast(nAfter))
+        .agg(sum(expr("freq * size(seq)"))).head().getLong(0)
+      unpersistCk(seqs)
+      seqs = applied
+      best.withColumn("n_symbols_after", lit(nAfter))
     }
     (rows.reduce(_ union _), seqs)
   }

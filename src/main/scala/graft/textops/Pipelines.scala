@@ -579,9 +579,17 @@ object Pipelines {
     * computed once per PROBE (np rows/query), so the candidate scan
     * is still codes-only.
     */
+  /** `jitterRankKey` is a MEASUREMENT-ONLY knob (the round-12
+    * tie-comparator experiment): it perturbs the rank sort's first key
+    * by a deterministic ≤1e-7-scale hash jitter so the key is
+    * (near-)unique per row and every sort comparison resolves at the
+    * first key instead of falling through tied ADC doubles to the
+    * tiebreaker. Never a serving option — within-tie order changes and
+    * real score gaps below the jitter scale can reorder. */
   def annSearchPqFrom(spark: SparkSession, outDir: String, queries: DataFrame,
                       k: Int = 5, nProbe: Int = -1,
-                      excludeSelfId: Boolean = false): DataFrame = {
+                      excludeSelfId: Boolean = false,
+                      jitterRankKey: Boolean = false): DataFrame = {
     import spark.implicits._
     val cent = spark.read.parquet(s"$outDir/ann_centroids")
     val np = if (nProbe > 0) nProbe
@@ -593,9 +601,16 @@ object Pipelines {
     // entries-per-subspace), not of the live tier's PqK constant;
     // same for the residual marker (pre-marker snapshots are raw)
     val adc = Similarity.pqAdcExprFor(Similarity.pqCodebookK(cb))
-    val residual = scala.util.Try(
-      spark.read.parquet(s"$outDir/pq_meta")
-        .head().getBoolean(0)).getOrElse(false)
+    // Absence vs failure matters here: a pre-marker snapshot (no
+    // pq_meta dir) is genuinely raw, but a residual snapshot whose
+    // marker READ fails must not be silently served as raw (qdotc=0
+    // against residual codes = wrong approx_cosine, no error). So:
+    // default false only on ABSENCE; let read exceptions propagate.
+    val metaPath = new org.apache.hadoop.fs.Path(s"$outDir/pq_meta")
+    val residual =
+      metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(metaPath) &&
+      spark.read.parquet(s"$outDir/pq_meta").head().getBoolean(0)
     val lutArr = Similarity.pqLutFor(
       q.selectExpr("vec_id as query_id", "v"), cb)
     val ranked = Similarity.ivfRankedFrom(q, cent, np)
@@ -617,7 +632,12 @@ object Pipelines {
         expr(s"(qdotc + cast(($adc) as double) / 1000000000D) / (qn * nrm)"))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
-          .orderBy($"approx_cosine".desc, $"vec_id".asc)))
+          .orderBy(
+            (if (jitterRankKey)
+               $"approx_cosine" +
+                 pmod(hash($"vec_id"), lit(1048576)).cast("double") * lit(1e-13)
+             else $"approx_cosine").desc,
+            $"vec_id".asc)))
       .where($"rnk" <= k)
       .select($"query_id", $"vec_id".as("neighbor_id"), $"approx_cosine",
         $"rnk".cast("int").as("rnk"))

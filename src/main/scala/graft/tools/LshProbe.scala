@@ -22,14 +22,17 @@ object LshProbe {
     val sfDir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
     val only = if (args.length > 2) Some(args(2)) else None
+    // fail-fast like TimeQuery/ShowQuery: a typo ("multiprobe") must
+    // not silently fall through to "run both tiers" and double the run
+    require(only.forall(Set("mp", "exact")),
+      s"unknown tier filter '${only.getOrElse("")}' — expected mp|exact")
     // harnessBuilder: same SPARK_GRAFT_CPUS/CONF surface as Bench, so
     // anchors recorded here reproduce under the same conf overrides
     val spark = Session.harnessBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     def scrub(): Unit = Session.scrubBlocks(spark)
-    val tiers = Seq(false, true).filter(mp => only.forall {
-      case "mp" => mp; case "exact" => !mp; case _ => true })
+    val tiers = Seq(false, true).filter(mp => only.forall(o => (o == "mp") == mp))
     for (mp <- tiers) {
       val r = Similarity.similarityRecallLsh(spark, sfDir, multiprobe = mp)
         .agg(avg($"recall")).head().getDouble(0)

@@ -45,6 +45,31 @@ object PqServeExplain {
       .agg(avg(expr("d / n")).as("df"), avg("n").as("an")).head()
     println(f"pq_serve_explain ties dir=$dir " +
       f"distinct_frac=${ties.getDouble(0)}%.4f avg_cand=${ties.getDouble(1)}%.1f")
+    // the decisive tie-comparator experiment (round 12): identical
+    // serve, but the rank sort's first key is made (near-)unique by a
+    // deterministic jitter so comparisons resolve at the first key.
+    // If the slow K=16 serve is comparator fall-through on tied ADC
+    // scores, the jittered serve should close the K=16/K=64 gap; if
+    // the gap persists, the hypothesis is refuted and the cause is
+    // elsewhere in execution.
+    val reps = if (args.length > 2) args(2).toInt else 3
+    def scrub(): Unit = Session.scrubBlocks(spark)
+    def timeServe(jit: Boolean): Double = {
+      Pipelines.annSearchPqFrom(spark, dir, queries,
+        excludeSelfId = true, jitterRankKey = jit).count()
+      scrub() // untimed warm pass
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        Pipelines.annSearchPqFrom(spark, dir, queries,
+          excludeSelfId = true, jitterRankKey = jit).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        scrub(); t
+      }.sorted.apply(reps / 2)
+    }
+    val plainS = timeServe(jit = false)
+    val jitS = timeServe(jit = true)
+    println(f"pq_serve_explain tiebreak dir=$dir plain_s=$plainS%.2f " +
+      f"jittered_s=$jitS%.2f")
     spark.stop()
   }
 }

@@ -65,6 +65,40 @@ class BlockHygieneSpec extends AnyFunSuite {
       "outer bracket failed to release its own (incl. post-inner) blocks")
   }
 
+  test("debug detector reports a plain localCheckpoint inside a bracket") {
+    // the silent-re-leak class: a future helper calls bare
+    // localCheckpoint() inside a bracketed body — the sweep won't (and
+    // must not) unpersist it, but the detector should name it so the
+    // leak is caught in tests, not in a long-running stream
+    val savedReporter = BlockHygiene.onUntracked
+    @volatile var reported: Set[Int] = Set.empty
+    var leaked: DataFrame = null
+    try {
+      BlockHygiene.onUntracked = ids => reported = ids
+      BlockHygiene.releasingNewPersists(spark) {
+        ckpt(70).count()
+        leaked = Seq(71).toDF("v").localCheckpoint()
+        leaked.count()
+      }
+    } finally BlockHygiene.onUntracked = savedReporter
+    val leakedId = leaked.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id }.get
+    assert(reported.contains(leakedId),
+      s"detector missed the untracked checkpoint $leakedId (got $reported)")
+    assert(leaked.count() == 1) // reported, NOT unpersisted
+    leaked.unpersist(blocking = true)
+  }
+
+  test("debug detector stays silent when everything is tracked") {
+    val savedReporter = BlockHygiene.onUntracked
+    @volatile var fired = false
+    try {
+      BlockHygiene.onUntracked = _ => fired = true
+      BlockHygiene.releasingNewPersists(spark) { ckpt(80).count() }
+    } finally BlockHygiene.onUntracked = savedReporter
+    assert(!fired, "detector false-positived on a fully-tracked bracket")
+  }
+
   test("a thread spawned inside a bracket does not inherit the tracked buffer") {
     val spawnedDone = new CountDownLatch(1)
     @volatile var spawnedCk: DataFrame = null
