@@ -46,6 +46,15 @@ object BlockHygiene {
     override def initialValue(): Option[mutable.Set[Int]] = None
   }
 
+  /** All brackets currently open on ANY thread. The untracked-RDD
+    * debug diff consults this so an id correctly registered via
+    * [[checkpointTracked]] in a CONCURRENT bracket (another stream's
+    * foreachBatch overlapping ours) is not reported as a re-leak.
+    * Guarded by its own monitor: buffers are written by their owning
+    * thread but read cross-thread by the diff.
+    */
+  private val liveBufs = mutable.Set.empty[mutable.Set[Int]]
+
   /** `df.localCheckpoint()` whose persisted RDD is registered with the
     * innermost [[releasingNewPersists]] bracket on this thread (no-op
     * registration outside a bracket). The persisted RDD id is read off
@@ -54,23 +63,28 @@ object BlockHygiene {
     */
   def checkpointTracked(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint()
-    for (buf <- active.get(); id <- persistedRddId(ck)) buf += id
+    for (buf <- active.get(); id <- persistedRddId(ck))
+      liveBufs.synchronized { buf += id }
     ck
   }
 
   private def persistedRddId(ck: DataFrame): Option[Int] =
     ck.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd.id }
 
-  /** Debug re-leak detector (off by default). When enabled — via the
-    * system property `graft.blockHygiene.debug=true` or by tests
-    * swapping [[onUntracked]] — [[releasingNewPersists]] ALSO diffs
+  /** Debug re-leak detector. [[releasingNewPersists]] ALWAYS diffs
     * the driver's persistent-RDD registry across the bracket and
-    * reports any new persisted RDD the body created WITHOUT
-    * [[checkpointTracked]]: the silent re-leak class this module
-    * exists to prevent (a future plain `.localCheckpoint()` added deep
-    * inside a bracketed Dedup/TextStats helper would otherwise leak
-    * one persisted RDD per micro-batch, detected only in a
-    * long-running stream). The detector only REPORTS — it never
+    * invokes this handler with any new persisted RDD the body created
+    * WITHOUT [[checkpointTracked]] — the silent re-leak class this
+    * module exists to prevent (a future plain `.localCheckpoint()`
+    * added deep inside a bracketed Dedup/TextStats helper would
+    * otherwise leak one persisted RDD per micro-batch, detected only
+    * in a long-running stream). Only the DEFAULT handler is gated
+    * (prints solely under `-Dgraft.blockHygiene.debug=true`); tests
+    * swap the handler to observe every report. Ids registered by
+    * other concurrently-live brackets are excluded from the diff via
+    * [[liveBufs]]; an id another bracket registers in the instant
+    * between that snapshot and the diff can still slip through, so
+    * the report is advisory — the detector only REPORTS and never
     * unpersists an untracked id, because in a shared session that id
     * may belong to a concurrently-running query whose only copy the
     * checkpoint is. The sweep itself stays tracked-ids-only.
@@ -87,13 +101,20 @@ object BlockHygiene {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val saved = active.get()
     active.set(Some(buf))
+    liveBufs.synchronized { liveBufs += buf }
     try body
     finally {
       active.set(saved)
       val registry = spark.sparkContext.getPersistentRDDs
-      val untracked = registry.keySet -- before -- buf
+      // snapshot under the lock: this bracket's ids to sweep, and the
+      // ids concurrent live brackets tracked (theirs, not re-leaks)
+      val (mine, others) = liveBufs.synchronized {
+        liveBufs -= buf
+        (buf.toSet, liveBufs.iterator.flatten.toSet)
+      }
+      val untracked = registry.keySet -- before -- mine -- others
       if (untracked.nonEmpty) onUntracked(untracked.toSet)
-      buf.foreach(id =>
+      mine.foreach(id =>
         registry.get(id).foreach(_.unpersist(blocking = false)))
     }
   }

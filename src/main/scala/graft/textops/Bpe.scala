@@ -178,8 +178,10 @@ object Bpe {
       // blocks instead of O(R) — at the R=4 serving grain a nicety,
       // at the R=64 law-measurement grain (tools.BpeProbe) the
       // difference between a bounded loop and an unbounded block leak.
-      val nAfter = applied
-        .agg(sum(expr("freq * size(seq)"))).head().getLong(0)
+      // sum over an empty vocabulary is NULL, not 0 — guard like the
+      // repo's other scalar-agg reads (Dedup, LateDataAnalytics)
+      val nRow = applied.agg(sum(expr("freq * size(seq)"))).head()
+      val nAfter = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
       unpersistCk(seqs)
       seqs = applied
       best.withColumn("n_symbols_after", lit(nAfter))

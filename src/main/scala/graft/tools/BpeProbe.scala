@@ -57,12 +57,15 @@ object BpeProbe {
       val b = best.head()
       val (lft, rgt, pc) =
         (b.getString(1), b.getString(2), b.getLong(3))
-      val affected = seqs.where(expr(
-        s"""exists(transform(
-           |  case when size(seq) < 2 then array() else sequence(1, size(seq) - 1) end,
-           |  i -> element_at(seq, i) = '${lft.replace("'", "''")}'
-           |       and element_at(seq, i + 1) = '${rgt.replace("'", "''")}'),
-           |  x -> x)""".stripMargin)).count()
+      // typed Column predicate — merge symbols go in via lit(), never
+      // SQL-interpolated (Spark SQL has no ''-doubling escape: adjacent
+      // string literals CONCATENATE, and backslashes pass through raw,
+      // so a quote/backslash-bearing merge would miscount or misparse)
+      val affected = seqs.where(exists(
+        when(size(col("seq")) < 2, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("seq")) - 1)),
+        i => element_at(col("seq"), i) === lit(lft) &&
+          element_at(col("seq"), i + lit(1)) === lit(rgt))).count()
       Bpe.unpersistCk(seqs)
       seqs = applied
       println(f"bpe_probe round=$r%-3d sec=$sec%.2f merge='$lft$rgt' " +

@@ -88,7 +88,7 @@ object ScaleData {
     // converge") was measured on the isotropic tier, whose residual
     // has NO low-rank signal for any quantizer — this mode exists to
     // re-measure that claim on the geometry real text embeddings
-    // actually have. Total within-cluster std ≈ 0.47 (λ² sum + ε²),
+    // actually have. Total within-cluster std ≈ 0.49 (λ² sum + ε²),
     // matching `clustered`'s 0.4 closely enough that serve-cost
     // comparisons stay apples-to-apples.
     val aniso = args.length > 3 && args(3) == "aniso"
