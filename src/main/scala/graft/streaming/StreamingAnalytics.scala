@@ -205,14 +205,68 @@ object StreamingAnalytics {
       .map(m => FailPair(m.key, m.start_us, m.end_us))
   }
 
-  /** O2 analog (REF: OrderTimeoutWithoutCep.scala § OrderPayMatch —
-    * reconstructed): per-user pending-order state; a purchase pays the
-    * oldest qualifying signup; watermark passing create+deadline emits
-    * the timeout — the event-time-timer semantics of the reference,
-    * driven by GroupStateTimeout.EventTimeTimeout. Like the CEP NFA,
-    * events buffer in state until the watermark and apply in (ts, id)
+  /** O2 state machine on [[BufferedEventProcessor]] (REF:
+    * OrderTimeoutWithoutCep.scala § OrderPayMatch — reconstructed):
+    * per-user pending-order `ListState`; a purchase pays the oldest
+    * qualifying signup; the per-key event-time timer passing
+    * create+deadline emits the timeout — `registerTimer` is the 1:1
+    * `ctx.timerService().registerEventTimeTimer` analog (migrated from
+    * the `GroupStateTimeout.EventTimeTimeout` encoding, VERDICT r11
+    * ask #6). Events buffer until the watermark and apply in (ts, id)
     * order, so out-of-order arrival can't pay the wrong order.
     */
+  class OrderTimeoutProcessor(deadlineUs: Long) extends BufferedEventProcessor[
+      Long, (Long, Long, Long, String, java.sql.Timestamp),
+      (Long, Long, String), OrderResult](
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING)) {
+    @transient private var pendingState: ListState[(Long, Long)] = _
+    // live pending orders of the key being processed — set by step(),
+    // read by deadlines()/domainEmpty in the same single-threaded
+    // transition (never carries across keys)
+    @transient private var live: List[(Long, Long)] = Nil
+
+    override protected def initDomain(): Unit =
+      pendingState = getHandle.getListState("pending",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override protected def toBuf(r: (Long, Long, Long, String, java.sql.Timestamp)) =
+      (r._1, r._2, r._4)
+    override protected def tsOf(b: (Long, Long, String)): Long = b._2
+    override protected def ordOf(b: (Long, Long, String)): Long = b._1
+
+    override protected def step(user: Long, ready: Seq[(Long, Long, String)],
+                                wmUs: Long,
+                                out: scala.collection.mutable.ListBuffer[OrderResult]): Unit = {
+      var pending = pendingState.get().toList
+      for ((eid, t, typ) <- ready) typ match {
+        case "signup" => pending = pending :+ (eid, t)
+        case "purchase" =>
+          val (paid, rest) = pending.partition { case (_, c) =>
+            t > c && t <= c + deadlineUs
+          }
+          paid.foreach { case (oid, c) =>
+            out += OrderResult(oid, user, c, Some(t), "payed successfully")
+          }
+          pending = rest
+      }
+      // event-time timers: anything past create+deadline at the
+      // current watermark can never be paid
+      val (expired, stillLive) = pending.partition { case (_, c) =>
+        c + deadlineUs < wmUs
+      }
+      expired.foreach { case (oid, c) =>
+        out += OrderResult(oid, user, c, None, "timeout")
+      }
+      live = stillLive
+      pendingState.clear()
+      live.foreach(pendingState.appendValue)
+    }
+
+    override protected def deadlines(): Seq[Long] = live.map(_._2 + deadlineUs)
+    override protected def domainEmpty: Boolean = live.isEmpty
+    override protected def clearDomain(): Unit = pendingState.clear()
+  }
+
   def orderTimeoutStream(events: Dataset[Ev], deadlineUs: Long = 24L * 3600 * 1000000)
                         (implicit spark: SparkSession): Dataset[OrderResult] = {
     import spark.implicits._
@@ -221,48 +275,8 @@ object StreamingAnalytics {
       .withWatermark("ts", "1 hour")
       .as[(Long, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._3)
-      // state: (buffered (id, ts, type) not yet ripe, pending orders)
-      .flatMapGroupsWithState[
-        (List[(Long, Long, String)], List[(Long, Long)]), OrderResult](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user, it,
-         state: GroupState[(List[(Long, Long, String)], List[(Long, Long)])]) =>
-          val wmUs = state.getCurrentWatermarkMs() * 1000
-          val (prevBuf, prevPending) = state.getOption.getOrElse((Nil, Nil))
-          val incoming =
-            if (state.hasTimedOut) Nil
-            // >=: a row AT the watermark is admitted (ready this batch)
-            else it.toSeq.map(e => (e._1, e._2, e._4)).filter(_._2 >= wmUs)
-          val (ready, held) = (prevBuf ++ incoming).partition(_._2 <= wmUs)
-          var pending = prevPending
-          val out = scala.collection.mutable.ListBuffer.empty[OrderResult]
-          for ((eid, t, typ) <- ready.sortBy(e => (e._2, e._1))) typ match {
-            case "signup" => pending = pending :+ (eid, t)
-            case "purchase" =>
-              val (paid, rest) = pending.partition { case (_, c) =>
-                t > c && t <= c + deadlineUs
-              }
-              paid.foreach { case (oid, c) =>
-                out += OrderResult(oid, user, c, Some(t), "payed successfully")
-              }
-              pending = rest
-          }
-          // event-time timers: anything past create+deadline at the
-          // current watermark can never be paid
-          val (expired, live) = pending.partition { case (_, c) =>
-            c + deadlineUs < wmUs
-          }
-          expired.foreach { case (oid, c) =>
-            out += OrderResult(oid, user, c, None, "timeout")
-          }
-          if (held.isEmpty && live.isEmpty) state.remove()
-          else {
-            state.update((held, live))
-            val wakeUs = (held.map(_._2) ++ live.map(_._2 + deadlineUs)).min
-            state.setTimeoutTimestamp(math.max(wakeUs / 1000 + 1, wmUs / 1000 + 1))
-          }
-          out.iterator
-      }
+      .transformWithState(new OrderTimeoutProcessor(deadlineUs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** M3 analog (REF: AdStatisticsByGeo.scala § FilterBlackListUser —
@@ -273,49 +287,70 @@ object StreamingAnalytics {
     * state, and a day-rollover observed in-stream resets the count the
     * same way.
     */
+  /** The M3 day-counter on [[BufferedEventProcessor]]: `ValueState`
+    * holds the (day, count, warned) triple; the midnight-reset is a
+    * real per-key event-time timer at the day's end (`registerTimer` —
+    * the reference's `(ts/86400000+1)*86400000` timer, 1:1), which
+    * drops the counter once the watermark passes it.
+    */
+  class BlacklistProcessor(threshold: Long) extends BufferedEventProcessor[
+      (Long, Int), (Long, Long, Long, Int, java.sql.Timestamp),
+      (Long, Long), BlackWarn](
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)) {
+    private val DayUs = 86400L * 1000000
+    @transient private var counter: org.apache.spark.sql.streaming.ValueState[ClickState] = _
+    @transient private var live: Option[ClickState] = None
+
+    override protected def initDomain(): Unit =
+      counter = getHandle.getValueState("counter",
+        Encoders.product[ClickState], TTLConfig.NONE)
+
+    override protected def toBuf(r: (Long, Long, Long, Int, java.sql.Timestamp)) =
+      (r._1, r._2)
+    override protected def tsOf(b: (Long, Long)): Long = b._2
+    override protected def ordOf(b: (Long, Long)): Long = b._1
+
+    override protected def step(key: (Long, Int), ready: Seq[(Long, Long)],
+                                wmUs: Long,
+                                out: scala.collection.mutable.ListBuffer[BlackWarn]): Unit = {
+      val (user, ad) = key
+      var st =
+        if (counter.exists()) counter.get()
+        else ClickState(-1L, 0L, warned = false)
+      for ((_, t) <- ready) {
+        val day = t / DayUs * DayUs
+        if (day != st.dayUs) st = ClickState(day, 0L, warned = false)
+        st = st.copy(cnt = st.cnt + 1)
+        if (st.cnt >= threshold && !st.warned) {
+          out += BlackWarn(user, ad, st.dayUs)
+          st = st.copy(warned = true)
+        }
+      }
+      // the reference's midnight-reset timer: the counter is dead
+      // once the watermark passes its day's end
+      live = Option(st).filter(s => s.dayUs >= 0 && s.dayUs + DayUs > wmUs)
+      live match {
+        case Some(s) => counter.update(s)
+        case None => counter.clear()
+      }
+    }
+
+    override protected def deadlines(): Seq[Long] =
+      live.map(_.dayUs + DayUs).toSeq
+    override protected def domainEmpty: Boolean = live.isEmpty
+    override protected def clearDomain(): Unit = counter.clear()
+  }
+
   def blacklistStream(clicks: Dataset[ClickEv], threshold: Long = 2)
                      (implicit spark: SparkSession): Dataset[BlackWarn] = {
     import spark.implicits._
-    val DayUs = 86400L * 1000000
     clicks
       .withColumn("ts", expr("timestamp_micros(ts_us)"))
       .withWatermark("ts", "1 hour")
       .as[(Long, Long, Long, Int, java.sql.Timestamp)]
       .groupByKey(e => (e._3, e._4)) // (user_id, ad_id)
-      // state: (buffered (id, ts) not yet ripe, day counter)
-      .flatMapGroupsWithState[
-        (List[(Long, Long)], Option[ClickState]), BlackWarn](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case ((user, ad), it, state) =>
-          val wmUs = state.getCurrentWatermarkMs() * 1000
-          val (prevBuf, prevSt) = state.getOption.getOrElse((Nil, None))
-          val incoming =
-            if (state.hasTimedOut) Nil
-            // >=: a row AT the watermark is admitted (ready this batch)
-            else it.toSeq.map(e => (e._1, e._2)).filter(_._2 >= wmUs)
-          val (ready, held) = (prevBuf ++ incoming).partition(_._2 <= wmUs)
-          val out = scala.collection.mutable.ListBuffer.empty[BlackWarn]
-          var st = prevSt.getOrElse(ClickState(-1L, 0L, warned = false))
-          for ((_, t) <- ready.sortBy(e => (e._2, e._1))) {
-            val day = t / DayUs * DayUs
-            if (day != st.dayUs) st = ClickState(day, 0L, warned = false)
-            st = st.copy(cnt = st.cnt + 1)
-            if (st.cnt >= threshold && !st.warned) {
-              out += BlackWarn(user, ad, st.dayUs)
-              st = st.copy(warned = true)
-            }
-          }
-          // the reference's midnight-reset timer: the counter is dead
-          // once the watermark passes its day's end
-          val liveSt = Option(st).filter(s => s.dayUs >= 0 && s.dayUs + DayUs > wmUs)
-          if (held.isEmpty && liveSt.isEmpty) state.remove()
-          else {
-            state.update((held, liveSt))
-            val wakeUs = (held.map(_._2) ++ liveSt.map(_.dayUs + DayUs)).min
-            state.setTimeoutTimestamp(math.max(wakeUs / 1000 + 1, wmUs / 1000 + 1))
-          }
-          out.iterator
-      }
+      .transformWithState(new BlacklistProcessor(threshold),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** T3 analog (REF: NetworkFlow.scala § main `.allowedLateness(

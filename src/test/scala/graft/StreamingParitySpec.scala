@@ -101,6 +101,18 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** transformWithState requires the RocksDB state store. */
+  private def withRocksDB[T](f: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("hot items Top-N via transformWithState: in-query event-time timers == batch topN") {
     implicit val ctx = spark.sqlContext
     implicit val ss = spark
@@ -167,7 +179,7 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("order-timeout state machine: stream (with event-time timers) == batch join") {
+  test("order-timeout state machine: stream (with event-time timers) == batch join") { withRocksDB {
     implicit val ctx = spark.sqlContext
     implicit val ss = spark
     val ms = MemoryStream[EvFull]
@@ -191,9 +203,9 @@ class StreamingParitySpec extends AnyFunSuite {
         .as[(Long, Long, Long, Long, String)].collect().toSet
       assert(got == want)
     } finally q.stop()
-  }
+  }}
 
-  test("order-timeout under out-of-order arrival: shuffled micro-batches == batch join") {
+  test("order-timeout under out-of-order arrival: shuffled micro-batches == batch join") { withRocksDB {
     implicit val ctx = spark.sqlContext
     implicit val ss = spark
     val ms = MemoryStream[EvFull]
@@ -221,9 +233,9 @@ class StreamingParitySpec extends AnyFunSuite {
         .as[(Long, Long, Long, Long, String)].collect().toSet
       assert(got == want)
     } finally q.stop()
-  }
+  }}
 
-  test("blacklist state machine: stream warnings == batch (user, ad, day) set") {
+  test("blacklist state machine: stream warnings == batch (user, ad, day) set") { withRocksDB {
     implicit val ctx = spark.sqlContext
     implicit val ss = spark
     val ms = MemoryStream[StreamingAnalytics.ClickEv]
@@ -251,7 +263,7 @@ class StreamingParitySpec extends AnyFunSuite {
         .as[(Long, Int, Long)].collect().toSet
       assert(got == want)
     } finally q.stop()
-  }
+  }}
 
   test("uv_approx stream: estimates within rsd of batch exact counts") {
     implicit val ctx = spark.sqlContext
