@@ -3,7 +3,9 @@ package graft.cep
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.streaming.BufferedEventProcessor
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig, TimeMode, ValueState}
 
 /** One pattern step: a name and a Catalyst predicate over the event
   * row. `times` is Flink's `.times(n)` quantifier (REF:
@@ -45,48 +47,193 @@ case class PatternMatch(key: Long, start_us: Long, start_ord: Long,
   *     a lagged start timestamp, filtered in one pass. Partitioned by
   *     key, so the plan is a single per-key sort — no driver loop, no
   *     state, scales with key cardinality.
-  *   - [[compileStream]]: `flatMapGroupsWithState` NFA holding the live
-  *     partial matches per key, GC'd by event-time timeout once the
-  *     watermark passes `start + within` (the reference's pattern
-  *     timeout timer).
+  *   - [[compileStream]]: `transformWithState` NFA ([[CepNfaProcessor]])
+  *     holding the live partial matches per key, GC'd by a per-key
+  *     event-time timer once the watermark passes `start + within`
+  *     (the reference's pattern timeout timer).
   *
   * The login-fail (L3) and order-timeout (O1) queries are 2-step
   * instances; `cep_funnel` in SparkEntry is the 3-step
   * view→click→purchase instance, hash-verified against a DuckDB lag
   * oracle.
   */
-/** Shared event-time buffer machinery for the streaming CEP operators
-  * (the NFA, the absence detector, and the Kleene runs all buffer
-  * events until the watermark finalizes them, then drain in (ts, ord)
-  * order). One implementation so the boundary and timeout arithmetic
-  * cannot diverge between operators.
+/** Shared scaffolding for the streaming CEP operators: all three (the
+  * NFA, the absence detector, the Kleene runs) buffer events until the
+  * watermark finalizes them, then drain in (ts, ord) order — the
+  * [[graft.streaming.BufferedEventProcessor]] contract on Spark 4's
+  * `transformWithState` (migrated from the fMGWS `EventBuffer`
+  * encoding, VERDICT r11 ask #6). One base so the boundary and
+  * timer arithmetic cannot diverge between operators. The late cut is
+  * STRICT (`> wm`, `admitAtWm = false`): an event AT the watermark was
+  * already finalized by the `<= wm` ready cut of an earlier batch, so
+  * admitting a same-instant arrival in a later batch would drain it
+  * out of (ts, ord) order relative to rows it should precede.
+  *
+  * Buffered event = (ts_us, ord, mask); input rows are the
+  * watermarked (key, ts_us, ord, mask, ts) tuples every compiled
+  * stream produces.
   */
-private[cep] object EventBuffer {
-  /** Split previously-buffered + newly-arrived events into the
-    * watermark-finalized `ready` prefix (sorted by (ts, ord)) and the
-    * still-`held` remainder. The late filter is STRICT (`> wm`): an
-    * event AT the watermark was already finalized by the `<= wm` ready
-    * cut of an earlier batch, so admitting a same-instant arrival in a
-    * later batch would drain it out of (ts, ord) order relative to
-    * rows it should precede.
-    */
-  def drain(prevBuf: List[(Long, Long, Long)],
-            incoming: Seq[(Long, Long, Long)],
-            wmUs: Long): (Seq[(Long, Long, Long)], List[(Long, Long, Long)]) = {
-    val (ready, held) =
-      (prevBuf ++ incoming.filter(_._1 > wmUs)).partition(_._1 <= wmUs)
-    (ready.sortBy(e => (e._1, e._2)), held)
+private[cep] abstract class CepProcessor[O] extends BufferedEventProcessor[
+    Long, (Long, Long, Long, Long, java.sql.Timestamp),
+    (Long, Long, Long), O](
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)) {
+  final override protected def toBuf(r: (Long, Long, Long, Long, java.sql.Timestamp)) =
+    (r._2, r._3, r._4)
+  final override protected def tsOf(b: (Long, Long, Long)): Long = b._1
+  final override protected def ordOf(b: (Long, Long, Long)): Long = b._2
+  final override protected def admitAtWm: Boolean = false
+}
+
+/** The NFA of [[Pattern.compileStream]]: `ListState` holds the live
+  * partial matches (step reached, start ts, start ord, last-event ts);
+  * the per-key event-time timer at `start + within` is the reference's
+  * pattern-timeout timer, GC'ing partials the watermark outlived.
+  */
+private[cep] class CepNfaProcessor(kk: Int, win: Long, isStrict: Boolean)
+    extends CepProcessor[PatternMatch] {
+  @transient private var partialsState: ListState[(Int, Long, Long, Long)] = _
+  @transient private var live: List[(Int, Long, Long, Long)] = Nil
+
+  override protected def initDomain(): Unit =
+    partialsState = getHandle.getListState("partials",
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override protected def step(key: Long, ready: Seq[(Long, Long, Long)],
+                              wmUs: Long,
+                              out: scala.collection.mutable.ListBuffer[PatternMatch]): Unit = {
+    var partials = partialsState.get().toList
+    for ((ts, ord, mask) <- ready) {
+      def bit(i: Int) = ((mask >> i) & 1L) == 1L
+      val advanced = partials.flatMap { case p @ (j, s, so, lastTs) =>
+        if (ts - s > win) None // expired: no later event can fit either
+        // relaxed mode requires STRICTLY increasing event time —
+        // the batch as-of chain binds t_i > t_{i-1}, and the two
+        // compilers must agree on ts ties
+        else if (bit(j + 1) && (isStrict || ts > lastTs)) {
+          if (j + 2 == kk) { out += PatternMatch(key, s, so, ts, ord); None }
+          else Some((j + 1, s, so, ts))
+        }
+        else if (isStrict) None // strict: non-match kills the partial
+        else Some(p)            // relaxed: skip and keep waiting
+      }
+      val started =
+        if (!bit(0)) Nil
+        else if (kk == 1) { out += PatternMatch(key, ts, ord, ts, ord); Nil }
+        else List((0, ts, ord, ts))
+      partials = advanced ++ started
+    }
+    // a partial whose deadline the watermark passed can never
+    // complete (every future ready event has ts > wm > s + win)
+    live = partials.filter { case (_, s, _, _) => s + win >= wmUs }
+    partialsState.clear()
+    live.foreach(partialsState.appendValue)
   }
 
-  /** Arm the event-time timeout at the earliest of the held events and
-    * the operator deadlines, clamped strictly past the watermark.
-    * Callers guarantee the union is non-empty.
-    */
-  def arm(state: GroupState[_], heldTs: Iterable[Long],
-          deadlineUs: Iterable[Long], wmUs: Long): Unit = {
-    val wakeUs = (heldTs ++ deadlineUs).min
-    state.setTimeoutTimestamp(math.max(wakeUs / 1000 + 1, wmUs / 1000 + 1))
+  override protected def deadlines(): Seq[Long] =
+    live.map { case (_, s, _, _) => s + win }
+  override protected def domainEmpty: Boolean = live.isEmpty
+  override protected def clearDomain(): Unit = partialsState.clear()
+}
+
+/** The absence detector of [[Pattern.compileStreamAbsence]]: open
+  * A-candidates in `ListState`; the timer at `start + within` fires
+  * the absence once the watermark proves no B can still arrive.
+  */
+private[cep] class CepAbsenceProcessor(win: Long)
+    extends CepProcessor[PatternMatch] {
+  @transient private var openState: ListState[(Long, Long)] = _
+  @transient private var live: List[(Long, Long)] = Nil
+
+  override protected def initDomain(): Unit =
+    openState = getHandle.getListState("open",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override protected def step(key: Long, ready: Seq[(Long, Long, Long)],
+                              wmUs: Long,
+                              out: scala.collection.mutable.ListBuffer[PatternMatch]): Unit = {
+    var open = openState.get().toList
+    for ((ts, ord, mask) <- ready) {
+      if (((mask >> 1) & 1L) == 1L)
+        open = open.filterNot { case (s, _) => ts > s && ts - s <= win }
+      if ((mask & 1L) == 1L) open = open :+ (ts, ord)
+    }
+    // deadline passed unmatched → the absence fires
+    val (absent, stillLive) = open.partition { case (s, _) => s + win < wmUs }
+    absent.foreach { case (s, so) => out += PatternMatch(key, s, so, s, so) }
+    live = stillLive
+    openState.clear()
+    live.foreach(openState.appendValue)
   }
+
+  override protected def deadlines(): Seq[Long] = live.map(_._1 + win)
+  override protected def domainEmpty: Boolean = live.isEmpty
+  override protected def clearDomain(): Unit = openState.clear()
+}
+
+/** The Kleene-run machine of [[Pattern.consecutiveRunsStream]]: one
+  * open run + the dead-island mark per key; the timer at `last +
+  * within` closes a run silence can no longer extend. Dead-only state
+  * registers NO timer — the key's next event (if any) revives
+  * processing. `mask` bit 0 = the predicate.
+  */
+private[cep] class CepRunsProcessor(minTimes: Int, win: Long)
+    extends CepProcessor[PatternMatch] {
+  @transient private var runState: ValueState[(Long, Long, Long, Long, Int)] = _
+  @transient private var deadState: ValueState[Boolean] = _
+  @transient private var live: Option[(Long, Long, Long, Long, Int)] = None
+  @transient private var dead: Boolean = false
+
+  override protected def initDomain(): Unit = {
+    runState = getHandle.getValueState("run",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaInt),
+      TTLConfig.NONE)
+    deadState = getHandle.getValueState("dead",
+      Encoders.scalaBoolean, TTLConfig.NONE)
+  }
+
+  override protected def step(key: Long, ready: Seq[(Long, Long, Long)],
+                              wmUs: Long,
+                              out: scala.collection.mutable.ListBuffer[PatternMatch]): Unit = {
+    var run = if (runState.exists()) Some(runState.get()) else None
+    dead = deadState.exists() && deadState.get()
+    def close(): Unit = {
+      run.foreach { case (s, so, l, lo, cnt) =>
+        if (cnt >= minTimes && l - s <= win)
+          out += PatternMatch(key, s, so, l, lo)
+      }
+      run = None
+    }
+    for ((ts, ord, mask) <- ready) {
+      if ((mask & 1L) == 1L) {
+        if (!dead)
+          run = run match {
+            case Some((s, so, _, _, cnt)) => Some((s, so, ts, ord, cnt + 1))
+            case None => Some((ts, ord, ts, ord, 1))
+          }
+        // dead: the over-span island continues — swallow
+      } else { close(); dead = false }
+    }
+    // silence timeout: no event within `within` of the last match
+    // ⇒ any extension overruns the span anyway — emit the valid
+    // prefix now and mark the island dead until an event breaks it
+    if (run.exists { case (_, _, l, _, _) => l + win < wmUs }) {
+      close()
+      dead = true
+    }
+    live = run
+    live match {
+      case Some(r) => runState.update(r)
+      case None => runState.clear()
+    }
+    if (dead) deadState.update(true) else deadState.clear()
+  }
+
+  override protected def deadlines(): Seq[Long] =
+    live.map { case (_, _, l, _, _) => l + win }.toSeq
+  override protected def domainEmpty: Boolean = live.isEmpty && !dead
+  override protected def clearDomain(): Unit = { runState.clear(); deadState.clear() }
 }
 
 object Pattern {
@@ -141,73 +288,20 @@ object Pattern {
     * by the key's next non-matching event; it persists for a silent key
     * (one boolean per key, the same cardinality bound as any keyed
     * state). Events buffer until the watermark passes them and drain in
-    * (ts, ord) order via [[EventBuffer]]. `mask` bit 0 = the predicate.
+    * (ts, ord) order via [[CepRunsProcessor]]. `mask` bit 0 = the
+    * predicate.
     */
   def consecutiveRunsStream(events: Dataset[PatternEv], minTimes: Int,
                             withinUs: Long, watermark: String = "1 hour")
                            (implicit spark: SparkSession): Dataset[PatternMatch] = {
     import spark.implicits._
-    val win = withinUs
     events
       .withColumn("ts", expr("timestamp_micros(ts_us)"))
       .withWatermark("ts", watermark)
       .as[(Long, Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      // state: (buffered events,
-      //         open run (startTs, startOrd, lastTs, lastOrd, cnt),
-      //         island is dead — silence-closed, waiting for a break)
-      .flatMapGroupsWithState[
-        (List[(Long, Long, Long)], Option[(Long, Long, Long, Long, Int)], Boolean),
-        PatternMatch](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key, it,
-         state: GroupState[(List[(Long, Long, Long)],
-           Option[(Long, Long, Long, Long, Int)], Boolean)]) =>
-          val wmUs = state.getCurrentWatermarkMs() * 1000
-          val (prevBuf, prevRun, prevDead) =
-            state.getOption.getOrElse((Nil, None, false))
-          val incoming =
-            if (state.hasTimedOut) Nil
-            else it.toSeq.map(e => (e._2, e._3, e._4))
-          val (ready, held) = EventBuffer.drain(prevBuf, incoming, wmUs)
-          var run = prevRun
-          var dead = prevDead
-          val out = scala.collection.mutable.ListBuffer.empty[PatternMatch]
-          def close(): Unit = {
-            run.foreach { case (s, so, l, lo, cnt) =>
-              if (cnt >= minTimes && l - s <= win)
-                out += PatternMatch(key, s, so, l, lo)
-            }
-            run = None
-          }
-          for ((ts, ord, mask) <- ready) {
-            if ((mask & 1L) == 1L) {
-              if (!dead)
-                run = run match {
-                  case Some((s, so, _, _, cnt)) => Some((s, so, ts, ord, cnt + 1))
-                  case None => Some((ts, ord, ts, ord, 1))
-                }
-              // dead: the over-span island continues — swallow
-            } else { close(); dead = false }
-          }
-          // silence timeout: no event within `within` of the last match
-          // ⇒ any extension overruns the span anyway — emit the valid
-          // prefix now and mark the island dead until an event breaks it
-          if (run.exists { case (_, _, l, _, _) => l + win < wmUs }) {
-            close()
-            dead = true
-          }
-          if (held.isEmpty && run.isEmpty && !dead) state.remove()
-          else {
-            state.update((held, run, dead))
-            val deadlines = run.map { case (_, _, l, _, _) => l + win }.toList
-            if (held.nonEmpty || deadlines.nonEmpty)
-              EventBuffer.arm(state, held.map(_._1), deadlines, wmUs)
-            // dead-only state: nothing to wake for — the next event of
-            // the key (if any) revives processing
-          }
-          out.iterator
-      }
+      .transformWithState(new CepRunsProcessor(minTimes, withinUs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }
 
@@ -320,34 +414,8 @@ case class Pattern(rawSteps: Seq[Step], withinUs: Long, strict: Boolean = true) 
       .withWatermark("ts", watermark)
       .as[(Long, Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      // state: (buffered events, open A candidates (start ts, start ord))
-      .flatMapGroupsWithState[
-        (List[(Long, Long, Long)], List[(Long, Long)]), PatternMatch](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key, it, state: GroupState[(List[(Long, Long, Long)], List[(Long, Long)])]) =>
-          val wmUs = state.getCurrentWatermarkMs() * 1000
-          val (prevBuf, prevOpen) = state.getOption.getOrElse((Nil, Nil))
-          val incoming =
-            if (state.hasTimedOut) Nil
-            else it.toSeq.map(e => (e._2, e._3, e._4))
-          val (ready, held) = EventBuffer.drain(prevBuf, incoming, wmUs)
-          var open = prevOpen
-          val out = scala.collection.mutable.ListBuffer.empty[PatternMatch]
-          for ((ts, ord, mask) <- ready) {
-            if (((mask >> 1) & 1L) == 1L)
-              open = open.filterNot { case (s, _) => ts > s && ts - s <= win }
-            if ((mask & 1L) == 1L) open = open :+ (ts, ord)
-          }
-          // deadline passed unmatched → the absence fires
-          val (absent, live) = open.partition { case (s, _) => s + win < wmUs }
-          absent.foreach { case (s, so) => out += PatternMatch(key, s, so, s, so) }
-          if (held.isEmpty && live.isEmpty) state.remove()
-          else {
-            state.update((held, live))
-            EventBuffer.arm(state, held.map(_._1), live.map(_._1 + win), wmUs)
-          }
-          out.iterator
-      }
+      .transformWithState(new CepAbsenceProcessor(win),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Evaluate the step predicates into the [[PatternEv]] mask (Catalyst
@@ -385,53 +453,7 @@ case class Pattern(rawSteps: Seq[Step], withinUs: Long, strict: Boolean = true) 
       .withWatermark("ts", watermark)
       .as[(Long, Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      // state: (buffered not-yet-ripe events, live partial matches)
-      .flatMapGroupsWithState[
-        (List[(Long, Long, Long)], List[(Int, Long, Long, Long)]), PatternMatch](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key, it,
-         state: GroupState[(List[(Long, Long, Long)], List[(Int, Long, Long, Long)])]) =>
-          val wmUs = state.getCurrentWatermarkMs() * 1000
-          val (prevBuf, prevPartials) = state.getOption.getOrElse((Nil, Nil))
-          val incoming =
-            if (state.hasTimedOut) Nil
-            else it.toSeq.map(e => (e._2, e._3, e._4))
-          val (ready, held) = EventBuffer.drain(prevBuf, incoming, wmUs)
-          // partial: (step reached, start ts, start ord, last-event ts)
-          var partials = prevPartials
-          val out = scala.collection.mutable.ListBuffer.empty[PatternMatch]
-          for ((ts, ord, mask) <- ready) {
-            def bit(i: Int) = ((mask >> i) & 1L) == 1L
-            val advanced = partials.flatMap { case p @ (j, s, so, lastTs) =>
-              if (ts - s > win) None // expired: no later event can fit either
-              // relaxed mode requires STRICTLY increasing event time —
-              // the batch as-of chain binds t_i > t_{i-1}, and the two
-              // compilers must agree on ts ties
-              else if (bit(j + 1) && (isStrict || ts > lastTs)) {
-                if (j + 2 == kk) { out += PatternMatch(key, s, so, ts, ord); None }
-                else Some((j + 1, s, so, ts))
-              }
-              else if (isStrict) None // strict: non-match kills the partial
-              else Some(p)            // relaxed: skip and keep waiting
-            }
-            val started =
-              if (!bit(0)) Nil
-              else if (kk == 1) { out += PatternMatch(key, ts, ord, ts, ord); Nil }
-              else List((0, ts, ord, ts))
-            partials = advanced ++ started
-          }
-          // a partial whose deadline the watermark passed can never
-          // complete (every future ready event has ts > wm > s + win)
-          partials = partials.filter { case (_, s, _, _) => s + win >= wmUs }
-          if (held.isEmpty && partials.isEmpty) state.remove()
-          else {
-            state.update((held, partials))
-            // wake when the watermark passes the earliest held event
-            // or the earliest partial deadline — whichever is sooner
-            EventBuffer.arm(state, held.map(_._1),
-              partials.map { case (_, s, _, _) => s + win }, wmUs)
-          }
-          out.iterator
-      }
+      .transformWithState(new CepNfaProcessor(kk, win, isStrict),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -100,8 +100,12 @@ abstract class BufferedEventProcessor[K, I, B, O](bufEnc: Encoder[B])
     } else {
       buf.clear()
       held.foreach(buf.appendValue)
-      val wakeUs = (held.map(tsOf) ++ deadlines()).min
-      getHandle.registerTimer(math.max(wakeUs / 1000 + 1, wmUs / 1000 + 1))
+      val wakes = held.map(tsOf) ++ deadlines()
+      // a machine may hold deadline-free state (e.g. the Kleene runs'
+      // dead-island mark): nothing to wake for — the key's next event
+      // (if any) revives processing
+      if (wakes.nonEmpty)
+        getHandle.registerTimer(math.max(wakes.min / 1000 + 1, wmUs / 1000 + 1))
     }
     out.iterator
   }

@@ -4,7 +4,7 @@ import graft.analytics.UserBehaviorAnalytics
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming parity layer.
@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
   * unchanged under `readStream`; this module adds
   *   - the streaming source (watermarked events),
   *   - windowed aggs under watermark (A1–A7 analogs),
-  *   - `flatMapGroupsWithState` state machines with event-time timeouts
+  *   - `transformWithState` state machines (typed ListState/ValueState
+  *     + first-class event-time timers, on [[BufferedEventProcessor]])
   *     for the reference's KeyedProcessFunction semantics (T5, L1/L2,
   *     O2 — login-fail pairing, order-pay timeout),
   *   - per-micro-batch Top-N via foreachBatch (R1/R2: rank-after-agg is
@@ -393,9 +394,9 @@ object StreamingAnalytics {
     * windowEnd + 1 fires once the watermark passes and emits the
     * sorted top-N, then clears the key's state. This is the
     * `ListState + ctx.timerService().registerEventTimeTimer` +
-    * `onTimer` triple, 1:1 — the piece `flatMapGroupsWithState`
-    * approximates with timeouts and [[hotItemsTopNForeachBatch]]
-    * works around outside the query. State is bounded: one list per
+    * `onTimer` triple, 1:1 — the piece the pre-Spark-4
+    * `flatMapGroupsWithState` API only approximated with timeouts and
+    * [[hotItemsTopNForeachBatch]] works around outside the query. State is bounded: one list per
     * in-flight window, dropped at emission.
     *
     * Requires the RocksDB state store provider

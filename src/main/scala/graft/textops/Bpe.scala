@@ -164,6 +164,17 @@ object Bpe {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** The merge loop. Measured round-cost law (tools.BpeProbe, sf1,
+    * R=16 and R=64 — BASELINE "BPE merge-round law"): sec/round is
+    * FLAT in R (0.2–0.4 s; late rounds cheapest as merges shrink the
+    * seq arrays) and the loop holds O(1) vocab blocks at any R. At
+    * this vocabulary grain the per-round cost is fixed job overhead
+    * (4 jobs/round), not re-aggregation volume, so the incremental
+    * pair-stat cache (affected_frac bound ~3 %, a ~30× volume cut)
+    * would buy nothing — it starts paying only when the vocabulary is
+    * large enough (≫10⁶ words) that per-round scan time dominates
+    * scheduling.
+    */
   private def train(spark: SparkSession,
                     words: DataFrame): (DataFrame, DataFrame) = {
     var seqs = words

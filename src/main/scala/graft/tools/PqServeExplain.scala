@@ -70,6 +70,35 @@ object PqServeExplain {
     val jitS = timeServe(jit = true)
     println(f"pq_serve_explain tiebreak dir=$dir plain_s=$plainS%.2f " +
       f"jittered_s=$jitS%.2f")
+    // stage decomposition (round 13, after the tiebreak A/B refuted
+    // the comparator hypothesis): column pruning makes each timing
+    // exact — `count()` on the scored frame prunes the unused
+    // approx_cosine column (pure probe+candidate join), the max-agg
+    // adds the ADC scan, the full serve adds the rank window. The
+    // inter-stage deltas locate the K=16/K=64 inversion.
+    def timeStage(label: String)(f: => Unit): Unit = {
+      f; scrub()
+      val t = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f
+        val dt = (System.nanoTime() - t0) / 1e9
+        scrub(); dt
+      }.sorted.apply(reps / 2)
+      println(f"pq_serve_explain stage dir=$dir $label%-6s s=$t%.2f")
+    }
+    timeStage("cand") {
+      Pipelines.pqScoredCandidates(spark, dir, queries,
+        excludeSelfId = true).count(); ()
+    }
+    timeStage("scored") {
+      Pipelines.pqScoredCandidates(spark, dir, queries,
+          excludeSelfId = true)
+        .agg(org.apache.spark.sql.functions.max("approx_cosine"))
+        .collect(); ()
+    }
+    timeStage("full") {
+      Pipelines.annSearchPqFrom(spark, dir, queries,
+        excludeSelfId = true).count(); ()
+    }
     spark.stop()
   }
 }

@@ -7,13 +7,21 @@ import org.apache.spark.sql.SparkSession
   */
 object SparkTestBase {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .withExtensions(new GraftExtensions) // dogfood the library packaging
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // RocksDB state store as the session default — the library's
+    // recommended production posture (Session.tuneStreaming), and a
+    // REQUIREMENT of the transformWithState state machines the CEP /
+    // order-timeout / blacklist streams now ride. Tests that pin the
+    // HDFS-backed provider set it explicitly (StreamingRecoverySpec's
+    // provider-matrix case).
+    val s = Session.RocksDbStateStore
+      .foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
