@@ -658,8 +658,18 @@ object Dedup {
       // exactly one step per materialization: `step` references its
       // input twice (the pointer-jump self-join), so composing steps
       // without a checkpoint re-evaluates the inner subtree 2^k times
-      // — measured 50% slower at two steps despite fewer rounds
-      val next = step(labels).localCheckpoint()
+      // — measured 50% slower at two steps despite fewer rounds.
+      // FRESH-STATS checkpoint, not plain localCheckpoint: the plain
+      // form seeds each round's LogicalRDD with the PARENT plan's
+      // size estimate, and the pointer-jump self-join SQUARES it
+      // every round — sizeInBytes digits double per iteration, and at
+      // the sf10 round count Catalyst's BigInt stats arithmetic alone
+      // pinned the driver for 20+ minutes (found by the round-13 sf10
+      // full-surface sweep; invisible at sf0.1 where the compounding
+      // stays small). GraftCheckpoint derives the new leaf's stats
+      // from the materialized truth instead — bounded by construction.
+      val next = org.apache.spark.sql.execution.GraftCheckpoint
+        .localCheckpointFreshStats(step(labels))
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s

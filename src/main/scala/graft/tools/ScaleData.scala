@@ -91,7 +91,17 @@ object ScaleData {
     // actually have. Total within-cluster std ≈ 0.49 (λ² sum + ε²),
     // matching `clustered`'s 0.4 closely enough that serve-cost
     // comparisons stay apples-to-apples.
-    val aniso = args.length > 3 && args(3) == "aniso"
+    // `ganiso` 4th arg: GLOBALLY-aligned anisotropy — same low-rank
+    // model as `aniso` but the 4 dominant directions are drawn ONCE
+    // for the whole corpus instead of per cluster. The round-13 aniso
+    // four-way measured that per-cluster-random directions aggregate
+    // to isotropy across clusters (the shared codebook quantizes the
+    // superposition of 100 different 4-dim subspaces — no exploitable
+    // structure), so this is the geometry where trained / residual PQ
+    // can actually separate: a corpus-wide shared low-rank spectrum,
+    // the PCA-decay shape real text embeddings exhibit.
+    val ganiso = args.length > 3 && args(3) == "ganiso"
+    val aniso = ganiso || (args.length > 3 && args(3) == "aniso")
     // optional 5th arg `tables=a,b,c`: generate only the named tables
     // (e.g. `tables=documents` for the sf10 dedup rehearsal — 100×
     // lineitem/events would cost minutes and GBs the rehearsal never
@@ -192,9 +202,12 @@ object ScaleData {
         // independent of the vec_id % mod query-panel gate (same as
         // `clustered`).
         val g = "pmod(hash(vec_id), 100)"
+        // direction seed: per-cluster (aniso) or one corpus-wide
+        // constant (ganiso — globally aligned low-rank spectrum)
+        val dirSeed = if (ganiso) "777" else g
         val lowRank = Seq(0.35, 0.25, 0.18, 0.12).zipWithIndex
           .map { case (l, j) =>
-            s"$l * ${gaussNoI("vec_id", 201 + 2 * j)} * ${gauss(g, 101 + 2 * j)}" }
+            s"$l * ${gaussNoI("vec_id", 201 + 2 * j)} * ${gauss(dirSeed, 101 + 2 * j)}" }
           .mkString("\n  + ")
         df.withColumn("embedding", expr(
           s"""transform(sequence(0, 63), i -> cast(
