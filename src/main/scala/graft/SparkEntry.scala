@@ -113,6 +113,7 @@ object SparkEntry {
     "dedup_clusters_multi_capped" -> ((s, d) => Dedup.dedupClustersMultiCapped(s, d)),
     "similarity_topk"   -> ((s, d) => Similarity.similarityTopK(s, d)),
     "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
+    "dedup_embedding_capped" -> ((s, d) => Similarity.dedupEmbeddingCapped(s, d)),
     "similarity_ivf"    -> ((s, d) => Similarity.similarityIvf(s, d)),
     "similarity_ivf_trained" -> ((s, d) => Similarity.similarityIvfTrained(s, d)),
     "similarity_lsh"    -> ((s, d) => Similarity.similarityLsh(s, d)),
@@ -183,9 +184,11 @@ object SparkEntry {
     * The UNCAPPED superlinear dedup tiers live here too: their own
     * skew rehearsals disqualify them at scale (305 s uncapped vs 26 s
     * capped on the sf1 boilerplate tier; clusters 3.0× vs 1.03× —
-    * BASELINE.md skew table), and their `_capped` siblings are
-    * output-identical at the correctness tiers. They remain oracled
-    * exactness anchors, not serving paths.
+    * BASELINE.md skew table; dedup_embedding ~0.2·n² on uniform
+    * vectors, 166.7 s / 41.8×/decade at sf10 — round 14 gave it the
+    * occupancy-capped sibling the LSH tiers got in round 9), and
+    * their `_capped` siblings are output-identical at the correctness
+    * tiers. They remain oracled exactness anchors, not serving paths.
     *
     * similarity_pq (round 11): dominated as a SERVING tier by its
     * sibling similarity_sq8 at this dimensionality — 40.2 s vs 28.1 s
@@ -201,6 +204,7 @@ object SparkEntry {
     Set("dedup_candidate_stats", "dedup_substring_curve",
       "similarity_cell_stats", "similarity_lsh_stats",
       "dedup_ngram_jaccard", "dedup_clusters_multi",
+      "dedup_embedding",
       "similarity_pq")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -507,6 +511,7 @@ object SparkEntry {
     "dedup_clusters_multi_capped" -> Dedup.dedupClustersMultiCappedOracle,
     "similarity_topk"     -> Similarity.similarityTopKOracle(),
     "dedup_embedding"     -> Similarity.dedupEmbeddingOracle,
+    "dedup_embedding_capped" -> Similarity.dedupEmbeddingCappedOracle,
     "similarity_ivf"      -> Similarity.similarityIvfOracle,
     "similarity_ivf_trained" -> Similarity.similarityIvfTrainedOracle,
     "similarity_lsh"      -> Similarity.similarityLshOracle,

@@ -120,13 +120,18 @@ object Similarity {
     */
   private[graft] val geomCte: String =
     s"""geom AS (
-       |  SELECT c, bits, md,
-       |         greatest(6, CAST(floor(c * 0.2 + 0.5) AS BIGINT)) AS np
+       |  SELECT c, bits, md, nv,
+       |         greatest(6, CAST(floor(c * 0.2 + 0.5) AS BIGINT)) AS np,
+       |         CASE WHEN nv <= 65536 THEN 192
+       |              WHEN nv <= 4194304 THEN 288 ELSE 384 END AS capa,
+       |         CASE WHEN nv <= 65536 THEN 1024
+       |              WHEN nv <= 4194304 THEN 1536 ELSE 2048 END AS capp
        |  FROM (
        |    SELECT greatest(16, CAST(floor(sqrt(count(*) / 2.0) + 0.5) AS BIGINT)) AS c,
        |           least($MaxLshBits, greatest(8,
        |             CAST(floor(ln(CAST(count(*) AS DOUBLE)) / ln(2.0) + 0.5) AS BIGINT) - 1)) AS bits,
-       |           greatest(10, count(*) // 50) AS md
+       |           greatest(10, count(*) // 50) AS md,
+       |           count(*) AS nv
        |    FROM embeddings
        |  )
        |)""".stripMargin
@@ -134,6 +139,8 @@ object Similarity {
   private val gNp = "(SELECT np FROM geom)"
   private val gMod = "(SELECT md FROM geom)"
   private val gBits = "(SELECT bits FROM geom)"
+  private val gCapA = "(SELECT capa FROM geom)"
+  private val gCapP = "(SELECT capp FROM geom)"
 
   /** Probe width for the IVF tier: a FIXED ~20 % of the cell count
     * (floor 6). Scaling C with √n while holding nProbe constant
@@ -151,6 +158,35 @@ object Similarity {
     */
   private[graft] def autoNProbe(c: Int): Int =
     math.max(6, math.round(c * 0.2).toInt)
+
+  /** Per-cell candidate-occupancy caps for [[dedupEmbeddingCapped]] —
+    * the embedding tier's analog of [[Dedup.autoMaxDf]], but with the
+    * opposite growth law, because the blowup it bounds is the opposite
+    * kind: LSH bucket occupancy is O(1) for genuine near-dups and Θ(n)
+    * only for boilerplate (a linear corpus-relative cap separates
+    * them), while IVF cell occupancy grows as Θ(√n) on the assign side
+    * and Θ(n·0.2/C·np)=Θ(0.2·n) on the probe side BY GEOMETRY — there
+    * is no signal/noise separation to exploit, so any cap that tracks
+    * occupancy multiplicatively never binds and the pair scan stays
+    * ~0.2·n² (the sf10 decade table's one real quadratic: 166.7 s,
+    * 41.8×/decade). The only structural fix is a cap that grows
+    * SLOWER than occupancy: a stepped ~log-shaped schedule over
+    * power-of-two corpus thresholds (integer comparisons — replays
+    * bit-exactly in the DuckDB geom CTE, unlike a float log2), sized
+    * so the correctness tiers are provably no-ops (measured occ_max:
+    * assign 42/79, probe 204/410 at sf0.01/sf0.1 → ≥2.4× headroom)
+    * and the scale tiers bind (sf10: assign mean 632 vs 288, probe
+    * mean ~40 k vs 1536 → candidates ≤ C·capA·capP ≈ 140 M vs the
+    * uncapped 8×10⁹ — ~√n per decade instead of n²). The recall cost
+    * is the documented structure-free-data trade ([[autoNProbe]]):
+    * bounded work and scale-stable recall cannot coexist on uniform
+    * vectors; the capped tier buys the former, and the uncapped form
+    * stays available as the diagnostic exactness anchor.
+    */
+  private[graft] def autoCapAssign(n: Long): Int =
+    if (n <= 65536L) 192 else if (n <= 4194304L) 288 else 384
+  private[graft] def autoCapProbe(n: Long): Int =
+    if (n <= 65536L) 1024 else if (n <= 4194304L) 1536 else 2048
 
   /** Brute-force cosine top-k, on a deterministic 1-in-`sampleMod`
     * query sample. The exact all-pairs scan only ever runs as a QA
@@ -230,7 +266,7 @@ object Similarity {
           .orderBy(col("csim").desc, col("cent_id").asc)))
       .where(col("crk") <= nProbe)
       .select(col("vec_id"), col("v"), col("nrm"),
-        col("cent_id").as("cell"), col("crk"))
+        col("cent_id").as("cell"), col("crk"), col("csim"))
       .localCheckpoint()
   }
 
@@ -380,6 +416,97 @@ object Similarity {
        |), probes AS (
        |  SELECT vec_id AS qid, v AS qv, nrm AS qn, cent_id AS cell
        |  FROM rankedcells WHERE crk <= $gNp
+       |)
+       |SELECT DISTINCT least(p.qid, a.vec_id) AS vec1,
+       |       greatest(p.qid, a.vec_id) AS vec2,
+       |       ${dotDuck("p.qv", "a.v", "d")} / (p.qn * a.nrm) AS cosine
+       |FROM probes p JOIN assign a ON p.cell = a.cell AND p.qid <> a.vec_id
+       |WHERE ${dotDuck("p.qv", "a.v", "w")} / (p.qn * a.nrm) >= 0.4
+       |ORDER BY vec1, vec2""".stripMargin
+
+  /** Occupancy-capped embedding near-dup pairs — [[dedupEmbedding]]
+    * with per-cell candidate volume bounded BEFORE pair expansion, the
+    * same structural move [[Dedup.minhashLshCapped]] makes at the band
+    * stage. Within every IVF cell, both join sides are ranked by
+    * centroid affinity (csim DESC, vec_id ASC — the rank the index
+    * already computed) and truncated: the assign side keeps its
+    * [[autoCapAssign]] core vectors, the probe side its
+    * [[autoCapProbe]] strongest probes, so candidates ≤ C·capA·capP
+    * regardless of corpus geometry — the uncapped form's ~0.2·n² pair
+    * scan on uniform vectors (sf10: 166.7 s, 41.8×/decade) becomes
+    * ~√n per decade. Ranking by affinity rather than vec_id is
+    * deliberate: near-duplicate vectors have near-identical csim to
+    * every centroid, so a dup pair stays inside (or falls outside) a
+    * cell's kept core TOGETHER except exactly at the cap boundary —
+    * an id-ranked cap would split pairs uniformly at random. A pair is
+    * missed iff in every shared probed cell at least one side is
+    * outside the kept set; at the correctness tiers the caps exceed
+    * every cell's occupancy (measured ≥2.4× headroom — see
+    * [[autoCapAssign]]) so output is bit-identical to the uncapped
+    * tier (pinned by AnalyticsSpec), and the DuckDB oracle replays the
+    * full capped pipeline so the hash gate holds at ANY scale, binding
+    * or not. Both rank filters are `row_number() <= k` windows —
+    * Spark's WindowGroupLimit rewrites them to map-side per-partition
+    * top-k before the cell shuffle, so the cap PRUNES the exchange
+    * instead of following it.
+    */
+  def dedupEmbeddingCapped(spark: SparkSession, sfDir: String,
+                           threshold: Double = 0.4, nCentroids: Int = -1,
+                           nProbe: Int = -1, capAssign: Int = -1,
+                           capProbe: Int = -1): DataFrame = {
+    import spark.implicits._
+    val n = nVecs(spark, sfDir)
+    val cA = if (capAssign > 0) capAssign else autoCapAssign(n)
+    val cP = if (capProbe > 0) capProbe else autoCapProbe(n)
+    val ranked = ivfRanked(spark, sfDir, nCentroids, nProbe)
+    val cellW = Window.partitionBy($"cell")
+      .orderBy($"csim".desc, $"vec_id".asc)
+    val assign = ranked.where($"crk" === 1)
+      .withColumn("ark", row_number().over(cellW))
+      .where($"ark" <= cA)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+    val probes = ranked
+      .withColumn("prk", row_number().over(cellW))
+      .where($"prk" <= cP)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"cell")
+    probes.join(assign, "cell")
+      .where($"qid" =!= $"vec_id")
+      .select(least($"qid", $"vec_id").as("vec1"),
+        greatest($"qid", $"vec_id").as("vec2"),
+        expr(s"${dotSpark("qv", "v", "d")} / (qn * nrm)").as("cosine"))
+      .where($"cosine" >= threshold)
+      .distinct()
+      .orderBy($"vec1", $"vec2")
+  }
+
+  val dedupEmbeddingCappedOracle: String =
+    s"""WITH $geomCte, e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), cent AS (
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < $gC
+       |), rankedcells AS (
+       |  SELECT vec_id, v, nrm, cent_id,
+       |         ${dotDuck("n.v", "c.centv", "s")} / (n.nrm * c.centn) AS csim,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY
+       |           ${dotDuck("n.v", "c.centv", "a")} / (n.nrm * c.centn) DESC,
+       |           cent_id ASC) AS crk
+       |  FROM n CROSS JOIN cent c
+       |), assign AS (
+       |  SELECT vec_id, v, nrm, cell FROM (
+       |    SELECT vec_id, v, nrm, cent_id AS cell,
+       |           row_number() OVER (PARTITION BY cent_id
+       |             ORDER BY csim DESC, vec_id ASC) AS ark
+       |    FROM rankedcells WHERE crk = 1
+       |  ) WHERE ark <= $gCapA
+       |), probes AS (
+       |  SELECT qid, qv, qn, cell FROM (
+       |    SELECT vec_id AS qid, v AS qv, nrm AS qn, cent_id AS cell,
+       |           row_number() OVER (PARTITION BY cent_id
+       |             ORDER BY csim DESC, vec_id ASC) AS prk
+       |    FROM rankedcells WHERE crk <= $gNp
+       |  ) WHERE prk <= $gCapP
        |)
        |SELECT DISTINCT least(p.qid, a.vec_id) AS vec1,
        |       greatest(p.qid, a.vec_id) AS vec2,

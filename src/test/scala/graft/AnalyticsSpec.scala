@@ -238,6 +238,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ivf.except(exact).isEmpty, "IVF emitted a pair not in the exact set")
   }
 
+  test("dedup_embedding_capped: no-op at correctness tiers, binding caps never add or rescore") {
+    val uncapped = Similarity.dedupEmbedding(spark, sf).cache()
+    val capped = Similarity.dedupEmbeddingCapped(spark, sf)
+    // auto caps resolve to a no-op at the correctness tiers: output
+    // bit-identical to the uncapped tier
+    assert(capped.except(uncapped).isEmpty && uncapped.except(capped).isEmpty,
+      "auto-capped output diverged from uncapped at a correctness tier")
+    // pin the cap schedule: the first rung must keep ≥2× headroom over
+    // the measured correctness-tier occupancy maxima (assign 42/79,
+    // probe 204/410 at sf0.01/sf0.1) — a future edit that shrinks a
+    // rung below those breaks the bit-identity the oracle spec claims
+    assert(Similarity.autoCapAssign(500) == 192 &&
+      Similarity.autoCapProbe(500) == 1024)
+    assert(Similarity.autoCapAssign(65537) == 288 &&
+      Similarity.autoCapProbe(65537) == 1536)
+    assert(Similarity.autoCapAssign(5000000L) == 384 &&
+      Similarity.autoCapProbe(5000000L) == 2048)
+    // binding caps: a 2-vector core per cell must still be SOUND —
+    // capped ⊆ uncapped row-for-row (the cap removes candidate pairs,
+    // never invents or rescores them) and strictly smaller here
+    val tiny = Similarity.dedupEmbeddingCapped(spark, sf,
+      capAssign = 2, capProbe = 4).cache()
+    assert(tiny.join(uncapped, Seq("vec1", "vec2", "cosine"), "left_anti")
+      .isEmpty, "binding cap invented or rescored a pair")
+    assert(tiny.count() < uncapped.count(),
+      "a 2-per-cell core cannot retain every pair of this corpus")
+  }
+
   test("tx_match: status counts partition the tx universe") {
     val df = DetectionAnalytics.txMatch(spark, sf).cache()
     val pays = df.where($"pay_cnt" > 0).count()

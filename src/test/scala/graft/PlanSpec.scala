@@ -70,6 +70,17 @@ class PlanSpec extends AnyFunSuite {
       "per-window top-n rank not pushed below the full window sort")
   }
 
+  test("dedup_embedding_capped: both cell caps push down as WindowGroupLimit") {
+    // the caps must PRUNE the cell exchange (map-side per-partition
+    // top-k), not follow it — otherwise the capped tier still shuffles
+    // the full 0.2·n² candidate feed it exists to avoid
+    val plan = planString(graft.textops.Similarity
+      .dedupEmbeddingCapped(spark, sf))
+    val limits = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(limits >= 2,
+      s"expected both cap rank filters as WindowGroupLimit, got $limits")
+  }
+
   test("events_compact: keep-latest rank pushes down as WindowGroupLimit") {
     val plan = planString(RelationalAnalytics.eventsCompact(spark, sf))
     assert(plan.contains("WindowGroupLimit"),
