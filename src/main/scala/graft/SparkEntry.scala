@@ -114,6 +114,7 @@ object SparkEntry {
     "similarity_topk"   -> ((s, d) => Similarity.similarityTopK(s, d)),
     "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     "dedup_embedding_capped" -> ((s, d) => Similarity.dedupEmbeddingCapped(s, d)),
+    "embedding_spectrum" -> ((s, d) => Similarity.embeddingSpectrum(s, d)),
     "similarity_ivf"    -> ((s, d) => Similarity.similarityIvf(s, d)),
     "similarity_ivf_trained" -> ((s, d) => Similarity.similarityIvfTrained(s, d)),
     "similarity_lsh"    -> ((s, d) => Similarity.similarityLsh(s, d)),
@@ -512,6 +513,7 @@ object SparkEntry {
     "similarity_topk"     -> Similarity.similarityTopKOracle(),
     "dedup_embedding"     -> Similarity.dedupEmbeddingOracle,
     "dedup_embedding_capped" -> Similarity.dedupEmbeddingCappedOracle,
+    "embedding_spectrum"  -> Similarity.embeddingSpectrumOracle,
     "similarity_ivf"      -> Similarity.similarityIvfOracle,
     "similarity_ivf_trained" -> Similarity.similarityIvfTrainedOracle,
     "similarity_lsh"      -> Similarity.similarityLshOracle,

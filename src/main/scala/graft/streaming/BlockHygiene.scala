@@ -68,6 +68,31 @@ object BlockHygiene {
     ck
   }
 
+  /** Register an already-persisted RDD id with the innermost bracket
+    * on this thread (no-op outside a bracket) — the raw-id form of
+    * [[checkpointTracked]] for checkpoint paths that materialize their
+    * own RDD instead of calling `Dataset.localCheckpoint` (the
+    * fresh-stats checkpoint in
+    * `org.apache.spark.sql.execution.GraftCheckpoint`). Without this,
+    * a bracketed caller of such a path would leak one persisted RDD
+    * per micro-batch and the untracked-RDD detector would report every
+    * round as a re-leak.
+    */
+  def trackPersisted(rddId: Int): Unit =
+    for (buf <- active.get())
+      liveBufs.synchronized { buf += rddId }
+
+  /** Unpersist the checkpointed RDD a frame reads (no-op for frames
+    * whose plan has no [[LogicalRDD]] leaf). For loop-carried
+    * checkpoints whose previous round is provably dead — the lineage
+    * is truncated, so ONLY call this when nothing can re-evaluate the
+    * old frame.
+    */
+  def unpersistCheckpointed(df: DataFrame): Unit =
+    for (id <- persistedRddId(df);
+         rdd <- df.sparkSession.sparkContext.getPersistentRDDs.get(id))
+      rdd.unpersist(blocking = false)
+
   private def persistedRddId(ck: DataFrame): Option[Int] =
     ck.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd.id }
 

@@ -93,8 +93,11 @@ abstract class BufferedEventProcessor[K, I, B, O](bufEnc: Encoder[B])
     step(key, ready.sortBy(b => (tsOf(b), ordOf(b))), wmUs, out)
     // timer hygiene: re-arm from scratch each transition — registered
     // timers persist until they fire, so a stale earlier wake would
-    // otherwise fire a spurious (if harmless) extra transition
-    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    // otherwise fire a spurious (if harmless) extra transition.
+    // Materialize before deleting: mutating the state store while its
+    // own listTimers() iterator is live relies on snapshot isolation
+    // the provider contract doesn't promise
+    getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
     if (held.isEmpty && domainEmpty) {
       buf.clear(); clearDomain()
     } else {

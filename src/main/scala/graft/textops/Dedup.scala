@@ -634,6 +634,10 @@ object Dedup {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     var prevSum = labelSum(labels)
+    // the round-0 labels checkpoint is ALSO read by `isolated` at the
+    // very end — it must stay pinned; every later round's checkpoint
+    // is dead the moment its successor materializes
+    val labels0 = labels
     var converged = false
     // one propagation: adopt the min neighbor label, then pointer-jump
     // (path halving — also adopt label(label)); the jump cuts the
@@ -671,6 +675,13 @@ object Dedup {
       val next = org.apache.spark.sql.execution.GraftCheckpoint
         .localCheckpointFreshStats(step(labels))
       val s = labelSum(next)
+      // `next` is materialized (the fresh-stats checkpoint counts
+      // eagerly), so the previous round's blocks are unreachable —
+      // free them NOW instead of pinning O(rounds) checkpoints per
+      // call (lineage is truncated, but nothing re-evaluates the old
+      // frame; labels0 is the one exception, read by `isolated`)
+      if (labels ne labels0)
+        graft.streaming.BlockHygiene.unpersistCheckpointed(labels)
       converged = s == prevSum
       prevSum = s
       labels = next

@@ -459,15 +459,28 @@ object Similarity {
     val cA = if (capAssign > 0) capAssign else autoCapAssign(n)
     val cP = if (capProbe > 0) capProbe else autoCapProbe(n)
     val ranked = ivfRanked(spark, sfDir, nCentroids, nProbe)
+    // Rank on NARROW rows and re-attach the vectors afterwards: the
+    // cap windows must not drag the 64-double payload through their
+    // exchange+sort (at sf10 that is ~7 GB of wide probe rows —
+    // measured to cost more than the pair scan the cap saves). The
+    // kept key set is bounded a priori at C·cap rows of two longs, so
+    // the re-attach is a broadcast LEFT SEMI against the checkpointed
+    // frame — a narrow map-side filter, no wide shuffle; C·capP stays
+    // far below any broadcast budget for plausible C = √(n/2).
     val cellW = Window.partitionBy($"cell")
       .orderBy($"csim".desc, $"vec_id".asc)
-    val assign = ranked.where($"crk" === 1)
-      .withColumn("ark", row_number().over(cellW))
-      .where($"ark" <= cA)
+    val narrow = ranked.select($"vec_id", $"cell", $"csim", $"crk")
+    def keep(keys: DataFrame, wide: DataFrame): DataFrame =
+      wide.join(broadcast(keys.select($"vec_id", $"cell")),
+        Seq("vec_id", "cell"), "left_semi")
+    val assign = keep(
+      narrow.where($"crk" === 1)
+        .withColumn("ark", row_number().over(cellW)).where($"ark" <= cA),
+      ranked.where($"crk" === 1))
       .select($"vec_id", $"v", $"nrm", $"cell")
-    val probes = ranked
-      .withColumn("prk", row_number().over(cellW))
-      .where($"prk" <= cP)
+    val probes = keep(
+      narrow.withColumn("prk", row_number().over(cellW)).where($"prk" <= cP),
+      ranked)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"cell")
     probes.join(assign, "cell")
       .where($"qid" =!= $"vec_id")
@@ -581,6 +594,146 @@ object Similarity {
        |SELECT train_id, eval_id, cosine,
        |       cosine >= $threshold AS contaminated
        |FROM best WHERE r = 1 ORDER BY train_id""".stripMargin
+
+  /** Corpus-spectrum measurement: the exact 64×64 covariance moment
+    * table of the embedding corpus, upper triangle — the decision
+    * instrument the round-13 separating-geometry law calls for
+    * (BASELINE "ganiso" close): residual-trained PQ separates from
+    * seeded PQ exactly when the corpus' dominant variance directions
+    * are GLOBALLY aligned, i.e. when the top few eigenvalues of this
+    * matrix carry most of the trace. Deployment rule: run this once
+    * per corpus; if share(top-4 eigenvalues) ≫ 4/64 (the isotropic
+    * floor — measured: uniform 0.072, clustered 0.187, per-cluster
+    * aniso 0.189 vs globally-aligned ganiso 0.461 at ε=0.3), build the
+    * trained/residual IVFADC index ([[graft.textops.Pipelines]]
+    * `materializePq` residual=true); else spend the same budget on a
+    * wider re-rank pool. Eigenvalues come from the driver-side 64×64
+    * Jacobi pass ([[spectrumShares]] / `tools.SpectrumProbe`) — the
+    * QUERY stays a single bounded partial aggregate so the gate is a
+    * hash match: per dimension pair (i ≤ j), exact integer micro-unit
+    * moments (Σxᵢxⱼ, Σxᵢ, Σxⱼ in 10⁻⁶ units — products ≤ 10¹² per row,
+    * sums < 2⁶³ to ~9×10⁶ vectors; a 100 TB corpus drops the micro
+    * scale a digit per 100×) and the derived double covariance.
+    *
+    * Scale shape: vectors never shuffle — the pair explode feeds a
+    * hash aggregate with 2 080 groups, so map-side partial agg
+    * collapses each partition to ≤2 080 rows before the one exchange;
+    * cost is one corpus pass regardless of n.
+    */
+  def embeddingSpectrum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .selectExpr("transform(cast(embedding as array<double>), " +
+        "x -> cast(floor(x * 1000000) as bigint)) as m")
+      .selectExpr("explode(flatten(transform(m, (xi, i) -> " +
+        "transform(slice(m, i + 1, size(m) - i), (xj, j) -> " +
+        "named_struct('di', i, 'dj', i + j, 'p', xi * xj, " +
+        "'xi', xi, 'xj', xj))))) as e")
+      .groupBy($"e.di".as("dim_i"), $"e.dj".as("dim_j"))
+      .agg(count(lit(1)).as("n"), sum($"e.p").as("sxy"),
+        sum($"e.xi").as("sxi"), sum($"e.xj").as("sxj"))
+      .selectExpr("cast(dim_i as int) as dim_i", "cast(dim_j as int) as dim_j",
+        "n", "sxy", "sxi", "sxj",
+        "(cast(sxy as double) / n - (cast(sxi as double) / n) " +
+          "* (cast(sxj as double) / n)) / 1000000.0 / 1000000.0 as cov")
+      .orderBy($"dim_i", $"dim_j")
+  }
+
+  val embeddingSpectrumOracle: String =
+    """WITH mm AS (
+      |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+      |           x -> CAST(floor(x * 1000000) AS BIGINT)) AS m
+      |  FROM embeddings
+      |), pairs AS (
+      |  SELECT unnest(flatten(list_transform(m, (xi, i) ->
+      |    list_transform(m[i:], (xj, j) ->
+      |      struct_pack(di := i - 1, dj := i + j - 2, p := xi * xj,
+      |                  xi := xi, xj := xj))))) AS e
+      |  FROM mm
+      |), agg AS (
+      |  SELECT e.di AS dim_i, e.dj AS dim_j, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(e.p) AS BIGINT) AS sxy,
+      |         CAST(sum(e.xi) AS BIGINT) AS sxi,
+      |         CAST(sum(e.xj) AS BIGINT) AS sxj
+      |  FROM pairs GROUP BY 1, 2
+      |)
+      |SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
+      |       n, sxy, sxi, sxj,
+      |       (CAST(sxy AS DOUBLE) / n - (CAST(sxi AS DOUBLE) / n)
+      |          * (CAST(sxj AS DOUBLE) / n)) / 1000000.0 / 1000000.0 AS cov
+      |FROM agg ORDER BY dim_i, dim_j""".stripMargin
+
+  /** Eigenvalue shares of a symmetric covariance matrix — the
+    * driver-side half of [[embeddingSpectrum]] (a 64×64 cyclic Jacobi
+    * pass is microseconds; the cluster computes the moments, the
+    * driver the spectrum). Returns share(top-k) = (Σ largest k
+    * eigenvalues) / trace for each requested k. Classic cyclic Jacobi
+    * rotations (Golub & Van Loan §8.5): annihilate each off-diagonal
+    * pair per sweep until the off-diagonal Frobenius mass is < 10⁻¹²
+    * of the total, which for a 64×64 covariance converges in ≤ ~10
+    * sweeps.
+    */
+  private[graft] def spectrumShares(cov: Array[Array[Double]],
+                                    ks: Seq[Int]): Map[Int, Double] = {
+    val d = cov.length
+    val a = Array.tabulate(d, d)((i, j) => cov(i)(j))
+    def offNorm2 = {
+      var s = 0.0
+      for (i <- 0 until d; j <- 0 until d if i != j) s += a(i)(j) * a(i)(j)
+      s
+    }
+    val tot2 = {
+      var s = 0.0
+      for (i <- 0 until d; j <- 0 until d) s += a(i)(j) * a(i)(j)
+      s max Double.MinPositiveValue
+    }
+    var sweep = 0
+    while (sweep < 50 && offNorm2 > 1e-24 * tot2) {
+      for (p <- 0 until d - 1; q <- p + 1 until d if math.abs(a(p)(q)) > 0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        // tan of the annihilating angle; theta == 0 → 45° rotation,
+        // |theta| == ∞ (a(p)(q) denormal vs huge diagonal gap) → the
+        // quotient underflows to 0 and the rotation is the identity —
+        // both limits fall out of the same expression
+        val raw = math.signum(theta) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val t = if (raw == 0.0 && theta == 0.0) 1.0 else raw
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (k <- 0 until d) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+        }
+        for (k <- 0 until d) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+        }
+      }
+      sweep += 1
+    }
+    val eig = (0 until d).map(i => a(i)(i)).sortBy(-_)
+    val trace = eig.sum max Double.MinPositiveValue
+    ks.map(k => k -> eig.take(k).sum / trace).toMap
+  }
+
+  /** [[embeddingSpectrum]] collected into the dense symmetric matrix +
+    * [[spectrumShares]] — what `tools.SpectrumProbe` and the
+    * separation spec run. The collect is 2 080 rows, not the corpus.
+    */
+  def spectrumTopShares(spark: SparkSession, sfDir: String,
+                        ks: Seq[Int] = Seq(1, 2, 4, 8)): Map[Int, Double] = {
+    val rows = embeddingSpectrum(spark, sfDir)
+      .selectExpr("dim_i", "dim_j", "cov").collect()
+    val d = rows.iterator.map(_.getInt(1)).max + 1
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    spectrumShares(cov, ks)
+  }
 
   /** IVF-bucketed ANN: C=16 fixed centroids (vec_id < 16), every vector
     * assigned to its nearest centroid cell, queries probe their nProbe

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * at 10× (sf1) on this host — converting the 100 TB plan-shape
   * arguments into executed evidence (VERDICT r6 top-next item).
   *
-  * Usage: `ScaleData <inSfDir> <outDir> <factor> [skew|clustered|aniso]` (driver
+  * Usage: `ScaleData <inSfDir> <outDir> <factor>
+  * [skew|clustered|aniso|ganiso] [fixedvocab] [tables=a,b]` (driver
   * testdata is read-only; write under target/, e.g. `target/sf1`).
   * With `skew`, the same tier is generated under a power-law key
   * distribution (one hot item key, corpus-wide boilerplate text) for
@@ -102,6 +103,19 @@ object ScaleData {
     // the PCA-decay shape real text embeddings exhibit.
     val ganiso = args.length > 3 && args(3) == "ganiso"
     val aniso = ganiso || (args.length > 3 && args(3) == "aniso")
+    // `fixedvocab` arg (composes with `tables=`): documents replicate
+    // WITHOUT the per-token copy suffix, so the corpus grows ×factor
+    // while the token/n-gram VOCABULARY stays exactly the source
+    // tier's. This is the control for the decade-table attribution
+    // claim that `ngram_diversity` (27×/decade) and `lang_id_eval`
+    // (22.5×) are agg-state-growth artifacts of the suffixing
+    // generator, not plan defects: under fixed vocab their agg state
+    // is constant, so a linear re-measure proves the claim and a
+    // still-superlinear one exposes a real plan problem. NOT valid
+    // for dedup/pair tiers — every doc gains factor−1 exact
+    // cross-copy clones by construction (that's the point of the
+    // suffix this mode removes).
+    val fixedVocab = args.drop(3).contains("fixedvocab")
     // optional 5th arg `tables=a,b,c`: generate only the named tables
     // (e.g. `tables=documents` for the sf10 dedup rehearsal — 100×
     // lineitem/events would cost minutes and GBs the rehearsal never
@@ -165,7 +179,7 @@ object ScaleData {
         when(pmod(hash(col("event_id")), lit(100)) < 30,
           lit("""{"k": 7}""")).otherwise(col("props"))))
     rep("documents", Seq("doc_id"), 8, df => {
-      val suffixed = df.withColumn("text",
+      val suffixed = if (fixedVocab) df else df.withColumn("text",
         when(col("c") === 0, col("text")).otherwise(
           array_join(transform(split(col("text"), " "),
             t => concat(t, lit("x"), col("c"))), " ")))

@@ -1,6 +1,7 @@
 package org.apache.spark.sql.execution
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection}
 import org.apache.spark.sql.classic
 
 /** `localCheckpoint` with SANE, FRESH statistics — the fix for the
@@ -50,12 +51,36 @@ object GraftCheckpoint {
     val spark = ds.sparkSession
     // same materialization as Dataset.checkpoint: copy the unsafe rows
     // (operators reuse row buffers) and pin the blocks on executors
+    val physical = ds.queryExecution.executedPlan
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
     rdd.count() // eager, like localCheckpoint()'s default
+    // register with any open BlockHygiene bracket, exactly like a
+    // plain checkpointTracked — a bracketed streaming caller must have
+    // these blocks swept per micro-batch too (batch callers manage
+    // unpersist themselves, as before)
+    graft.streaming.BlockHygiene.trackPersisted(rdd.id)
+    // preserve the physical partitioning/ordering like
+    // Dataset.localCheckpoint means to (a PartitioningCollection
+    // reports its first leaf — same rule as Spark's own checkpoint):
+    // ONLY the statistics are deliberately fresh; dropping the
+    // partitioning too would re-shuffle the checkpointed frame in
+    // every downstream join even though the materialized data is
+    // already hash-partitioned. Under AQE the top-level
+    // AdaptiveSparkPlanExec reports UnknownPartitioning FOREVER (even
+    // after execution), so unwrap to its finalized inner plan — the
+    // count() above forced plan finalization
+    def firstLeaf(p: Partitioning): Partitioning = p match {
+      case c: PartitioningCollection => firstLeaf(c.partitionings.head)
+      case other => other
+    }
+    val resolved = physical match {
+      case a: adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
     classic.Dataset.ofRows(spark,
       new LogicalRDD(ds.queryExecution.analyzed.output, rdd,
-        org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0),
-        Nil, false, None)(spark, None, None))
+        firstLeaf(resolved.outputPartitioning),
+        resolved.outputOrdering, false, None)(spark, None, None))
   }
 }

@@ -266,6 +266,41 @@ class AnalyticsSpec extends AnyFunSuite {
       "a 2-per-cell core cannot retain every pair of this corpus")
   }
 
+  test("embedding_spectrum: moment table shape + Jacobi shares separate aligned low-rank from isotropic") {
+    // shape: full upper triangle of the 64×64, every row carrying the
+    // corpus count, positive diagonal variance
+    val rows = Similarity.embeddingSpectrum(spark, sf).cache()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(rows.count() === 64L * 65 / 2)
+    assert(rows.where($"n" =!= nVecs).isEmpty)
+    assert(rows.where($"dim_i" === $"dim_j" && $"cov" <= 0.0).isEmpty,
+      "a diagonal (variance) entry must be strictly positive")
+    // the Jacobi pass: exact shares on a known diagonal matrix
+    val diag = Array.tabulate(8, 8)((i, j) =>
+      if (i == j) (8 - i).toDouble else 0.0)
+    val s = Similarity.spectrumShares(diag, Seq(1, 2, 8))
+    assert(math.abs(s(1) - 8.0 / 36) < 1e-12 &&
+      math.abs(s(2) - 15.0 / 36) < 1e-12 && math.abs(s(8) - 1.0) < 1e-12)
+    // rotated rank-1 + isotropic floor: top-1 share must recover the
+    // planted spectrum share regardless of basis (eigenvalues are
+    // rotation-invariant — the property per-DIMENSION variance lacks)
+    val d = 16
+    val u = Array.tabulate(d)(i => 1.0 / math.sqrt(d.toDouble))
+    val planted = Array.tabulate(d, d)((i, j) =>
+      9.0 * u(i) * u(j) + (if (i == j) 0.5 else 0.0))
+    val p = Similarity.spectrumShares(planted, Seq(1, 4))
+    val want1 = 9.5 / (9.0 + 0.5 * d)
+    assert(math.abs(p(1) - want1) < 1e-9,
+      s"rank-1 share: got ${p(1)}, want $want1")
+    // the decision separation: the testdata corpus is near-uniform
+    // (structure-free), so its top-4 share must sit near the isotropic
+    // floor 4/64 — the 'widen the re-rank pool' side of the rule; the
+    // globally-aligned tiers measured in BASELINE sit far above it
+    val corpus = Similarity.spectrumTopShares(spark, sf, Seq(4))
+    assert(corpus(4) < 2.5 * 4.0 / 64,
+      s"uniform corpus read as globally aligned: share(top4)=${corpus(4)}")
+  }
+
   test("tx_match: status counts partition the tx universe") {
     val df = DetectionAnalytics.txMatch(spark, sf).cache()
     val pays = df.where($"pay_cnt" > 0).count()

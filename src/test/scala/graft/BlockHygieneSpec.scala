@@ -38,6 +38,36 @@ class BlockHygieneSpec extends AnyFunSuite {
     bystander.unpersist(blocking = true)
   }
 
+  test("fresh-stats checkpoint is bracket-tracked: swept on exit, not reported as a re-leak") {
+    val before = persistedIds
+    val reported = scala.collection.mutable.Set.empty[Int]
+    val saved = BlockHygiene.onUntracked
+    BlockHygiene.onUntracked = ids => reported ++= ids
+    try {
+      BlockHygiene.releasingNewPersists(spark) {
+        org.apache.spark.sql.execution.GraftCheckpoint
+          .localCheckpointFreshStats(Seq(1, 2).toDF("v")).count()
+      }
+    } finally BlockHygiene.onUntracked = saved
+    assert((persistedIds -- before).isEmpty,
+      "fresh-stats checkpoint leaked past the bracket sweep")
+    assert(reported.isEmpty,
+      s"tracked fresh-stats checkpoint mis-reported as re-leak: $reported")
+  }
+
+  test("fresh-stats checkpoint preserves the physical output partitioning") {
+    // the checkpointed frame of a hash-partitioned child must not
+    // re-shuffle when a downstream op needs that same partitioning
+    val agg = Seq((1, 2), (1, 3), (2, 4)).toDF("k", "v")
+      .repartition(4, $"k")
+    val ck = org.apache.spark.sql.execution.GraftCheckpoint
+      .localCheckpointFreshStats(agg)
+    val plan = ck.groupBy($"k").count().queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"checkpoint dropped the hash partitioning — downstream re-shuffles:\n$plan")
+    graft.streaming.BlockHygiene.unpersistCheckpointed(ck)
+  }
+
   test("outside a bracket checkpointTracked degrades to plain localCheckpoint") {
     val before = persistedIds
     val df = ckpt(10)

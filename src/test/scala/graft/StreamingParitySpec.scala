@@ -101,26 +101,15 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  /** transformWithState requires the RocksDB state store. */
-  private def withRocksDB[T](f: => T): T = {
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try f
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
-  }
+  // transformWithState requires the RocksDB state store — which is
+  // already the SparkTestBase SESSION default, so these tests run on
+  // it without any per-test conf juggling; StreamingRecoverySpec's
+  // provider-matrix case pins the non-default provider explicitly.
 
   test("hot items Top-N via transformWithState: in-query event-time timers == batch topN") {
     implicit val ctx = spark.sqlContext
     implicit val ss = spark
-    // transformWithState requires the RocksDB state store
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    locally {
       val ms = MemoryStream[EvFull]
       val q = StreamingAnalytics.hotItemsTopNStream(toEventsDF(ms))
         .writeStream.format("memory").queryName("hi_tws_stream")
@@ -149,9 +138,6 @@ class StreamingParitySpec extends AnyFunSuite {
           s"sizes got=${got.size} want=${want.size} " +
             s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
       } finally q.stop()
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 
@@ -179,7 +165,7 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("order-timeout state machine: stream (with event-time timers) == batch join") { withRocksDB {
+  test("order-timeout state machine: stream (with event-time timers) == batch join") {
     implicit val ctx = spark.sqlContext
     implicit val ss = spark
     val ms = MemoryStream[EvFull]
@@ -203,9 +189,9 @@ class StreamingParitySpec extends AnyFunSuite {
         .as[(Long, Long, Long, Long, String)].collect().toSet
       assert(got == want)
     } finally q.stop()
-  }}
+  }
 
-  test("order-timeout under out-of-order arrival: shuffled micro-batches == batch join") { withRocksDB {
+  test("order-timeout under out-of-order arrival: shuffled micro-batches == batch join") {
     implicit val ctx = spark.sqlContext
     implicit val ss = spark
     val ms = MemoryStream[EvFull]
@@ -233,9 +219,9 @@ class StreamingParitySpec extends AnyFunSuite {
         .as[(Long, Long, Long, Long, String)].collect().toSet
       assert(got == want)
     } finally q.stop()
-  }}
+  }
 
-  test("blacklist state machine: stream warnings == batch (user, ad, day) set") { withRocksDB {
+  test("blacklist state machine: stream warnings == batch (user, ad, day) set") {
     implicit val ctx = spark.sqlContext
     implicit val ss = spark
     val ms = MemoryStream[StreamingAnalytics.ClickEv]
@@ -263,7 +249,7 @@ class StreamingParitySpec extends AnyFunSuite {
         .as[(Long, Int, Long)].collect().toSet
       assert(got == want)
     } finally q.stop()
-  }}
+  }
 
   test("uv_approx stream: estimates within rsd of batch exact counts") {
     implicit val ctx = spark.sqlContext
