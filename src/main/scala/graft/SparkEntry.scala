@@ -115,6 +115,8 @@ object SparkEntry {
     "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     "dedup_embedding_capped" -> ((s, d) => Similarity.dedupEmbeddingCapped(s, d)),
     "embedding_spectrum" -> ((s, d) => Similarity.embeddingSpectrum(s, d)),
+    "embedding_spectrum_residual" -> ((s, d) =>
+      Similarity.embeddingSpectrumResidual(s, d)),
     "similarity_ivf"    -> ((s, d) => Similarity.similarityIvf(s, d)),
     "similarity_ivf_trained" -> ((s, d) => Similarity.similarityIvfTrained(s, d)),
     "similarity_lsh"    -> ((s, d) => Similarity.similarityLsh(s, d)),
@@ -514,6 +516,7 @@ object SparkEntry {
     "dedup_embedding"     -> Similarity.dedupEmbeddingOracle,
     "dedup_embedding_capped" -> Similarity.dedupEmbeddingCappedOracle,
     "embedding_spectrum"  -> Similarity.embeddingSpectrumOracle,
+    "embedding_spectrum_residual" -> Similarity.embeddingSpectrumResidualOracle,
     "similarity_ivf"      -> Similarity.similarityIvfOracle,
     "similarity_ivf_trained" -> Similarity.similarityIvfTrainedOracle,
     "similarity_lsh"      -> Similarity.similarityLshOracle,

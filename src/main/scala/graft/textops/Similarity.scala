@@ -253,6 +253,34 @@ object Similarity {
     ivfRankedFrom(e, cent, np)
   }
 
+  /** [[ivfRanked]] WITHOUT the vector payload — `(vec_id, cell, csim,
+    * crk)` only, same scoring, same checkpoint. The wide form
+    * materializes nProbe replicas of every vector (a 63×-at-sf10 write
+    * amplification its consumers need because they join pairs in
+    * place); a consumer that only needs the CELL GEOMETRY — the capped
+    * dedup tier's occupancy windows — checkpoints ~17× fewer bytes and
+    * re-attaches vectors from the base table afterwards.
+    */
+  private def ivfRankedNarrow(spark: SparkSession, sfDir: String,
+                              nCentroids: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val c = if (nCentroids > 0) nCentroids
+            else autoCentroids(nVecs(spark, sfDir))
+    val np = if (nProbe > 0) nProbe else autoNProbe(c)
+    val e = vectors(spark, sfDir)
+    val cent = e.where($"vec_id" < c)
+      .select($"vec_id".as("cent_id"), $"v".as("centv"), $"nrm".as("centn"))
+    e.join(broadcast(cent), expr("true"))
+      .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cent_id").asc)))
+      .where(col("crk") <= np)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("csim"),
+        col("crk"))
+      .localCheckpoint()
+  }
+
   /** The assign/probe rank against an arbitrary centroid table —
     * shared by the seeded ([[ivfRanked]]) and k-means-trained
     * ([[similarityIvfTrained]]) index builds.
@@ -458,29 +486,29 @@ object Similarity {
     val n = nVecs(spark, sfDir)
     val cA = if (capAssign > 0) capAssign else autoCapAssign(n)
     val cP = if (capProbe > 0) capProbe else autoCapProbe(n)
-    val ranked = ivfRanked(spark, sfDir, nCentroids, nProbe)
-    // Rank on NARROW rows and re-attach the vectors afterwards: the
-    // cap windows must not drag the 64-double payload through their
-    // exchange+sort (at sf10 that is ~7 GB of wide probe rows —
-    // measured to cost more than the pair scan the cap saves). The
-    // kept key set is bounded a priori at C·cap rows of two longs, so
-    // the re-attach is a broadcast LEFT SEMI against the checkpointed
-    // frame — a narrow map-side filter, no wide shuffle; C·capP stays
-    // far below any broadcast budget for plausible C = √(n/2).
+    // The whole index pass runs NARROW — `(vec_id, cell, csim, crk)`,
+    // never the 64-double payload: the wide shared index materializes
+    // nProbe replicas of every vector (≈7 GB at sf10, and at 100 TB a
+    // 63× write amplification), which measured as the dominant cost of
+    // the capped tier, not the pair scan. Here the cap windows rank
+    // the narrow geometry, the kept key sets are bounded a priori at
+    // C·cap rows of two longs, and the vectors are re-attached FROM
+    // THE BASE TABLE by broadcast inner joins — each side's wide rows
+    // are read once, map-side, and only survivors (≤C·capP, ≤C·capA
+    // rows) ever reach the cell exchange of the pair join.
+    val narrow = ivfRankedNarrow(spark, sfDir, nCentroids, nProbe)
     val cellW = Window.partitionBy($"cell")
       .orderBy($"csim".desc, $"vec_id".asc)
-    val narrow = ranked.select($"vec_id", $"cell", $"csim", $"crk")
-    def keep(keys: DataFrame, wide: DataFrame): DataFrame =
-      wide.join(broadcast(keys.select($"vec_id", $"cell")),
-        Seq("vec_id", "cell"), "left_semi")
-    val assign = keep(
-      narrow.where($"crk" === 1)
-        .withColumn("ark", row_number().over(cellW)).where($"ark" <= cA),
-      ranked.where($"crk" === 1))
+    val arkKeys = narrow.where($"crk" === 1)
+      .withColumn("ark", row_number().over(cellW)).where($"ark" <= cA)
+      .select($"vec_id", $"cell")
+    val prkKeys = narrow
+      .withColumn("prk", row_number().over(cellW)).where($"prk" <= cP)
+      .select($"vec_id", $"cell")
+    val e = vectors(spark, sfDir)
+    val assign = e.join(broadcast(arkKeys), "vec_id")
       .select($"vec_id", $"v", $"nrm", $"cell")
-    val probes = keep(
-      narrow.withColumn("prk", row_number().over(cellW)).where($"prk" <= cP),
-      ranked)
+    val probes = e.join(broadcast(prkKeys), "vec_id")
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"cell")
     probes.join(assign, "cell")
       .where($"qid" =!= $"vec_id")
@@ -603,11 +631,10 @@ object Similarity {
     * are GLOBALLY aligned, i.e. when the top few eigenvalues of this
     * matrix carry most of the trace. Deployment rule: run this once
     * per corpus; if share(top-4 eigenvalues) ≫ 4/64 (the isotropic
-    * floor — measured: uniform 0.072, clustered 0.187, per-cluster
-    * aniso 0.189 vs globally-aligned ganiso 0.461 at ε=0.3), build the
-    * trained/residual IVFADC index ([[graft.textops.Pipelines]]
-    * `materializePq` residual=true); else spend the same budget on a
-    * wider re-rank pool. Eigenvalues come from the driver-side 64×64
+    * floor — per-tier measurements in BASELINE's spectrum table,
+    * `tools.SpectrumProbe`), build the trained/residual IVFADC index
+    * ([[graft.textops.Pipelines]] `materializePq` residual=true);
+    * else spend the same budget on a wider re-rank pool. Eigenvalues come from the driver-side 64×64
     * Jacobi pass ([[spectrumShares]] / `tools.SpectrumProbe`) — the
     * QUERY stays a single bounded partial aggregate so the gate is a
     * hash match: per dimension pair (i ≤ j), exact integer micro-unit
@@ -620,11 +647,17 @@ object Similarity {
     * collapses each partition to ≤2 080 rows before the one exchange;
     * cost is one corpus pass regardless of n.
     */
-  def embeddingSpectrum(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.embeddings(spark, sfDir)
+  def embeddingSpectrum(spark: SparkSession, sfDir: String): DataFrame =
+    momentAgg(Tables.embeddings(spark, sfDir)
       .selectExpr("transform(cast(embedding as array<double>), " +
-        "x -> cast(floor(x * 1000000) as bigint)) as m")
+        "x -> cast(floor(x * 1000000) as bigint)) as m"))
+
+  /** The exact covariance pair-moment aggregate over an integer
+    * micro-unit vector column `m` — shared tail of the raw and
+    * residual spectrum queries. */
+  private def momentAgg(withM: DataFrame): DataFrame = {
+    import withM.sparkSession.implicits._
+    withM
       .selectExpr("explode(flatten(transform(m, (xi, i) -> " +
         "transform(slice(m, i + 1, size(m) - i), (xj, j) -> " +
         "named_struct('di', i, 'dj', i + j, 'p', xi * xj, " +
@@ -638,6 +671,94 @@ object Similarity {
           "* (cast(sxj as double) / n)) / 1000000.0 / 1000000.0 as cov")
       .orderBy($"dim_i", $"dim_j")
   }
+
+  /** The spectrum of the RESIDUAL v − nearest-centroid — the matrix
+    * the trained/residual-PQ decision actually needs. The raw corpus
+    * spectrum ([[embeddingSpectrum]]) conflates CENTER geometry with
+    * residual geometry: any clustered corpus shows an elevated top-k
+    * share from the between-cluster covariance of its centers alone
+    * (measured: clustered 0.158 vs per-cluster-aniso 0.152 at sf1 —
+    * statistically the same corpus to the raw spectrum, yet the r13
+    * law says neither benefits from residual PQ). After subtracting
+    * each vector's nearest seeded centroid (the same crk=1 assignment
+    * every IVF tier uses), the center term vanishes and what remains
+    * is exactly the distribution the PQ codebook must quantize:
+    * globally-aligned low-rank noise survives the subtraction,
+    * per-cluster-random directions superpose to isotropy, isotropic
+    * clusters keep only a center-recovery floor. Measured at the sf1
+    * tiers (trained assignment, share(top-4)): ganiso **0.540** vs
+    * clustered 0.209 / per-cluster-aniso 0.185 / uniform 0.071 — the
+    * three non-separating geometries cluster below ~0.21 and the one
+    * where residual PQ pays sits at 0.54, hence the 0.35 decision
+    * boundary in `tools.SpectrumProbe`.
+    * Residual micro-units are differences of floors — integer-exact
+    * in both engines, |r| ≤ 2·10⁶ so pair products stay ≪ 2⁶³.
+    */
+  def embeddingSpectrumResidual(spark: SparkSession, sfDir: String,
+                                nCentroids: Int = -1,
+                                rounds: Int = 2): DataFrame = {
+    import spark.implicits._
+    val c = if (nCentroids > 0) nCentroids
+            else autoCentroids(nVecs(spark, sfDir))
+    val e = vectors(spark, sfDir)
+    // TRAINED centroids, not seeded: the decision is about the index
+    // you would build (IVFADC trains its coarse quantizer), and seeded
+    // centroids leak center geometry into the residual — with C ≈
+    // cluster count, ~1/e of clusters draw NO seeded centroid
+    // (Poisson), so their vectors subtract a NEIGHBOR cluster's
+    // centroid and the center difference re-enters the spectrum
+    // (measured under the seeded assignment: clustered residual
+    // share(top4) 0.159 ≈ its raw 0.158 — no separation; per-tier
+    // trained-residual shares in BASELINE's spectrum table)
+    val cent = trainedCentroids(spark, sfDir, c, rounds)
+    val near = e.join(broadcast(cent), expr("true"))
+      .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"vec_id")
+          .orderBy($"csim".desc, $"cent_id".asc)))
+      .where($"crk" === 1)
+      .selectExpr("vec_id",
+        "zip_with(v, centv, (x, cc) -> cast(floor(x * 1000000) as bigint) " +
+          "- cast(floor(cc * 1000000) as bigint)) as m")
+    momentAgg(near)
+  }
+
+  lazy val embeddingSpectrumResidualOracle: String =
+    s"""WITH $geomCte, e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), c0 AS (
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < $gC
+       |), ${lloydRoundCte(1, "c0")}, ${lloydRoundCte(2, "c1n")}, rankedcells AS (
+       |  SELECT n.vec_id, n.v, c.centv,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |           ${dotDuck("n.v", "c.centv", "a")} / (n.nrm * c.centn) DESC,
+       |           c.cent_id ASC) AS crk
+       |  FROM n CROSS JOIN c2n c
+       |), mm AS (
+       |  SELECT list_transform(list_zip(v, centv), zr ->
+       |           CAST(floor(zr[1] * 1000000) AS BIGINT)
+       |           - CAST(floor(zr[2] * 1000000) AS BIGINT)) AS m
+       |  FROM rankedcells WHERE crk = 1
+       |), pairs AS (
+       |  SELECT unnest(flatten(list_transform(m, (xi, i) ->
+       |    list_transform(m[i:], (xj, j) ->
+       |      struct_pack(di := i - 1, dj := i + j - 2, p := xi * xj,
+       |                  xi := xi, xj := xj))))) AS e
+       |  FROM mm
+       |), agg AS (
+       |  SELECT e.di AS dim_i, e.dj AS dim_j, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(e.p) AS BIGINT) AS sxy,
+       |         CAST(sum(e.xi) AS BIGINT) AS sxi,
+       |         CAST(sum(e.xj) AS BIGINT) AS sxj
+       |  FROM pairs GROUP BY 1, 2
+       |)
+       |SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
+       |       n, sxy, sxi, sxj,
+       |       (CAST(sxy AS DOUBLE) / n - (CAST(sxi AS DOUBLE) / n)
+       |          * (CAST(sxj AS DOUBLE) / n)) / 1000000.0 / 1000000.0 AS cov
+       |FROM agg ORDER BY dim_i, dim_j""".stripMargin
 
   val embeddingSpectrumOracle: String =
     """WITH mm AS (
@@ -723,9 +844,11 @@ object Similarity {
     * separation spec run. The collect is 2 080 rows, not the corpus.
     */
   def spectrumTopShares(spark: SparkSession, sfDir: String,
-                        ks: Seq[Int] = Seq(1, 2, 4, 8)): Map[Int, Double] = {
-    val rows = embeddingSpectrum(spark, sfDir)
-      .selectExpr("dim_i", "dim_j", "cov").collect()
+                        ks: Seq[Int] = Seq(1, 2, 4, 8),
+                        residual: Boolean = false): Map[Int, Double] = {
+    val moments = if (residual) embeddingSpectrumResidual(spark, sfDir)
+                  else embeddingSpectrum(spark, sfDir)
+    val rows = moments.selectExpr("dim_i", "dim_j", "cov").collect()
     val d = rows.iterator.map(_.getInt(1)).max + 1
     val cov = Array.ofDim[Double](d, d)
     rows.foreach { r =>
