@@ -56,15 +56,20 @@ object ServeDecade {
       val buildS = (System.nanoTime() - t0) / 1e9
       scrub()
       // fixed panel: every 97th vector id, capped at `panel` — spread,
-      // deterministic, and constant-size across tiers by construction
+      // deterministic, and constant-size across tiers by construction.
+      // Collected to the driver and re-created as local frames, NOT
+      // localCheckpoint'd: the inter-rep scrub releases checkpoint
+      // blocks (the AnnServeProbe defs-not-vals pitfall)
       val qVec = Tables.embeddings(spark, dir)
         .selectExpr("vec_id", "cast(embedding as array<double>) as v")
         .where($"vec_id" % 97 === 0).orderBy($"vec_id").limit(panel)
-        .localCheckpoint()
+        .as[(Long, Seq[Double])].collect().toSeq
+        .toDF("vec_id", "v")
       val qTs = spark.read.parquet(s"$snap/ts_series")
         .selectExpr("user_id as query_id", "arr")
         .where($"query_id" % 97 === 0).orderBy($"query_id").limit(panel)
-        .localCheckpoint()
+        .as[(Long, Seq[Long])].collect().toSeq
+        .toDF("query_id", "arr")
       val annS = med(Pipelines.annSearchFrom(spark, snap, qVec,
         excludeSelfId = true).count())
       val pqS = med(Pipelines.annSearchPqFrom(spark, snap, qVec,
@@ -73,7 +78,7 @@ object ServeDecade {
         excludeSelfId = true).count())
       println(f"SERVEDEC $dir%-22s n=$n%-8d build_s=$buildS%.1f " +
         f"ann_s=$annS%.2f pq_s=$pqS%.2f ts_s=$tsS%.2f (panel=$panel)")
-      qVec.unpersist(); qTs.unpersist(); scrub()
+      scrub()
     }
     spark.stop()
   }
