@@ -114,6 +114,8 @@ object SparkEntry {
     "similarity_topk"   -> ((s, d) => Similarity.similarityTopK(s, d)),
     "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     "dedup_embedding_capped" -> ((s, d) => Similarity.dedupEmbeddingCapped(s, d)),
+    "dedup_embedding_incremental" -> ((s, d) =>
+      Similarity.dedupEmbeddingIncremental(s, d)),
     "embedding_spectrum" -> ((s, d) => Similarity.embeddingSpectrum(s, d)),
     "embedding_spectrum_residual" -> ((s, d) =>
       Similarity.embeddingSpectrumResidual(s, d)),
@@ -515,6 +517,7 @@ object SparkEntry {
     "similarity_topk"     -> Similarity.similarityTopKOracle(),
     "dedup_embedding"     -> Similarity.dedupEmbeddingOracle,
     "dedup_embedding_capped" -> Similarity.dedupEmbeddingCappedOracle,
+    "dedup_embedding_incremental" -> Similarity.dedupEmbeddingIncrementalOracle,
     "embedding_spectrum"  -> Similarity.embeddingSpectrumOracle,
     "embedding_spectrum_residual" -> Similarity.embeddingSpectrumResidualOracle,
     "similarity_ivf"      -> Similarity.similarityIvfOracle,

@@ -556,6 +556,122 @@ object Similarity {
        |WHERE ${dotDuck("p.qv", "a.v", "w")} / (p.qn * a.nrm) >= 0.4
        |ORDER BY vec1, vec2""".stripMargin
 
+  /** Incremental (batch-vs-base) embedding dedup — the shape a 100 TB
+    * embedding-dedup deployment actually runs: the corpus is indexed
+    * ONCE (IVF cell assignment, occupancy-capped on the corpus side —
+    * the side that grows), and each incoming batch probes its nProbe
+    * nearest cells for near-duplicates, never joining base×base. The
+    * embedding-tier sibling of [[Dedup.dedupIncremental]], same
+    * deterministic 1-in-10 "new" gate (`poly_hash37(vec_id ∥ '-incr')`)
+    * and the same per-new-vector verdict columns: keep iff no match in
+    * the base or among earlier new vectors, plus the best-matching dup
+    * and match count. The cap rule is [[autoCapAssign]] on the base
+    * assignment only — the probe side is an incoming batch, small by
+    * premise (its candidate volume is |batch|·np·capA, bounded in the
+    * corpus). Correctness tiers are cap no-ops; the DuckDB oracle
+    * replays the full capped pipeline either way.
+    */
+  def dedupEmbeddingIncremental(spark: SparkSession, sfDir: String,
+                                threshold: Double = 0.4,
+                                nCentroids: Int = -1, nProbe: Int = -1,
+                                capAssign: Int = -1): DataFrame = {
+    import spark.implicits._
+    val n = nVecs(spark, sfDir)
+    val cA = if (capAssign > 0) capAssign else autoCapAssign(n)
+    val newGate =
+      "poly_hash37(concat(cast(vec_id as string), '-incr')) % 10 = 0"
+    val narrow = ivfRankedNarrow(spark, sfDir, nCentroids, nProbe)
+    val cellW = Window.partitionBy($"cell")
+      .orderBy($"csim".desc, $"vec_id".asc)
+    val arkKeys = narrow.where($"crk" === 1)
+      .withColumn("ark", row_number().over(cellW)).where($"ark" <= cA)
+      .select($"vec_id", $"cell")
+    // probe keys: the NEW vectors' np cells (is_new derives from the
+    // id alone, so it gates the narrow geometry directly). No probe
+    // cap: the batch is the bounded side by premise. No broadcast
+    // hint either — |new|·np grows with the corpus here (the testdata
+    // "batch" is a corpus slice); a real deployment's batch frame is
+    // small and AQE broadcasts it on its own.
+    val probeKeys = narrow.where(expr(newGate)).select($"vec_id", $"cell")
+    val e = vectors(spark, sfDir)
+    val assign = e.join(broadcast(arkKeys), "vec_id")
+      .select($"vec_id".as("oid"), $"v".as("ov"), $"nrm".as("onrm"),
+        $"cell", expr(newGate).as("o_new"))
+    val probes = e.join(probeKeys, "vec_id")
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"cell")
+    val matches = probes.join(assign, "cell")
+      .where($"qid" =!= $"oid" && (!$"o_new" || $"oid" < $"qid"))
+      .select($"qid", $"oid",
+        expr(s"${dotSpark("qv", "ov", "d")} / (qn * onrm)").as("cosine"))
+      .where($"cosine" >= threshold)
+      .distinct()
+    val best = matches
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cosine".desc, $"oid".asc)))
+      .withColumn("n_dups", count(lit(1)).over(Window.partitionBy($"qid")))
+      .where($"rnk" === 1)
+      .select($"qid".as("vec_id"), $"oid".as("dup_of"),
+        $"cosine".as("best_cosine"), $"n_dups")
+    Tables.embeddings(spark, sfDir).select($"vec_id")
+      .where(expr(newGate))
+      .join(best, Seq("vec_id"), "left")
+      .selectExpr("vec_id", "dup_of is null as keep",
+        "cast(coalesce(n_dups, 0) as bigint) as n_dups",
+        "dup_of", "best_cosine")
+      .orderBy($"vec_id")
+  }
+
+  lazy val dedupEmbeddingIncrementalOracle: String = {
+    val newGate = s"${TextHash.phDuck("CAST(vec_id AS VARCHAR) || '-incr'", "inc", 37)} % 10 = 0"
+    s"""WITH $geomCte, e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), cent AS (
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < $gC
+       |), rankedcells AS (
+       |  SELECT vec_id, v, nrm, cent_id,
+       |         ${dotDuck("n.v", "c.centv", "s")} / (n.nrm * c.centn) AS csim,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY
+       |           ${dotDuck("n.v", "c.centv", "a")} / (n.nrm * c.centn) DESC,
+       |           cent_id ASC) AS crk
+       |  FROM n CROSS JOIN cent c
+       |), assign AS (
+       |  SELECT vec_id AS oid, v AS ov, nrm AS onrm, cell,
+       |         ${newGate.replace("vec_id", "oid")} AS o_new
+       |  FROM (
+       |    SELECT vec_id, v, nrm, cent_id AS cell,
+       |           row_number() OVER (PARTITION BY cent_id
+       |             ORDER BY csim DESC, vec_id ASC) AS ark
+       |    FROM rankedcells WHERE crk = 1
+       |  ) WHERE ark <= $gCapA
+       |), probes AS (
+       |  SELECT vec_id AS qid, v AS qv, nrm AS qn, cent_id AS cell
+       |  FROM rankedcells WHERE crk <= $gNp AND ($newGate)
+       |), m AS (
+       |  SELECT DISTINCT p.qid, a.oid,
+       |         ${dotDuck("p.qv", "a.ov", "d")} / (p.qn * a.onrm) AS cosine
+       |  FROM probes p JOIN assign a ON p.cell = a.cell
+       |    AND p.qid <> a.oid AND (NOT a.o_new OR a.oid < p.qid)
+       |  WHERE ${dotDuck("p.qv", "a.ov", "w")} / (p.qn * a.onrm) >= 0.4
+       |), best AS (
+       |  SELECT qid AS vec_id, oid AS dup_of, cosine AS best_cosine, n_dups
+       |  FROM (
+       |    SELECT qid, oid, cosine,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cosine DESC, oid ASC) AS rnk,
+       |           count(*) OVER (PARTITION BY qid) AS n_dups
+       |    FROM m
+       |  ) WHERE rnk = 1
+       |)
+       |SELECT t.vec_id, b.dup_of IS NULL AS keep,
+       |       CAST(COALESCE(b.n_dups, 0) AS BIGINT) AS n_dups,
+       |       b.dup_of, b.best_cosine
+       |FROM (SELECT vec_id FROM embeddings WHERE $newGate) t
+       |LEFT JOIN best b ON t.vec_id = b.vec_id
+       |ORDER BY t.vec_id""".stripMargin
+  }
+
   /** Semantic (embedding-space) decontamination: per TRAIN vector, the
     * best-matching frozen EVAL vector and whether that cosine crosses
     * the leak threshold — the embedding-tier counterpart of the

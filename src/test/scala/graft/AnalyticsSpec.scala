@@ -266,6 +266,29 @@ class AnalyticsSpec extends AnyFunSuite {
       "a 2-per-cell core cannot retain every pair of this corpus")
   }
 
+  test("dedup_embedding_incremental: verdict per new vector, matches ⊆ the batch pair set") {
+    val inc = Similarity.dedupEmbeddingIncremental(spark, sf).cache()
+    val nNew = Tables.embeddings(spark, sf)
+      .where(expr("poly_hash37(concat(cast(vec_id as string), '-incr')) % 10 = 0"))
+      .count()
+    // exactly one verdict row per gated-new vector
+    assert(inc.count() === nNew && nNew > 0)
+    assert(inc.select($"vec_id").distinct().count() === nNew)
+    // verdict consistency: keep ⇔ no dup found ⇔ n_dups = 0
+    assert(inc.where($"keep" =!= ($"dup_of".isNull)).isEmpty)
+    assert(inc.where(($"n_dups" === 0L) =!= $"keep").isEmpty)
+    // soundness: every reported best match is a pair the batch tier
+    // also finds, with the identical cosine (incremental probes the
+    // same index one-sidedly — it may MISS pairs, never invent them)
+    val pairs = Similarity.dedupEmbedding(spark, sf)
+    val claimed = inc.where(!$"keep")
+      .select(least($"vec_id", $"dup_of").as("vec1"),
+        greatest($"vec_id", $"dup_of").as("vec2"),
+        $"best_cosine".as("cosine"))
+    assert(claimed.join(pairs, Seq("vec1", "vec2", "cosine"), "left_anti")
+      .isEmpty, "incremental reported a match the batch tier doesn't have")
+  }
+
   test("embedding_spectrum: moment table shape + Jacobi shares separate aligned low-rank from isotropic") {
     // shape: full upper triangle of the 64×64, every row carrying the
     // corpus count, positive diagonal variance
