@@ -116,6 +116,8 @@ object SparkEntry {
     "dedup_embedding_capped" -> ((s, d) => Similarity.dedupEmbeddingCapped(s, d)),
     "dedup_embedding_incremental" -> ((s, d) =>
       Similarity.dedupEmbeddingIncremental(s, d)),
+    "dedup_embedding_clusters" -> ((s, d) =>
+      Similarity.dedupEmbeddingClusters(s, d)),
     "embedding_spectrum" -> ((s, d) => Similarity.embeddingSpectrum(s, d)),
     "embedding_spectrum_residual" -> ((s, d) =>
       Similarity.embeddingSpectrumResidual(s, d)),
@@ -518,6 +520,7 @@ object SparkEntry {
     "dedup_embedding"     -> Similarity.dedupEmbeddingOracle,
     "dedup_embedding_capped" -> Similarity.dedupEmbeddingCappedOracle,
     "dedup_embedding_incremental" -> Similarity.dedupEmbeddingIncrementalOracle,
+    "dedup_embedding_clusters" -> Similarity.dedupEmbeddingClustersOracle,
     "embedding_spectrum"  -> Similarity.embeddingSpectrumOracle,
     "embedding_spectrum_residual" -> Similarity.embeddingSpectrumResidualOracle,
     "similarity_ivf"      -> Similarity.similarityIvfOracle,

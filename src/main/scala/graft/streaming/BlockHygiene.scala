@@ -137,8 +137,8 @@ object BlockHygiene {
         liveBufs -= buf
         (buf.toSet, liveBufs.iterator.flatten.toSet)
       }
-      val untracked = registry.keySet -- before -- mine -- others
-      if (untracked.nonEmpty) onUntracked(untracked.toSet)
+      val untracked = registry.keySet.toSet -- before -- mine -- others
+      if (untracked.nonEmpty) onUntracked(untracked)
       mine.foreach(id =>
         registry.get(id).foreach(_.unpersist(blocking = false)))
     }

@@ -729,13 +729,159 @@ object Pipelines {
                       excludeSelfId: Boolean = false) =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        annSearchFrom(batch.sparkSession, outDir, batch, k, nProbe,
-            excludeSelfId)
-          .withColumn("batch_id", lit(id))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(resultDir)
+        // bracket: the probe path checkpoints the batch's ranked cells
+        // (Similarity.ivfRankedFrom) — swept here per micro-batch
+        graft.streaming.BlockHygiene.releasingNewPersists(batch.sparkSession) {
+          annSearchFrom(batch.sparkSession, outDir, batch, k, nProbe,
+              excludeSelfId)
+            .withColumn("batch_id", lit(id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(resultDir)
+        }
       }
+
+  // --------------------------------------- embedding dedup crawl loop
+
+  /** Persist the embedding-dedup crawl index: the FROZEN seeded
+    * centroid geometry (first C of the snapshot corpus — the same rule
+    * the live tiers use) plus the BASE vectors' cell assignments with
+    * their centroid affinity `csim`, the column
+    * [[embDedupIncrementalFrom]] windows its occupancy cap over. Rows
+    * carry `batch_id` (−1 = snapshot rows; streamed batches are ≥ 0,
+    * so the `batch_id < id` replay guard always admits the base) and
+    * are partitioned by `pc` so a batch's probe join prunes to the
+    * cell directories it actually touches. The embedding twin of
+    * [[materialize]]'s `minhash_buckets` snapshot.
+    */
+  def materializeEmbDedup(spark: SparkSession, sfDir: String,
+                          outDir: String,
+                          basePred: String =
+                            s"NOT (${Similarity.EmbIncrNewGate})"): Unit = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    // geometry frozen from the FULL snapshot corpus (base + the gated
+    // pending batch) — the live incremental query derives C and the
+    // caps from base+batch together, so the stored path must too for
+    // row-identity (PipelinesSpec pins it)
+    val c = Similarity.autoCentroids(e.count())
+    val cent = e.where($"vec_id" < c)
+      .select($"vec_id".as("cent_id"), $"v".as("centv"), $"nrm".as("centn"))
+    cent.write.mode("overwrite").parquet(s"$outDir/emb_centroids")
+    val assign = Similarity.ivfRankedFrom(e.where(expr(basePred)), cent, 1)
+      .select($"vec_id", $"v", $"nrm", $"cell", $"csim")
+      .withColumn("batch_id", lit(-1L))
+      .withColumn("pc", pmod($"cell", lit(AnnPartitions)))
+    ParquetSink.writePartitioned(assign, s"$outDir/emb_assign", Seq("pc"))
+  }
+
+  /** One judged batch against the stored index — the shared core of
+    * [[embDedupIncrementalFrom]] and [[embDedupStream]]. Returns
+    * (verdicts, the batch's own crk=1 assignment rows for ingest).
+    *
+    * Exactness of the pruned cap window: the occupancy cap ranks
+    * PER CELL (csim DESC, vec_id ASC), so restricting the window to
+    * the cells the batch probes changes no rank inside them — the
+    * stored path reads only those cells' base rows (pc-pruned) yet
+    * reproduces the live query's capped core row-for-row. Per-batch
+    * read volume is the probed cells' occupancy, never the corpus.
+    */
+  private def embDedupJudge(q: DataFrame, beforeBatch: Long,
+                            outDir: String, threshold: Double)
+      : (DataFrame, DataFrame) = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val cent = spark.read.parquet(s"$outDir/emb_centroids")
+    val np = Similarity.autoNProbe(cent.count().toInt)
+    val ranked = Similarity.ivfRankedFrom(q, cent, np)
+    val batchAssign = ranked.where($"crk" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cell", $"csim")
+    val base = spark.read.parquet(s"$outDir/emb_assign")
+      .where($"batch_id" < beforeBatch)
+    // the cap resolves from the corpus size the LIVE query would see:
+    // base rows are one-per-vector by construction, plus this batch
+    // (both counts are metadata/checkpoint-cheap)
+    val cA = Similarity.autoCapAssign(
+      base.count() + ranked.where($"crk" === 1).count())
+    val probedCells = ranked.select($"cell").distinct()
+      .withColumn("pc", pmod($"cell", lit(AnnPartitions)))
+    val baseTouched = base.join(probedCells, Seq("pc", "cell"))
+      .select($"vec_id", $"v", $"nrm", $"cell", $"csim")
+    val cellW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cell").orderBy($"csim".desc, $"vec_id".asc)
+    val core = baseTouched.withColumn("o_new", lit(false))
+      .union(batchAssign.withColumn("o_new", lit(true)))
+      .withColumn("ark", row_number().over(cellW)).where($"ark" <= cA)
+      .select($"vec_id".as("oid"), $"v".as("ov"), $"nrm".as("onrm"),
+        $"cell", $"o_new")
+    val probes = ranked.select($"vec_id".as("qid"), $"v".as("qv"),
+      $"nrm".as("qn"), $"cell")
+    val verdicts = Similarity.embIncrementalVerdictsFrom(
+      q.select($"vec_id"), probes, core, threshold)
+    (verdicts, batchAssign)
+  }
+
+  /** [[Similarity.dedupEmbeddingIncremental]] served from the
+    * snapshot: the incoming batch ranks its own cells live against the
+    * FROZEN stored centroids (a broadcast-joinable C-row table) and
+    * probes the STORED base assignment instead of re-indexing the
+    * corpus. Must be row-identical to the live query (PipelinesSpec
+    * pins it).
+    */
+  def embDedupIncrementalFrom(spark: SparkSession, sfDir: String,
+                              outDir: String,
+                              judgedPred: String = Similarity.EmbIncrNewGate,
+                              threshold: Double = 0.4): DataFrame = {
+    val q = Tables.embeddings(spark, sfDir).where(expr(judgedPred))
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    embDedupJudge(q, Long.MaxValue, outDir, threshold)._1
+  }
+
+  /** The embedding crawl loop AS A STREAM: every micro-batch of
+    * vectors `(vec_id, embedding)` is judged against the stored index,
+    * verdicts land in `verdictDir` partitioned by `batch_id`, and the
+    * batch's crk=1 assignment rows are ingested so the NEXT micro-batch
+    * sees this one as corpus — the embedding twin of
+    * [[dedupIncrementalStream]], same exact-replay contract: verdicts
+    * rewrite their own partition (dynamic overwrite) and the probe
+    * reads only `batch_id < id` rows, so a crash between the index
+    * append and the offset commit replays against exactly the
+    * pre-crash view (bit-identical rewrite, pinned by PipelinesSpec).
+    */
+  def embDedupStream(vectors: DataFrame, outDir: String,
+                     verdictDir: String, threshold: Double = 0.4) =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        embDedupBatch(batch, id, outDir, verdictDir, threshold)
+      }
+
+  /** One micro-batch of the embedding crawl loop — judge then ingest
+    * (exposed for the replay-idempotency spec; the stream calls
+    * exactly this). */
+  private[graft] def embDedupBatch(batch: DataFrame, id: Long,
+                                   outDir: String, verdictDir: String,
+                                   threshold: Double = 0.4): Unit = {
+    val spark = batch.sparkSession
+    // the ranked-cells checkpoint lives exactly one batch: release its
+    // blocks on exit or a long-running stream leaks one per batch
+    graft.streaming.BlockHygiene.releasingNewPersists(spark) {
+      val q = batch
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      val (verdicts, batchAssign) = embDedupJudge(q, id, outDir, threshold)
+      verdicts.withColumn("batch_id", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(verdictDir)
+      ParquetSink.writePartitioned(
+        batchAssign.withColumn("batch_id", lit(id))
+          .withColumn("pc", pmod(col("cell"), lit(AnnPartitions))),
+        s"$outDir/emb_assign", Seq("pc"), mode = "append")
+    }
+  }
 
   /** Persist the prototypicality-gate index: the per-label prototype
     * vectors ([[Similarity.protoTable]]'s micro-unit-exact centroids)

@@ -270,15 +270,17 @@ object Similarity {
     val e = vectors(spark, sfDir)
     val cent = e.where($"vec_id" < c)
       .select($"vec_id".as("cent_id"), $"v".as("centv"), $"nrm".as("centn"))
-    e.join(broadcast(cent), expr("true"))
-      .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cent_id").asc)))
-      .where(col("crk") <= np)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("csim"),
-        col("crk"))
-      .localCheckpoint()
+    // tracked checkpoint: plain localCheckpoint outside a bracket;
+    // inside a foreachBatch bracket the block is swept per micro-batch
+    graft.streaming.BlockHygiene.checkpointTracked(
+      e.join(broadcast(cent), expr("true"))
+        .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("csim").desc, col("cent_id").asc)))
+        .where(col("crk") <= np)
+        .select(col("vec_id"), col("cent_id").as("cell"), col("csim"),
+          col("crk")))
   }
 
   /** The assign/probe rank against an arbitrary centroid table —
@@ -287,15 +289,19 @@ object Similarity {
     */
   private[textops] def ivfRankedFrom(e: DataFrame, cent: DataFrame,
                             nProbe: Int): DataFrame = {
-    e.join(broadcast(cent), expr("true"))
-      .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cent_id").asc)))
-      .where(col("crk") <= nProbe)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("cent_id").as("cell"), col("crk"), col("csim"))
-      .localCheckpoint()
+    // tracked checkpoint: identical to localCheckpoint for batch
+    // callers, but a streaming foreachBatch bracket (annSearchStream,
+    // the embedding-dedup crawl loop) sweeps the block per micro-batch
+    // instead of leaking one per batch for the life of the stream
+    graft.streaming.BlockHygiene.checkpointTracked(
+      e.join(broadcast(cent), expr("true"))
+        .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("csim").desc, col("cent_id").asc)))
+        .where(col("crk") <= nProbe)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("cent_id").as("cell"), col("crk"), col("csim")))
   }
 
   /** The persistable IVF serving index: (centroid table, cell-assigned
@@ -483,7 +489,22 @@ object Similarity {
                            nProbe: Int = -1, capAssign: Int = -1,
                            capProbe: Int = -1): DataFrame = {
     import spark.implicits._
+    embeddingCappedPairs(spark, sfDir, threshold, nCentroids, nProbe,
+      capAssign, capProbe).orderBy($"vec1", $"vec2")
+  }
+
+  /** [[dedupEmbeddingCapped]] WITHOUT the presentation sort — the pair
+    * evidence as a consumer (the cluster closure) wants it: feeding the
+    * ordered form into a downstream shuffle would pay a full
+    * range-exchange sort only to discard it at the next exchange. */
+  private[textops] def embeddingCappedPairs(
+      spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4, nCentroids: Int = -1,
+      nProbe: Int = -1, capAssign: Int = -1,
+      capProbe: Int = -1): DataFrame = {
+    import spark.implicits._
     val n = nVecs(spark, sfDir)
+    val c = if (nCentroids > 0) nCentroids else autoCentroids(n)
     val cA = if (capAssign > 0) capAssign else autoCapAssign(n)
     val cP = if (capProbe > 0) capProbe else autoCapProbe(n)
     // The whole index pass runs NARROW — `(vec_id, cell, csim, crk)`,
@@ -506,9 +527,18 @@ object Similarity {
       .withColumn("prk", row_number().over(cellW)).where($"prk" <= cP)
       .select($"vec_id", $"cell")
     val e = vectors(spark, sfDir)
-    val assign = e.join(broadcast(arkKeys), "vec_id")
+    // Key-set joins: broadcast while the kept set (≤ C·cap rows of two
+    // longs, Θ(√n·cap)) is genuinely small — every measured tier is
+    // (sf10: ~1.5 M keys ≈ 24 MB) — but past ~10⁷ vectors the probe
+    // key set crosses the hundreds-of-MB line where shipping it to
+    // every task stops being the cheap side. Fall back to a plain
+    // equi-join there: one linear, hash-partitioned shuffle of the
+    // base table, still never a replicated wide index.
+    def keyHint(keys: DataFrame, cap: Int): DataFrame =
+      if (c.toLong * cap <= 4L * 1000 * 1000) broadcast(keys) else keys
+    val assign = e.join(keyHint(arkKeys, cA), "vec_id")
       .select($"vec_id", $"v", $"nrm", $"cell")
-    val probes = e.join(broadcast(prkKeys), "vec_id")
+    val probes = e.join(keyHint(prkKeys, cP), "vec_id")
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"cell")
     probes.join(assign, "cell")
       .where($"qid" =!= $"vec_id")
@@ -517,11 +547,13 @@ object Similarity {
         expr(s"${dotSpark("qv", "v", "d")} / (qn * nrm)").as("cosine"))
       .where($"cosine" >= threshold)
       .distinct()
-      .orderBy($"vec1", $"vec2")
   }
 
-  val dedupEmbeddingCappedOracle: String =
-    s"""WITH $geomCte, e AS (
+  /** Shared CTE chain (geom → … → `epairs(vec1, vec2, cosine)`) — the
+    * capped embedding pair evidence, reused by the pair query and the
+    * cluster closure ([[dedupEmbeddingClustersOracle]]). */
+  private[textops] lazy val embeddingCappedPairsCtes: String =
+    s"""$geomCte, e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
@@ -548,13 +580,72 @@ object Similarity {
        |             ORDER BY csim DESC, vec_id ASC) AS prk
        |    FROM rankedcells WHERE crk <= $gNp
        |  ) WHERE prk <= $gCapP
+       |), epairs AS (
+       |  SELECT DISTINCT least(p.qid, a.vec_id) AS vec1,
+       |         greatest(p.qid, a.vec_id) AS vec2,
+       |         ${dotDuck("p.qv", "a.v", "d")} / (p.qn * a.nrm) AS cosine
+       |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.qid <> a.vec_id
+       |  WHERE ${dotDuck("p.qv", "a.v", "w")} / (p.qn * a.nrm) >= 0.4
+       |)""".stripMargin
+
+  val dedupEmbeddingCappedOracle: String =
+    s"""WITH $embeddingCappedPairsCtes
+       |SELECT vec1, vec2, cosine FROM epairs ORDER BY vec1, vec2""".stripMargin
+
+  /** Semantic near-dup CLUSTERS — connected components over the capped
+    * embedding pair graph plus canonical selection: the embedding-tier
+    * sibling of [[Dedup.dedupClusters]] and the closure stage of a
+    * SemDeDup-style semantic dedup pass (Abbas et al. 2023 keep one
+    * document per semantic duplicate group). Pairs alone don't dedupe a
+    * corpus, and cosine-threshold relations aren't transitive, so the
+    * conservative closure is one keeper per CONNECTED COMPONENT of the
+    * pair graph — exactly the contract the MinHash tiers already use,
+    * here instantiated over [[dedupEmbeddingCapped]]'s evidence (the
+    * capped form: the cluster pass inherits its C·capA·capP candidate
+    * bound, so the closure is scale-safe on the same argument).
+    * Output: one row per vector — cluster id (min vec_id reachable),
+    * component size, keeper flag.
+    *
+    * Scale shape: [[Dedup.connectedComponents]] — per-round cost is one
+    * equi-join + min-agg over the EDGE list (bounded by the capped pair
+    * count), never the corpus; isolated vectors bypass the loop.
+    */
+  def dedupEmbeddingClusters(spark: SparkSession, sfDir: String,
+                             threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val pairs = embeddingCappedPairs(spark, sfDir, threshold)
+      .select($"vec1", $"vec2")
+    val nodes = Tables.embeddings(spark, sfDir).select($"vec_id")
+    val cc = Dedup.connectedComponents(nodes, pairs)
+      .select($"id".as("vec_id"), $"component".as("cluster_id"))
+    val sizes = cc.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select($"vec_id", $"cluster_id", $"cluster_size",
+        ($"vec_id" === $"cluster_id").as("is_keeper"))
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle: transitive closure by recursive CTE (min reachable id =
+    * component id) over the same capped pair evidence — the
+    * embedding-tier twin of [[Dedup.dedupClustersOracle]]. */
+  lazy val dedupEmbeddingClustersOracle: String =
+    s"""WITH RECURSIVE $embeddingCappedPairsCtes, edges AS (
+       |  SELECT vec1 AS src, vec2 AS dst FROM epairs
+       |  UNION ALL SELECT vec2, vec1 FROM epairs
+       |), reach AS (
+       |  SELECT vec_id AS vid, vec_id AS lab FROM embeddings
+       |  UNION
+       |  SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.vid
+       |), cc AS (
+       |  SELECT vid, min(lab) AS cluster_id FROM reach GROUP BY vid
+       |), sizes AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1
        |)
-       |SELECT DISTINCT least(p.qid, a.vec_id) AS vec1,
-       |       greatest(p.qid, a.vec_id) AS vec2,
-       |       ${dotDuck("p.qv", "a.v", "d")} / (p.qn * a.nrm) AS cosine
-       |FROM probes p JOIN assign a ON p.cell = a.cell AND p.qid <> a.vec_id
-       |WHERE ${dotDuck("p.qv", "a.v", "w")} / (p.qn * a.nrm) >= 0.4
-       |ORDER BY vec1, vec2""".stripMargin
+       |SELECT c.vid AS vec_id, c.cluster_id, s.cluster_size,
+       |       (c.vid = c.cluster_id) AS is_keeper
+       |FROM cc c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |ORDER BY vec_id""".stripMargin
 
   /** Incremental (batch-vs-base) embedding dedup — the shape a 100 TB
     * embedding-dedup deployment actually runs: the corpus is indexed
@@ -578,8 +669,7 @@ object Similarity {
     import spark.implicits._
     val n = nVecs(spark, sfDir)
     val cA = if (capAssign > 0) capAssign else autoCapAssign(n)
-    val newGate =
-      "poly_hash37(concat(cast(vec_id as string), '-incr')) % 10 = 0"
+    val newGate = EmbIncrNewGate
     val narrow = ivfRankedNarrow(spark, sfDir, nCentroids, nProbe)
     val cellW = Window.partitionBy($"cell")
       .orderBy($"csim".desc, $"vec_id".asc)
@@ -599,6 +689,33 @@ object Similarity {
         $"cell", expr(newGate).as("o_new"))
     val probes = e.join(probeKeys, "vec_id")
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"cell")
+    embIncrementalVerdictsFrom(
+      Tables.embeddings(spark, sfDir).select($"vec_id").where(expr(newGate)),
+      probes, assign, threshold)
+  }
+
+  /** The deterministic 1-in-10 "new batch" gate the incremental
+    * embedding tier judges — the embedding twin of
+    * [[Dedup.IncrNewGate]] (same poly-hash family, id-derived so both
+    * engines and the stored-serving loop agree without a flag column).
+    */
+  private[graft] val EmbIncrNewGate: String =
+    "poly_hash37(concat(cast(vec_id as string), '-incr')) % 10 = 0"
+
+  /** Verdict assembly shared by the live incremental query and the
+    * stored-serving crawl loop (`Pipelines.embDedupIncrementalFrom`) —
+    * the embedding twin of [[Dedup.incrementalVerdictsFrom]]. `judged`
+    * is the batch id set `(vec_id)`; `probes` the batch's probe rows
+    * `(qid, qv, qn, cell)`; `assign` the capped cell cores
+    * `(oid, ov, onrm, cell, o_new)` where `o_new` marks rows of the
+    * batch itself (intra-batch dups resolve keep-first via
+    * `oid < qid`; base rows match unconditionally). One verdict row
+    * per judged id: keep ⇔ no match, plus best match and match count.
+    */
+  private[textops] def embIncrementalVerdictsFrom(
+      judged: DataFrame, probes: DataFrame, assign: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    import judged.sparkSession.implicits._
     val matches = probes.join(assign, "cell")
       .where($"qid" =!= $"oid" && (!$"o_new" || $"oid" < $"qid"))
       .select($"qid", $"oid",
@@ -612,8 +729,7 @@ object Similarity {
       .where($"rnk" === 1)
       .select($"qid".as("vec_id"), $"oid".as("dup_of"),
         $"cosine".as("best_cosine"), $"n_dups")
-    Tables.embeddings(spark, sfDir).select($"vec_id")
-      .where(expr(newGate))
+    judged
       .join(best, Seq("vec_id"), "left")
       .selectExpr("vec_id", "dup_of is null as keep",
         "cast(coalesce(n_dups, 0) as bigint) as n_dups",

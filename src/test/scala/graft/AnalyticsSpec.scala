@@ -289,6 +289,32 @@ class AnalyticsSpec extends AnyFunSuite {
       .isEmpty, "incremental reported a match the batch tier doesn't have")
   }
 
+  test("dedup_embedding_clusters: partition of all vectors; closure of the capped pair set") {
+    val vecs = Tables.embeddings(spark, sf).select($"vec_id").cache()
+    val clusters = Similarity.dedupEmbeddingClusters(spark, sf).cache()
+    // every vector appears exactly once (isolated ones as singletons)
+    assert(clusters.count() === vecs.count())
+    assert(clusters.select($"vec_id").except(vecs).isEmpty)
+    // cluster_id = min member; keeper iff vec == cluster; sizes consistent
+    assert(clusters.groupBy($"cluster_id").agg(min($"vec_id").as("m"))
+      .where($"cluster_id" =!= $"m").isEmpty)
+    assert(clusters.where($"is_keeper" =!= ($"vec_id" === $"cluster_id")).isEmpty)
+    assert(clusters.groupBy($"cluster_id", $"cluster_size").count()
+      .where($"cluster_size" =!= $"count").isEmpty)
+    // closure: no capped near-dup pair straddles two clusters, and the
+    // corpus genuinely has non-singleton semantic groups to close over
+    val pairs = Similarity.dedupEmbeddingCapped(spark, sf).cache()
+    assert(pairs.count() > 0)
+    val split = pairs
+      .join(clusters.select($"vec_id".as("vec1"), $"cluster_id".as("c1")), "vec1")
+      .join(clusters.select($"vec_id".as("vec2"), $"cluster_id".as("c2")), "vec2")
+      .where($"c1" =!= $"c2")
+    assert(split.isEmpty)
+    // keepers = number of components
+    assert(clusters.where($"is_keeper").count() ===
+      clusters.select($"cluster_id").distinct().count())
+  }
+
   test("embedding_spectrum: moment table shape + Jacobi shares separate aligned low-rank from isotropic") {
     // shape: full upper triangle of the 64×64, every row carrying the
     // corpus count, positive diagonal variance

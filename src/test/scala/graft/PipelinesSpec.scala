@@ -354,6 +354,38 @@ class PipelinesSpec extends AnyFunSuite {
     assert(served2.count() > 0)
   }
 
+  test("embedding crawl loop: served == live; ordered-split replay == one-shot verdicts") {
+    import graft.textops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graftembloop").toString
+    Pipelines.materializeEmbDedup(spark, sf, dir)
+    // one-shot: served verdicts row-identical to the live query
+    val live = Similarity.dedupEmbeddingIncremental(spark, sf)
+    val served = Pipelines.embDedupIncrementalFrom(spark, sf, dir)
+    assert(live.count() > 0 && rows(served) == rows(live))
+    // the stream's micro-batch form: two arrival days split in vec_id
+    // ORDER (so a day-1 id is always < a day-2 id and the base-match
+    // unconditionality coincides with the one-shot's oid < qid
+    // keep-first — the dedupIncrementalBatch replay test's trick),
+    // with a crash-replay of day 1: the batch_id < id guard must make
+    // the rerun judge against the exact pre-crash view
+    val gated = Tables.embeddings(spark, sf)
+      .where(expr(Similarity.EmbIncrNewGate))
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    def df(rs: Seq[(Long, Seq[Float])]) = rs.toDF("vec_id", "embedding")
+    val (b0, b1) = gated.splitAt(gated.size / 2)
+    Pipelines.embDedupBatch(df(b0), 0, dir, s"$dir/verdicts")
+    Pipelines.embDedupBatch(df(b0), 0, dir, s"$dir/verdicts") // replay
+    Pipelines.embDedupBatch(df(b1), 1, dir, s"$dir/verdicts")
+    val cols = Seq("vec_id", "keep", "n_dups", "dup_of", "best_cosine")
+    val got = spark.read.parquet(s"$dir/verdicts").selectExpr(cols: _*)
+      .as[(Long, Boolean, Long, Option[Long], Option[Double])].collect().toSet
+    val want = live.selectExpr(cols: _*)
+      .as[(Long, Boolean, Long, Option[Long], Option[Double])].collect().toSet
+    assert(got == want,
+      "embedding crawl replay diverged from the one-shot verdicts")
+  }
+
   test("materialized prototype gate: frozen-cutoff verdicts == live embedding_outliers") {
     import graft.textops.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graftproto").toString
