@@ -289,6 +289,22 @@ class AnalyticsSpec extends AnyFunSuite {
       .isEmpty, "incremental reported a match the batch tier doesn't have")
   }
 
+  test("dedup_embedding_capped: key-join hint regimes are value-identical") {
+    // past ~10⁷ vectors the C·cap key sets outgrow the broadcast
+    // comfort zone and keyHint falls back to a plain equi-join — a
+    // HINT, never semantics. Force both regimes at the same geometry
+    // (cap products straddling the 4M-row line) and pin bit-identity.
+    val broadcastSide = Similarity.dedupEmbeddingCapped(spark, sf,
+      nCentroids = 20, capAssign = 400, capProbe = 1000) // 20k/0.4M: broadcast
+    val plainSide = Similarity.dedupEmbeddingCapped(spark, sf,
+      nCentroids = 20, capAssign = 400_000, capProbe = 1_000_000) // over the line
+    // the huge caps are no-ops at this tier (occupancy ≪ cap), so both
+    // runs see identical kept sets — only the join strategy differs
+    assert(broadcastSide.except(plainSide).isEmpty &&
+      plainSide.except(broadcastSide).isEmpty,
+      "join-hint regime changed the capped pair output")
+  }
+
   test("dedup_embedding_clusters: partition of all vectors; closure of the capped pair set") {
     val vecs = Tables.embeddings(spark, sf).select($"vec_id").cache()
     val clusters = Similarity.dedupEmbeddingClusters(spark, sf).cache()

@@ -776,11 +776,19 @@ class StreamingParitySpec extends AnyFunSuite {
       ms.toDF().toDF("vec_id", "v"), dir, s"$dir/results",
       excludeSelfId = true).start()
     try {
+      // block hygiene: the probe path checkpoints the batch's ranked
+      // cells (ivfRankedFrom) — the foreachBatch bracket must release
+      // it per micro-batch (regression: before round 14 this stream
+      // pinned one ranked-cells RDD per batch for its whole life)
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val queries = Tables.embeddings(spark, sf)
         .selectExpr("vec_id", "cast(embedding as array<double>) as v")
         .as[(Long, Seq[Double])].collect().toSeq
       queries.grouped(math.max(queries.size / 2, 1))
         .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+      assert(leaked.isEmpty,
+        s"annSearchStream leaked ${leaked.size} persisted RDDs across batches")
       val cols = Seq("query_id", "neighbor_id", "rnk")
       val got = spark.read.parquet(s"$dir/results")
         .selectExpr(cols: _*).as[(Long, Long, Int)].collect().toSet
@@ -788,6 +796,42 @@ class StreamingParitySpec extends AnyFunSuite {
         .selectExpr(cols: _*).as[(Long, Long, Int)].collect().toSet
       assert(want.nonEmpty && got == want,
         "streamed per-batch serving diverged from the live IVF query")
+    } finally q.stop()
+  }
+
+  test("embDedupStream: micro-batched embedding crawl == one-shot dedup_embedding_incremental") {
+    implicit val ctx = spark.sqlContext
+    import graft.textops.{Pipelines, Similarity}
+    val dir = java.nio.file.Files.createTempDirectory("graftsembidx").toString
+    Pipelines.materializeEmbDedup(spark, sf, dir)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = Pipelines.embDedupStream(
+      ms.toDF().toDF("vec_id", "embedding"), dir, s"$dir/verdicts").start()
+    try {
+      // block hygiene: each micro-batch's ranked-cells checkpoint must
+      // be released by the bracket (see dedupIncrementalStream test)
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      // ascending vec_id order across three micro-batches — arrival
+      // order then matches the one-shot replay's id-based keep-first
+      val newVecs = Tables.embeddings(spark, sf)
+        .where(expr(Similarity.EmbIncrNewGate))
+        .selectExpr("vec_id", "embedding")
+        .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+      newVecs.grouped(math.max(newVecs.size / 3, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+      assert(leaked.isEmpty,
+        s"embDedupStream leaked ${leaked.size} persisted RDDs across batches")
+      val cols = Seq("vec_id", "keep", "n_dups", "dup_of", "best_cosine")
+      val got = spark.read.parquet(s"$dir/verdicts").selectExpr(cols: _*)
+        .as[(Long, Boolean, Long, Option[Long], Option[Double])]
+        .collect().toSet
+      val want = Similarity.dedupEmbeddingIncremental(spark, sf)
+        .selectExpr(cols: _*)
+        .as[(Long, Boolean, Long, Option[Long], Option[Double])]
+        .collect().toSet
+      assert(want.nonEmpty && got == want,
+        "continuous embedding judge+ingest diverged from the one-shot replay")
     } finally q.stop()
   }
 
