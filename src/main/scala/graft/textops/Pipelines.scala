@@ -803,8 +803,7 @@ object Pipelines {
     // the cap resolves from the corpus size the LIVE query would see:
     // base rows are one-per-vector by construction, plus this batch
     // (both counts are metadata/checkpoint-cheap)
-    val cA = Similarity.autoCapAssign(
-      base.count() + ranked.where($"crk" === 1).count())
+    val cA = Similarity.autoCapAssign(base.count() + batchAssign.count())
     val probedCells = ranked.select($"cell").distinct()
       .withColumn("pc", pmod($"cell", lit(AnnPartitions)))
     val baseTouched = base.join(probedCells, Seq("pc", "cell"))

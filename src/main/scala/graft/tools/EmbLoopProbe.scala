@@ -42,12 +42,17 @@ object EmbLoopProbe {
       Pipelines.materializeEmbDedup(spark, dir, snap)
       val buildS = (System.nanoTime() - t0) / 1e9
       scrub()
-      val servedN = Pipelines.embDedupIncrementalFrom(spark, dir, snap).count()
-      val servedS = med(
-        Pipelines.embDedupIncrementalFrom(spark, dir, snap).count())
-      val liveS = med(
-        Similarity.dedupEmbeddingIncremental(spark, dir).count())
-      val liveN = Similarity.dedupEmbeddingIncremental(spark, dir).count()
+      // the warm passes double as the count cross-check — no extra runs
+      var servedN = -1L
+      var liveN = -2L
+      val servedS = med {
+        val n = Pipelines.embDedupIncrementalFrom(spark, dir, snap).count()
+        servedN = n; n
+      }
+      val liveS = med {
+        val n = Similarity.dedupEmbeddingIncremental(spark, dir).count()
+        liveN = n; n
+      }
       scrub()
       require(servedN == liveN,
         s"served/live verdict count diverged: $servedN vs $liveN")
