@@ -188,6 +188,90 @@ object TimeSeriesAnalytics {
     series(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/ts_series")
 
+  /** Persist the PAA-bucket serving index — the TS tier's SUBLINEAR
+    * stored path, closing the gap the stored-serving decade table
+    * documents ("the TS tier has no sublinear index"; `tsSearchFrom`
+    * is exact brute force, linear per query by design). Two pieces:
+    * the FROZEN corpus-relative quantization step (a 1-row table —
+    * freezing it at snapshot time is the serving contract, exactly
+    * like the frozen ANN centroids: a per-batch step would make a
+    * match verdict depend on what the query arrived with) and the
+    * per-user signature rows partitioned by a signature-hash prefix
+    * `ps` so a query batch's probe join prunes to the directories its
+    * own signatures hash into. */
+  def materializePaa(spark: SparkSession, sfDir: String,
+                     outDir: String): Unit = {
+    import spark.implicits._
+    val s = series(spark, sfDir).localCheckpoint()
+    val nSeg = Days / Seg
+    val step = s
+      .agg(sum(expr("aggregate(arr, cast(0 as bigint), (sa, sx) -> sa + sx)"))
+        .as("tot"), count(lit(1)).as("nu"))
+      .selectExpr(s"greatest(cast(1 as bigint), tot div (nu * $nSeg)) as step")
+    step.write.mode("overwrite").parquet(s"$outDir/ts_paa_step")
+    val sig = s.crossJoin(broadcast(step))
+      .selectExpr("user_id", "arr", "step",
+        s"transform(sequence(0, ${nSeg - 1}), si -> " +
+          s"aggregate(slice(arr, si * $Seg + 1, $Seg), cast(0 as bigint), " +
+          "(pa, px) -> pa + px) div step) as paw")
+      .selectExpr("user_id", "arr", "array_join(paw, '-') as sig")
+      .withColumn("ps", pmod(hash($"sig"), lit(32)))
+    graft.sources.ParquetSink.writePartitioned(sig,
+      s"$outDir/ts_paa_sig", Seq("ps"))
+  }
+
+  /** PAA-threshold pattern match served from the snapshot: stored
+    * series whose quantized signature collides with the query's,
+    * verified with the exact BIGINT distance at the frozen threshold
+    * (dist² ≤ 16·step²) — [[tsSimilarityPaa]]'s semantics with the
+    * corpus side read from storage. The signature equi-join touches
+    * only the `ps` directories the batch's own signatures hash into;
+    * per-query cost is the collision-bucket occupancy, never the
+    * corpus — the sublinear trade `tsSearchFrom`'s exact top-k
+    * structurally can't make (a top-k contract must scan everything;
+    * a threshold contract only verifies collisions, and misses a pair
+    * straddling a quantization boundary — approximate by design, same
+    * as the live tier, spec-pinned identical to it). */
+  def tsMatchPaaFrom(spark: SparkSession, outDir: String,
+                     queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    val nSeg = Days / Seg
+    val step = broadcast(spark.read.parquet(s"$outDir/ts_paa_step"))
+    val q = queries.selectExpr("query_id", "cast(arr as array<bigint>) as qa")
+      .crossJoin(step)
+      .selectExpr("query_id", "qa", "step",
+        s"transform(sequence(0, ${nSeg - 1}), si -> " +
+          s"aggregate(slice(qa, si * $Seg + 1, $Seg), cast(0 as bigint), " +
+          "(pa, px) -> pa + px) div step) as paw")
+      .withColumn("sig", expr("array_join(paw, '-')"))
+      .withColumn("ps", pmod(hash($"sig"), lit(32)))
+      .select($"query_id", $"qa", $"step", $"sig", $"ps")
+    val stored = spark.read.parquet(s"$outDir/ts_paa_sig")
+      .select($"user_id".as("neighbor_id"), $"arr".as("ca"), $"sig", $"ps")
+    q.join(stored, Seq("ps", "sig"))
+      .where($"query_id" =!= $"neighbor_id")
+      .withColumn("dist2", expr(distExpr))
+      .where($"dist2" <= expr("16 * step * step"))
+      .select($"query_id", $"neighbor_id", $"dist2")
+      .orderBy($"query_id", $"neighbor_id")
+  }
+
+  /** The PAA pattern match AS A STREAM: query series arrive
+    * continuously, each micro-batch probed against the stored
+    * signature index via [[tsMatchPaaFrom]]; results land partitioned
+    * by batch_id with dynamic partition overwrite (replay-idempotent —
+    * the `annSearchStream` contract). */
+  def tsMatchPaaStream(queries: DataFrame, outDir: String,
+                       resultDir: String) =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        tsMatchPaaFrom(batch.sparkSession, outDir, batch)
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(resultDir)
+      }
+
   /** Top-k nearest stored series for an arbitrary batch of
     * (query_id, arr) query series — exact scoring against the
     * snapshot (same BIGINT distance as [[tsSimilarity]]); queries are

@@ -942,6 +942,42 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tsMatchPaaStream: stored PAA threshold match == live ts_similarity_paa") {
+    implicit val ctx = spark.sqlContext
+    import graft.analytics.TimeSeriesAnalytics
+    val dir = java.nio.file.Files.createTempDirectory("grafttpaa").toString
+    TimeSeriesAnalytics.materializePaa(spark, sf, dir)
+    // batch parity: the corpus probed against its own stored index
+    // must reproduce the live near-pair set exactly (undirected form —
+    // the serve reports both directions, the live tier u1 < u2)
+    val corpus = spark.read.parquet(s"$dir/ts_paa_sig")
+      .selectExpr("user_id as query_id", "arr")
+    val served = TimeSeriesAnalytics.tsMatchPaaFrom(spark, dir, corpus)
+      .selectExpr("least(query_id, neighbor_id) as u1",
+        "greatest(query_id, neighbor_id) as u2", "dist2")
+      .distinct().as[(Long, Long, Long)].collect().toSet
+    val live = TimeSeriesAnalytics.tsSimilarityPaa(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(live.nonEmpty && served == live,
+      "stored PAA threshold match diverged from the live near-pair query")
+    // stream wiring: the same queries through foreachBatch, two
+    // micro-batches, replay-idempotent partitioned results
+    val ms = MemoryStream[(Long, Seq[Long])]
+    val q = TimeSeriesAnalytics.tsMatchPaaStream(
+      ms.toDF().toDF("query_id", "arr"), dir, s"$dir/results").start()
+    try {
+      val rows = corpus.as[(Long, Seq[Long])].collect().toSeq
+      rows.grouped(math.max(rows.size / 2, 1))
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = spark.read.parquet(s"$dir/results")
+        .selectExpr("least(query_id, neighbor_id) as u1",
+          "greatest(query_id, neighbor_id) as u2", "dist2")
+        .distinct().as[(Long, Long, Long)].collect().toSet
+      assert(got == live,
+        "streamed PAA match diverged from the live near-pair query")
+    } finally q.stop()
+  }
+
   test("rangeJoinStream: bucket-keyed stream-stream join == batch range_join") {
     implicit val ctx = spark.sqlContext
     import graft.analytics.DetectionAnalytics
