@@ -202,7 +202,10 @@ object TimeSeriesAnalytics {
   def materializePaa(spark: SparkSession, sfDir: String,
                      outDir: String): Unit = {
     import spark.implicits._
-    val s = series(spark, sfDir).localCheckpoint()
+    // tracked checkpoint: identical for batch callers; a streaming
+    // bracket (an index-refresh loop) sweeps the block per micro-batch
+    val s = graft.streaming.BlockHygiene.checkpointTracked(
+      series(spark, sfDir))
     val nSeg = Days / Seg
     val step = s
       .agg(sum(expr("aggregate(arr, cast(0 as bigint), (sa, sx) -> sa + sx)"))
@@ -248,12 +251,15 @@ object TimeSeriesAnalytics {
       .select($"query_id", $"qa", $"step", $"sig", $"ps")
     val stored = spark.read.parquet(s"$outDir/ts_paa_sig")
       .select($"user_id".as("neighbor_id"), $"arr".as("ca"), $"sig", $"ps")
+    // UNORDERED by design: every consumer is a partitioned sink
+    // ([[tsMatchPaaStream]]) or a set comparison — a presentation sort
+    // here would pay a full range exchange per micro-batch that the
+    // sink immediately discards (the embeddingCappedPairs rule).
     q.join(stored, Seq("ps", "sig"))
       .where($"query_id" =!= $"neighbor_id")
       .withColumn("dist2", expr(distExpr))
       .where($"dist2" <= expr("16 * step * step"))
       .select($"query_id", $"neighbor_id", $"dist2")
-      .orderBy($"query_id", $"neighbor_id")
   }
 
   /** The PAA pattern match AS A STREAM: query series arrive

@@ -774,7 +774,13 @@ object Pipelines {
       .select($"vec_id", $"v", $"nrm", $"cell", $"csim")
       .withColumn("batch_id", lit(-1L))
       .withColumn("pc", pmod($"cell", lit(AnnPartitions)))
-    ParquetSink.writePartitioned(assign, s"$outDir/emb_assign", Seq("pc"))
+    // batch_id is a PARTITION column (not just data): each streamed
+    // batch owns its own directory, so a crash-replayed ingest can
+    // REWRITE it (dynamic overwrite in [[embDedupBatch]]) instead of
+    // appending duplicates, and the `batch_id < id` probe guard prunes
+    // at the directory level
+    ParquetSink.writePartitioned(assign, s"$outDir/emb_assign",
+      Seq("batch_id", "pc"))
   }
 
   /** One judged batch against the stored index — the shared core of
@@ -875,10 +881,21 @@ object Pipelines {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(verdictDir)
-      ParquetSink.writePartitioned(
-        batchAssign.withColumn("batch_id", lit(id))
-          .withColumn("pc", pmod(col("cell"), lit(AnnPartitions))),
-        s"$outDir/emb_assign", Seq("pc"), mode = "append")
+      // ingest by REWRITING this batch's own (batch_id, pc) partitions
+      // (dynamic overwrite), never append: an append is not
+      // replay-idempotent — a crash between the ingest and the offset
+      // commit would leave duplicate index rows that inflate
+      // base.count() (the cap derivation) and consume ranks in the
+      // per-cell occupancy window, evicting genuine base rows once the
+      // cap binds. The replayed batch judges against the same
+      // `batch_id < id` view, so its assign rows are bit-identical and
+      // the rewrite converges.
+      batchAssign.withColumn("batch_id", lit(id))
+        .withColumn("pc", pmod(col("cell"), lit(AnnPartitions)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "pc")
+        .parquet(s"$outDir/emb_assign")
     }
   }
 

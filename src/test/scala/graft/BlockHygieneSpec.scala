@@ -55,6 +55,24 @@ class BlockHygieneSpec extends AnyFunSuite {
       s"tracked fresh-stats checkpoint mis-reported as re-leak: $reported")
   }
 
+  test("materializePaa's series checkpoint is bracket-tracked: swept, not a re-leak") {
+    val dir = java.nio.file.Files.createTempDirectory("graftpaahyg").toString
+    val before = persistedIds
+    val reported = scala.collection.mutable.Set.empty[Int]
+    val saved = BlockHygiene.onUntracked
+    BlockHygiene.onUntracked = ids => reported ++= ids
+    try {
+      BlockHygiene.releasingNewPersists(spark) {
+        graft.analytics.TimeSeriesAnalytics
+          .materializePaa(spark, SparkTestBase.sf, dir)
+      }
+    } finally BlockHygiene.onUntracked = saved
+    assert((persistedIds -- before).isEmpty,
+      "materializePaa's series checkpoint leaked past the bracket sweep")
+    assert(reported.isEmpty,
+      s"materializePaa checkpoint mis-reported as re-leak: $reported")
+  }
+
   test("fresh-stats checkpoint preserves the physical output partitioning") {
     // the checkpointed frame of a hash-partitioned child must not
     // re-shuffle when a downstream op needs that same partitioning

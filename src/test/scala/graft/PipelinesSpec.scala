@@ -377,6 +377,15 @@ class PipelinesSpec extends AnyFunSuite {
     Pipelines.embDedupBatch(df(b0), 0, dir, s"$dir/verdicts")
     Pipelines.embDedupBatch(df(b0), 0, dir, s"$dir/verdicts") // replay
     Pipelines.embDedupBatch(df(b1), 1, dir, s"$dir/verdicts")
+    // the replayed ingest must have REWRITTEN batch 0's partitions,
+    // not appended: duplicate index rows would inflate base.count()
+    // (the cap derivation) and consume ranks in the per-cell occupancy
+    // window, evicting genuine base rows wherever the cap binds —
+    // poisoning every LATER batch's verdicts even though the replayed
+    // batch itself judges correctly
+    val idx = spark.read.parquet(s"$dir/emb_assign")
+    assert(idx.count() == idx.select("vec_id").distinct().count(),
+      "crash-replayed ingest left duplicate rows in emb_assign")
     val cols = Seq("vec_id", "keep", "n_dups", "dup_of", "best_cosine")
     val got = spark.read.parquet(s"$dir/verdicts").selectExpr(cols: _*)
       .as[(Long, Boolean, Long, Option[Long], Option[Double])].collect().toSet
