@@ -54,16 +54,21 @@ object Bench {
     // 67-83 s round-over-round purely from host contention (BASELINE
     // progression table), costing a round of interpretation each time.
     // Time one fixed, shuffle-typical query (pricing_summary: full
-    // lineitem scan + hash agg) 5× after warm-up and record the median;
-    // BENCH_rN/BENCH_rN-1 ratios can then be normalized by calib ratio.
+    // lineitem scan + hash agg) 5× after warm-up and record the median.
+    // Run at THREE stations — head, middle, and tail of the timed
+    // sweep — because one head-of-sweep calib cannot distinguish "host
+    // was calm when the sweep started" from "host stayed calm": the
+    // r14 driver sweep recorded graph_triangles at 58 s against an
+    // 8-12 s five-round band behind a perfectly calm HEAD calib, and
+    // the single scalar could neither convict nor acquit the host.
     // Gated off (-1) when SPARK_GRAFT_ONLY restricts the run to other
-    // queries: local perf loops shouldn't pay 5 unrequested calib reps,
+    // queries: local perf loops shouldn't pay unrequested calib reps,
     // and pricing_summary would also have been skipped by the warm pass
     // above, so the first calib rep would carry cold codegen anyway.
     // A calib failure records -1 (the failed-query sentinel) rather
     // than aborting the sweep before any JSON is emitted.
     val wantCalib = only.forall(_.contains("pricing_summary"))
-    val calib =
+    def calibOnce(): Double =
       if (!wantCalib) -1.0
       else SparkEntry.queries.get("pricing_summary").map { fn =>
         val reps = (1 to 5).map { _ =>
@@ -80,7 +85,20 @@ object Bench {
         }.sorted
         if (reps.exists(_.isNaN)) -1.0 else reps(2)
       }.getOrElse(-1.0)
-    val results = sorted.map { case (name, fn) =>
+    val sweepStart = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - sweepStart) / 1e9
+    // Per-query record: as-run rep times (NOT just the median — the
+    // spread is what separates "this query got slower" from "the host
+    // hiccupped during one rep") plus the sweep-relative start offset,
+    // so a contended WINDOW shows up as inflation clustered in time
+    // across alphabetically-adjacent queries rather than as an
+    // unfalsifiable per-query verdict.
+    case class QRec(name: String, median: Double, reps: Seq[Double],
+                    tOffset: Double)
+    def timeQuery(name: String,
+                  fn: (org.apache.spark.sql.SparkSession, String)
+                    => org.apache.spark.sql.DataFrame): QRec = {
+      val t = elapsed()
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -89,9 +107,26 @@ object Bench {
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
         clearLeftoverBlocks() // outside the timed window
         dt
-      }.sorted
-      name -> (if (reps.exists(_.isNaN)) -1.0 else reps(1)) // median of 3
+      }
+      val med =
+        if (reps.exists(_.isNaN)) -1.0 else reps.sorted.apply(1)
+      QRec(name, med,
+        reps.map(r => if (r.isNaN) -1.0 else r), t)
     }
+    val calibHead = calibOnce()
+    val (firstHalf, secondHalf) = sorted.splitAt(sorted.size / 2)
+    val recsA = firstHalf.map { case (n, fn) => timeQuery(n, fn) }
+    val calibMid = calibOnce()
+    val recsB = secondHalf.map { case (n, fn) => timeQuery(n, fn) }
+    val calibTail = calibOnce()
+    val recs = recsA ++ recsB
+    val calibs = Seq(calibHead, calibMid, calibTail)
+    // headline calib scalar: the median of the three stations when all
+    // ran (robust to one contended station), else the head value — the
+    // pre-r15 schema's single scalar stays comparable either way
+    val calib =
+      if (calibs.forall(_ >= 0)) calibs.sorted.apply(1) else calibHead
+    val results = recs.map(r => r.name -> r.median)
     // 4 decimal places (0.1 ms) is ample for wall-clock medians and keeps
     // the one-line JSON under the driver's log-tail capture window — full
     // 17-digit doubles pushed the 104-query line past it, truncating the
@@ -104,8 +139,18 @@ object Bench {
     val (diagResults, servingResults) = results.partition(r => diag(r._1))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val servingTotal = servingResults.map(_._2).sum
+    val calibsJson = calibs.map(fmt).mkString("[", ",", "]")
+    // self-diagnosis detail (file artifact only — too wide for the log
+    // tail): per-query rep times in run order + sweep-relative start
+    // offset. Reading it answers the two questions a bare median can't:
+    // was the inflation ONE rep (host hiccup) or all three (real), and
+    // was it clustered in a time window (contended sweep segment)?
+    val detailJson = recs.map { r =>
+      s"\"${r.name}\":{\"reps\":${r.reps.map(fmt).mkString("[", ",", "]")}," +
+        s"\"t\":${fmt(r.tOffset)}}"
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(servingTotal)},"unit":"sec","calib":${fmt(calib)},"queries":${toJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(servingTotal)},"unit":"sec","calib":${fmt(calib)},"calibs":$calibsJson,"queries":${toJson(results)},"sf":"$sfDir","detail":$detailJson}"""
     // lossless artifact: the driver scrapes the log tail, which has
     // truncated the (multi-KB, 80-query) JSON line before — persist the
     // full record to a file too, so the bench result never depends on
@@ -130,7 +175,7 @@ object Bench {
       acc :+= r; len += r._1.length + 12
     }
     val summary =
-      s"""{"metric":"total","value":${fmt(servingTotal)},"unit":"sec","calib":${fmt(calib)},"queries":${toJson(acc.sortBy(_._1))},"sf":"$sfDir","n":${results.size},"serving_n":${servingResults.size},"all_s":${fmt(total)},"diag_s":${fmt(diagResults.map(_._2).sum)},"queries_truncated_to_slowest":${acc.size},"full":"${outPath}"}"""
+      s"""{"metric":"total","value":${fmt(servingTotal)},"unit":"sec","calib":${fmt(calib)},"calibs":$calibsJson,"queries":${toJson(acc.sortBy(_._1))},"sf":"$sfDir","n":${results.size},"serving_n":${servingResults.size},"all_s":${fmt(total)},"diag_s":${fmt(diagResults.map(_._2).sum)},"queries_truncated_to_slowest":${acc.size},"full":"${outPath}"}"""
     println(summary)
     System.out.flush()
   }

@@ -71,6 +71,7 @@ object SparkEntry {
     "ts_similarity"     -> ((s, d) => TimeSeriesAnalytics.tsSimilarity(s, d)),
     "ts_similarity_paa" -> ((s, d) =>
       TimeSeriesAnalytics.tsSimilarityPaa(s, d)),
+    "ts_paa_recall"     -> ((s, d) => TimeSeriesAnalytics.tsPaaRecall(s, d)),
     "asof_attribution"  -> ((s, d) => DetectionAnalytics.asofAttribution(s, d)),
     "cep_funnel"        -> ((s, d) => DetectionAnalytics.cepFunnel(s, d)),
     "funnel_rates"      -> ((s, d) => DetectionAnalytics.funnelRates(s, d)),
@@ -114,6 +115,8 @@ object SparkEntry {
     "similarity_topk"   -> ((s, d) => Similarity.similarityTopK(s, d)),
     "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     "dedup_embedding_capped" -> ((s, d) => Similarity.dedupEmbeddingCapped(s, d)),
+    "dedup_embedding_capped_curve" -> ((s, d) =>
+      Similarity.dedupEmbeddingCappedCurve(s, d)),
     "dedup_embedding_incremental" -> ((s, d) =>
       Similarity.dedupEmbeddingIncremental(s, d)),
     "dedup_embedding_clusters" -> ((s, d) =>
@@ -209,6 +212,7 @@ object SparkEntry {
     */
   val diagnosticQueries: Set[String] =
     Set("dedup_candidate_stats", "dedup_substring_curve",
+      "dedup_embedding_capped_curve",
       "similarity_cell_stats", "similarity_lsh_stats",
       "dedup_ngram_jaccard", "dedup_clusters_multi",
       "dedup_embedding",
@@ -420,6 +424,8 @@ object SparkEntry {
     "ts_similarity" -> graft.analytics.TimeSeriesAnalytics.tsSimilarityOracle(),
     "ts_similarity_paa" ->
       graft.analytics.TimeSeriesAnalytics.tsSimilarityPaaOracle(),
+    "ts_paa_recall" ->
+      graft.analytics.TimeSeriesAnalytics.tsPaaRecallOracle(),
     "interval_join" ->
       """SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate
         |FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
@@ -519,6 +525,8 @@ object SparkEntry {
     "similarity_topk"     -> Similarity.similarityTopKOracle(),
     "dedup_embedding"     -> Similarity.dedupEmbeddingOracle,
     "dedup_embedding_capped" -> Similarity.dedupEmbeddingCappedOracle,
+    "dedup_embedding_capped_curve" ->
+      Similarity.dedupEmbeddingCappedCurveOracle,
     "dedup_embedding_incremental" -> Similarity.dedupEmbeddingIncrementalOracle,
     "dedup_embedding_clusters" -> Similarity.dedupEmbeddingClustersOracle,
     "embedding_spectrum"  -> Similarity.embeddingSpectrumOracle,

@@ -179,6 +179,97 @@ object TimeSeriesAnalytics {
       .orderBy($"u1", $"u2")
   }
 
+  /** Recall gate for the PAA collision path — the TS tier's member of
+    * the QA family (`minhash_error`, `similarity_recall*`,
+    * `dedup_substring_curve`): every approximate tier in this library
+    * ships with a query that MEASURES what the approximation costs,
+    * and until this one the PAA index's miss rate (boundary-straddling
+    * pairs, [[tsSimilarityPaa]]'s documented miss class) was prose,
+    * not a number. Ground truth is the exact threshold scan restricted
+    * to the fixed [[autoMod]] query panel (panel × corpus — linear,
+    * the same shape that keeps [[tsSimilarity]]'s baseline affordable;
+    * an all-pairs truth would be the quadratic the PAA tier exists to
+    * avoid). For every panel near pair (exact dist² ≤ 16·step²), did
+    * the quantized signatures collide? Output is ONE row of exact
+    * BIGINTs — counts and a basis-point recall ratio in integer
+    * division, so the DuckDB gate hashes bit-for-bit (a float ratio
+    * could not cross engines).
+    *
+    * `stepOverride` exists for the degenerate-quantization pin
+    * (AnalyticsSpec): a step larger than any series' segment sums
+    * collapses every signature to all-zeros, every near pair collides,
+    * and recall is exactly 10000 bp — the contract's boundary case.
+    */
+  def tsPaaRecall(spark: SparkSession, sfDir: String,
+                  stepOverride: Long = -1): DataFrame = {
+    import spark.implicits._
+    val s = graft.streaming.BlockHygiene.checkpointTracked(
+      series(spark, sfDir))
+    val nSeg = Days / Seg
+    val m = autoMod(s.count())
+    val step =
+      if (stepOverride > 0)
+        spark.range(1).selectExpr(s"cast($stepOverride as bigint) as step")
+      else s
+        .agg(sum(expr("aggregate(arr, cast(0 as bigint), (sa, sx) -> sa + sx)"))
+          .as("tot"), count(lit(1)).as("nu"))
+        .selectExpr(s"greatest(cast(1 as bigint), tot div (nu * $nSeg)) as step")
+    val sig = s.crossJoin(broadcast(step))
+      .selectExpr("user_id", "arr", "step",
+        s"transform(sequence(0, ${nSeg - 1}), si -> " +
+          s"aggregate(slice(arr, si * $Seg + 1, $Seg), cast(0 as bigint), " +
+          "(pa, px) -> pa + px) div step) as paw")
+      .withColumn("sig", expr("array_join(paw, '-')"))
+    val q = sig.where($"user_id" % m === 0)
+      .select($"user_id".as("query_id"), $"arr".as("qa"),
+        $"sig".as("qsig"), $"step")
+    val c = sig.select($"user_id".as("neighbor_id"), $"arr".as("ca"),
+      $"sig".as("csig"))
+    q.join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("dist2", expr(distExpr))
+      .where($"dist2" <= expr("16 * step * step"))
+      .agg(count(lit(1)).as("n_near"),
+        coalesce(sum(when($"qsig" === $"csig", 1L).otherwise(0L)), lit(0L))
+          .as("n_found"))
+      .selectExpr("n_near", "n_found",
+        "cast(case when n_near = 0 then 10000 " +
+          "else (n_found * 10000) div n_near end as bigint) as recall_bp")
+  }
+
+  /** DuckDB replay of [[tsPaaRecall]] — same panel rule, same frozen
+    * step, same integer-division basis points. */
+  def tsPaaRecallOracle(): String = {
+    val nSeg = Days / Seg
+    s"""WITH $seriesCtes, st AS (
+       |  SELECT greatest(CAST(1 AS BIGINT),
+       |    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+       |           (sa, sx) -> sa + sx)) AS BIGINT)
+       |      // (count(*) * $nSeg)) AS step
+       |  FROM arrs
+       |), tsgeom AS (
+       |  SELECT greatest(10, count(*) // 50) AS md FROM arrs
+       |), sigs AS (
+       |  SELECT user_id, arr,
+       |         array_to_string(list_transform(range(0, $nSeg), si ->
+       |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             arr[si * $Seg + 1 : si * $Seg + $Seg]),
+       |             (pa, px) -> pa + px) // step), '-') AS sig
+       |  FROM arrs CROSS JOIN st
+       |), near AS (
+       |  SELECT CASE WHEN q.sig = c.sig THEN 1 ELSE 0 END AS hit
+       |  FROM sigs q JOIN sigs c ON q.user_id <> c.user_id
+       |  WHERE q.user_id % (SELECT md FROM tsgeom) = 0
+       |    AND ${distDuck("q.arr", "c.arr")} <=
+       |        16 * (SELECT step * step FROM st)
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_near,
+       |       CAST(COALESCE(sum(hit), 0) AS BIGINT) AS n_found,
+       |       CAST(CASE WHEN count(*) = 0 THEN 10000
+       |            ELSE (COALESCE(sum(hit), 0) * 10000) // count(*)
+       |            END AS BIGINT) AS recall_bp
+       |FROM near""".stripMargin
+  }
+
   /** Persist the per-user series table — the TS-search serving index
     * (O(users) rows of 30 BIGINTs; the aggregation over raw events is
     * the expensive pass, so production serves from the snapshot and

@@ -602,6 +602,19 @@ object Dedup {
     * decreases on any change — one cheap agg per round instead of a
     * change-count join. (Σ stays within Int64 up to ~1e9 nodes; past
     * that switch the test to a changed-row count.)
+    *
+    * MEMORY SIZING (the sf10emb cliff, measured): the loop's working
+    * set is proportional to the EDGE count, not the node count — each
+    * round shuffles the full pair list plus the label table, and the
+    * per-round checkpoint pins one edge-sized RDD. Size executor+driver
+    * heap at roughly `edges × 48 B × 3` (pair row + label join + one
+    * pinned round) before spill sets in. On the degenerate clustered
+    * ×100 tier (93.6 M capped edges) the closure ran 449 s spill-bound
+    * at 16 g and 133–144 s at 48 g — a 3.3× recovery from memory alone,
+    * no plan change (BASELINE "48 g recovery"). When the caller caps
+    * its pair evidence (the `*_capped` tiers), the cap ceiling
+    * C·capA·capP bounds this formula a priori; an UNCAPPED pair graph
+    * makes the loop's memory unboundable by construction.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = nodes.sparkSession

@@ -592,6 +592,161 @@ object Similarity {
     s"""WITH $embeddingCappedPairsCtes
        |SELECT vec1, vec2, cosine FROM epairs ORDER BY vec1, vec2""".stripMargin
 
+  /** Cap-recall curve for the occupancy caps — the embedding analog of
+    * [[Dedup.substringDfCurve]], completing the knob-gate family:
+    * every capped tier ships a query that MEASURES what its cap
+    * trades, from one pass. [[autoCapAssign]]'s headroom argument
+    * proves the caps are no-ops at the correctness tiers, but on
+    * clustered geometry at scale they bind and trade recall for
+    * bounded work — and nothing measured how much.
+    *
+    * One narrow-index pass scores all four NESTED cap levels
+    * {cap/4, cap/2, cap, 2·cap} (both sides scaled together): the
+    * per-cell affinity windows rank once against the LARGEST level,
+    * each key row carries the smallest level admitting it (`la`/`lp`),
+    * and a candidate pair's admission level is `min` over shared cells
+    * of `greatest(la, lp)` — nesting makes levels cumulative, so
+    * survivors-per-level read directly as the recall curve
+    * (`n_dup_pairs` at level i over the 2·cap row's). Row i is
+    * EXACTLY [[dedupEmbeddingCapped]] run at (capA_i, capP_i) — a
+    * pair survives that run iff some shared probed cell admits both
+    * sides, which is `lvl <= i` by construction (AnalyticsSpec pins
+    * the equality per level with forced-small caps that genuinely
+    * bind). `n_candidates` counts distinct examined pairs, the
+    * verify-stage volume the caps bound.
+    */
+  def dedupEmbeddingCappedCurve(spark: SparkSession, sfDir: String,
+                                threshold: Double = 0.4,
+                                nCentroids: Int = -1, nProbe: Int = -1,
+                                capAssign: Int = -1,
+                                capProbe: Int = -1): DataFrame = {
+    import spark.implicits._
+    val n = nVecs(spark, sfDir)
+    val cA = if (capAssign > 0) capAssign else autoCapAssign(n)
+    val cP = if (capProbe > 0) capProbe else autoCapProbe(n)
+    val aCaps = Seq(math.max(1, cA / 4), math.max(1, cA / 2), cA, 2 * cA)
+    val pCaps = Seq(math.max(1, cP / 4), math.max(1, cP / 2), cP, 2 * cP)
+    def lvlExpr(c0: String, caps: Seq[Int]): String =
+      s"case when $c0 <= ${caps(0)} then 1 when $c0 <= ${caps(1)} then 2 " +
+        s"when $c0 <= ${caps(2)} then 3 else 4 end"
+    val narrow = ivfRankedNarrow(spark, sfDir, nCentroids, nProbe)
+    val cellW = Window.partitionBy($"cell")
+      .orderBy($"csim".desc, $"vec_id".asc)
+    val arkKeys = narrow.where($"crk" === 1)
+      .withColumn("ark", row_number().over(cellW))
+      .where($"ark" <= aCaps.last)
+      .selectExpr("vec_id", "cell", s"${lvlExpr("ark", aCaps)} as la")
+    val prkKeys = narrow
+      .withColumn("prk", row_number().over(cellW))
+      .where($"prk" <= pCaps.last)
+      .selectExpr("vec_id as qid", "cell", s"${lvlExpr("prk", pCaps)} as lp")
+    // pair admission level BEFORE vectors attach: the grouped pair
+    // list is bounded by the 2·cap level's C·capA·capP, and cosine is
+    // computed once per distinct pair, not once per shared cell
+    val pairLvl = prkKeys.join(arkKeys, "cell")
+      .where($"qid" =!= $"vec_id")
+      .groupBy(least($"qid", $"vec_id").as("vec1"),
+        greatest($"qid", $"vec_id").as("vec2"))
+      .agg(min(greatest($"la", $"lp")).as("lvl"))
+    val e = vectors(spark, sfDir)
+    val scored = pairLvl
+      .join(e.select($"vec_id".as("vec1"), $"v".as("v1"), $"nrm".as("m1")),
+        "vec1")
+      .join(e.select($"vec_id".as("vec2"), $"v".as("v2"), $"nrm".as("m2")),
+        "vec2")
+      .withColumn("cosine", expr(s"${dotSpark("v1", "v2", "cv")} / (m1 * m2)"))
+      .select($"lvl", $"cosine")
+    val agg = scored
+      .withColumn("l", explode(array((1 to 4).map(lit(_)): _*)))
+      .where($"lvl" <= $"l")
+      .groupBy($"l").agg(count(lit(1)).as("n_candidates"),
+        sum(when($"cosine" >= threshold, 1L).otherwise(0L)).as("n_dup_pairs"))
+    val capsDf = aCaps.zip(pCaps).zipWithIndex
+      .map { case ((a, p), i) => (i + 1, a.toLong, p.toLong) }
+      .toDF("l", "cap_assign", "cap_probe")
+    capsDf.join(agg, Seq("l"), "left_outer")
+      .selectExpr("cap_assign", "cap_probe",
+        "coalesce(n_candidates, cast(0 as bigint)) as n_candidates",
+        "coalesce(n_dup_pairs, cast(0 as bigint)) as n_dup_pairs")
+      .orderBy($"cap_assign")
+  }
+
+  /** DuckDB replay of [[dedupEmbeddingCappedCurve]] at the default
+    * (geom-derived) caps. */
+  val dedupEmbeddingCappedCurveOracle: String =
+    s"""WITH $geomCte, e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotDuck("v", "v", "n")}) AS nrm FROM e
+       |), cent AS (
+       |  SELECT vec_id AS cent_id, v AS centv, nrm AS centn FROM n WHERE vec_id < $gC
+       |), rankedcells AS (
+       |  SELECT vec_id, cent_id,
+       |         ${dotDuck("n.v", "c.centv", "s")} / (n.nrm * c.centn) AS csim,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY
+       |           ${dotDuck("n.v", "c.centv", "a")} / (n.nrm * c.centn) DESC,
+       |           cent_id ASC) AS crk
+       |  FROM n CROSS JOIN cent c
+       |), lv AS (
+       |  SELECT greatest(1, capa // 4) AS a1, greatest(1, capa // 2) AS a2,
+       |         capa AS a3, capa * 2 AS a4,
+       |         greatest(1, capp // 4) AS p1, greatest(1, capp // 2) AS p2,
+       |         capp AS p3, capp * 2 AS p4
+       |  FROM geom
+       |), assign AS (
+       |  SELECT vec_id, cell,
+       |         CASE WHEN ark <= (SELECT a1 FROM lv) THEN 1
+       |              WHEN ark <= (SELECT a2 FROM lv) THEN 2
+       |              WHEN ark <= (SELECT a3 FROM lv) THEN 3 ELSE 4 END AS la
+       |  FROM (
+       |    SELECT vec_id, cent_id AS cell,
+       |           row_number() OVER (PARTITION BY cent_id
+       |             ORDER BY csim DESC, vec_id ASC) AS ark
+       |    FROM rankedcells WHERE crk = 1
+       |  ) WHERE ark <= (SELECT a4 FROM lv)
+       |), probes AS (
+       |  SELECT qid, cell,
+       |         CASE WHEN prk <= (SELECT p1 FROM lv) THEN 1
+       |              WHEN prk <= (SELECT p2 FROM lv) THEN 2
+       |              WHEN prk <= (SELECT p3 FROM lv) THEN 3 ELSE 4 END AS lp
+       |  FROM (
+       |    SELECT vec_id AS qid, cent_id AS cell,
+       |           row_number() OVER (PARTITION BY cent_id
+       |             ORDER BY csim DESC, vec_id ASC) AS prk
+       |    FROM rankedcells WHERE crk <= $gNp
+       |  ) WHERE prk <= (SELECT p4 FROM lv)
+       |), pairlvl AS (
+       |  SELECT least(p.qid, a.vec_id) AS vec1,
+       |         greatest(p.qid, a.vec_id) AS vec2,
+       |         min(greatest(p.lp, a.la)) AS lvl
+       |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.qid <> a.vec_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT pl.lvl,
+       |         ${dotDuck("n1.v", "n2.v", "d")} / (n1.nrm * n2.nrm) AS cosine
+       |  FROM pairlvl pl
+       |  JOIN n n1 ON n1.vec_id = pl.vec1
+       |  JOIN n n2 ON n2.vec_id = pl.vec2
+       |), lvls AS (
+       |  SELECT unnest([1, 2, 3, 4]) AS l
+       |), curve AS (
+       |  SELECT l.l, CAST(count(s.lvl) AS BIGINT) AS n_candidates,
+       |         CAST(COALESCE(sum(CASE WHEN s.cosine >= 0.4 THEN 1 ELSE 0 END),
+       |           0) AS BIGINT) AS n_dup_pairs
+       |  FROM lvls l LEFT JOIN scored s ON s.lvl <= l.l
+       |  GROUP BY 1
+       |)
+       |SELECT CAST(CASE c.l WHEN 1 THEN (SELECT a1 FROM lv)
+       |            WHEN 2 THEN (SELECT a2 FROM lv)
+       |            WHEN 3 THEN (SELECT a3 FROM lv)
+       |            ELSE (SELECT a4 FROM lv) END AS BIGINT) AS cap_assign,
+       |       CAST(CASE c.l WHEN 1 THEN (SELECT p1 FROM lv)
+       |            WHEN 2 THEN (SELECT p2 FROM lv)
+       |            WHEN 3 THEN (SELECT p3 FROM lv)
+       |            ELSE (SELECT p4 FROM lv) END AS BIGINT) AS cap_probe,
+       |       n_candidates, n_dup_pairs
+       |FROM curve c ORDER BY cap_assign""".stripMargin
+
   /** Semantic near-dup CLUSTERS — connected components over the capped
     * embedding pair graph plus canonical selection: the embedding-tier
     * sibling of [[Dedup.dedupClusters]] and the closure stage of a
@@ -609,6 +764,10 @@ object Similarity {
     * Scale shape: [[Dedup.connectedComponents]] — per-round cost is one
     * equi-join + min-agg over the EDGE list (bounded by the capped pair
     * count), never the corpus; isolated vectors bypass the loop.
+    * Memory sizing: heap ∝ CAPPED EDGE COUNT (≤ C·capA·capP), not the
+    * corpus — see the formula and the measured 16 g/48 g cliff in
+    * [[Dedup.connectedComponents]]'s scaladoc before deploying this on
+    * clustered geometry.
     */
   def dedupEmbeddingClusters(spark: SparkSession, sfDir: String,
                              threshold: Double = 0.4): DataFrame = {

@@ -266,6 +266,29 @@ class AnalyticsSpec extends AnyFunSuite {
       "a 2-per-cell core cannot retain every pair of this corpus")
   }
 
+  test("dedup_embedding_capped_curve: row i == the capped query at (capA_i, capP_i); cumulative") {
+    // forced-small base caps so the nested levels {cap/4, cap/2, cap,
+    // 2·cap} genuinely bind at this tier (the auto caps are proven
+    // no-ops here, which would pin nothing)
+    val curve = Similarity.dedupEmbeddingCappedCurve(spark, sf,
+      capAssign = 8, capProbe = 16)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.length == 4)
+    assert(curve.map(_._1).toSeq == Seq(2L, 4L, 8L, 16L) &&
+      curve.map(_._2).toSeq == Seq(4L, 8L, 16L, 32L))
+    // nesting makes the curve cumulative: both columns monotone
+    assert(curve.sliding(2).forall { case Array(a, b) =>
+      a._3 <= b._3 && a._4 <= b._4 })
+    // the contract: row i's survivor count IS dedupEmbeddingCapped run
+    // at exactly that level's caps — the curve reads as recall directly
+    for ((ca, cp, _, nDup) <- curve) {
+      val direct = Similarity.dedupEmbeddingCapped(spark, sf,
+        capAssign = ca.toInt, capProbe = cp.toInt).count()
+      assert(direct == nDup,
+        s"curve row (capA=$ca, capP=$cp) disagrees with the direct capped run")
+    }
+  }
+
   test("dedup_embedding_incremental: verdict per new vector, matches ⊆ the batch pair set") {
     val inc = Similarity.dedupEmbeddingIncremental(spark, sf).cache()
     val nNew = Tables.embeddings(spark, sf)
@@ -1449,6 +1472,33 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
     for ((u1, u2, d) <- paa)
       assert(d == dist2(daily(u1), daily(u2)) && u1 < u2)
+  }
+
+  test("ts_paa_recall: degenerate step pins recall at 10000 bp; real step consistent with the PAA tier") {
+    // a step above every segment sum collapses all signatures to
+    // all-zeros: every panel near pair collides, recall exactly 10000
+    val degen = TimeSeriesAnalytics
+      .tsPaaRecall(spark, sf, stepOverride = 1000000L)
+      .as[(Long, Long, Long)].head()
+    assert(degen._1 > 0 && degen._1 == degen._2 && degen._3 == 10000L,
+      s"degenerate quantization must find every near pair, got $degen")
+    // real corpus-relative step: found ⊆ near, basis points exact
+    val real = TimeSeriesAnalytics.tsPaaRecall(spark, sf)
+      .as[(Long, Long, Long)].head()
+    assert(real._1 >= real._2 && real._1 > 0)
+    assert(real._3 == (real._2 * 10000) / real._1)
+    // n_found must agree with the live PAA pair query restricted to
+    // the panel: a directed panel hit is an undirected PAA pair with a
+    // panel member on either side (both sides ⇒ counted twice)
+    val nUsers = events
+      .selectExpr("user_id", "datediff(to_date(ts), date'2024-01-01') as d")
+      .where($"d" >= 0 && $"d" < 30).select($"user_id").distinct().count()
+    val m = TimeSeriesAnalytics.autoMod(nUsers)
+    val paa = TimeSeriesAnalytics.tsSimilarityPaa(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val expectFound = paa.count(_._1 % m == 0) + paa.count(_._2 % m == 0)
+    assert(real._2 == expectFound,
+      s"recall gate found ${real._2} panel hits, PAA tier implies $expectFound")
   }
 
   test("graph_triangles: degree-oriented counts == brute-force enumeration") {
