@@ -72,6 +72,8 @@ object SparkEntry {
     "ts_similarity_paa" -> ((s, d) =>
       TimeSeriesAnalytics.tsSimilarityPaa(s, d)),
     "ts_paa_recall"     -> ((s, d) => TimeSeriesAnalytics.tsPaaRecall(s, d)),
+    "ts_paa_recall_curve" -> ((s, d) =>
+      TimeSeriesAnalytics.tsPaaRecallCurve(s, d)),
     "asof_attribution"  -> ((s, d) => DetectionAnalytics.asofAttribution(s, d)),
     "cep_funnel"        -> ((s, d) => DetectionAnalytics.cepFunnel(s, d)),
     "funnel_rates"      -> ((s, d) => DetectionAnalytics.funnelRates(s, d)),
@@ -212,7 +214,7 @@ object SparkEntry {
     */
   val diagnosticQueries: Set[String] =
     Set("dedup_candidate_stats", "dedup_substring_curve",
-      "dedup_embedding_capped_curve",
+      "dedup_embedding_capped_curve", "ts_paa_recall_curve",
       "similarity_cell_stats", "similarity_lsh_stats",
       "dedup_ngram_jaccard", "dedup_clusters_multi",
       "dedup_embedding",
@@ -426,6 +428,8 @@ object SparkEntry {
       graft.analytics.TimeSeriesAnalytics.tsSimilarityPaaOracle(),
     "ts_paa_recall" ->
       graft.analytics.TimeSeriesAnalytics.tsPaaRecallOracle(),
+    "ts_paa_recall_curve" ->
+      graft.analytics.TimeSeriesAnalytics.tsPaaRecallCurveOracle(),
     "interval_join" ->
       """SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate
         |FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey

@@ -150,9 +150,24 @@ object TimeSeriesAnalytics {
     * (user, segment), floor 1) so the bucket structure survives any
     * scale-up instead of degenerating to one giant bucket (small SF)
     * or all-singletons (large SF).
+    *
+    * `quantScale` is the recall/cost knob ([[tsPaaRecallCurve]] is its
+    * instrument): the signature grid is `quantScale·step` while the
+    * match threshold stays 16·step², so a coarser grid collides more
+    * near pairs at the price of bucket occupancy. Measured (sf0.1 /
+    * ×10, 15 k / 150 k users): scale 1 — recall 171/172 bp at
+    * candidate volume 0.016 % of all pairs; scale 2 — 9 604/9 799 bp
+    * at ~1 %; scale 4 — 10 000 bp at ~1 %. The volume at scale ≥ 2
+    * grows QUADRATICALLY (×100 per user decade): the signature
+    * vocabulary is fixed, so occupancy ∝ n — the same
+    * structure-free-data law as [[graft.textops.Similarity.autoNProbe]].
+    * Default 1 keeps the bounded-work serving contract; a deployment
+    * that needs the recall buys it knowingly.
     */
-  def tsSimilarityPaa(spark: SparkSession, sfDir: String): DataFrame = {
+  def tsSimilarityPaa(spark: SparkSession, sfDir: String,
+                      quantScale: Int = 1): DataFrame = {
     import spark.implicits._
+    require(quantScale >= 1, "quantScale must be >= 1")
     val s = series(spark, sfDir).localCheckpoint()
     val nSeg = Days / Seg
     // corpus-relative quantization step: mean count per (user, segment)
@@ -167,7 +182,7 @@ object TimeSeriesAnalytics {
       .selectExpr("user_id", "arr", "step",
         s"transform(sequence(0, ${nSeg - 1}), si -> " +
           s"aggregate(slice(arr, si * $Seg + 1, $Seg), cast(0 as bigint), " +
-          "(pa, px) -> pa + px) div step) as paw")
+          s"(pa, px) -> pa + px) div (step * $quantScale)) as paw")
       .withColumn("sig", expr("array_join(paw, '-')"))
     val thresh = expr(s"16 * step * step") // dist² ≤ 16·step² ⇒ near
     sig.select($"user_id".as("u1"), $"arr".as("qa"), $"sig", $"step")
@@ -236,6 +251,137 @@ object TimeSeriesAnalytics {
           "else (n_found * 10000) div n_near end as bigint) as recall_bp")
   }
 
+  /** Recall/cost curve over PAA quantizer scales — the instrument
+    * behind choosing the signature grid. [[tsPaaRecall]] measures ONE
+    * operating point; this measures four from one pass, exploiting
+    * grid nesting: `floor(x / 2Q) = floor(floor(x / Q) / 2)`, so a
+    * signature collision at scale s implies one at every coarser
+    * scale — recall is monotone in the scale and a near pair's
+    * admission scale is well-defined (the finest scale whose grids
+    * collide). Each output row is scale k ∈ {1, 2, 4, 8} (quantizer
+    * k·step): the panel recall of the collision path at that grid,
+    * plus the corpus-wide collision-pair volume `n_bucket_pairs` —
+    * the exact-verify candidate count a serve at that grid pays, the
+    * cost axis of the trade (coarser grid ⇒ more recall AND more
+    * bucket occupancy; the curve shows where the knee is). Counts are
+    * exact BIGINTs; recall in integer basis points (DuckDB-hashable).
+    */
+  def tsPaaRecallCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = graft.streaming.BlockHygiene.checkpointTracked(
+      series(spark, sfDir))
+    val nSeg = Days / Seg
+    val m = autoMod(s.count())
+    val step = s
+      .agg(sum(expr("aggregate(arr, cast(0 as bigint), (sa, sx) -> sa + sx)"))
+        .as("tot"), count(lit(1)).as("nu"))
+      .selectExpr(s"greatest(cast(1 as bigint), tot div (nu * $nSeg)) as step")
+    val scales = Seq(1, 2, 4, 8)
+    // one segment-sum pass; per-scale signatures derive narrowly
+    val base = s.crossJoin(broadcast(step))
+      .selectExpr("user_id", "arr", "step",
+        s"transform(sequence(0, ${nSeg - 1}), si -> " +
+          s"aggregate(slice(arr, si * $Seg + 1, $Seg), cast(0 as bigint), " +
+          "(pa, px) -> pa + px)) as segs")
+    val sig = scales.foldLeft(base) { (df, k) =>
+      df.withColumn(s"sig$k",
+        expr(s"array_join(transform(segs, sx -> sx div (step * $k)), '-')"))
+    }
+    val sigCols = scales.map(k => s"sig$k")
+    // recall side: panel near pairs, admission scale = finest collide
+    val q = sig.where($"user_id" % m === 0)
+      .selectExpr(Seq("user_id as query_id", "arr as qa", "step") ++
+        sigCols.map(c => s"$c as q$c"): _*)
+    val c = sig.selectExpr(Seq("user_id as neighbor_id", "arr as ca") ++
+      sigCols.map(c0 => s"$c0 as c$c0"): _*)
+    val lvl = scales.zipWithIndex.map { case (k, i) =>
+      s"when qsig$k = csig$k then ${i + 1}"
+    }.mkString("case ", " ", " else 99 end")
+    val near = q.join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("dist2", expr(distExpr))
+      .where($"dist2" <= expr("16 * step * step"))
+      .selectExpr(s"$lvl as lvl")
+    val found = near
+      .withColumn("l", explode(array(scales.indices.map(i => lit(i + 1)): _*)))
+      .groupBy($"l").agg(count(lit(1)).as("n_near"),
+        sum(when($"lvl" <= $"l", 1L).otherwise(0L)).as("n_found"))
+    // cost side: corpus-wide colliding-pair volume per grid
+    val bucketPairs = scales.zipWithIndex.map { case (k, i) =>
+      sig.groupBy(col(s"sig$k")).agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(expr("cnt * (cnt - 1) div 2")), lit(0L))
+          .as("n_bucket_pairs"))
+        .selectExpr(s"${i + 1} as l", s"cast($k as bigint) as quant_scale",
+          "n_bucket_pairs")
+    }.reduce(_ unionAll _)
+    bucketPairs.join(found, Seq("l"), "left_outer")
+      .selectExpr("quant_scale",
+        "coalesce(n_near, cast(0 as bigint)) as n_near",
+        "coalesce(n_found, cast(0 as bigint)) as n_found",
+        "cast(case when coalesce(n_near, 0) = 0 then 10000 " +
+          "else (coalesce(n_found, 0) * 10000) div n_near end as bigint) " +
+          "as recall_bp",
+        "n_bucket_pairs")
+      .orderBy($"quant_scale")
+  }
+
+  /** DuckDB replay of [[tsPaaRecallCurve]]. */
+  def tsPaaRecallCurveOracle(): String = {
+    val nSeg = Days / Seg
+    val scales = Seq(1, 2, 4, 8)
+    def sigDuck(k: Int): String =
+      s"array_to_string(list_transform(segs, sx -> sx // (step * $k)), '-')"
+    val lvl = scales.zipWithIndex.map { case (k, i) =>
+      s"WHEN q.sig$k = c.sig$k THEN ${i + 1}"
+    }.mkString("CASE ", " ", " ELSE 99 END")
+    s"""WITH $seriesCtes, st AS (
+       |  SELECT greatest(CAST(1 AS BIGINT),
+       |    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+       |           (sa, sx) -> sa + sx)) AS BIGINT)
+       |      // (count(*) * $nSeg)) AS step
+       |  FROM arrs
+       |), tsgeom AS (
+       |  SELECT greatest(10, count(*) // 50) AS md FROM arrs
+       |), segd AS (
+       |  SELECT user_id, arr, step,
+       |         list_transform(range(0, $nSeg), si ->
+       |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             arr[si * $Seg + 1 : si * $Seg + $Seg]),
+       |             (pa, px) -> pa + px)) AS segs
+       |  FROM arrs CROSS JOIN st
+       |), sigs AS (
+       |  SELECT user_id, arr,
+       |         ${scales.map(k => s"${sigDuck(k)} AS sig$k").mkString(", ")}
+       |  FROM segd
+       |), near AS (
+       |  SELECT $lvl AS lvl
+       |  FROM sigs q JOIN sigs c ON q.user_id <> c.user_id
+       |  WHERE q.user_id % (SELECT md FROM tsgeom) = 0
+       |    AND ${distDuck("q.arr", "c.arr")} <=
+       |        16 * (SELECT step * step FROM st)
+       |), lvls AS (
+       |  SELECT unnest([${scales.indices.map(_ + 1).mkString(", ")}]) AS l,
+       |         unnest([${scales.mkString(", ")}]) AS quant_scale
+       |), found AS (
+       |  SELECT l.l, CAST(count(n.lvl) AS BIGINT) AS n_near,
+       |         CAST(COALESCE(sum(CASE WHEN n.lvl <= l.l THEN 1 ELSE 0 END),
+       |           0) AS BIGINT) AS n_found
+       |  FROM lvls l LEFT JOIN near n ON true
+       |  GROUP BY 1
+       |), bp AS (
+       |  ${scales.zipWithIndex.map { case (k, i) =>
+             s"SELECT ${i + 1} AS l, CAST(COALESCE(sum(cnt * (cnt - 1) // 2), 0) AS BIGINT) AS n_bucket_pairs FROM (SELECT sig$k, count(*) AS cnt FROM sigs GROUP BY 1)"
+           }.mkString("\n  UNION ALL\n  ")}
+       |)
+       |SELECT CAST(l.quant_scale AS BIGINT) AS quant_scale, f.n_near,
+       |       f.n_found,
+       |       CAST(CASE WHEN f.n_near = 0 THEN 10000
+       |            ELSE (f.n_found * 10000) // f.n_near END AS BIGINT)
+       |         AS recall_bp,
+       |       b.n_bucket_pairs
+       |FROM lvls l JOIN found f ON f.l = l.l JOIN bp b ON b.l = l.l
+       |ORDER BY quant_scale""".stripMargin
+  }
+
   /** DuckDB replay of [[tsPaaRecall]] — same panel rule, same frozen
     * step, same integer-division basis points. */
   def tsPaaRecallOracle(): String = {
@@ -291,23 +437,30 @@ object TimeSeriesAnalytics {
     * `ps` so a query batch's probe join prunes to the directories its
     * own signatures hash into. */
   def materializePaa(spark: SparkSession, sfDir: String,
-                     outDir: String): Unit = {
+                     outDir: String, quantScale: Int = 1): Unit = {
     import spark.implicits._
+    require(quantScale >= 1, "quantScale must be >= 1")
     // tracked checkpoint: identical for batch callers; a streaming
     // bracket (an index-refresh loop) sweeps the block per micro-batch
     val s = graft.streaming.BlockHygiene.checkpointTracked(
       series(spark, sfDir))
     val nSeg = Days / Seg
+    // the snapshot freezes BOTH constants: the match threshold's step
+    // and the signature grid `qstep = quantScale·step` (the recall/cost
+    // knob — [[tsSimilarityPaa]]'s scaladoc has the measured curve). A
+    // probe must quantize with the INDEX's grid, not its own, or the
+    // equi-join key means different things on the two sides.
     val step = s
       .agg(sum(expr("aggregate(arr, cast(0 as bigint), (sa, sx) -> sa + sx)"))
         .as("tot"), count(lit(1)).as("nu"))
       .selectExpr(s"greatest(cast(1 as bigint), tot div (nu * $nSeg)) as step")
+      .selectExpr("step", s"step * $quantScale as qstep")
     step.write.mode("overwrite").parquet(s"$outDir/ts_paa_step")
     val sig = s.crossJoin(broadcast(step))
-      .selectExpr("user_id", "arr", "step",
+      .selectExpr("user_id", "arr", "qstep",
         s"transform(sequence(0, ${nSeg - 1}), si -> " +
           s"aggregate(slice(arr, si * $Seg + 1, $Seg), cast(0 as bigint), " +
-          "(pa, px) -> pa + px) div step) as paw")
+          "(pa, px) -> pa + px) div qstep) as paw")
       .selectExpr("user_id", "arr", "array_join(paw, '-') as sig")
       .withColumn("ps", pmod(hash($"sig"), lit(32)))
     graft.sources.ParquetSink.writePartitioned(sig,
@@ -333,10 +486,11 @@ object TimeSeriesAnalytics {
     val step = broadcast(spark.read.parquet(s"$outDir/ts_paa_step"))
     val q = queries.selectExpr("query_id", "cast(arr as array<bigint>) as qa")
       .crossJoin(step)
+      // grid = the snapshot's frozen qstep; threshold = its frozen step
       .selectExpr("query_id", "qa", "step",
         s"transform(sequence(0, ${nSeg - 1}), si -> " +
           s"aggregate(slice(qa, si * $Seg + 1, $Seg), cast(0 as bigint), " +
-          "(pa, px) -> pa + px) div step) as paw")
+          "(pa, px) -> pa + px) div qstep) as paw")
       .withColumn("sig", expr("array_join(paw, '-')"))
       .withColumn("ps", pmod(hash($"sig"), lit(32)))
       .select($"query_id", $"qa", $"step", $"sig", $"ps")

@@ -976,6 +976,23 @@ class StreamingParitySpec extends AnyFunSuite {
       assert(got == live,
         "streamed PAA match diverged from the live near-pair query")
     } finally q.stop()
+    // the quantizer knob freezes into the snapshot: a scale-4 index
+    // serves exactly the scale-4 live tier (and, grids being nested,
+    // a superset of the default's pairs)
+    val dir4 = java.nio.file.Files.createTempDirectory("grafttpaa4").toString
+    TimeSeriesAnalytics.materializePaa(spark, sf, dir4, quantScale = 4)
+    val corpus4 = spark.read.parquet(s"$dir4/ts_paa_sig")
+      .selectExpr("user_id as query_id", "arr")
+    val served4 = TimeSeriesAnalytics.tsMatchPaaFrom(spark, dir4, corpus4)
+      .selectExpr("least(query_id, neighbor_id) as u1",
+        "greatest(query_id, neighbor_id) as u2", "dist2")
+      .distinct().as[(Long, Long, Long)].collect().toSet
+    val live4 = TimeSeriesAnalytics.tsSimilarityPaa(spark, sf, quantScale = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served4 == live4,
+      "scale-4 stored PAA match diverged from the scale-4 live query")
+    assert(live.subsetOf(live4),
+      "nested grids must make the coarse tier a superset of the fine one")
   }
 
   test("rangeJoinStream: bucket-keyed stream-stream join == batch range_join") {
