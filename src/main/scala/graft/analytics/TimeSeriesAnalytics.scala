@@ -155,14 +155,17 @@ object TimeSeriesAnalytics {
     * instrument): the signature grid is `quantScale·step` while the
     * match threshold stays 16·step², so a coarser grid collides more
     * near pairs at the price of bucket occupancy. Measured (sf0.1 /
-    * ×10, 15 k / 150 k users): scale 1 — recall 171/172 bp at
-    * candidate volume 0.016 % of all pairs; scale 2 — 9 604/9 799 bp
-    * at ~1 %; scale 4 — 10 000 bp at ~1 %. The volume at scale ≥ 2
-    * grows QUADRATICALLY (×100 per user decade): the signature
-    * vocabulary is fixed, so occupancy ∝ n — the same
-    * structure-free-data law as [[graft.textops.Similarity.autoNProbe]].
-    * Default 1 keeps the bounded-work serving contract; a deployment
-    * that needs the recall buys it knowingly.
+    * ×10 = 1.5 k / 15 k users, BASELINE "quantizer law"): recall
+    * tracks the collided-pair FRACTION 1:1 at every scale — 1.6 %
+    * work → 171 bp, 96 % → 9 604–9 799 bp, one-bucket → 10 000 bp —
+    * because on this generator's zero-structure series the threshold
+    * is degenerate (every pair is within 16·step²), so the signature
+    * has no selectivity advantage: the TS twin of
+    * [[graft.textops.Similarity.autoNProbe]]'s structure-free law. On
+    * real corpora the collision win comes from genuinely repeated
+    * series patterns. Default 1 keeps the bounded-work serving
+    * contract; a deployment that needs the recall buys it knowingly,
+    * with both axes measured by the curve.
     */
   def tsSimilarityPaa(spark: SparkSession, sfDir: String,
                       quantScale: Int = 1): DataFrame = {

@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * 3-rep medians, warm pass + inter-rep scrub, snapshot build timed).
   *
   * Usage: `tools/run.sh graft.tools.TsServeProbe <sfDir> [<sfDir>...]
-  * [panel=256] [reps=3]`
+  * [panel=256] [reps=3] [qscale=1]` — `qscale` builds the PAA snapshot
+  * at that quantizer scale (the recall/cost knob; see
+  * `ts_paa_recall_curve`), so the serve-time cost of buying the
+  * coarse grid's recall is measured, not inferred.
   */
 object TsServeProbe {
   def main(args: Array[String]): Unit = {
@@ -21,6 +24,7 @@ object TsServeProbe {
       .map(_.stripPrefix(k + "=").toInt).getOrElse(d)
     val panel = opt("panel", 256)
     val reps = opt("reps", 3)
+    val qscale = opt("qscale", 1)
     val spark = Session.harnessBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -36,10 +40,11 @@ object TsServeProbe {
     }
 
     for (dir <- dirs) {
-      val snap = s"target/tsserve-${new java.io.File(dir).getName}"
+      val snap = s"target/tsserve-${new java.io.File(dir).getName}" +
+        (if (qscale == 1) "" else s"-q$qscale")
       val t0 = System.nanoTime()
       TimeSeriesAnalytics.materializeSeries(spark, dir, snap)
-      TimeSeriesAnalytics.materializePaa(spark, dir, snap)
+      TimeSeriesAnalytics.materializePaa(spark, dir, snap, quantScale = qscale)
       val buildS = (System.nanoTime() - t0) / 1e9
       scrub()
       val n = spark.read.parquet(s"$snap/ts_series").count()
@@ -57,7 +62,7 @@ object TsServeProbe {
       }
       println(f"TSSERVE $dir%-22s n=$n%-8d build_s=$buildS%.1f " +
         f"exact_topk_s=$exactS%.2f paa_match_s=$paaS%.2f " +
-        f"paa_matches=$paaN (panel=$panel)")
+        f"paa_matches=$paaN (panel=$panel qscale=$qscale)")
       scrub()
     }
     spark.stop()
