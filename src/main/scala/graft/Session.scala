@@ -46,6 +46,22 @@ object Session {
     // reading 100 TB would raise this to 64-256m (fewer, beefier tasks)
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // rank-filter → WindowGroupLimit rewrite is gated on k ≤ this
+    // threshold (default 1000). The occupancy-cap windows rank with
+    // k = capProbe ∈ {1024, 1536, 2048} (2× that in the cap-curve
+    // instrument) — above the default, so the PROBE side of every
+    // capped tier was silently NOT rewritten (plan-audited round 15:
+    // WindowGroupLimit on the 192-cap assign side only). Honest cost
+    // model: the map-side partial top-k prunes only where ONE cell's
+    // per-partition occupancy exceeds capP — a no-op on uniform
+    // geometry (measured neutral at sf0.1/sf10 within host noise),
+    // decisive exactly on hot-cell floods (boilerplate/duplicate
+    // spikes), which is the degenerate case the caps exist for; and
+    // the final WindowGroupLimit bounds per-group evaluation instead
+    // of materializing the full window then filtering. 8192 covers the
+    // largest shipped rung (2·2048); rank filters above that genuinely
+    // shouldn't pre-sort map-side.
+    .config("spark.sql.optimizer.windowGroupLimitThreshold", "8192")
     .config("spark.sql.session.timeZone", "UTC")
     .withExtensions(new GraftExtensions)
 

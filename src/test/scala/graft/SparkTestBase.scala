@@ -14,6 +14,10 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Session.tune: the occupancy-cap rank filters (k up to
+      // 2·2048) must rewrite to WindowGroupLimit here too, or PlanSpec
+      // pins a different plan than the one Bench/Verify run
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "8192")
     // RocksDB state store as the session default — the library's
     // recommended production posture (Session.tuneStreaming), and a
     // REQUIREMENT of the transformWithState state machines the CEP /
