@@ -113,12 +113,23 @@ object Bench {
       QRec(name, med,
         reps.map(r => if (r.isNaN) -1.0 else r), t)
     }
-    val calibHead = calibOnce()
+    // 1-minute load average at each calib station: calib measures what
+    // contention COSTS this workload, loadavg shows WHO was there — a
+    // calm calib + load 6 means other tenants were runnable but this
+    // sweep wasn't descheduled much; a hot calib at load ~1 means
+    // page-cache/disk debt. Together they make a bad number attributable.
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def calibStation(): Double = { loads += loadAvg(); calibOnce() }
+    val calibHead = calibStation()
     val (firstHalf, secondHalf) = sorted.splitAt(sorted.size / 2)
     val recsA = firstHalf.map { case (n, fn) => timeQuery(n, fn) }
-    val calibMid = calibOnce()
+    val calibMid = calibStation()
     val recsB = secondHalf.map { case (n, fn) => timeQuery(n, fn) }
-    val calibTail = calibOnce()
+    val calibTail = calibStation()
     val recs = recsA ++ recsB
     val calibs = Seq(calibHead, calibMid, calibTail)
     // headline calib scalar: the median of the three stations when all
@@ -140,6 +151,7 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val servingTotal = servingResults.map(_._2).sum
     val calibsJson = calibs.map(fmt).mkString("[", ",", "]")
+    val loadsJson = loads.map(fmt).mkString("[", ",", "]")
     // self-diagnosis detail (file artifact only — too wide for the log
     // tail): per-query rep times in run order + sweep-relative start
     // offset. Reading it answers the two questions a bare median can't:
@@ -150,7 +162,7 @@ object Bench {
         s"\"t\":${fmt(r.tOffset)}}"
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(servingTotal)},"unit":"sec","calib":${fmt(calib)},"calibs":$calibsJson,"queries":${toJson(results)},"sf":"$sfDir","detail":$detailJson}"""
+      s"""{"metric":"total","value":${fmt(servingTotal)},"unit":"sec","calib":${fmt(calib)},"calibs":$calibsJson,"loads":$loadsJson,"queries":${toJson(results)},"sf":"$sfDir","detail":$detailJson}"""
     // lossless artifact: the driver scrapes the log tail, which has
     // truncated the (multi-KB, 80-query) JSON line before — persist the
     // full record to a file too, so the bench result never depends on
@@ -175,7 +187,7 @@ object Bench {
       acc :+= r; len += r._1.length + 12
     }
     val summary =
-      s"""{"metric":"total","value":${fmt(servingTotal)},"unit":"sec","calib":${fmt(calib)},"calibs":$calibsJson,"queries":${toJson(acc.sortBy(_._1))},"sf":"$sfDir","n":${results.size},"serving_n":${servingResults.size},"all_s":${fmt(total)},"diag_s":${fmt(diagResults.map(_._2).sum)},"queries_truncated_to_slowest":${acc.size},"full":"${outPath}"}"""
+      s"""{"metric":"total","value":${fmt(servingTotal)},"unit":"sec","calib":${fmt(calib)},"calibs":$calibsJson,"loads":$loadsJson,"queries":${toJson(acc.sortBy(_._1))},"sf":"$sfDir","n":${results.size},"serving_n":${servingResults.size},"all_s":${fmt(total)},"diag_s":${fmt(diagResults.map(_._2).sum)},"queries_truncated_to_slowest":${acc.size},"full":"${outPath}"}"""
     println(summary)
     System.out.flush()
   }
