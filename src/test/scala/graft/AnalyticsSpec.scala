@@ -1499,6 +1499,15 @@ class AnalyticsSpec extends AnyFunSuite {
     val expectFound = paa.count(_._1 % m == 0) + paa.count(_._2 % m == 0)
     assert(real._2 == expectFound,
       s"recall gate found ${real._2} panel hits, PAA tier implies $expectFound")
+    // the curve's scale-1 row IS the gate's operating point: same
+    // panel, same threshold, same grid — the two instruments must
+    // report the identical (n_near, n_found, recall_bp)
+    val curve1 = TimeSeriesAnalytics.tsPaaRecallCurve(spark, sf)
+      .where($"quant_scale" === 1L)
+      .select($"n_near", $"n_found", $"recall_bp")
+      .as[(Long, Long, Long)].head()
+    assert(curve1 == real,
+      s"curve scale-1 row $curve1 diverges from the recall gate $real")
   }
 
   test("graph_triangles: degree-oriented counts == brute-force enumeration") {
