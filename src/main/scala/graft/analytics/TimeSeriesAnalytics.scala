@@ -52,9 +52,15 @@ object TimeSeriesAnalytics {
         s"transform(sequence(0, ${Days - 1}), dd -> coalesce(m[dd], cast(0 as bigint))) as arr")
   }
 
-  private val distExpr =
-    "aggregate(zip_with(qa, ca, (xa, ya) -> (xa - ya) * (xa - ya)), " +
-      "cast(0 as bigint), (acc, z) -> acc + z)"
+  /** Exact BIGINT squared distance — the native codegen'd
+    * [[graft.functions.GraftExpressions.VecDist2]] expression
+    * (identical integer left fold to the HOF
+    * `aggregate(zip_with(qa, ca, (x,y) -> (x-y)*(x-y)), 0L, +)`, which
+    * is CodegenFallback and dominated the panel×corpus pair scans —
+    * property-pinned equal in PropertySpec; integer associativity
+    * makes the DuckDB list_reduce replay exact regardless of order).
+    */
+  private val distExpr = "vec_dist2(qa, ca)"
 
   /** Fixed-size query panel: 1-in-mod with mod scaled so the panel
     * stays ~50 users — the [[graft.textops.Similarity]] rule. A FIXED

@@ -101,6 +101,56 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Σ (aᵢ−bᵢ)² over two bigint arrays, sequential left fold — the
+    * exact squared Euclidean distance the time-series tiers gate on
+    * ([[graft.analytics.TimeSeriesAnalytics]]). Same reason to exist
+    * as [[VecDot]]: the HOF form `aggregate(zip_with(a, b,
+    * (x,y) -> (x-y)*(x-y)), 0L, +)` is CodegenFallback and the pair
+    * scans evaluate it panel×corpus (the sf10 exact TS scan spends its
+    * 83 s there). Integer math — the fold order is immaterial to the
+    * result (exact associativity), so the DuckDB oracle's list_reduce
+    * replays it bit-for-bit by construction; min-length semantics like
+    * VecDot (production arrays are fixed 30-day grids, equal length).
+    * Overflow headroom: 30 elements of |diff| ≤ 5.5×10⁸ fit Int64.
+    */
+  case class VecDist2(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      requireArrays(LongType, "vec_dist2", left.dataType, right.dataType)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val d = x.getLong(i) - y.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      // scope block: same Janino redeclaration guard as VecDot
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |{
+           |int v2N = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long v2Acc = 0L;
+           |for (int v2I = 0; v2I < v2N; v2I++) {
+           |  long v2D = $a.getLong(v2I) - $b.getLong(v2I);
+           |  v2Acc += v2D * v2D;
+           |}
+           |${ev.value} = v2Acc;
+           |}
+           |""".stripMargin)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Signed-random-projection signature: bit j of the result is set
     * iff Σᵢ v[i]·planes[j·d+i] > 0, where `planes` is a row-major
     * (bits × d) flattened hyperplane matrix and d = |v|. Semantically
@@ -774,6 +824,9 @@ object GraftExpressions {
     Registration("vec_dot",
       "vec_dot(a, b) - dot product of two double arrays (left fold)",
       es => VecDot(es(0), es(1))),
+    Registration("vec_dist2",
+      "vec_dist2(a, b) - exact squared Euclidean distance of two bigint arrays",
+      es => VecDist2(es(0), es(1))),
     Registration("srp_sig",
       "srp_sig(v, planes) - signed-random-projection signature bits",
       es => SrpSig(es(0), es(1))),

@@ -372,6 +372,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("vec_dist2 native == HOF fold for arbitrary bigint vectors") {
+    val vecGen = Gen.listOfN(30, Gen.chooseNum(-100000L, 100000L))
+    forAll(Gen.listOfN(20, vecGen)) { vecs =>
+      val df = vecs.map(v => (v, v.reverse)).toDF("a", "b")
+      val both = df.selectExpr(
+        "vec_dist2(a, b) as native",
+        "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as bigint), (p, q) -> p + q) as hof")
+      // integer math: any fold order is the same value — exact equality
+      assert(both.where($"native" =!= $"hof").isEmpty)
+    }
+  }
+
   test("srp_sig native == per-bit vec_dot case-when sum for arbitrary vectors") {
     // planes flattened row-major (bits × d); strict > 0 sign rule must
     // match the per-bit formulation bit-for-bit (same left-fold dots)
