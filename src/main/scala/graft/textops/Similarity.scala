@@ -1045,17 +1045,42 @@ object Similarity {
 
   /** The exact covariance pair-moment aggregate over an integer
     * micro-unit vector column `m` — shared tail of the raw and
-    * residual spectrum queries. */
-  private def momentAgg(withM: DataFrame): DataFrame = {
-    import withM.sparkSession.implicits._
-    withM
-      .selectExpr("explode(flatten(transform(m, (xi, i) -> " +
-        "transform(slice(m, i + 1, size(m) - i), (xj, j) -> " +
-        "named_struct('di', i, 'dj', i + j, 'p', xi * xj, " +
-        "'xi', xi, 'xj', xj))))) as e")
-      .groupBy($"e.di".as("dim_i"), $"e.dj".as("dim_j"))
-      .agg(count(lit(1)).as("n"), sum($"e.p").as("sxy"),
-        sum($"e.xi").as("sxi"), sum($"e.xj").as("sxj"))
+    * residual spectrum queries.
+    *
+    * One narrow pass through the mergeable
+    * [[graft.functions.MomentAgg]] state (n, per-dim sums S, pair
+    * sums P — O(d²) longs, map-side partial) instead of the explode
+    * formulation, which materialized d(d+1)/2 CodegenFallback struct
+    * rows PER VECTOR (416 M operator rows at the 200 k tier) before
+    * the hash agg collapsed them: every group statistic is derivable
+    * from the state (sxy = P[i,j], sxi = S[i], sxj = S[j], n = count),
+    * and integer sums are order-free, so the finished table — built
+    * driver-side from the one 16 KB state, the documented
+    * driver/cluster split of [[spectrumShares]] — is bit-identical to
+    * the explode form (PropertySpec pins the equivalence) and the
+    * DuckDB oracle replay. The cov double arithmetic below is
+    * byte-for-byte the old expression, evaluated on the same integers.
+    */
+  private[graft] def momentAgg(withM: DataFrame): DataFrame = {
+    val spark = withM.sparkSession
+    import spark.implicits._
+    val state = withM
+      .select(graft.functions.MomentAggregator.moments(col("m")).as("s"))
+      .as[Array[Long]].head()
+    val rows =
+      if (state.isEmpty) Seq.empty[(Int, Int, Long, Long, Long, Long)]
+      else {
+        val n = state(0)
+        val d = state(1).toInt
+        for {
+          i <- 0 until d
+          j <- i until d
+        } yield {
+          val idx = 2 + d + (i * (2 * d - i + 1)) / 2 + (j - i)
+          (i, j, n, state(idx), state(2 + i), state(2 + j))
+        }
+      }
+    rows.toDF("dim_i", "dim_j", "n", "sxy", "sxi", "sxj")
       .selectExpr("cast(dim_i as int) as dim_i", "cast(dim_j as int) as dim_j",
         "n", "sxy", "sxi", "sxj",
         "(cast(sxy as double) / n - (cast(sxi as double) / n) " +

@@ -385,6 +385,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("moment aggregator == explode pair-moment formulation for arbitrary int vectors") {
+    // the spectrum tail's mergeable-state rewrite must reproduce the
+    // explode+groupBy form it replaced bit-for-bit (integer sums are
+    // order-free; the cov double arithmetic is the identical expression)
+    val dGen = Gen.chooseNum(1, 6)
+    forAll(dGen.flatMap(d =>
+        Gen.listOfN(12, Gen.listOfN(d, Gen.chooseNum(-500L, 500L))))) { vecs =>
+      val withM = vecs.toDF("m")
+      val got = graft.textops.Similarity.momentAgg(withM)
+        .collect().toSeq.map(_.toSeq)
+      val want = withM
+        .selectExpr("explode(flatten(transform(m, (xi, i) -> " +
+          "transform(slice(m, i + 1, size(m) - i), (xj, j) -> " +
+          "named_struct('di', i, 'dj', i + j, 'p', xi * xj, " +
+          "'xi', xi, 'xj', xj))))) as e")
+        .groupBy($"e.di".as("dim_i"), $"e.dj".as("dim_j"))
+        .agg(count(lit(1)).as("n"), sum($"e.p").as("sxy"),
+          sum($"e.xi").as("sxi"), sum($"e.xj").as("sxj"))
+        .selectExpr("cast(dim_i as int) as dim_i",
+          "cast(dim_j as int) as dim_j",
+          "n", "sxy", "sxi", "sxj",
+          "(cast(sxy as double) / n - (cast(sxi as double) / n) " +
+            "* (cast(sxj as double) / n)) / 1000000.0 / 1000000.0 as cov")
+        .orderBy($"dim_i", $"dim_j")
+        .collect().toSeq.map(_.toSeq)
+      assert(got == want, s"moment state diverged from the explode form")
+    }
+  }
+
   test("srp_sig native == per-bit vec_dot case-when sum for arbitrary vectors") {
     // planes flattened row-major (bits × d); strict > 0 sign rule must
     // match the per-bit formulation bit-for-bit (same left-fold dots)
