@@ -71,6 +71,10 @@ object SparkEntry {
     "ts_similarity"     -> ((s, d) => TimeSeriesAnalytics.tsSimilarity(s, d)),
     "ts_similarity_paa" -> ((s, d) =>
       TimeSeriesAnalytics.tsSimilarityPaa(s, d)),
+    "ts_similarity_paa_capped" -> ((s, d) =>
+      TimeSeriesAnalytics.tsSimilarityPaaCapped(s, d)),
+    "ts_paa_candidate_stats" -> ((s, d) =>
+      TimeSeriesAnalytics.tsPaaCandidateStats(s, d)),
     "ts_paa_recall"     -> ((s, d) => TimeSeriesAnalytics.tsPaaRecall(s, d)),
     "ts_paa_recall_curve" -> ((s, d) =>
       TimeSeriesAnalytics.tsPaaRecallCurve(s, d)),
@@ -215,9 +219,15 @@ object SparkEntry {
   val diagnosticQueries: Set[String] =
     Set("dedup_candidate_stats", "dedup_substring_curve",
       "dedup_embedding_capped_curve", "ts_paa_recall_curve",
+      "ts_paa_candidate_stats",
       "similarity_cell_stats", "similarity_lsh_stats",
       "dedup_ngram_jaccard", "dedup_clusters_multi",
       "dedup_embedding",
+      // round 16: the uncapped PAA self-join leaves the serving
+      // surface like its siblings — O(occ²) on a hot signature bucket;
+      // ts_similarity_paa_capped is the serving form (bit-identical at
+      // the correctness tiers, AnalyticsSpec-pinned)
+      "ts_similarity_paa",
       "similarity_pq")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -426,6 +436,10 @@ object SparkEntry {
     "ts_similarity" -> graft.analytics.TimeSeriesAnalytics.tsSimilarityOracle(),
     "ts_similarity_paa" ->
       graft.analytics.TimeSeriesAnalytics.tsSimilarityPaaOracle(),
+    "ts_similarity_paa_capped" ->
+      graft.analytics.TimeSeriesAnalytics.tsSimilarityPaaCappedOracle(),
+    "ts_paa_candidate_stats" ->
+      graft.analytics.TimeSeriesAnalytics.tsPaaCandidateStatsOracle(),
     "ts_paa_recall" ->
       graft.analytics.TimeSeriesAnalytics.tsPaaRecallOracle(),
     "ts_paa_recall_curve" ->

@@ -76,7 +76,8 @@ object TimeSeriesAnalytics {
   def tsSimilarity(spark: SparkSession, sfDir: String, k: Int = 5,
                    mod: Int = -1): DataFrame = {
     import spark.implicits._
-    val s = series(spark, sfDir).localCheckpoint()
+    val s = graft.streaming.BlockHygiene.checkpointTracked(
+      series(spark, sfDir))
     val m = if (mod > 0) mod else autoMod(s.count())
     val q = s.where($"user_id" % m === 0)
       .select($"user_id".as("query_id"), $"arr".as("qa"))
@@ -177,25 +178,102 @@ object TimeSeriesAnalytics {
                       quantScale: Int = 1): DataFrame = {
     import spark.implicits._
     require(quantScale >= 1, "quantScale must be >= 1")
-    val s = series(spark, sfDir).localCheckpoint()
+    val s = graft.streaming.BlockHygiene.checkpointTracked(
+      series(spark, sfDir))
+    val sig = paaSignatures(s, quantScale)
+    val thresh = expr(s"16 * step * step") // dist² ≤ 16·step² ⇒ near
+    sig.select($"user_id".as("u1"), $"arr".as("qa"), $"sig", $"step")
+      .join(sig.select($"user_id".as("u2"), $"arr".as("ca"), $"sig"), "sig")
+      .where($"u1" < $"u2")
+      .withColumn("dist2", expr(distExpr))
+      .where($"dist2" <= thresh)
+      .select($"u1", $"u2", $"dist2")
+      .orderBy($"u1", $"u2")
+  }
+
+  /** `(user_id, arr, step, sig)` — the quantized PAA signature rows
+    * both pair tiers expand: corpus-relative step (mean count per
+    * (user, segment), floor 1 — `div`, not `/`: Spark's `/` on longs
+    * is double division and a truncating cast, DuckDB's `/` ROUNDS on
+    * cast; integer division is the only formulation both engines floor
+    * identically), segment sums bucketed on the `quantScale·step`
+    * grid, joined into the dash-delimited signature key. */
+  private def paaSignatures(s: DataFrame, quantScale: Int): DataFrame = {
     val nSeg = Days / Seg
-    // corpus-relative quantization step: mean count per (user, segment)
-    // `div` (not `/`): Spark's `/` on longs is double division and a
-    // truncating cast, DuckDB's `/` ROUNDS on cast — integer division
-    // is the only formulation both engines floor identically
     val step = s
       .agg(sum(expr("aggregate(arr, cast(0 as bigint), (sa, sx) -> sa + sx)"))
         .as("tot"), count(lit(1)).as("nu"))
       .selectExpr(s"greatest(cast(1 as bigint), tot div (nu * $nSeg)) as step")
-    val sig = s.crossJoin(broadcast(step))
+    s.crossJoin(broadcast(step))
       .selectExpr("user_id", "arr", "step",
         s"transform(sequence(0, ${nSeg - 1}), si -> " +
           s"aggregate(slice(arr, si * $Seg + 1, $Seg), cast(0 as bigint), " +
           s"(pa, px) -> pa + px) div (step * $quantScale)) as paw")
-      .withColumn("sig", expr("array_join(paw, '-')"))
-    val thresh = expr(s"16 * step * step") // dist² ≤ 16·step² ⇒ near
-    sig.select($"user_id".as("u1"), $"arr".as("qa"), $"sig", $"step")
-      .join(sig.select($"user_id".as("u2"), $"arr".as("ca"), $"sig"), "sig")
+      .selectExpr("user_id", "arr", "step", "array_join(paw, '-') as sig")
+  }
+
+  /** Per-signature occupancy cap — the PAA tier's member of the cap
+    * family ([[graft.textops.Dedup.autoMaxDf]] bands,
+    * [[graft.textops.Similarity.autoCapAssign]] cells). The blowup it
+    * bounds is the IVF kind, not the LSH kind: on a corpus with
+    * repeated series patterns (the tier's own win case — "collision
+    * buckets = near-identical series") a hot signature's occupancy
+    * grows Θ(n) and the bucket self-join O(occ²), with no signal/noise
+    * separation a multiplicative cap could exploit. So the cap grows
+    * SLOWER than occupancy — the same stepped power-of-two schedule as
+    * the embedding caps (integer comparisons, replays bit-exactly in
+    * DuckDB), sized so the correctness tiers are provably no-ops:
+    * measured signature occupancy max is 2 / 7 / 43 at sf0.001 /
+    * sf0.01 / sf0.1 (93 distinct signatures at sf0.1) → ≥2.2×
+    * headroom under the 96 floor.
+    */
+  private[graft] def autoSigCap(nUsers: Long): Int =
+    if (nUsers <= 65536L) 96 else if (nUsers <= 4194304L) 192 else 384
+
+  /** [[autoSigCap]] as a DuckDB scalar subquery over the same series
+    * relation, so capped oracles derive the cap from the corpus they
+    * run on (oracle parity at every SF, no tier-coupled constant). */
+  private val autoSigCapDuck: String =
+    "(SELECT CASE WHEN count(*) <= 65536 THEN 96 " +
+      "WHEN count(*) <= 4194304 THEN 192 ELSE 384 END FROM arrs)"
+
+  /** Occupancy-capped PAA near-pair search — [[tsSimilarityPaa]] with
+    * per-signature candidate volume bounded BEFORE pair expansion, the
+    * structural move every sibling pair tier already made
+    * ([[graft.textops.Dedup.minhashLshCapped]] at the band stage,
+    * [[graft.textops.Similarity.dedupEmbeddingCapped]] at the cell
+    * stage): each signature bucket is ranked deterministically
+    * (user_id ASC — series carry no affinity score, and near-identical
+    * series collide as a GROUP, so any stable order keeps a bounded
+    * core of every dup cluster) and truncated at [[autoSigCap]], so
+    * the bucket self-join is O(cap²) per signature regardless of
+    * corpus shape — a boilerplate-series flood (the win case IS the
+    * hot-bucket case) reports its first `cap` members' pairs instead
+    * of O(occ²). A pair is missed iff either side ranks beyond the cap
+    * in their shared bucket. At the correctness tiers the cap exceeds
+    * every bucket's occupancy (≥2.2× headroom — [[autoSigCap]]) so
+    * output is bit-identical to the uncapped tier (AnalyticsSpec pins
+    * it); the DuckDB oracle replays the full capped pipeline, so the
+    * hash gate holds at any scale, binding or not. The rank filter is
+    * a `row_number() <= cap` window — WindowGroupLimit rewrites it to
+    * map-side per-partition top-k before the signature shuffle, and
+    * the pair join reuses the window's sig partitioning (one exchange
+    * end-to-end).
+    */
+  def tsSimilarityPaaCapped(spark: SparkSession, sfDir: String,
+                            quantScale: Int = 1, cap: Int = -1): DataFrame = {
+    import spark.implicits._
+    require(quantScale >= 1, "quantScale must be >= 1")
+    val s = graft.streaming.BlockHygiene.checkpointTracked(
+      series(spark, sfDir))
+    val c = if (cap > 0) cap else autoSigCap(s.count())
+    val kept = paaSignatures(s, quantScale)
+      .withColumn("srk", row_number().over(
+        Window.partitionBy($"sig").orderBy($"user_id".asc)))
+      .where($"srk" <= c).drop("srk")
+    val thresh = expr(s"16 * step * step")
+    kept.select($"user_id".as("u1"), $"arr".as("qa"), $"sig", $"step")
+      .join(kept.select($"user_id".as("u2"), $"arr".as("ca"), $"sig"), "sig")
       .where($"u1" < $"u2")
       .withColumn("dist2", expr(distExpr))
       .where($"dist2" <= thresh)
@@ -459,11 +537,18 @@ object TimeSeriesAnalytics {
     // knob — [[tsSimilarityPaa]]'s scaladoc has the measured curve). A
     // probe must quantize with the INDEX's grid, not its own, or the
     // equi-join key means different things on the two sides.
+    // the snapshot also freezes the OCCUPANCY CAP ([[autoSigCap]] at
+    // the snapshot corpus size) and each row's per-signature rank
+    // `srk` (user_id ASC — the same deterministic order the live
+    // capped tier ranks by), so the serve's bounded-read contract is a
+    // stored-column filter, not a per-query window over hot buckets
+    val sigCap = autoSigCap(s.count())
     val step = s
       .agg(sum(expr("aggregate(arr, cast(0 as bigint), (sa, sx) -> sa + sx)"))
         .as("tot"), count(lit(1)).as("nu"))
       .selectExpr(s"greatest(cast(1 as bigint), tot div (nu * $nSeg)) as step")
-      .selectExpr("step", s"step * $quantScale as qstep")
+      .selectExpr("step", s"step * $quantScale as qstep",
+        s"cast($sigCap as int) as sigcap")
     step.write.mode("overwrite").parquet(s"$outDir/ts_paa_step")
     val sig = s.crossJoin(broadcast(step))
       .selectExpr("user_id", "arr", "qstep",
@@ -471,6 +556,8 @@ object TimeSeriesAnalytics {
           s"aggregate(slice(arr, si * $Seg + 1, $Seg), cast(0 as bigint), " +
           "(pa, px) -> pa + px) div qstep) as paw")
       .selectExpr("user_id", "arr", "array_join(paw, '-') as sig")
+      .withColumn("srk", row_number().over(
+        Window.partitionBy($"sig").orderBy($"user_id".asc)))
       .withColumn("ps", pmod(hash($"sig"), lit(32)))
     graft.sources.ParquetSink.writePartitioned(sig,
       s"$outDir/ts_paa_sig", Seq("ps"))
@@ -492,7 +579,19 @@ object TimeSeriesAnalytics {
                      queries: DataFrame): DataFrame = {
     import spark.implicits._
     val nSeg = Days / Seg
-    val step = broadcast(spark.read.parquet(s"$outDir/ts_paa_step"))
+    val stepT = spark.read.parquet(s"$outDir/ts_paa_step")
+    val stored0 = spark.read.parquet(s"$outDir/ts_paa_sig")
+    // fail fast with the fix named on a pre-cap index root rather
+    // than an analysis error mid-stream (the emb_assign upgrade
+    // lesson: a layout change must not brick a running serve loop)
+    require(stepT.columns.contains("sigcap") &&
+        stored0.columns.contains("srk"),
+      s"$outDir predates the occupancy-capped PAA index (no sigcap/srk " +
+        "columns) — rebuild it with materializePaa before serving")
+    // 1-row driver read: the cap must be a LITERAL so the srk filter
+    // pushes into the parquet scan instead of waiting on a join
+    val sigCap = stepT.select($"sigcap").first().getInt(0)
+    val step = broadcast(stepT)
     val q = queries.selectExpr("query_id", "cast(arr as array<bigint>) as qa")
       .crossJoin(step)
       // grid = the snapshot's frozen qstep; threshold = its frozen step
@@ -503,7 +602,16 @@ object TimeSeriesAnalytics {
       .withColumn("sig", expr("array_join(paw, '-')"))
       .withColumn("ps", pmod(hash($"sig"), lit(32)))
       .select($"query_id", $"qa", $"step", $"sig", $"ps")
-    val stored = spark.read.parquet(s"$outDir/ts_paa_sig")
+    // stored-side occupancy cap (srk ≤ frozen sigcap, parquet-pushed):
+    // the corpus side is the one that grows, so per-query cost is
+    // bounded by cap × the batch's distinct signatures even when a
+    // boilerplate flood makes a bucket Θ(n). The probe side is an
+    // incoming batch — bounded by premise, uncapped (the
+    // dedupEmbeddingIncremental rule). Miss class: a stored series
+    // ranking beyond the cap in its bucket; one-sided, vs the live
+    // capped tier's both-sided window.
+    val stored = stored0
+      .where($"srk" <= sigCap)
       .select($"user_id".as("neighbor_id"), $"arr".as("ca"), $"sig", $"ps")
     // UNORDERED by design: every consumer is a partitioned sink
     // ([[tsMatchPaaStream]]) or a set comparison — a presentation sort
@@ -597,4 +705,151 @@ object TimeSeriesAnalytics {
        |      16 * (SELECT step * step FROM st)
        |ORDER BY u1, u2""".stripMargin
   }
+
+  /** Shared DuckDB CTE tail for the capped tier: `st` (frozen step),
+    * `sigs` (signature rows with the per-signature user_id rank `srk`)
+    * and `cap` (the corpus-derived [[autoSigCap]]). */
+  private def cappedSigCtes: String = {
+    val nSeg = Days / Seg
+    s"""st AS (
+       |  SELECT greatest(CAST(1 AS BIGINT),
+       |    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+       |           (sa, sx) -> sa + sx)) AS BIGINT)
+       |      // (count(*) * $nSeg)) AS step
+       |  FROM arrs
+       |), sigs AS (
+       |  SELECT user_id, arr, step, sig,
+       |         row_number() OVER (PARTITION BY sig ORDER BY user_id)
+       |           AS srk
+       |  FROM (
+       |    SELECT user_id, arr, step,
+       |           array_to_string(list_transform(range(0, $nSeg), si ->
+       |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               arr[si * $Seg + 1 : si * $Seg + $Seg]),
+       |               (pa, px) -> pa + px) // step), '-') AS sig
+       |    FROM arrs CROSS JOIN st
+       |  )
+       |), cap AS (
+       |  SELECT $autoSigCapDuck AS c
+       |)""".stripMargin
+  }
+
+  /** DuckDB replay of [[tsSimilarityPaaCapped]] — the full capped
+    * pipeline (rank window included), so the gate holds whether or not
+    * the cap binds. */
+  def tsSimilarityPaaCappedOracle(): String =
+    s"""WITH $seriesCtes, $cappedSigCtes, kept AS (
+       |  SELECT user_id, arr, step, sig FROM sigs
+       |  WHERE srk <= (SELECT c FROM cap)
+       |)
+       |SELECT a.user_id AS u1, b.user_id AS u2,
+       |       ${distDuck("a.arr", "b.arr")} AS dist2
+       |FROM kept a JOIN kept b ON a.sig = b.sig AND a.user_id < b.user_id
+       |WHERE ${distDuck("a.arr", "b.arr")} <=
+       |      16 * (SELECT step * step FROM st)
+       |ORDER BY u1, u2""".stripMargin
+
+  /** Candidate-volume telemetry for the PAA tier — the TS member of
+    * the [[graft.textops.Dedup.dedupCandidateStats]] family: one row
+    * per tier (`paa`, `paa_capped`) with the collision-bucket geometry
+    * (user count, distinct signatures, max bucket occupancy — capped
+    * occupancy for the capped row), the pair volume the bucket
+    * self-join expands (`candidates` = Σ occ·(occ−1)/2, the cost the
+    * cap bounds), and the exact-verified survivors. This is the
+    * measurement that says whether [[autoSigCap]] still holds at
+    * 100× — a `candidates` column trending toward n² on the uncapped
+    * row with a flat capped row is the cap doing its job; both rows
+    * flat means the cap isn't even needed yet.
+    *
+    * Scale shape: occupancy stats are one agg over the signature rows;
+    * the survivor counts ride ONE tagged pair pass (each pair carries
+    * its capped-kept flag, so the capped row costs no second join) —
+    * and the pass is the diagnostic's point: it IS the uncapped join,
+    * quarantined here like `dedup_ngram_jaccard`'s exact tier.
+    */
+  def tsPaaCandidateStats(spark: SparkSession, sfDir: String,
+                          quantScale: Int = 1, cap: Int = -1): DataFrame = {
+    import spark.implicits._
+    require(quantScale >= 1, "quantScale must be >= 1")
+    val s = graft.streaming.BlockHygiene.checkpointTracked(
+      series(spark, sfDir))
+    val c = if (cap > 0) cap else autoSigCap(s.count())
+    // ranked signature rows feed the occupancy agg AND the pair pass
+    val sig = graft.streaming.BlockHygiene.checkpointTracked(
+      paaSignatures(s, quantScale)
+        .withColumn("srk", row_number().over(
+          Window.partitionBy($"sig").orderBy($"user_id".asc))))
+    val occ = sig.groupBy($"sig").agg(count(lit(1)).as("occ"))
+    val base = broadcast(occ.agg(
+      coalesce(sum($"occ"), lit(0L)).as("n_users"),
+      count(lit(1)).as("n_sigs"),
+      coalesce(max($"occ"), lit(0L)).as("occ_max_full"),
+      coalesce(sum(expr("occ * (occ - 1) div 2")), lit(0L)).as("cand_full")))
+    val cbase = broadcast(occ.agg(
+      coalesce(max(least($"occ", lit(c.toLong))), lit(0L))
+        .as("occ_max_capped"),
+      coalesce(sum(expr(s"least(occ, $c) * (least(occ, $c) - 1) div 2")),
+        lit(0L)).as("cand_capped")))
+    val pairs = sig.as("a").join(sig.as("b"),
+        col("a.sig") === col("b.sig") && col("a.user_id") < col("b.user_id"))
+      .selectExpr(
+        "vec_dist2(a.arr, b.arr) <= 16 * a.step * a.step as near",
+        s"a.srk <= $c and b.srk <= $c as kept")
+    val prs = broadcast(pairs.agg(
+      coalesce(sum(when($"near", 1L).otherwise(0L)), lit(0L))
+        .as("surv_full"),
+      coalesce(sum(when($"near" && $"kept", 1L).otherwise(0L)), lit(0L))
+        .as("surv_capped")))
+    val rowFull = base.crossJoin(prs)
+      .selectExpr("'paa' as tier", "n_users", "n_sigs",
+        "occ_max_full as occ_max", "cand_full as candidates",
+        "surv_full as survivors")
+    val rowCapped = base.crossJoin(cbase).crossJoin(prs)
+      .selectExpr("'paa_capped' as tier", "n_users", "n_sigs",
+        "occ_max_capped as occ_max", "cand_capped as candidates",
+        "surv_capped as survivors")
+    rowFull.unionAll(rowCapped).orderBy($"tier")
+  }
+
+  /** DuckDB replay of [[tsPaaCandidateStats]]. */
+  def tsPaaCandidateStatsOracle(): String =
+    s"""WITH $seriesCtes, $cappedSigCtes, occ AS (
+       |  SELECT sig, count(*) AS occ FROM sigs GROUP BY 1
+       |), base AS (
+       |  SELECT CAST(COALESCE(sum(occ), 0) AS BIGINT) AS n_users,
+       |         CAST(count(*) AS BIGINT) AS n_sigs,
+       |         CAST(COALESCE(max(occ), 0) AS BIGINT) AS occ_max_full,
+       |         CAST(COALESCE(sum(occ * (occ - 1) // 2), 0) AS BIGINT)
+       |           AS cand_full
+       |  FROM occ
+       |), cbase AS (
+       |  SELECT CAST(COALESCE(max(least(occ, (SELECT c FROM cap))), 0)
+       |           AS BIGINT) AS occ_max_capped,
+       |         CAST(COALESCE(sum(least(occ, (SELECT c FROM cap))
+       |           * (least(occ, (SELECT c FROM cap)) - 1) // 2), 0)
+       |           AS BIGINT) AS cand_capped
+       |  FROM occ
+       |), prs AS (
+       |  SELECT CAST(COALESCE(sum(CASE WHEN near THEN 1 ELSE 0 END), 0)
+       |           AS BIGINT) AS surv_full,
+       |         CAST(COALESCE(sum(CASE WHEN near AND kept THEN 1 ELSE 0
+       |           END), 0) AS BIGINT) AS surv_capped
+       |  FROM (
+       |    SELECT ${distDuck("a.arr", "b.arr")}
+       |             <= 16 * a.step * a.step AS near,
+       |           a.srk <= (SELECT c FROM cap)
+       |             AND b.srk <= (SELECT c FROM cap) AS kept
+       |    FROM sigs a JOIN sigs b
+       |      ON a.sig = b.sig AND a.user_id < b.user_id
+       |  )
+       |)
+       |SELECT 'paa' AS tier, b.n_users, b.n_sigs,
+       |       b.occ_max_full AS occ_max, b.cand_full AS candidates,
+       |       p.surv_full AS survivors
+       |FROM base b CROSS JOIN prs p
+       |UNION ALL
+       |SELECT 'paa_capped', b.n_users, b.n_sigs, cb.occ_max_capped,
+       |       cb.cand_capped, p.surv_capped
+       |FROM base b CROSS JOIN cbase cb CROSS JOIN prs p
+       |ORDER BY tier""".stripMargin
 }

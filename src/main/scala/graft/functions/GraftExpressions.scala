@@ -119,13 +119,32 @@ object GraftExpressions {
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       requireArrays(LongType, "vec_dist2", left.dataType, right.dataType)
     override def dataType: DataType = LongType
+    // NULL on unequal lengths (below) even when both children are
+    // non-null — without this the codegen isNull slot is a literal
+    // `false` that can't be assigned
+    override def nullable: Boolean = true
+    // Malformed-input contract — identical to the HOF fold this
+    // expression replaced (`aggregate(zip_with(a, b, …), 0L, +)`):
+    // unequal lengths → NULL (zip_with pads with null, the sum
+    // absorbs it), and a null ELEMENT → NULL. The element check only
+    // compiles in when a child's schema says nulls are possible
+    // (containsNull), so the hot TS path — transform-built arrays,
+    // containsNull = false — keeps the branch-free loop.
+    private def mayHaveNullElems: Boolean =
+      Seq(left, right).exists(_.dataType match {
+        case ArrayType(_, cn) => cn
+        case _ => false
+      })
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
+      val checkNulls = mayHaveNullElems
       var acc = 0L
       var i = 0
       while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
         val d = x.getLong(i) - y.getLong(i)
         acc += d * d
         i += 1
@@ -134,18 +153,28 @@ object GraftExpressions {
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       // scope block: same Janino redeclaration guard as VecDot
-      nullSafeCodeGen(ctx, ev, (a, b) =>
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val elemNullCheck =
+          if (mayHaveNullElems)
+            s"if ($a.isNullAt(v2I) || $b.isNullAt(v2I)) { ${ev.isNull} = true; break; }"
+          else ""
         s"""
            |{
-           |int v2N = java.lang.Math.min($a.numElements(), $b.numElements());
-           |long v2Acc = 0L;
-           |for (int v2I = 0; v2I < v2N; v2I++) {
-           |  long v2D = $a.getLong(v2I) - $b.getLong(v2I);
-           |  v2Acc += v2D * v2D;
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int v2N = $a.numElements();
+           |  long v2Acc = 0L;
+           |  for (int v2I = 0; v2I < v2N; v2I++) {
+           |    $elemNullCheck
+           |    long v2D = $a.getLong(v2I) - $b.getLong(v2I);
+           |    v2Acc += v2D * v2D;
+           |  }
+           |  ${ev.value} = v2Acc;
            |}
-           |${ev.value} = v2Acc;
            |}
-           |""".stripMargin)
+           |""".stripMargin
+      })
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
@@ -825,7 +854,9 @@ object GraftExpressions {
       "vec_dot(a, b) - dot product of two double arrays (left fold)",
       es => VecDot(es(0), es(1))),
     Registration("vec_dist2",
-      "vec_dist2(a, b) - exact squared Euclidean distance of two bigint arrays",
+      "vec_dist2(a, b) - exact squared Euclidean distance of two bigint " +
+        "arrays; NULL if lengths differ or any element is NULL " +
+        "(the aggregate(zip_with(...)) fold semantics)",
       es => VecDist2(es(0), es(1))),
     Registration("srp_sig",
       "srp_sig(v, planes) - signed-random-projection signature bits",

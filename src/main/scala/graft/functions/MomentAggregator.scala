@@ -34,12 +34,17 @@ class MomentAgg extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
   override def zero: Array[Long] = Array.emptyLongArray
 
   override def reduce(buf0: Array[Long], m: Seq[Long]): Array[Long] = {
+    require(m != null, "moment vector must not be null")
     val d = m.size
     val buf =
       if (buf0.nonEmpty) buf0
       else new Array[Long](2 + d + d * (d + 1) / 2)
-    require(buf(1) == 0L || buf(1) == d.toLong,
-      s"moment state dimension ${buf(1)} != vector dimension $d")
+    // length check, not just the d marker: a first EMPTY vector (d=0)
+    // allocates a 2-slot buffer with marker 0, which a bare
+    // `buf(1) == 0L` guard would let a later d>0 vector write past
+    require((buf(1) == 0L || buf(1) == d.toLong) &&
+        buf.length == 2 + d + d * (d + 1) / 2,
+      s"moment state dim ${buf(1)}/len ${buf.length} incompatible with vector dimension $d")
     // IndexedSeq access: the encoder materializes ArraySeq (O(1) apply)
     val v = m.toIndexedSeq
     buf(0) += 1L

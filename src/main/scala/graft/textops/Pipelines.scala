@@ -783,6 +783,34 @@ object Pipelines {
       Seq("batch_id", "pc"))
   }
 
+  /** Fail fast on a pre-versioning assignment-index root. Before the
+    * replay-idempotent ingest, `emb_assign` was written with pc=-only
+    * partition directories and `batch_id` as a BIGINT DATA column; the
+    * current ingest writes `batch_id=`/`pc=` partition directories.
+    * One old-layout root plus one new-layout ingest yields mixed
+    * directory depths that Spark partition discovery rejects
+    * ("Conflicting directory structures") mid-stream — and batch_id
+    * silently changes type from BIGINT column to inferred partition
+    * value. Detect the old layout up front and name the fix (rebuild
+    * via [[materializeEmbDedup]]) instead of letting discovery brick a
+    * running [[embDedupStream]] on upgrade. One FS listing per batch —
+    * noise against the batch's own read.
+    */
+  private def requireEmbAssignLayout(spark: SparkSession,
+                                     outDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/emb_assign")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val oldStyle = fs.listStatus(path).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("pc="))
+      require(!oldStyle,
+        s"$outDir/emb_assign uses the legacy pc=-only directory layout " +
+          "(batch_id as a data column), which cannot share a root with " +
+          "the current batch_id=/pc= ingest — rebuild the index with " +
+          "materializeEmbDedup before resuming the crawl loop")
+    }
+  }
+
   /** One judged batch against the stored index — the shared core of
     * [[embDedupIncrementalFrom]] and [[embDedupStream]]. Returns
     * (verdicts, the batch's own crk=1 assignment rows for ingest).
@@ -799,6 +827,7 @@ object Pipelines {
       : (DataFrame, DataFrame) = {
     val spark = q.sparkSession
     import spark.implicits._
+    requireEmbAssignLayout(spark, outDir)
     val cent = spark.read.parquet(s"$outDir/emb_centroids")
     val np = Similarity.autoNProbe(cent.count().toInt)
     val ranked = Similarity.ivfRankedFrom(q, cent, np)

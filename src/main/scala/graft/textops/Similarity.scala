@@ -621,6 +621,14 @@ object Similarity {
                                 capAssign: Int = -1,
                                 capProbe: Int = -1): DataFrame = {
     import spark.implicits._
+    // explicit caps below 4 would collapse the nested level ladder
+    // (capAssign=2 → {1,1,2,4} — duplicate cap_assign rows whose
+    // orderBy tie makes cross-engine row order ambiguous); the auto
+    // rules never resolve that low, so reject rather than dedupe
+    require(capAssign < 0 || capAssign >= 4,
+      s"capAssign must be >= 4 for distinct curve levels (got $capAssign)")
+    require(capProbe < 0 || capProbe >= 4,
+      s"capProbe must be >= 4 for distinct curve levels (got $capProbe)")
     val n = nVecs(spark, sfDir)
     val cA = if (capAssign > 0) capAssign else autoCapAssign(n)
     val cP = if (capProbe > 0) capProbe else autoCapProbe(n)

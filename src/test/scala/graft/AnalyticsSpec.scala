@@ -1510,6 +1510,78 @@ class AnalyticsSpec extends AnyFunSuite {
       s"curve scale-1 row $curve1 diverges from the recall gate $real")
   }
 
+  test("ts_similarity_paa_capped: bit-identical to the uncapped tier here; forced caps bind deterministically") {
+    // auto cap (96) exceeds every bucket's occupancy at this tier —
+    // the no-op contract the serving demotion stands on
+    val uncapped = TimeSeriesAnalytics.tsSimilarityPaa(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val capped = TimeSeriesAnalytics.tsSimilarityPaaCapped(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(uncapped.nonEmpty && capped == uncapped,
+      "auto-capped PAA tier must be bit-identical to uncapped at the correctness tier")
+    // cap = 1: every signature bucket truncates to one member — no
+    // pair can survive (the cap genuinely binds, not a dead parameter)
+    assert(TimeSeriesAnalytics.tsSimilarityPaaCapped(spark, sf, cap = 1)
+      .isEmpty, "cap=1 must empty the pair output")
+    // cap = 2: at most the two lowest-id members per bucket pair up —
+    // a strict subset selected by the deterministic user_id rank
+    val cap2 = TimeSeriesAnalytics.tsSimilarityPaaCapped(spark, sf, cap = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cap2.nonEmpty && cap2.subsetOf(uncapped.toSet),
+      "bound caps must select a subset of the uncapped pairs")
+  }
+
+  test("ts_paa_candidate_stats: survivors equal the live tiers' counts; capped columns bounded by full") {
+    val st = TimeSeriesAnalytics.tsPaaCandidateStats(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val full = st("paa"); val capped = st("paa_capped")
+    // same corpus geometry on both rows; capped occupancy/volume never
+    // exceeds full; survivors never exceed candidates
+    assert(full._2 == capped._2 && full._3 == capped._3)
+    assert(capped._4 <= full._4 && capped._5 <= full._5 &&
+      capped._6 <= full._6)
+    assert(full._6 <= full._5 && capped._6 <= capped._5)
+    // the survivor columns ARE the live tiers' outputs
+    assert(full._6 == TimeSeriesAnalytics.tsSimilarityPaa(spark, sf).count())
+    assert(capped._6 ==
+      TimeSeriesAnalytics.tsSimilarityPaaCapped(spark, sf).count())
+    // with a binding cap the telemetry tracks the bound tier exactly
+    val st2 = TimeSeriesAnalytics.tsPaaCandidateStats(spark, sf, cap = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(st2("paa_capped")._4 <= 2L)
+    assert(st2("paa_capped")._6 ==
+      TimeSeriesAnalytics.tsSimilarityPaaCapped(spark, sf, cap = 2).count())
+  }
+
+  test("tsMatchPaaFrom fails fast (naming the rebuild) on a pre-cap index") {
+    val dir = java.nio.file.Files.createTempDirectory("graftpaaidx").toString
+    TimeSeriesAnalytics.materializePaa(spark, sf, dir)
+    // simulate the pre-cap snapshot: same data, srk/sigcap stripped
+    val old = java.nio.file.Files.createTempDirectory("graftpaaold").toString
+    spark.read.parquet(s"$dir/ts_paa_sig").drop("srk")
+      .write.parquet(s"$old/ts_paa_sig")
+    spark.read.parquet(s"$dir/ts_paa_step").drop("sigcap")
+      .write.parquet(s"$old/ts_paa_step")
+    val q = spark.read.parquet(s"$dir/ts_paa_sig")
+      .selectExpr("user_id as query_id", "arr")
+    val ex = intercept[IllegalArgumentException] {
+      TimeSeriesAnalytics.tsMatchPaaFrom(spark, old, q)
+    }
+    assert(ex.getMessage.contains("materializePaa"),
+      s"guard must name the rebuild path, got: ${ex.getMessage}")
+  }
+
+  test("dedupEmbeddingCappedCurve rejects explicit caps that collapse the level ladder") {
+    intercept[IllegalArgumentException] {
+      Similarity.dedupEmbeddingCappedCurve(spark, sf, capAssign = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.dedupEmbeddingCappedCurve(spark, sf, capProbe = 3)
+    }
+  }
+
   test("graph_triangles: degree-oriented counts == brute-force enumeration") {
     val got = GraphAnalytics.graphTriangles(spark, sf)
       .as[(Long, Long)].collect().toMap

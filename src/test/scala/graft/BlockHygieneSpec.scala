@@ -73,6 +73,27 @@ class BlockHygieneSpec extends AnyFunSuite {
       s"materializePaa checkpoint mis-reported as re-leak: $reported")
   }
 
+  test("TS pair tiers' series checkpoints are bracket-tracked: swept, not re-leaks") {
+    // tsSimilarity / tsSimilarityPaaCapped graduated from bare
+    // localCheckpoint in round 16 — zero bare sites remain in the file
+    val before = persistedIds
+    val reported = scala.collection.mutable.Set.empty[Int]
+    val saved = BlockHygiene.onUntracked
+    BlockHygiene.onUntracked = ids => reported ++= ids
+    try {
+      BlockHygiene.releasingNewPersists(spark) {
+        graft.analytics.TimeSeriesAnalytics
+          .tsSimilarity(spark, SparkTestBase.sf).count()
+        graft.analytics.TimeSeriesAnalytics
+          .tsSimilarityPaaCapped(spark, SparkTestBase.sf).count()
+      }
+    } finally BlockHygiene.onUntracked = saved
+    assert((persistedIds -- before).isEmpty,
+      "TS pair tiers' series checkpoints leaked past the bracket sweep")
+    assert(reported.isEmpty,
+      s"tracked TS checkpoints mis-reported as re-leak: $reported")
+  }
+
   test("fresh-stats checkpoint preserves the physical output partitioning") {
     // the checkpointed frame of a hash-partitioned child must not
     // re-shuffle when a downstream op needs that same partitioning

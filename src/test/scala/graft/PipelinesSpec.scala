@@ -395,6 +395,26 @@ class PipelinesSpec extends AnyFunSuite {
       "embedding crawl replay diverged from the one-shot verdicts")
   }
 
+  test("embedding crawl serve fails fast (naming the rebuild) on a legacy pc=-only index layout") {
+    import graft.textops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graftembv1").toString
+    Pipelines.materializeEmbDedup(spark, sf, dir)
+    // reconstruct the pre-r15 layout: batch_id as a DATA column, pc
+    // the only partition directory — one new-layout ingest into this
+    // root would give Spark's partition discovery mixed directory
+    // depths ("Conflicting directory structures") mid-stream
+    val legacy = java.nio.file.Files.createTempDirectory("graftembv1l").toString
+    spark.read.parquet(s"$dir/emb_centroids")
+      .write.parquet(s"$legacy/emb_centroids")
+    spark.read.parquet(s"$dir/emb_assign")
+      .write.partitionBy("pc").parquet(s"$legacy/emb_assign")
+    val ex = intercept[IllegalArgumentException] {
+      Pipelines.embDedupIncrementalFrom(spark, sf, legacy).collect()
+    }
+    assert(ex.getMessage.contains("materializeEmbDedup"),
+      s"layout guard must name the rebuild path, got: ${ex.getMessage}")
+  }
+
   test("materialized prototype gate: frozen-cutoff verdicts == live embedding_outliers") {
     import graft.textops.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graftproto").toString

@@ -87,6 +87,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected both cap rank filters as WindowGroupLimit (partial+final each), got $limits")
   }
 
+  test("ts_similarity_paa_capped: occupancy cap prunes as WindowGroupLimit; stored serve pushes srk to the scan") {
+    // live tier: the per-signature rank filter must run map-side
+    // before the sig exchange — the cap PRUNES the shuffle, it doesn't
+    // follow it (the dedup_embedding_capped contract)
+    val plan = planString(
+      TimeSeriesAnalytics.tsSimilarityPaaCapped(spark, sf))
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected the sig cap rank filter as WindowGroupLimit (partial+final):\n$plan")
+    // stored serve: the frozen cap is a literal, so srk ≤ cap reaches
+    // the parquet scan as a pushed filter — bounded read by contract
+    val dir = java.nio.file.Files.createTempDirectory("graftpaaplan").toString
+    TimeSeriesAnalytics.materializePaa(spark, sf, dir)
+    val q = spark.read.parquet(s"$dir/ts_paa_sig")
+      .selectExpr("user_id as query_id", "arr")
+    val servePlan = planString(
+      TimeSeriesAnalytics.tsMatchPaaFrom(spark, dir, q))
+    assert(servePlan.contains("LessThanOrEqual(srk"),
+      s"srk cap filter not pushed to the stored scan:\n$servePlan")
+  }
+
   test("events_compact: keep-latest rank pushes down as WindowGroupLimit") {
     val plan = planString(RelationalAnalytics.eventsCompact(spark, sf))
     assert(plan.contains("WindowGroupLimit"),

@@ -385,6 +385,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("vec_dist2 malformed-input contract == the HOF fold (NULL on length mismatch / null element)") {
+    // unequal lengths: zip_with pads with null, the fold absorbs it →
+    // NULL; the native form must agree, not silently truncate
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 2L)),
+      (Seq(1L), Seq(1L, 2L, 3L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(4L, 5L), Seq(4L, 5L))).toDF("a", "b")
+    val both = df.selectExpr(
+      "vec_dist2(a, b) as native",
+      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), " +
+        "cast(0 as bigint), (p, q) -> p + q) as hof")
+    assert(both.where(
+      ($"native".isNull && $"hof".isNotNull) ||
+        ($"native".isNotNull && $"hof".isNull) ||
+        ($"native" =!= $"hof")).isEmpty,
+      "native vec_dist2 diverged from the HOF fold on malformed input")
+    // a null ELEMENT (containsNull schema) propagates NULL instead of
+    // reading an arbitrary value
+    val r = spark.sql(
+      "select vec_dist2(array(1L, cast(null as bigint)), array(1L, 2L)) as n1, " +
+        "vec_dist2(array(1L, 3L), array(1L, 2L)) as n2").head()
+    assert(r.isNullAt(0), "null element must yield NULL")
+    assert(r.getLong(1) == 1L)
+  }
+
+  test("moment aggregator guards: null vector and post-empty dimension change fail fast, not buffer-overrun") {
+    val agg = new graft.functions.MomentAgg
+    val b0 = agg.reduce(agg.zero, Seq.empty[Long])
+    // a d=0 state must not admit a d>0 vector into its 2-slot buffer
+    intercept[IllegalArgumentException] { agg.reduce(b0, Seq(1L, 2L)) }
+    intercept[IllegalArgumentException] { agg.reduce(agg.zero, null) }
+  }
+
   test("moment aggregator == explode pair-moment formulation for arbitrary int vectors") {
     // the spectrum tail's mergeable-state rewrite must reproduce the
     // explode+groupBy form it replaced bit-for-bit (integer sums are
