@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * arguments into executed evidence (VERDICT r6 top-next item).
   *
   * Usage: `ScaleData <inSfDir> <outDir> <factor>
-  * [skew|clustered|aniso|ganiso] [fixedvocab] [tables=a,b]` (driver
+  * [skew|clustered|aniso|ganiso|tsnear|tsflood] [fixedvocab]
+  * [tables=a,b]` (driver
   * testdata is read-only; write under target/, e.g. `target/sf1`).
   * With `skew`, the same tier is generated under a power-law key
   * distribution (one hot item key, corpus-wide boilerplate text) for
@@ -103,6 +104,36 @@ object ScaleData {
     // the PCA-decay shape real text embeddings exhibit.
     val ganiso = args.length > 3 && args(3) == "ganiso"
     val aniso = ganiso || (args.length > 3 && args(3) == "aniso")
+    // `tsnear` 4th arg: planted-structure TIME-SERIES tier — the TS
+    // twin of `clustered` (round 13's sf1emb precedent). The uniform
+    // generator's series are structure-free AND threshold-degenerate
+    // (ts_paa_recall r15: max pair dist² 404 vs threshold 1936 — every
+    // pair qualifies, so PAA recall == collided fraction and the
+    // quantizer knob cannot be justified by measurement). This mode
+    // re-days every event so each user's series concentrates on TWO
+    // template-derived active days (per-day ≈ n/2 ≈ 33 counts):
+    // different-template pairs sit at dist² ≈ 4·33² ≈ 4356 — ABOVE the
+    // 16·step² = 1936 threshold (step stays 11: same totals, same
+    // users) — while twin pairs (u, u+1) at u ≡ 0 (mod 20) share a
+    // template (a NEGATIVE group id, disjoint from the unique positive
+    // per-user templates) and differ only by multinomial noise,
+    // dist² ≈ 10²-10³ ≪ 1936. Ground truth becomes SPARSE (≈1 twin
+    // per panel user + the near-threshold tail of single-shared-day
+    // pairs), so signature recall finally measures selectivity, not
+    // the collided fraction. Twin structure survives key offsetting
+    // (10⁹ ≡ 0 mod 20) and panel gating (panel ids are multiples of
+    // 100c mod the panel modulus — all ≡ 0 mod 20, i.e. twin lower
+    // members). Events only (`tables=events` recommended).
+    val tsnear = args.length > 3 && args(3) == "tsnear"
+    // `tsflood` 4th arg: identical-series-pattern flood — the TS skew
+    // rehearsal (the boilerplate case the PAA cap exists for, the
+    // round-9 LSH `skew` twin). 20 % of users (hash-gated) get their
+    // events re-dayed uniformly by event-id hash: every flood user's
+    // series is ≈ flat n/30-per-day, all segment sums quantize to the
+    // same signature, and the collision bucket carries Θ(0.2·n) users
+    // — the O(occ²) input the uncapped self-join must not survive and
+    // the capped tier must.
+    val tsflood = args.length > 3 && args(3) == "tsflood"
     // `fixedvocab` arg (composes with `tables=`): documents replicate
     // WITHOUT the per-token copy suffix, so the corpus grows ×factor
     // while the token/n-gram VOCABULARY stays exactly the source
@@ -173,8 +204,28 @@ object ScaleData {
         when(pmod(hash(col("l_orderkey") * 7 + col("l_linenumber")),
           lit(100)) < 5, col("c") * Off + 1L)
           .otherwise(col("l_partkey"))))
+    // re-day an event while preserving its time-of-day and the
+    // TIMESTAMP_NTZ type (timestampadd keeps the operand type)
+    def reDay(dayExpr: String): String =
+      s"timestampadd(DAY, ($dayExpr) " +
+        "- datediff(to_date(ts), date'2024-01-01'), ts)"
     rep("events", Seq("event_id", "user_id"), 8, df =>
-      if (!skew) df
+      if (tsnear)
+        // twins share a negative template id (disjoint from the unique
+        // positive per-user ids, so no accidental active-day sharing);
+        // each event lands on one of the template's two hash-drawn
+        // active days, chosen by its own id hash
+        df.withColumn("tmpl", expr(
+            "case when user_id % 20 < 2 then -(user_id div 20) - 1 " +
+              "else user_id end"))
+          .withColumn("ts", expr(reDay(
+            "pmod(hash(tmpl, pmod(hash(event_id), 2), 'tsnear'), 30)")))
+          .drop("tmpl")
+      else if (tsflood)
+        df.withColumn("ts", expr(
+          "case when pmod(hash(user_id, 'flood'), 100) < 20 then " +
+            reDay("pmod(hash(event_id), 30)") + " else ts end"))
+      else if (!skew) df
       else df.withColumn("props",
         when(pmod(hash(col("event_id")), lit(100)) < 30,
           lit("""{"k": 7}""")).otherwise(col("props"))))
