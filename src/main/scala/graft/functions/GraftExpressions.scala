@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.textops.TextHash
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -178,6 +179,132 @@ object GraftExpressions {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** Runtime for [[IvfTopCells]]: score all C centroids against one
+    * vector — the same ascending-index dot fold and the same
+    * `csim = dot / (nrm · centn)` arithmetic as the windowed
+    * formulation it replaces, so every emitted double is bit-identical
+    * — and select the top `np` by (csim DESC, cent_id ASC) with a
+    * partial selection sort (O(C·np), np ≤ ~0.2·C by the probe rule).
+    * Comparison is `Double.compare` over (+0.0)-normalized values:
+    * NaN greatest (Spark's nan-safe sort), −0.0 == 0.0 (Spark
+    * normalizes signed zeros in sort keys), ties broken by the true
+    * centroid id ascending — the exact `row_number()` order.
+    */
+  def ivfTopCells(v: ArrayData, nrm: Double, flat: ArrayData,
+                  norms: ArrayData, ids: ArrayData, np: Int): ArrayData = {
+    val d = v.numElements()
+    val c = norms.numElements()
+    if (ids.numElements() != c || flat.numElements() != c.toLong * d)
+      throw new IllegalArgumentException(
+        s"ivf_top_cells: shape mismatch (d=$d, C=$c, " +
+          s"|ids|=${ids.numElements()}, |flat|=${flat.numElements()} " +
+          "— flat must be the row-major (C x d) centroid matrix)")
+    val csims = new Array[Double](c)
+    var j = 0
+    while (j < c) {
+      val off = j * d
+      var acc = 0.0
+      var i = 0
+      while (i < d) { acc += v.getDouble(i) * flat.getDouble(off + i); i += 1 }
+      csims(j) = acc / (nrm * norms.getDouble(j))
+      j += 1
+    }
+    val k = math.min(np, c)
+    val idx = new Array[Int](c)
+    j = 0; while (j < c) { idx(j) = j; j += 1 }
+    val out = new Array[Any](k)
+    var s = 0
+    while (s < k) {
+      var best = s
+      var t = s + 1
+      while (t < c) {
+        val a = idx(t); val b = idx(best)
+        val cmp = java.lang.Double.compare(csims(a) + 0.0, csims(b) + 0.0)
+        if (cmp > 0 || (cmp == 0 && ids.getLong(a) < ids.getLong(b))) best = t
+        t += 1
+      }
+      val tmp = idx(s); idx(s) = idx(best); idx(best) = tmp
+      out(s) = new GenericInternalRow(
+        Array[Any](ids.getLong(idx(s)), csims(idx(s))))
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Fused IVF cell ranking: the top-`np` centroids of one vector as
+    * `array<struct<cell, csim>>` in (csim DESC, cent_id ASC) order —
+    * the whole n·C assignment stage of every IVF tier collapsed into
+    * ONE codegen'd call per vector over a broadcast flattened centroid
+    * matrix (the [[SrpSig]] plane-matrix pattern). The windowed
+    * formulation it replaces materializes n·C join rows — each
+    * carrying the 64-double payload — through a BroadcastNestedLoopJoin
+    * and a per-vector rank window (partial top-np sorts over the full
+    * n·C stream); measured at the 200 k-vector decade that row traffic
+    * is ~99 % of every trained-index query (BASELINE round 16,
+    * residual spectrum). Here the candidate rows never exist: the
+    * caller `posexplode`s np struct rows per vector, narrow, no
+    * exchange. Bit-exactness: same dot fold, same csim expression,
+    * same sort semantics (see [[GraftExpressions.ivfTopCells]]);
+    * PropertySpec pins equality against the window form including tie
+    * and NaN cases, and every IVF-family DuckDB oracle replays
+    * unchanged.
+    */
+  case class IvfTopCells(v: Expression, nrm: Expression, flat: Expression,
+                         norms: Expression, ids: Expression, np: Int)
+      extends Expression {
+    require(np >= 1, "ivf_top_cells: np must be >= 1")
+    override def children: Seq[Expression] = Seq(v, nrm, flat, norms, ids)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      val arrs = requireArrays(DoubleType, "ivf_top_cells",
+        v.dataType, flat.dataType, norms.dataType)
+      if (!arrs.isSuccess) arrs
+      else if (nrm.dataType != DoubleType)
+        TypeCheckResult.TypeCheckFailure(
+          s"ivf_top_cells: nrm must be double, got ${nrm.dataType.sql}")
+      else ids.dataType match {
+        case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"ivf_top_cells: ids must be array<bigint>, got ${other.sql}")
+      }
+    }
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("cell", LongType, nullable = false),
+      StructField("csim", DoubleType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def eval(input: InternalRow): Any = {
+      val vv = v.eval(input); if (vv == null) return null
+      val nv = nrm.eval(input); if (nv == null) return null
+      val fv = flat.eval(input); if (fv == null) return null
+      val nsv = norms.eval(input); if (nsv == null) return null
+      val iv = ids.eval(input); if (iv == null) return null
+      GraftExpressions.ivfTopCells(vv.asInstanceOf[ArrayData],
+        nv.asInstanceOf[Double], fv.asInstanceOf[ArrayData],
+        nsv.asInstanceOf[ArrayData], iv.asInstanceOf[ArrayData], np)
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val gens = children.map(_.genCode(ctx))
+      val anyNull = gens.map(_.isNull).mkString(" || ")
+      val childBlocks = gens.map(_.code).reduce(_ + _)
+      ev.copy(code = childBlocks + code"""
+        boolean ${ev.isNull} = $anyNull;
+        ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.GraftExpressions.ivfTopCells(
+            ${gens(0).value}, ${gens(1).value}, ${gens(2).value},
+            ${gens(3).value}, ${gens(4).value}, $np);
+        }""")
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(v = newChildren(0), nrm = newChildren(1), flat = newChildren(2),
+        norms = newChildren(3), ids = newChildren(4))
   }
 
   /** Signed-random-projection signature: bit j of the result is set
@@ -861,6 +988,11 @@ object GraftExpressions {
     Registration("srp_sig",
       "srp_sig(v, planes) - signed-random-projection signature bits",
       es => SrpSig(es(0), es(1))),
+    Registration("ivf_top_cells",
+      "ivf_top_cells(v, nrm, flat, norms, ids, np) - top-np centroids " +
+        "of v over a row-major flattened (C x d) centroid matrix, as " +
+        "array<struct<cell, csim>> in (csim desc, cell asc) order",
+      es => IvfTopCells(es(0), es(1), es(2), es(3), es(4), intArg(es(5)))),
     Registration("srp_probes",
       "srp_probes(v, planes, t) - SRP signature + t lowest-margin flips",
       es => SrpProbes(es(0), es(1), intArg(es(2)))),

@@ -273,19 +273,43 @@ object Similarity {
     // tracked checkpoint: plain localCheckpoint outside a bracket;
     // inside a foreachBatch bracket the block is swept per micro-batch
     graft.streaming.BlockHygiene.checkpointTracked(
-      e.join(broadcast(cent), expr("true"))
-        .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("csim").desc, col("cent_id").asc)))
-        .where(col("crk") <= np)
-        .select(col("vec_id"), col("cent_id").as("cell"), col("csim"),
-          col("crk")))
+      e.crossJoin(flatCentRow(cent))
+        .selectExpr("vec_id",
+          s"posexplode(ivf_top_cells(v, nrm, cflat, cnorms, cids, $np)) " +
+            "as (p0, tc)")
+        .selectExpr("vec_id", "tc.cell as cell", "tc.csim as csim",
+          "cast(p0 + 1 as int) as crk"))
+  }
+
+  /** One-row broadcastable flattening of a centroid table — the
+    * [[graft.functions.GraftExpressions.IvfTopCells]] operand:
+    * cent_id-sorted ids, the row-major (C × d) flattened matrix, and
+    * the norms. C·d doubles ≈ 160 KB at the 200 k-vector tier —
+    * broadcast-sized at any corpus the √(n/2) centroid rule yields
+    * (2 M vectors → 1 000 × 64 ≈ 512 KB). */
+  private[textops] def flatCentRow(cent: DataFrame): DataFrame = {
+    import cent.sparkSession.implicits._
+    broadcast(cent
+      .groupBy()
+      .agg(collect_list(struct($"cent_id", $"centv", $"centn")).as("cs"))
+      .selectExpr("array_sort(cs) as cs")
+      .selectExpr(
+        "transform(cs, x -> x.cent_id) as cids",
+        "flatten(transform(cs, x -> x.centv)) as cflat",
+        "transform(cs, x -> x.centn) as cnorms"))
   }
 
   /** The assign/probe rank against an arbitrary centroid table —
     * shared by the seeded ([[ivfRanked]]) and k-means-trained
-    * ([[similarityIvfTrained]]) index builds.
+    * ([[similarityIvfTrained]]) index builds. Round 16: the n·C
+    * BroadcastNestedLoopJoin + per-vector rank window (which pushed
+    * every vector's 64-double payload C times through partial top-np
+    * sorts — measured ~99 % of trained-index cost at the 200 k decade)
+    * is fused into ONE codegen'd `ivf_top_cells` call per vector over
+    * the broadcast flattened matrix; `posexplode` emits the np ranked
+    * rows narrowly, bit-identical by construction (same dot fold, same
+    * csim arithmetic, same sort semantics — PropertySpec pins it, and
+    * every IVF-family DuckDB oracle replays unchanged).
     */
   private[textops] def ivfRankedFrom(e: DataFrame, cent: DataFrame,
                             nProbe: Int): DataFrame = {
@@ -294,14 +318,12 @@ object Similarity {
     // the embedding-dedup crawl loop) sweeps the block per micro-batch
     // instead of leaking one per batch for the life of the stream
     graft.streaming.BlockHygiene.checkpointTracked(
-      e.join(broadcast(cent), expr("true"))
-        .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("csim").desc, col("cent_id").asc)))
-        .where(col("crk") <= nProbe)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("cent_id").as("cell"), col("crk"), col("csim")))
+      e.crossJoin(flatCentRow(cent))
+        .selectExpr("vec_id", "v", "nrm",
+          s"posexplode(ivf_top_cells(v, nrm, cflat, cnorms, cids, $nProbe)) " +
+            "as (p0, tc)")
+        .selectExpr("vec_id", "v", "nrm", "tc.cell as cell",
+          "cast(p0 + 1 as int) as crk", "tc.csim as csim"))
   }
 
   /** The persistable IVF serving index: (centroid table, cell-assigned
@@ -343,12 +365,12 @@ object Similarity {
       .select($"vec_id".as("cent_id"), $"v".as("centv"), $"nrm".as("centn"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val assign = e.join(broadcast(cent), expr("true"))
-        .withColumn("csim", expr(s"${dotSpark("v", "centv", "t")} / (nrm * centn)"))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id".asc)))
-        .where($"crk" === 1)
-        .select($"cent_id".as("cell"), $"v")
+      // fused argmax assignment (np = 1): no n·C rows, no rank window —
+      // the same bit-exact order as the windowed form (ivfRankedFrom)
+      val assign = e.crossJoin(flatCentRow(cent))
+        .selectExpr(
+          "ivf_top_cells(v, nrm, cflat, cnorms, cids, 1)[0].cell as cell",
+          "v")
       val means = assign
         .select($"cell", posexplode($"v"))
         .selectExpr("cell", "cast(pos as int) as dim",
@@ -1135,12 +1157,13 @@ object Similarity {
     // share(top4) 0.159 ≈ its raw 0.158 — no separation; per-tier
     // trained-residual shares in BASELINE's spectrum table)
     val cent = trainedCentroids(spark, sfDir, c, rounds)
-    val near = e.join(broadcast(cent), expr("true"))
-      .withColumn("csim", expr(s"${dotSpark("v", "centv", "a")} / (nrm * centn)"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy($"vec_id")
-          .orderBy($"csim".desc, $"cent_id".asc)))
-      .where($"crk" === 1)
+    // fused argmax assignment; the winning centroid VECTOR re-attaches
+    // through a C-row broadcast equi-join on the cell id (narrow — the
+    // n·C row stream the windowed form shuffled never exists)
+    val near = e.crossJoin(flatCentRow(cent))
+      .selectExpr("vec_id", "v",
+        "ivf_top_cells(v, nrm, cflat, cnorms, cids, 1)[0].cell as cell")
+      .join(broadcast(cent.select($"cent_id".as("cell"), $"centv")), "cell")
       .selectExpr("vec_id",
         "zip_with(v, centv, (x, cc) -> cast(floor(x * 1000000) as bigint) " +
           "- cast(floor(cc * 1000000) as bigint)) as m")

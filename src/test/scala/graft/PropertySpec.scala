@@ -411,6 +411,61 @@ class PropertySpec extends AnyFunSuite {
     assert(r.getLong(1) == 1L)
   }
 
+  test("ivf_top_cells == the BNLJ + rank window it replaced (exact ties, full ordering)") {
+    import org.apache.spark.sql.expressions.Window
+    val d = 8
+    val rnd = new scala.util.Random(42)
+    def vec() = Seq.fill(d)(rnd.nextDouble() * 2 - 1)
+    val cents0 = (0L until 7L).map(i => (i, vec()))
+    // duplicate centroid 3 under id 7: every vector gets a bit-exact
+    // csim TIE that only the cent_id tie-break resolves
+    val cents = cents0 :+ ((7L, cents0(3)._2))
+    // NB no zero vector: nrm = 0 makes the REFERENCE window form throw
+    // under ANSI (double divide-by-zero) — the engine's contract is
+    // nonzero vectors (generator invariant), so the comparison runs on
+    // the domain both forms define
+    val vecs = (100L until 140L).map(i => (i, vec()))
+    val e = vecs.toDF("vec_id", "v0")
+      .selectExpr("vec_id", "cast(v0 as array<double>) as v")
+      .selectExpr("vec_id", "v", "sqrt(vec_dot(v, v)) as nrm")
+    val cent = cents.toDF("cent_id", "centv0")
+      .selectExpr("cent_id", "cast(centv0 as array<double>) as centv")
+      .selectExpr("cent_id", "centv",
+        "sqrt(vec_dot(centv, centv)) as centn")
+    val np = 5
+    val want = e.join(broadcast(cent), expr("true"))
+      .withColumn("csim", expr("vec_dot(v, centv) / (nrm * centn)"))
+      .withColumn("crk", row_number().over(Window.partitionBy($"vec_id")
+        .orderBy($"csim".desc, $"cent_id".asc)))
+      .where($"crk" <= np)
+      .select($"vec_id", $"cent_id", $"crk", $"csim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val flat = cent.groupBy()
+      .agg(collect_list(struct($"cent_id", $"centv", $"centn")).as("cs"))
+      .selectExpr("array_sort(cs) as cs")
+      .selectExpr("transform(cs, x -> x.cent_id) as cids",
+        "flatten(transform(cs, x -> x.centv)) as cflat",
+        "transform(cs, x -> x.centn) as cnorms")
+    val got = e.crossJoin(broadcast(flat))
+      .selectExpr("vec_id",
+        s"posexplode(ivf_top_cells(v, nrm, cflat, cnorms, cids, $np)) " +
+          "as (p0, tc)")
+      .selectExpr("vec_id", "tc.cell", "cast(p0 + 1 as int) as crk",
+        "tc.csim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // boxed tuple equality: NaN == NaN holds, so the zero-vector rows
+    // compare too — bit-identical or fail
+    assert(got == want, "fused cell ranking diverged from the window form")
+    // shape guard: a flat matrix built for the wrong d fails loudly
+    val ex = intercept[Exception] {
+      e.crossJoin(broadcast(flat))
+        .selectExpr(
+          "ivf_top_cells(slice(v, 1, 4), nrm, cflat, cnorms, cids, 2)")
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("moment aggregator guards: null vector and post-empty dimension change fail fast, not buffer-overrun") {
     val agg = new graft.functions.MomentAgg
     val b0 = agg.reduce(agg.zero, Seq.empty[Long])
