@@ -371,17 +371,19 @@ object Similarity {
         .selectExpr(
           "ivf_top_cells(v, nrm, cflat, cnorms, cids, 1)[0].cell as cell",
           "v")
+      // mergeable per-cell micro-unit sums (round 16): one map-side
+      // partial state of 1+d longs per cell instead of n·d exploded
+      // (cell, dim, micro) rows through the exchange — same floor(x·1e6)
+      // BIGINT quantization, same cast(S)/n/1e6 mean arithmetic in the
+      // same dim order, so trained centroids stay bit-identical to the
+      // exploded form (PropertySpec) and to the DuckDB Lloyd replay
       val means = assign
-        .select($"cell", posexplode($"v"))
-        .selectExpr("cell", "cast(pos as int) as dim",
-          "cast(floor(col * 1000000) as bigint) as micro")
-        .groupBy($"cell", $"dim")
-        .agg(sum($"micro").as("sq"), count(lit(1)).as("cnt"))
-        .selectExpr("cell", "dim", "cast(sq as double) / cnt / 1000000.0 as m")
         .groupBy($"cell")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), cs -> cs.m)")
-          .as("newv"))
-        .select($"cell".as("cent_id"), $"newv")
+        .agg(graft.functions.VecMicroSumAggregator.vecMicroSum($"v")
+          .as("st"))
+        .selectExpr("cell as cent_id",
+          "transform(slice(st, 2, size(st) - 1), " +
+            "s -> cast(s as double) / st[0] / 1000000.0) as newv")
       cent = cent.select($"cent_id", $"centv".as("oldv"))
         .join(means, Seq("cent_id"), "left")
         .selectExpr("cent_id", "coalesce(newv, oldv) as centv")

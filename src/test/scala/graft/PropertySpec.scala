@@ -466,6 +466,40 @@ class PropertySpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("vecMicroSum aggregator == exploded (cell, dim) micro-sum formulation, bit-for-bit") {
+    // the Lloyd re-center rewrite must reproduce the exploded
+    // groupBy(cell, dim) means exactly (integer micro-sums are
+    // order-free; the mean double arithmetic is the identical
+    // expression in the identical dim order)
+    val dGen = Gen.chooseNum(1, 6)
+    forAll(dGen.flatMap(d => Gen.listOfN(20,
+        Gen.zip(Gen.chooseNum(0L, 3L),
+          Gen.listOfN(d, Gen.chooseNum(-2.0, 2.0)))))) { rows =>
+      val df = rows.toDF("cell", "v")
+        .selectExpr("cell", "cast(v as array<double>) as v")
+      val got = df.groupBy($"cell")
+        .agg(graft.functions.VecMicroSumAggregator.vecMicroSum($"v")
+          .as("st"))
+        .selectExpr("cell",
+          "transform(slice(st, 2, size(st) - 1), " +
+            "s -> cast(s as double) / st[0] / 1000000.0) as newv")
+        .as[(Long, Seq[Double])].collect().toMap
+      val want = df.select($"cell", posexplode($"v"))
+        .selectExpr("cell", "cast(pos as int) as dim",
+          "cast(floor(col * 1000000) as bigint) as micro")
+        .groupBy($"cell", $"dim")
+        .agg(sum($"micro").as("sq"), count(lit(1)).as("cnt"))
+        .selectExpr("cell", "dim",
+          "cast(sq as double) / cnt / 1000000.0 as m")
+        .groupBy($"cell")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(dim, m))), cs -> cs.m)")
+          .as("newv"))
+        .as[(Long, Seq[Double])].collect().toMap
+      assert(got == want, "mergeable micro-sum diverged from the explode form")
+    }
+  }
+
   test("moment aggregator guards: null vector and post-empty dimension change fail fast, not buffer-overrun") {
     val agg = new graft.functions.MomentAgg
     val b0 = agg.reduce(agg.zero, Seq.empty[Long])
