@@ -264,9 +264,11 @@ object TimeSeriesAnalytics {
     * it); the DuckDB oracle replays the full capped pipeline, so the
     * hash gate holds at any scale, binding or not. The rank filter is
     * a `row_number() <= cap` window — WindowGroupLimit rewrites it to
-    * map-side per-partition top-k before the signature shuffle, and
-    * the pair join reuses the window's sig partitioning (one exchange
-    * end-to-end).
+    * map-side per-partition top-k before the signature shuffle — and
+    * the kept rows checkpoint ONCE so the self-join's two sides read
+    * the materialized frame instead of re-running the series build +
+    * window per side (the plan audit showed exactly that
+    * double-compute before the checkpoint).
     */
   def tsSimilarityPaaCapped(spark: SparkSession, sfDir: String,
                             quantScale: Int = 1, cap: Int = -1): DataFrame = {
@@ -275,10 +277,11 @@ object TimeSeriesAnalytics {
     val s = graft.streaming.BlockHygiene.checkpointTracked(
       series(spark, sfDir))
     val c = if (cap > 0) cap else autoSigCap(s.count())
-    val kept = paaSignatures(s, quantScale)
-      .withColumn("srk", row_number().over(
-        Window.partitionBy($"sig").orderBy($"user_id".asc)))
-      .where($"srk" <= c).drop("srk")
+    val kept = graft.streaming.BlockHygiene.checkpointTracked(
+      paaSignatures(s, quantScale)
+        .withColumn("srk", row_number().over(
+          Window.partitionBy($"sig").orderBy($"user_id".asc)))
+        .where($"srk" <= c).drop("srk"))
     val thresh = expr(s"16 * step * step")
     kept.select($"user_id".as("u1"), $"arr".as("qa"), $"sig", $"step")
       .join(kept.select($"user_id".as("u2"), $"arr".as("ca"), $"sig"), "sig")

@@ -18,6 +18,10 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // queries that use a graft function BEFORE their first Tables.load
+    // (e.g. a selectExpr built at plan-construction time) need the
+    // registry up front — Tables.load registers lazily otherwise
+    graft.functions.GraftExpressions.register(spark)
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
