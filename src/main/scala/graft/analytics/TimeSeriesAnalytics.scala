@@ -245,6 +245,26 @@ object TimeSeriesAnalytics {
     "(SELECT CASE WHEN count(*) <= 65536 THEN 96 " +
       "WHEN count(*) <= 4194304 THEN 192 ELSE 384 END FROM arrs)"
 
+  /** The capped signature frame BEFORE its checkpoint — factored out
+    * so PlanSpec can pin the WindowGroupLimit rewrite on the subtree
+    * the checkpoint otherwise hides behind a Scan ExistingRDD. */
+  private[graft] def paaCappedKept(s: DataFrame, quantScale: Int,
+                                   cap: Int): DataFrame = {
+    import s.sparkSession.implicits._
+    paaSignatures(s, quantScale)
+      .withColumn("srk", row_number().over(
+        Window.partitionBy($"sig").orderBy($"user_id".asc)))
+      .where($"srk" <= cap).drop("srk")
+  }
+
+  /** PlanSpec hook: the kept frame built from live testdata (the same
+    * front end [[tsSimilarityPaaCapped]] checkpoints). */
+  private[graft] def paaCappedKeptFor(spark: SparkSession, sfDir: String,
+                                      quantScale: Int = 1): DataFrame = {
+    val s = series(spark, sfDir)
+    paaCappedKept(s, quantScale, autoSigCap(s.count()))
+  }
+
   /** Occupancy-capped PAA near-pair search — [[tsSimilarityPaa]] with
     * per-signature candidate volume bounded BEFORE pair expansion, the
     * structural move every sibling pair tier already made
@@ -278,10 +298,7 @@ object TimeSeriesAnalytics {
       series(spark, sfDir))
     val c = if (cap > 0) cap else autoSigCap(s.count())
     val kept = graft.streaming.BlockHygiene.checkpointTracked(
-      paaSignatures(s, quantScale)
-        .withColumn("srk", row_number().over(
-          Window.partitionBy($"sig").orderBy($"user_id".asc)))
-        .where($"srk" <= c).drop("srk"))
+      paaCappedKept(s, quantScale, c))
     val thresh = expr(s"16 * step * step")
     kept.select($"user_id".as("u1"), $"arr".as("qa"), $"sig", $"step")
       .join(kept.select($"user_id".as("u2"), $"arr".as("ca"), $"sig"), "sig")

@@ -90,9 +90,11 @@ class PlanSpec extends AnyFunSuite {
   test("ts_similarity_paa_capped: occupancy cap prunes as WindowGroupLimit; stored serve pushes srk to the scan") {
     // live tier: the per-signature rank filter must run map-side
     // before the sig exchange — the cap PRUNES the shuffle, it doesn't
-    // follow it (the dedup_embedding_capped contract)
+    // follow it (the dedup_embedding_capped contract). Pinned on the
+    // pre-checkpoint kept frame: the serving query checkpoints it, so
+    // the final plan shows only a Scan ExistingRDD
     val plan = planString(
-      TimeSeriesAnalytics.tsSimilarityPaaCapped(spark, sf))
+      TimeSeriesAnalytics.paaCappedKeptFor(spark, sf))
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
       s"expected the sig cap rank filter as WindowGroupLimit (partial+final):\n$plan")
     // stored serve: the frozen cap is a literal, so srk ≤ cap reaches
