@@ -73,8 +73,10 @@ object SparkEntry {
       TimeSeriesAnalytics.tsSimilarityPaa(s, d)),
     "ts_similarity_paa_capped" -> ((s, d) =>
       TimeSeriesAnalytics.tsSimilarityPaaCapped(s, d)),
+    "ts_paa_members" -> ((s, d) => TimeSeriesAnalytics.tsPaaMembers(s, d)),
     "ts_paa_candidate_stats" -> ((s, d) =>
       TimeSeriesAnalytics.tsPaaCandidateStats(s, d)),
+    "ts_paa_autoscale" -> ((s, d) => TimeSeriesAnalytics.tsPaaAutoScale(s, d)),
     "ts_paa_recall"     -> ((s, d) => TimeSeriesAnalytics.tsPaaRecall(s, d)),
     "ts_paa_recall_curve" -> ((s, d) =>
       TimeSeriesAnalytics.tsPaaRecallCurve(s, d)),
@@ -219,7 +221,7 @@ object SparkEntry {
   val diagnosticQueries: Set[String] =
     Set("dedup_candidate_stats", "dedup_substring_curve",
       "dedup_embedding_capped_curve", "ts_paa_recall_curve",
-      "ts_paa_candidate_stats",
+      "ts_paa_candidate_stats", "ts_paa_autoscale",
       "similarity_cell_stats", "similarity_lsh_stats",
       "dedup_ngram_jaccard", "dedup_clusters_multi",
       "dedup_embedding",
@@ -438,8 +440,12 @@ object SparkEntry {
       graft.analytics.TimeSeriesAnalytics.tsSimilarityPaaOracle(),
     "ts_similarity_paa_capped" ->
       graft.analytics.TimeSeriesAnalytics.tsSimilarityPaaCappedOracle(),
+    "ts_paa_members" ->
+      graft.analytics.TimeSeriesAnalytics.tsPaaMembersOracle(),
     "ts_paa_candidate_stats" ->
       graft.analytics.TimeSeriesAnalytics.tsPaaCandidateStatsOracle(),
+    "ts_paa_autoscale" ->
+      graft.analytics.TimeSeriesAnalytics.tsPaaAutoScaleOracle(),
     "ts_paa_recall" ->
       graft.analytics.TimeSeriesAnalytics.tsPaaRecallOracle(),
     "ts_paa_recall_curve" ->

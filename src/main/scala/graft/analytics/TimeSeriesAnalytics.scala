@@ -185,10 +185,10 @@ object TimeSeriesAnalytics {
   def tsSimilarityPaa(spark: SparkSession, sfDir: String,
                       quantScale: Int = 1): DataFrame = {
     import spark.implicits._
-    require(quantScale >= 1, "quantScale must be >= 1")
+    val qs = resolveQuantScale(spark, sfDir, quantScale)
     val s = graft.streaming.BlockHygiene.checkpointTracked(
       series(spark, sfDir))
-    val sig = paaSignatures(s, quantScale)
+    val sig = paaSignatures(s, qs)
     val thresh = expr(s"16 * step * step") // dist² ≤ 16·step² ⇒ near
     sig.select($"user_id".as("u1"), $"arr".as("qa"), $"sig", $"step")
       .join(sig.select($"user_id".as("u2"), $"arr".as("ca"), $"sig"), "sig")
@@ -197,6 +197,18 @@ object TimeSeriesAnalytics {
       .where($"dist2" <= thresh)
       .select($"u1", $"u2", $"dist2")
       .orderBy($"u1", $"u2")
+  }
+
+  /** quantScale ≥ 1 is a literal grid; 0 resolves via
+    * [[autoQuantScale]] (the measured-noise rule — on structure-free
+    * corpora the separation gate returns 1, so auto IS the bounded-
+    * work default). The estimator pays one capped pair pass + one
+    * panel scan, so the registered serving queries pass the literal
+    * their tier resolves to (1 on the driver corpora, spec-pinned). */
+  private def resolveQuantScale(spark: SparkSession, sfDir: String,
+                                quantScale: Int): Int = {
+    require(quantScale >= 0, "quantScale must be >= 1, or 0 for auto")
+    if (quantScale == 0) autoQuantScale(spark, sfDir) else quantScale
   }
 
   /** `(user_id, arr, step, sig)` — the quantized PAA signature rows
@@ -258,11 +270,27 @@ object TimeSeriesAnalytics {
   }
 
   /** PlanSpec hook: the kept frame built from live testdata (the same
-    * front end [[tsSimilarityPaaCapped]] checkpoints). */
+    * front end [[tsSimilarityPaaCapped]] checkpoints). `cap` ≤ 0 means
+    * the corpus-derived [[autoSigCap]]; an explicit cap lets specs
+    * reconstruct a forced-cap tier's expected output independently. */
   private[graft] def paaCappedKeptFor(spark: SparkSession, sfDir: String,
-                                      quantScale: Int = 1): DataFrame = {
+                                      quantScale: Int = 1,
+                                      cap: Int = -1): DataFrame = {
     val s = series(spark, sfDir)
-    paaCappedKept(s, quantScale, autoSigCap(s.count()))
+    val c = if (cap > 0) cap else autoSigCap(s.count())
+    paaCappedKept(s, quantScale, c)
+  }
+
+  /** Spec hook: the full ranked signature frame `(user_id, arr, step,
+    * sig, srk)` — what [[tsPaaMembers]]' star join reads on both sides
+    * and what specs use to reconstruct expected capped/star output
+    * from the (independently oracle-gated) uncapped pair list. */
+  private[graft] def paaRankedFor(spark: SparkSession, sfDir: String,
+                                  quantScale: Int = 1): DataFrame = {
+    import spark.implicits._
+    paaSignatures(series(spark, sfDir), quantScale)
+      .withColumn("srk", row_number().over(
+        Window.partitionBy($"sig").orderBy($"user_id".asc)))
   }
 
   /** Occupancy-capped PAA near-pair search — [[tsSimilarityPaa]] with
@@ -293,12 +321,12 @@ object TimeSeriesAnalytics {
   def tsSimilarityPaaCapped(spark: SparkSession, sfDir: String,
                             quantScale: Int = 1, cap: Int = -1): DataFrame = {
     import spark.implicits._
-    require(quantScale >= 1, "quantScale must be >= 1")
+    val qs = resolveQuantScale(spark, sfDir, quantScale)
     val s = graft.streaming.BlockHygiene.checkpointTracked(
       series(spark, sfDir))
     val c = if (cap > 0) cap else autoSigCap(s.count())
     val kept = graft.streaming.BlockHygiene.checkpointTracked(
-      paaCappedKept(s, quantScale, c))
+      paaCappedKept(s, qs, c))
     val thresh = expr(s"16 * step * step")
     kept.select($"user_id".as("u1"), $"arr".as("qa"), $"sig", $"step")
       .join(kept.select($"user_id".as("u2"), $"arr".as("ca"), $"sig"), "sig")
@@ -308,6 +336,237 @@ object TimeSeriesAnalytics {
       .select($"u1", $"u2", $"dist2")
       .orderBy($"u1", $"u2")
   }
+
+  /** Keeper-form (star) output for the capped PAA tier — each series'
+    * nearest verified match among its bucket's KEPT CORE (`srk ≤ cap`),
+    * the `dup_of` semantics the dedup family serves
+    * ([[graft.textops.Dedup.dedupIncremental]]'s member→keeper shape).
+    * This is the answer to what a binding cap costs
+    * [[tsSimilarityPaaCapped]]'s PAIR output (BASELINE round 16: at
+    * occ 228 vs cap 96 only 30.6 % of pair survivors keep — a pair
+    * needs BOTH sides under the cap, so id-ranked truncation cuts pair
+    * recall roughly quadratically in the kept fraction): here only the
+    * REPRESENTATIVE side is capped, the member side walks the whole
+    * bucket, so every bucket member — beyond-cap or not — still gets
+    * its dup evidence, at O(occ·cap) per bucket instead of the
+    * uncapped join's O(occ²). Hot-bucket membership recall is restored
+    * to 100 % of verified members at linear-in-occupancy cost; what
+    * the star form does NOT enumerate is beyond-cap × beyond-cap pair
+    * structure, which dup-clustering semantics never need (members
+    * sharing a representative are transitively one cluster).
+    *
+    * Output: one row per member with at least one verified kept-core
+    * partner — `(user_id, rep_id, dist2)`, the nearest core series
+    * (ties by rep_id ASC; deterministic). A kept-core member's own row
+    * points at another core member (self excluded), so with cap ≥ 2
+    * every member of a verified-homogeneous bucket appears — the
+    * flood-tier coverage contract (AnalyticsSpec pins it on a
+    * constructed flood corpus; the uniform tiers pin equality to a
+    * reconstruction from the oracle-gated uncapped pair list).
+    *
+    * Plan shape: the ranked signature frame checkpoints ONCE (both the
+    * member side and the core filter read the materialized frame — the
+    * [[tsSimilarityPaaCapped]] double-compute lesson); the star join
+    * is one sig equi-shuffle whose per-bucket volume is occ·cap by
+    * construction; the rank-1 pick is a `row_number() ≤ 1` window over
+    * the member key — WindowGroupLimit turns it into map-side top-1
+    * before the member exchange. */
+  def tsPaaMembers(spark: SparkSession, sfDir: String,
+                   quantScale: Int = 1, cap: Int = -1): DataFrame = {
+    import spark.implicits._
+    val qs = resolveQuantScale(spark, sfDir, quantScale)
+    val s = graft.streaming.BlockHygiene.checkpointTracked(
+      series(spark, sfDir))
+    val c = if (cap > 0) cap else autoSigCap(s.count())
+    val ranked = graft.streaming.BlockHygiene.checkpointTracked(
+      paaSignatures(s, qs)
+        .withColumn("srk", row_number().over(
+          Window.partitionBy($"sig").orderBy($"user_id".asc))))
+    val core = ranked.where($"srk" <= c)
+      .select($"user_id".as("rep_id"), $"arr".as("ca"), $"sig")
+    ranked.select($"user_id", $"arr".as("qa"), $"sig", $"step")
+      .join(core, "sig")
+      .where($"user_id" =!= $"rep_id")
+      .withColumn("dist2", expr(distExpr))
+      .where($"dist2" <= expr("16 * step * step"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"user_id")
+          .orderBy($"dist2".asc, $"rep_id".asc)))
+      .where($"rnk" <= 1)
+      .select($"user_id", $"rep_id", $"dist2")
+      .orderBy($"user_id")
+  }
+
+  /** DuckDB replay of [[tsPaaMembers]] — full star pipeline (rank
+    * window, one-sided cap, nearest-core pick), so the gate holds
+    * whether or not the cap binds. */
+  def tsPaaMembersOracle(quantScale: Int = 1): String =
+    s"""WITH $seriesCtes, ${cappedSigCtes(quantScale)}, core AS (
+       |  SELECT user_id AS rep_id, arr AS ca, sig FROM sigs
+       |  WHERE srk <= (SELECT c FROM cap)
+       |), star AS (
+       |  SELECT m.user_id, c.rep_id,
+       |         ${distDuck("m.arr", "c.ca")} AS dist2
+       |  FROM sigs m JOIN core c
+       |    ON m.sig = c.sig AND m.user_id <> c.rep_id
+       |  WHERE ${distDuck("m.arr", "c.ca")} <=
+       |        16 * (SELECT step * step FROM st)
+       |), picked AS (
+       |  SELECT user_id, rep_id, dist2,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY dist2 ASC, rep_id ASC) AS rnk
+       |  FROM star
+       |)
+       |SELECT user_id, rep_id, dist2 FROM picked
+       |WHERE rnk <= 1 ORDER BY user_id""".stripMargin
+
+  /** Corpus-derived PAA quantizer scale — the engine form of the
+    * round-16 curve rule ("set the grid one notch above 4σ of the
+    * within-cluster per-segment noise", BASELINE "Planted-structure TS
+    * tier"), so the knob no longer needs a human reading a curve.
+    * Three exact-integer ingredients, each bounded:
+    *
+    *   - `within2`: mean exact dist² over the TIGHT within-bucket
+    *     pairs — capped (both `srk ≤ cap`, so O(cap²) per signature)
+    *     grid-1 collisions verified at the QUARTER threshold
+    *     (dist² ≤ 4·step²). The quarter cut isolates the dup-cluster
+    *     core (planted twins sit at ~0.07× threshold) from the
+    *     near-threshold straddle tail that would otherwise dominate
+    *     the mean. `within2 / nSeg` is the per-segment squared noise
+    *     of a dup pair (a diff of two draws carries 2σ², summed over
+    *     the segments it spreads across).
+    *   - `between2`: mean dist² over the fixed [[autoMod]] panel ×
+    *     corpus — the corpus background scale, linear cost.
+    *   - separation check: coarsening is only justified when the tight
+    *     class is genuinely separated from background —
+    *     `8·within2 ≤ between2`. On structure-free corpora (the
+    *     uniform tiers, where every pair is threshold-near and
+    *     coarser grids square into occupancy for zero selectivity
+    *     gain) the check fails and the scale stays 1: the bounded-work
+    *     serving default needs no curve read.
+    *
+    * Chosen scale: the smallest k ∈ {1,2,4,8} with
+    * `(k·step)² ≥ 8·(within2 div nSeg)` — i.e. grid ≥ 4σ, since the
+    * pair noise `within2/nSeg ≈ 2σ²` makes `16σ² = 8·(within2/nSeg)`
+    * — clamped to 8 (the cap bounds occupancy if a real corpus is
+    * noisier than its coarsest useful grid). Everything is BIGINT
+    * integer division, so the DuckDB oracle replays the derivation
+    * bit-for-bit and the choice itself is hash-gated.
+    */
+  def tsPaaAutoScale(spark: SparkSession, sfDir: String,
+                     cap: Int = -1): DataFrame = {
+    import spark.implicits._
+    val s = graft.streaming.BlockHygiene.checkpointTracked(
+      series(spark, sfDir))
+    val nSeg = Days / Seg
+    val nUsers = s.count()
+    val c = if (cap > 0) cap else autoSigCap(nUsers)
+    val m = autoMod(nUsers)
+    val kept = graft.streaming.BlockHygiene.checkpointTracked(
+      paaCappedKept(s, 1, c))
+    val tight = kept
+      .select($"user_id".as("u1"), $"arr".as("qa"), $"sig", $"step")
+      .join(kept.select($"user_id".as("u2"), $"arr".as("ca"), $"sig"), "sig")
+      .where($"u1" < $"u2")
+      .withColumn("dist2", expr(distExpr))
+      .where($"dist2" <= expr("4 * step * step"))
+      .agg(count(lit(1)).as("n_tight"),
+        coalesce(sum($"dist2"), lit(0L)).as("tight_sum"))
+    val panel = s.where($"user_id" % m === 0)
+      .select($"user_id".as("qid"), $"arr".as("qa"))
+      .join(s.select($"user_id".as("nid"), $"arr".as("ca")),
+        $"qid" =!= $"nid")
+      .withColumn("dist2", expr(distExpr))
+      .agg(count(lit(1)).as("n_panel"),
+        coalesce(sum($"dist2"), lit(0L)).as("panel_sum"))
+    val step = s
+      .agg(sum(expr("aggregate(arr, cast(0 as bigint), (sa, sx) -> sa + sx)"))
+        .as("tot"), count(lit(1)).as("nu"))
+      .selectExpr(s"greatest(cast(1 as bigint), tot div (nu * $nSeg)) as step")
+    broadcast(step).crossJoin(broadcast(tight)).crossJoin(broadcast(panel))
+      .selectExpr("step", "n_tight",
+        "case when n_tight = 0 then cast(0 as bigint) " +
+          "else tight_sum div n_tight end as within2",
+        "n_panel",
+        "case when n_panel = 0 then cast(0 as bigint) " +
+          "else panel_sum div n_panel end as between2")
+      .selectExpr("n_tight", "within2", "n_panel", "between2",
+        s"within2 div $nSeg as seg_noise2",
+        "cast(case when n_tight > 0 and n_panel > 0 " +
+          "and within2 * 8 <= between2 then 1 else 0 end as bigint) as sep_ok",
+        "step")
+      .selectExpr("n_tight", "within2", "n_panel", "between2",
+        "seg_noise2", "sep_ok",
+        "cast(case when sep_ok = 0 then 1 " +
+          "when (1 * step) * (1 * step) >= 8 * seg_noise2 then 1 " +
+          "when (2 * step) * (2 * step) >= 8 * seg_noise2 then 2 " +
+          "when (4 * step) * (4 * step) >= 8 * seg_noise2 then 4 " +
+          "else 8 end as bigint) as chosen_scale")
+  }
+
+  /** DuckDB replay of [[tsPaaAutoScale]] — the full derivation (capped
+    * tight pairs, panel background, separation gate, scale pick). */
+  def tsPaaAutoScaleOracle(): String = {
+    val nSeg = Days / Seg
+    s"""WITH $seriesCtes, ${cappedSigCtes(1)}, tsgeom AS (
+       |  SELECT greatest(10, count(*) // 50) AS md FROM arrs
+       |), kept AS (
+       |  SELECT user_id, arr, sig FROM sigs
+       |  WHERE srk <= (SELECT c FROM cap)
+       |), tight AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_tight,
+       |         CAST(COALESCE(sum(dist2), 0) AS BIGINT) AS tight_sum
+       |  FROM (
+       |    SELECT ${distDuck("a.arr", "b.arr")} AS dist2
+       |    FROM kept a JOIN kept b
+       |      ON a.sig = b.sig AND a.user_id < b.user_id
+       |    WHERE ${distDuck("a.arr", "b.arr")} <=
+       |          4 * (SELECT step * step FROM st)
+       |  )
+       |), panel AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_panel,
+       |         CAST(COALESCE(sum(${distDuck("q.arr", "c.arr")}), 0)
+       |           AS BIGINT) AS panel_sum
+       |  FROM arrs q JOIN arrs c ON q.user_id <> c.user_id
+       |  WHERE q.user_id % (SELECT md FROM tsgeom) = 0
+       |), calc AS (
+       |  SELECT n_tight,
+       |         CASE WHEN n_tight = 0 THEN 0
+       |              ELSE tight_sum // n_tight END AS within2,
+       |         n_panel,
+       |         CASE WHEN n_panel = 0 THEN 0
+       |              ELSE panel_sum // n_panel END AS between2,
+       |         (SELECT step FROM st) AS step
+       |  FROM tight CROSS JOIN panel
+       |), calc2 AS (
+       |  SELECT n_tight, within2, n_panel, between2,
+       |         within2 // $nSeg AS seg_noise2,
+       |         CASE WHEN n_tight > 0 AND n_panel > 0
+       |              AND within2 * 8 <= between2 THEN 1 ELSE 0 END AS sep_ok,
+       |         step
+       |  FROM calc
+       |)
+       |SELECT CAST(n_tight AS BIGINT) AS n_tight,
+       |       CAST(within2 AS BIGINT) AS within2,
+       |       CAST(n_panel AS BIGINT) AS n_panel,
+       |       CAST(between2 AS BIGINT) AS between2,
+       |       CAST(seg_noise2 AS BIGINT) AS seg_noise2,
+       |       CAST(sep_ok AS BIGINT) AS sep_ok,
+       |       CAST(CASE WHEN sep_ok = 0 THEN 1
+       |            WHEN (1 * step) * (1 * step) >= 8 * seg_noise2 THEN 1
+       |            WHEN (2 * step) * (2 * step) >= 8 * seg_noise2 THEN 2
+       |            WHEN (4 * step) * (4 * step) >= 8 * seg_noise2 THEN 4
+       |            ELSE 8 END AS BIGINT) AS chosen_scale
+       |FROM calc2""".stripMargin
+  }
+
+  /** The [[tsPaaAutoScale]] choice as a planning scalar — what
+    * `quantScale = 0` resolves to on the live tiers and what
+    * [[materializePaa]] freezes by default (a 1-row driver read, the
+    * same planning-decision class as the `autoSigCap` corpus count). */
+  def autoQuantScale(spark: SparkSession, sfDir: String): Int =
+    tsPaaAutoScale(spark, sfDir)
+      .select("chosen_scale").first().getLong(0).toInt
 
   /** Recall gate for the PAA collision path — the TS tier's member of
     * the QA family (`minhash_error`, `similarity_recall*`,
@@ -552,9 +811,14 @@ object TimeSeriesAnalytics {
     * `ps` so a query batch's probe join prunes to the directories its
     * own signatures hash into. */
   def materializePaa(spark: SparkSession, sfDir: String,
-                     outDir: String, quantScale: Int = 1): Unit = {
+                     outDir: String, quantScale: Int = 0): Unit = {
     import spark.implicits._
-    require(quantScale >= 1, "quantScale must be >= 1")
+    // snapshot default is AUTO: the index build is the natural point
+    // to apply the measured-noise grid rule (one planning pass at
+    // build time; the snapshot freezes qstep, so every serve inherits
+    // the choice with zero per-query cost). Structure-free corpora
+    // resolve to 1 — identical snapshots to the pre-auto builds.
+    val qs = resolveQuantScale(spark, sfDir, quantScale)
     // tracked checkpoint: identical for batch callers; a streaming
     // bracket (an index-refresh loop) sweeps the block per micro-batch
     val s = graft.streaming.BlockHygiene.checkpointTracked(
@@ -575,7 +839,7 @@ object TimeSeriesAnalytics {
       .agg(sum(expr("aggregate(arr, cast(0 as bigint), (sa, sx) -> sa + sx)"))
         .as("tot"), count(lit(1)).as("nu"))
       .selectExpr(s"greatest(cast(1 as bigint), tot div (nu * $nSeg)) as step")
-      .selectExpr("step", s"step * $quantScale as qstep",
+      .selectExpr("step", s"step * $qs as qstep",
         s"cast($sigCap as int) as sigcap")
     step.write.mode("overwrite").parquet(s"$outDir/ts_paa_step")
     val sig = s.crossJoin(broadcast(step))
@@ -736,8 +1000,14 @@ object TimeSeriesAnalytics {
 
   /** Shared DuckDB CTE tail for the capped tier: `st` (frozen step),
     * `sigs` (signature rows with the per-signature user_id rank `srk`)
-    * and `cap` (the corpus-derived [[autoSigCap]]). */
-  private def cappedSigCtes: String = {
+    * and `cap` (the corpus-derived [[autoSigCap]]). `quantScale`
+    * parameterizes the signature grid divisor (`step · quantScale`)
+    * exactly as [[paaSignatures]] does, so a non-default-grid call has
+    * a matching oracle (the pre-round-17 CTE hardcoded grid 1 — a
+    * latent gap whenever a tuned grid was ever oracle-gated). The
+    * match THRESHOLD stays 16·step² regardless — only the grid
+    * coarsens. */
+  private def cappedSigCtes(quantScale: Int = 1): String = {
     val nSeg = Days / Seg
     s"""st AS (
        |  SELECT greatest(CAST(1 AS BIGINT),
@@ -754,7 +1024,8 @@ object TimeSeriesAnalytics {
        |           array_to_string(list_transform(range(0, $nSeg), si ->
        |             list_reduce(list_prepend(CAST(0 AS BIGINT),
        |               arr[si * $Seg + 1 : si * $Seg + $Seg]),
-       |               (pa, px) -> pa + px) // step), '-') AS sig
+       |               (pa, px) -> pa + px) // (step * $quantScale)), '-')
+       |             AS sig
        |    FROM arrs CROSS JOIN st
        |  )
        |), cap AS (
@@ -765,8 +1036,8 @@ object TimeSeriesAnalytics {
   /** DuckDB replay of [[tsSimilarityPaaCapped]] — the full capped
     * pipeline (rank window included), so the gate holds whether or not
     * the cap binds. */
-  def tsSimilarityPaaCappedOracle(): String =
-    s"""WITH $seriesCtes, $cappedSigCtes, kept AS (
+  def tsSimilarityPaaCappedOracle(quantScale: Int = 1): String =
+    s"""WITH $seriesCtes, ${cappedSigCtes(quantScale)}, kept AS (
        |  SELECT user_id, arr, step, sig FROM sigs
        |  WHERE srk <= (SELECT c FROM cap)
        |)
@@ -779,7 +1050,11 @@ object TimeSeriesAnalytics {
 
   /** Candidate-volume telemetry for the PAA tier — the TS member of
     * the [[graft.textops.Dedup.dedupCandidateStats]] family: one row
-    * per tier (`paa`, `paa_capped`) with the collision-bucket geometry
+    * per tier (`paa`, `paa_capped`, `paa_star` — the last measuring
+    * [[tsPaaMembers]]' one-sided-cap join: candidates = pairs with at
+    * least one kept-core side, the O(occ·cap) star volume between the
+    * capped tier's O(cap²) and the full tier's O(occ²)) with the
+    * collision-bucket geometry
     * (user count, distinct signatures, max bucket occupancy — capped
     * occupancy for the capped row), the pair volume the bucket
     * self-join expands (`candidates` = Σ occ·(occ−1)/2, the cost the
@@ -813,21 +1088,31 @@ object TimeSeriesAnalytics {
       count(lit(1)).as("n_sigs"),
       coalesce(max($"occ"), lit(0L)).as("occ_max_full"),
       coalesce(sum(expr("occ * (occ - 1) div 2")), lit(0L)).as("cand_full")))
+    // paa_star: the [[tsPaaMembers]] join's volume — unordered pairs
+    // with at least one side in the kept core: core×core pairs plus
+    // each beyond-cap member × the full core (occ·cap-shaped, the
+    // linear-in-occupancy star bound)
     val cbase = broadcast(occ.agg(
       coalesce(max(least($"occ", lit(c.toLong))), lit(0L))
         .as("occ_max_capped"),
       coalesce(sum(expr(s"least(occ, $c) * (least(occ, $c) - 1) div 2")),
-        lit(0L)).as("cand_capped")))
+        lit(0L)).as("cand_capped"),
+      coalesce(sum(expr(s"least(occ, $c) * (least(occ, $c) - 1) div 2" +
+        s" + (occ - least(occ, $c)) * least(occ, $c)")), lit(0L))
+        .as("cand_star")))
     val pairs = sig.as("a").join(sig.as("b"),
         col("a.sig") === col("b.sig") && col("a.user_id") < col("b.user_id"))
       .selectExpr(
         "vec_dist2(a.arr, b.arr) <= 16 * a.step * a.step as near",
-        s"a.srk <= $c and b.srk <= $c as kept")
+        s"a.srk <= $c and b.srk <= $c as kept",
+        s"a.srk <= $c or b.srk <= $c as star")
     val prs = broadcast(pairs.agg(
       coalesce(sum(when($"near", 1L).otherwise(0L)), lit(0L))
         .as("surv_full"),
       coalesce(sum(when($"near" && $"kept", 1L).otherwise(0L)), lit(0L))
-        .as("surv_capped")))
+        .as("surv_capped"),
+      coalesce(sum(when($"near" && $"star", 1L).otherwise(0L)), lit(0L))
+        .as("surv_star")))
     val rowFull = base.crossJoin(prs)
       .selectExpr("'paa' as tier", "n_users", "n_sigs",
         "occ_max_full as occ_max", "cand_full as candidates",
@@ -836,12 +1121,18 @@ object TimeSeriesAnalytics {
       .selectExpr("'paa_capped' as tier", "n_users", "n_sigs",
         "occ_max_capped as occ_max", "cand_capped as candidates",
         "surv_capped as survivors")
-    rowFull.unionAll(rowCapped).orderBy($"tier")
+    // the star row's occ_max is the FULL bucket occupancy — the member
+    // side is uncapped by design, that is what the row measures
+    val rowStar = base.crossJoin(cbase).crossJoin(prs)
+      .selectExpr("'paa_star' as tier", "n_users", "n_sigs",
+        "occ_max_full as occ_max", "cand_star as candidates",
+        "surv_star as survivors")
+    rowFull.unionAll(rowCapped).unionAll(rowStar).orderBy($"tier")
   }
 
   /** DuckDB replay of [[tsPaaCandidateStats]]. */
-  def tsPaaCandidateStatsOracle(): String =
-    s"""WITH $seriesCtes, $cappedSigCtes, occ AS (
+  def tsPaaCandidateStatsOracle(quantScale: Int = 1): String =
+    s"""WITH $seriesCtes, ${cappedSigCtes(quantScale)}, occ AS (
        |  SELECT sig, count(*) AS occ FROM sigs GROUP BY 1
        |), base AS (
        |  SELECT CAST(COALESCE(sum(occ), 0) AS BIGINT) AS n_users,
@@ -855,18 +1146,27 @@ object TimeSeriesAnalytics {
        |           AS BIGINT) AS occ_max_capped,
        |         CAST(COALESCE(sum(least(occ, (SELECT c FROM cap))
        |           * (least(occ, (SELECT c FROM cap)) - 1) // 2), 0)
-       |           AS BIGINT) AS cand_capped
+       |           AS BIGINT) AS cand_capped,
+       |         CAST(COALESCE(sum(least(occ, (SELECT c FROM cap))
+       |           * (least(occ, (SELECT c FROM cap)) - 1) // 2
+       |           + (occ - least(occ, (SELECT c FROM cap)))
+       |             * least(occ, (SELECT c FROM cap))), 0)
+       |           AS BIGINT) AS cand_star
        |  FROM occ
        |), prs AS (
        |  SELECT CAST(COALESCE(sum(CASE WHEN near THEN 1 ELSE 0 END), 0)
        |           AS BIGINT) AS surv_full,
        |         CAST(COALESCE(sum(CASE WHEN near AND kept THEN 1 ELSE 0
-       |           END), 0) AS BIGINT) AS surv_capped
+       |           END), 0) AS BIGINT) AS surv_capped,
+       |         CAST(COALESCE(sum(CASE WHEN near AND star THEN 1 ELSE 0
+       |           END), 0) AS BIGINT) AS surv_star
        |  FROM (
        |    SELECT ${distDuck("a.arr", "b.arr")}
        |             <= 16 * a.step * a.step AS near,
        |           a.srk <= (SELECT c FROM cap)
-       |             AND b.srk <= (SELECT c FROM cap) AS kept
+       |             AND b.srk <= (SELECT c FROM cap) AS kept,
+       |           a.srk <= (SELECT c FROM cap)
+       |             OR b.srk <= (SELECT c FROM cap) AS star
        |    FROM sigs a JOIN sigs b
        |      ON a.sig = b.sig AND a.user_id < b.user_id
        |  )
@@ -878,6 +1178,10 @@ object TimeSeriesAnalytics {
        |UNION ALL
        |SELECT 'paa_capped', b.n_users, b.n_sigs, cb.occ_max_capped,
        |       cb.cand_capped, p.surv_capped
+       |FROM base b CROSS JOIN cbase cb CROSS JOIN prs p
+       |UNION ALL
+       |SELECT 'paa_star', b.n_users, b.n_sigs, b.occ_max_full,
+       |       cb.cand_star, p.surv_star
        |FROM base b CROSS JOIN cbase cb CROSS JOIN prs p
        |ORDER BY tier""".stripMargin
 }

@@ -240,6 +240,15 @@ object Similarity {
     * per vector, kept to the nProbe head, materialized once
     * (localCheckpoint) so the assign and probe sides don't each
     * recompute the n × C broadcast cross + window sort.
+    *
+    * Null contract (here, [[ivfRankedNarrow]], [[ivfRankedFrom]]): a
+    * row whose `v`/`nrm` is NULL is DROPPED — `ivf_top_cells` returns
+    * NULL and `posexplode` emits nothing for it. The pre-fusion
+    * windowed form emitted np ranked rows with NULL csim instead; the
+    * fused behavior is the sane one for an index (an unscorable vector
+    * has no cell), and unreachable today ([[vectors]] builds non-null
+    * arrays by transform), but any future nullable caller wanting
+    * row preservation must switch to `posexplode_outer` explicitly.
     */
   private def ivfRanked(spark: SparkSession, sfDir: String,
                         nCentroids: Int, nProbe: Int): DataFrame = {

@@ -1523,12 +1523,19 @@ class AnalyticsSpec extends AnyFunSuite {
     // pair can survive (the cap genuinely binds, not a dead parameter)
     assert(TimeSeriesAnalytics.tsSimilarityPaaCapped(spark, sf, cap = 1)
       .isEmpty, "cap=1 must empty the pair output")
-    // cap = 2: at most the two lowest-id members per bucket pair up —
-    // a strict subset selected by the deterministic user_id rank
+    // cap = 2: EXACTLY the uncapped pairs whose both members rank ≤ 2
+    // in their shared bucket (signatures are per-user unique, so both-
+    // kept membership is the full pair condition) — the expected set is
+    // computed from the independently oracle-gated uncapped output plus
+    // the kept frame, not assumed non-empty from data (a regenerated
+    // corpus could otherwise flake the old `cap2.nonEmpty`)
+    val k2 = TimeSeriesAnalytics.paaCappedKeptFor(spark, sf, cap = 2)
+      .select($"user_id").as[Long].collect().toSet
+    val expected2 = uncapped.filter(p => k2(p._1) && k2(p._2)).toSet
     val cap2 = TimeSeriesAnalytics.tsSimilarityPaaCapped(spark, sf, cap = 2)
       .as[(Long, Long, Long)].collect().toSet
-    assert(cap2.nonEmpty && cap2.subsetOf(uncapped.toSet),
-      "bound caps must select a subset of the uncapped pairs")
+    assert(cap2 == expected2,
+      "bound cap=2 must equal the rank-le-2 restriction of the uncapped pairs")
   }
 
   test("ts_paa_candidate_stats: survivors equal the live tiers' counts; capped columns bounded by full") {
@@ -1553,6 +1560,124 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(st2("paa_capped")._4 <= 2L)
     assert(st2("paa_capped")._6 ==
       TimeSeriesAnalytics.tsSimilarityPaaCapped(spark, sf, cap = 2).count())
+    // the star row sits between the capped and full funnels: one-sided
+    // cap admits every both-kept pair plus the member→core residue
+    for (stx <- Seq(st, st2)) {
+      val (f, c2, s2) = (stx("paa"), stx("paa_capped"), stx("paa_star"))
+      assert(s2._4 == f._4, "star occ_max is the FULL bucket occupancy")
+      assert(c2._5 <= s2._5 && s2._5 <= f._5,
+        "star candidates between capped and full")
+      assert(c2._6 <= s2._6 && s2._6 <= f._6,
+        "star survivors between capped and full")
+    }
+    // with a non-binding cap the star row degenerates to the full row
+    assert(st("paa_star")._5 == st("paa")._5 &&
+      st("paa_star")._6 == st("paa")._6,
+      "non-binding cap: every pair has a kept side")
+  }
+
+  test("ts_paa_members: keeper output equals a reconstruction from the uncapped pairs at any cap") {
+    // ground truth: the (independently oracle-gated) uncapped pair
+    // list IS the set of verified same-sig pairs; a member's expected
+    // keeper under cap c is its nearest partner whose bucket rank ≤ c
+    // (ties by partner id) — reconstructed here without re-running any
+    // of the production star code
+    val pairs = TimeSeriesAnalytics.tsSimilarityPaa(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val rank = TimeSeriesAnalytics.paaRankedFor(spark, sf)
+      .select($"user_id", $"srk").as[(Long, Int)].collect().toMap
+    def expected(cap: Int): Set[(Long, Long, Long)] =
+      pairs.flatMap { case (u1, u2, d) =>
+        Seq((u1, u2, d), (u2, u1, d)) } // both directions
+        .filter { case (_, rep, _) => rank(rep) <= cap }
+        .groupBy(_._1)
+        .map { case (_, cands) => cands.minBy(r => (r._3, r._2)) }
+        .toSet
+    for (cap <- Seq(1, 2, Int.MaxValue)) {
+      val got = TimeSeriesAnalytics.tsPaaMembers(spark, sf, cap = cap)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected(cap),
+        s"members(cap=$cap) must equal the uncapped-pair reconstruction")
+    }
+  }
+
+  test("ts_paa_members: 100% bucket-member coverage on a flood corpus with a binding cap") {
+    // constructed boilerplate flood: 40 users with IDENTICAL flat
+    // series (one event per day) share one signature bucket; two
+    // distant singletons hold their own buckets. With cap = 4 the PAIR
+    // tier keeps only the 4-member core's C(4,2) pairs — the star form
+    // must still cover all 40 members (the round-16 recall-loss class
+    // this query exists to close).
+    val dir = java.nio.file.Files.createTempDirectory("graftpaastar").toString
+    val flood = spark.range(40).selectExpr("id + 1 as user_id")
+      .crossJoin(spark.range(30).selectExpr("id as d"))
+    val singles = Seq((100L, 0L), (101L, 29L)).toDF("user_id", "d")
+      .crossJoin(spark.range(200).select($"id".as("rep")))
+    flood.select($"user_id", $"d").unionAll(singles.select($"user_id", $"d"))
+      .selectExpr(
+        "monotonically_increasing_id() as event_id",
+        "cast(timestampadd(DAY, cast(d as int), " +
+          "timestamp'2024-01-01 06:00:00') as timestamp_ntz) as ts",
+        "user_id", "'view' as event_type", "1.0 as value",
+        "'{}' as props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val members = TimeSeriesAnalytics.tsPaaMembers(spark, dir, cap = 4)
+      .as[(Long, Long, Long)].collect()
+    val floodRows = members.filter(_._1 <= 40)
+    assert(floodRows.map(_._1).toSet == (1L to 40L).toSet,
+      "every flood-bucket member must carry keeper evidence")
+    assert(floodRows.forall { case (u, rep, d) =>
+      d == 0L && rep <= 4 && rep != u },
+      "keepers are the 4-member kept core, verified at distance 0")
+    assert(!members.exists(r => r._1 >= 100L),
+      "singleton buckets yield no keeper rows")
+    // the pair tier under the same binding cap keeps only the core
+    assert(TimeSeriesAnalytics.tsSimilarityPaaCapped(spark, dir, cap = 4)
+      .count() == 6L, "pair tier at cap=4 keeps C(4,2) core pairs")
+  }
+
+  test("ts_paa_autoscale: structure-free corpus stays at grid 1; planted twin noise selects grid 2") {
+    // uniform tier: every pair is threshold-near (the r15 degeneracy) —
+    // the separation gate must refuse to coarsen, keeping the bounded-
+    // work default without a human reading the recall curve
+    val uni = TimeSeriesAnalytics.tsPaaAutoScale(spark, sf)
+      .select($"sep_ok", $"chosen_scale").as[(Long, Long)].head()
+    assert(uni._2 == 1L, s"uniform corpus must stay at grid 1, got $uni")
+    assert(TimeSeriesAnalytics.autoQuantScale(spark, sf) == 1)
+    // planted corpus (the tsnear shape in miniature): 100 users with 2
+    // template-drawn active days (~30±10 events each); twin pairs
+    // (u, u+1 at u ≡ 1 mod 10) share a template and differ only by
+    // jitter — within-pair per-segment noise sits in the band where
+    // 1·step straddles and 2·step clears (dist² ≈ 4a(a+1)/3 at jitter
+    // amplitude a=10 → ~150, vs between ≈ 4·30² ≈ 3600: separated)
+    val dir = java.nio.file.Files.createTempDirectory("graftautosc").toString
+    spark.range(100).selectExpr("id + 1 as user_id")
+      .withColumn("tmpl", expr(
+        "case when user_id % 10 = 2 then user_id - 1 else user_id end"))
+      .withColumn("day", explode(array(
+        expr("pmod(hash(tmpl, 'a'), 30)"), expr("pmod(hash(tmpl, 'b'), 30)"))))
+      .withColumn("cnt", expr("30 + pmod(hash(user_id, day, 'j'), 21) - 10"))
+      .withColumn("i", explode(expr("sequence(1, cnt)")))
+      .selectExpr(
+        "monotonically_increasing_id() as event_id",
+        "cast(timestampadd(DAY, cast(day as int), " +
+          "timestamp'2024-01-01 06:00:00') as timestamp_ntz) as ts",
+        "user_id", "'view' as event_type", "1.0 as value", "'{}' as props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val planted = TimeSeriesAnalytics.tsPaaAutoScale(spark, dir)
+      .select($"n_tight", $"sep_ok", $"chosen_scale")
+      .as[(Long, Long, Long)].head()
+    assert(planted._1 > 0L, "planted corpus must yield tight evidence")
+    assert(planted._2 == 1L, "planted corpus must pass the separation gate")
+    assert(planted._3 == 2L,
+      s"planted twin noise must select the 2-step grid, got $planted")
+    // the auto grid feeds the snapshot default: the frozen qstep is
+    // chosen·step on the planted corpus, step·1 on the uniform one
+    val idx = java.nio.file.Files.createTempDirectory("graftautoidx").toString
+    TimeSeriesAnalytics.materializePaa(spark, dir, idx)
+    val frozen = spark.read.parquet(s"$idx/ts_paa_step")
+      .selectExpr("qstep div step").as[Long].head()
+    assert(frozen == 2L, "materializePaa default must freeze the auto grid")
   }
 
   test("tsMatchPaaFrom fails fast (naming the rebuild) on a pre-cap index") {

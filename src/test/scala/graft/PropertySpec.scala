@@ -500,6 +500,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("vecMicroSum guards: ragged dims and null vectors fail fast — an explicit contract change vs the exploded form") {
+    // the exploded groupBy(cell, dim) form this Aggregator replaced
+    // would have silently computed per-dim means over ragged per-cell
+    // vectors; the mergeable form fails fast instead (r16 ADVICE: pin
+    // the intentional contract so it can't regress to an overrun)
+    val agg = new graft.functions.VecMicroSumAgg
+    val b2 = agg.reduce(agg.zero, Seq(1.0, 2.0))
+    intercept[IllegalArgumentException] { agg.reduce(b2, Seq(1.0, 2.0, 3.0)) }
+    intercept[IllegalArgumentException] { agg.reduce(b2, Seq(1.0)) }
+    intercept[IllegalArgumentException] { agg.reduce(agg.zero, null) }
+    // a d=0 first vector allocates a 1-slot state no d>0 vector may widen
+    val b0 = agg.reduce(agg.zero, Seq.empty[Double])
+    intercept[IllegalArgumentException] { agg.reduce(b0, Seq(1.0)) }
+  }
+
   test("moment aggregator guards: null vector and post-empty dimension change fail fast, not buffer-overrun") {
     val agg = new graft.functions.MomentAgg
     val b0 = agg.reduce(agg.zero, Seq.empty[Long])
