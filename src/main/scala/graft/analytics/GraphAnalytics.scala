@@ -210,6 +210,15 @@ object GraphAnalytics {
     val adj = oriented.groupBy($"src")
       .agg(sort_array(collect_list($"dst")).as("nbrs"))
       .localCheckpoint()
+    // Probe-join strategy, audited round 17 (guide §3.1): an explicit
+    // broadcast of the adjacency on the dst side was built and MEASURED
+    // — it regressed 10.4-13.2 s to 16.7-34.8 s at sf0.1 despite
+    // removing the probe-side exchange, because AQE already rewrites
+    // this SMJ to a runtime broadcast-hash join with local shuffle
+    // reads (final-plan audit: BroadcastHashJoin BuildRight +
+    // AQEShuffleRead in plans/r17/graph_triangles_before.txt run mode),
+    // and the static hint traded that well-coalesced shape for an
+    // unpartitioned explode stage. Rejected; the SMJ + AQE shape stays.
     // Edge iterator WITHOUT re-joining the edge list: adj came from
     // groupBy(src) over `oriented`, so exploding each out-list
     // regenerates exactly the (src, dst) edges with N⁺(src) already
@@ -224,9 +233,15 @@ object GraphAnalytics {
         case Some((b, i)) => probe.where(pmod(hash($"dst"), lit(b)) === i)
         case None         => probe
       }
+      // INNER join (round 17): the old left-outer + coalesce(nv, [])
+      // was filtered by size(ws) > 0 anyway — a probe edge whose dst
+      // has no out-list can never contribute, so inner is equivalent
+      // (property suite + oracle unchanged) and cheaper: no null lane
+      // through the intersect and a free build-side choice.
+      val adjDst = adj.select($"src".as("dst"), $"nbrs".as("nv"))
       val withNbrs = kept
-        .join(adj.select($"src".as("dst"), $"nbrs".as("nv")), Seq("dst"), "left")
-        .withColumn("ws", expr("array_intersect(nu, coalesce(nv, array()))"))
+        .join(adjDst, Seq("dst"))
+        .withColumn("ws", expr("array_intersect(nu, nv)"))
         .where(size($"ws") > 0)
         .select($"src", $"dst", $"ws", size($"ws").cast("long").as("ntri"))
       // All three contribution streams (+|∩| to u and v, +1 to each w)

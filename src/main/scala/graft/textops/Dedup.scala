@@ -96,8 +96,17 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    minhashPairsOf(minhashBandRows(spark, sfDir)).orderBy($"doc1", $"doc2")
+    minhashLshPairs(spark, sfDir).orderBy($"doc1", $"doc2")
   }
+
+  /** [[minhashLsh]] WITHOUT the presentation sort — for consumers that
+    * immediately re-shuffle (cluster closure, error join): the ordered
+    * form's rangepartitioning exchange + sort is pure waste below a
+    * union/distinct/join (round 17, guide §2.4 — same split the
+    * embedding family made with `embeddingCappedPairs`). */
+  private[textops] def minhashLshPairs(spark: SparkSession,
+                                       sfDir: String): DataFrame =
+    minhashPairsOf(minhashBandRows(spark, sfDir))
 
   /** LSH bucket rows `(s0..s{K-1}, doc_id, band_idx, band_hash)` — the
     * relation both the exact and bucket-capped pair tiers expand. */
@@ -148,6 +157,14 @@ object Dedup {
   def minhashLshCapped(spark: SparkSession, sfDir: String,
                        maxDf: Int = -1): DataFrame = {
     import spark.implicits._
+    minhashLshCappedPairs(spark, sfDir, maxDf).orderBy($"doc1", $"doc2")
+  }
+
+  /** [[minhashLshCapped]] without the presentation sort — see
+    * [[minhashLshPairs]]. */
+  private[textops] def minhashLshCappedPairs(spark: SparkSession,
+                                             sfDir: String,
+                                             maxDf: Int = -1): DataFrame = {
     val cap = if (maxDf > 0) maxDf else autoMaxDf(nDocs(spark, sfDir))
     // agg-only window (no localCheckpoint: ReusedExchange already
     // shares the occupancy pass across the self-join sides — a
@@ -156,7 +173,7 @@ object Dedup {
     val kept = minhashBandRows(spark, sfDir)
       .withColumn("occ", count(lit(1)).over(w))
       .where(col("occ") <= cap).drop("occ")
-    minhashPairsOf(kept).orderBy($"doc1", $"doc2")
+    minhashPairsOf(kept)
   }
 
   /** Shared DuckDB CTE chain ending in `simpairs(doc1, doc2, sim)` —
@@ -223,7 +240,10 @@ object Dedup {
     */
   def minhashError(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pairs = minhashLsh(spark, sfDir).select($"doc1", $"doc2", $"sim".as("j_est"))
+    // unordered core: the error join re-shuffles by doc id and the
+    // query re-sorts at the end — the inner sort was discarded work
+    val pairs = minhashLshPairs(spark, sfDir)
+      .select($"doc1", $"doc2", $"sim".as("j_est"))
     // sorted_intersect_count is an INT-array two-pointer merge; shingle
     // hashes are < P ≈ 1e9 so the narrowing cast is exact
     val sets = Tables.documents(spark, sfDir)
@@ -729,7 +749,9 @@ object Dedup {
 
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    clusterize(spark, sfDir, minhashLsh(spark, sfDir).select($"doc1", $"doc2"))
+    // unordered pair core: the closure re-shuffles the edges anyway
+    clusterize(spark, sfDir,
+      minhashLshPairs(spark, sfDir).select($"doc1", $"doc2"))
   }
 
   /** Shared CTE chain (requires WITH RECURSIVE) ending in
@@ -771,8 +793,8 @@ object Dedup {
   def dedupClustersMulti(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     clusterize(spark, sfDir,
-      minhashLsh(spark, sfDir).select($"doc1", $"doc2")
-        .union(simhashDedup(spark, sfDir).select($"doc1", $"doc2"))
+      minhashLshPairs(spark, sfDir).select($"doc1", $"doc2")
+        .union(simhashPairsCorpus(spark, sfDir).select($"doc1", $"doc2"))
         .distinct())
   }
 
@@ -819,8 +841,8 @@ object Dedup {
                                maxDf: Int = -1): DataFrame = {
     import spark.implicits._
     clusterize(spark, sfDir,
-      minhashLshCapped(spark, sfDir, maxDf).select($"doc1", $"doc2")
-        .union(simhashDedup(spark, sfDir).select($"doc1", $"doc2"))
+      minhashLshCappedPairs(spark, sfDir, maxDf).select($"doc1", $"doc2")
+        .union(simhashPairsCorpus(spark, sfDir).select($"doc1", $"doc2"))
         .distinct())
   }
 
@@ -901,6 +923,13 @@ object Dedup {
     */
   def simhashPairsFrom(sig: DataFrame): DataFrame = {
     import sig.sparkSession.implicits._
+    simhashPairsUnordered(sig).orderBy($"doc1", $"doc2")
+  }
+
+  /** [[simhashPairsFrom]] without the presentation sort — see
+    * [[minhashLshPairs]]. */
+  private[textops] def simhashPairsUnordered(sig: DataFrame): DataFrame = {
+    import sig.sparkSession.implicits._
     val blockArray = (0 until 4)
       .map(blk => s"(shiftright(simhash, ${15 * blk}) & 32767)")
       .mkString("array(", ", ", ")")
@@ -915,11 +944,15 @@ object Dedup {
         "bit_count(x.simhash ^ y.simhash) as hamming")
       .distinct()
       .where($"hamming" <= 3)
-      .orderBy($"doc1", $"doc2")
   }
 
   def simhashDedup(spark: SparkSession, sfDir: String): DataFrame =
     simhashPairsFrom(simhashSig(spark, sfDir))
+
+  /** Unordered corpus simhash pairs for re-shuffling consumers. */
+  private[textops] def simhashPairsCorpus(spark: SparkSession,
+                                          sfDir: String): DataFrame =
+    simhashPairsUnordered(simhashSig(spark, sfDir))
 
   /** Shared DuckDB CTE chain ending in `hampairs(doc1, doc2, hamming)`
     * — the simhash near-dup pairs at hamming ≤ 3. CTE names are
