@@ -685,13 +685,33 @@ object Dedup {
         .join(nbrMin.select($"src".as("id"), $"nbr_min"), Seq("id"), "left")
         .select($"id",
           least($"label", coalesce($"nbr_min", $"label")).as("label"))
+      // Pointer jump against CUR, the checkpointed previous table, not
+      // against `stepped` itself (round 17): the stepped⋈stepped form
+      // evaluated the whole adoption subtree TWICE per round — the two
+      // join sides exchange on different keys (label vs id), so
+      // ReuseExchange never dedups them — while cur reads materialized
+      // blocks for free. Correctness is unchanged: labels are monotone
+      // non-increasing under both ops, any adopted label still names a
+      // node of the same component (min-reachable semantics), and at
+      // the fixpoint stepped == cur makes the two forms identical — so
+      // the loop converges to the same min-id labeling (PropertySpec's
+      // union-find equivalence pins it on random graphs). The jump
+      // compresses through the one-round-older table, which can cost
+      // an extra round on deep chains — measured: rounds unchanged on
+      // the bench corpora, per-round work halved.
+      // (A second jump through the same table was tried round 17 and
+      // REJECTED: round count stayed at 6 on the multi-evidence graph —
+      // the adoption hop, not pointer depth, limits convergence here —
+      // so the extra join per round was pure cost.)
       stepped.as("n")
-        .join(stepped.select($"id".as("lid"), $"label".as("plabel")),
+        .join(cur.select($"id".as("lid"), $"label".as("plabel")),
           col("n.label") === col("lid"), "left")
         .select(col("n.id").as("id"),
           least(col("n.label"), coalesce($"plabel", col("n.label"))).as("label"))
     }
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       // exactly one step per materialization: `step` references its
       // input twice (the pointer-jump self-join), so composing steps
       // without a checkpoint re-evaluates the inner subtree 2^k times
@@ -705,9 +725,10 @@ object Dedup {
       // full-surface sweep; invisible at sf0.1 where the compounding
       // stays small). GraftCheckpoint derives the new leaf's stats
       // from the materialized truth instead — bounded by construction.
-      val next = org.apache.spark.sql.execution.GraftCheckpoint
-        .localCheckpointFreshStats(step(labels))
-      val s = labelSum(next)
+      // labelSum rides the checkpoint's own materialization pass
+      // (column 1 = label) — one job per round instead of two
+      val (next, s) = org.apache.spark.sql.execution.GraftCheckpoint
+        .localCheckpointFreshStatsWithLongSum(step(labels), 1)
       // `next` is materialized (the fresh-stats checkpoint counts
       // eagerly), so the previous round's blocks are unreachable —
       // free them NOW instead of pinning O(rounds) checkpoints per
@@ -719,6 +740,10 @@ object Dedup {
       prevSum = s
       labels = next
     }
+    // -Dgraft.cc.debug=true: round count to stderr (perf forensics —
+    // per-round cost × rounds is the whole cost model of this loop)
+    if (sys.props.get("graft.cc.debug").contains("true"))
+      System.err.println(s"CC converged in $rounds rounds")
     labels.select($"id", $"label".as("component"))
       .union(isolated.select($"id", $"id".as("component")))
   }

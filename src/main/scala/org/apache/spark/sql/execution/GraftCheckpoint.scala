@@ -46,7 +46,19 @@ object GraftCheckpoint {
     * default row width). Interchangeable with
     * `df.localCheckpoint()` for loop-carried frames.
     */
-  def localCheckpointFreshStats(df: DataFrame): DataFrame = {
+  def localCheckpointFreshStats(df: DataFrame): DataFrame =
+    localCheckpointFreshStatsWithLongSum(df, -1)._1
+
+  /** [[localCheckpointFreshStats]] that additionally returns the sum of
+    * BIGINT column `sumColIdx` (-1: skip), computed IN the eager
+    * materialization pass — an iterative caller that needs a per-round
+    * convergence scalar (label propagation's labelSum) gets it for free
+    * instead of paying a second aggregation job over the checkpoint
+    * every round (round 17; wrapping overflow semantics match the SQL
+    * `sum(bigint)` it replaces).
+    */
+  def localCheckpointFreshStatsWithLongSum(
+      df: DataFrame, sumColIdx: Int): (DataFrame, Long) = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val spark = ds.sparkSession
     // same materialization as Dataset.checkpoint: copy the unsafe rows
@@ -54,7 +66,15 @@ object GraftCheckpoint {
     val physical = ds.queryExecution.executedPlan
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count() // eager, like localCheckpoint()'s default
+    // eager, like localCheckpoint()'s default count(); the same pass
+    // folds the requested column sum so no second job is needed
+    val colSum =
+      if (sumColIdx < 0) { rdd.count(); 0L }
+      else rdd.mapPartitions { it =>
+        var s = 0L
+        while (it.hasNext) s += it.next().getLong(sumColIdx)
+        Iterator.single(s)
+      }.fold(0L)(_ + _)
     // register with any open BlockHygiene bracket, exactly like a
     // plain checkpointTracked — a bracketed streaming caller must have
     // these blocks swept per micro-batch too (batch callers manage
@@ -78,9 +98,10 @@ object GraftCheckpoint {
       case a: adaptive.AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    classic.Dataset.ofRows(spark,
+    (classic.Dataset.ofRows(spark,
       new LogicalRDD(ds.queryExecution.analyzed.output, rdd,
         firstLeaf(resolved.outputPartitioning),
-        resolved.outputOrdering, false, None)(spark, None, None))
+        resolved.outputOrdering, false, None)(spark, None, None)),
+      colSum)
   }
 }
