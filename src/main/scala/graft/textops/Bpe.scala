@@ -113,12 +113,13 @@ object Bpe {
        |)""".stripMargin
 
   /** One training round over `(word, freq, seq)`: returns the merge
-    * row and the re-encoded vocabulary. `private[graft]` so
-    * `tools.BpeProbe` can drive the R≫4 merge-round law measurement
-    * with its own instrumented loop (correctness stays pinned by the
-    * R=4 oracle). */
+    * row, the re-encoded vocabulary, and the freq-weighted symbol mass
+    * of that vocabulary (computed in the checkpoint pass — round 17).
+    * `private[graft]` so `tools.BpeProbe` can drive the R≫4
+    * merge-round law measurement with its own instrumented loop
+    * (correctness stays pinned by the R=4 oracle). */
   private[graft] def round(spark: SparkSession, seqs: DataFrame,
-                           r: Int): (DataFrame, DataFrame) = {
+                           r: Int): (DataFrame, DataFrame, Long) = {
     import spark.implicits._
     val pairs = seqs
       .selectExpr("freq",
@@ -132,12 +133,20 @@ object Bpe {
       .selectExpr(s"$r as round", "lft", "rgt", "pair_count",
         "concat(lft, rgt) as new_symbol")
       .localCheckpoint()
-    val applied = applyMergeSparkCols(
-        seqs.crossJoin(broadcast(best.select($"lft", $"rgt")))
-          .withColumn("n", expr("size(seq)")))
-      .select($"word", $"freq", $"seq")
-      .localCheckpoint()
-    (best, applied)
+    // freq·|seq| rides the checkpoint pass as a 4th column so the
+    // round's n_symbols_after needs no second job (round 17 — same
+    // fold the CC loop's labelSum got); the helper returns the sum and
+    // the projection below drops the column again.
+    val (appliedW, nAfter) = org.apache.spark.sql.execution.GraftCheckpoint
+      .localCheckpointFreshStatsWithLongSum(
+        applyMergeSparkCols(
+            seqs.crossJoin(broadcast(best.select($"lft", $"rgt")))
+              .withColumn("n", expr("size(seq)")))
+          .select($"word", $"freq", $"seq",
+            expr("freq * size(seq)").as("_nmass")),
+        3)
+    val applied = appliedW.select($"word", $"freq", $"seq")
+    (best, applied, nAfter)
   }
 
   /** The trainer on an arbitrary `(word, freq)` table — exposed so the
@@ -182,17 +191,15 @@ object Bpe {
         "transform(sequence(1, length(word)), ci -> substring(word, ci, 1)) as seq")
       .localCheckpoint()
     val rows = (1 to Rounds).map { r =>
-      val (best, applied) = round(spark, seqs, r)
-      // n_symbols_after is forced EAGERLY (1 row off the just-
-      // checkpointed vocabulary) so the previous round's vocabulary
-      // block can be released here: the loop then holds O(1) vocab
-      // blocks instead of O(R) — at the R=4 serving grain a nicety,
-      // at the R=64 law-measurement grain (tools.BpeProbe) the
+      // n_symbols_after arrives WITH the round (computed inside the
+      // vocabulary checkpoint's materialization pass — no second job,
+      // round 17; an empty vocabulary folds to 0, matching the old
+      // null-guarded sum) and the checkpoint is eager, so the previous
+      // round's vocabulary block can be released here: the loop holds
+      // O(1) vocab blocks instead of O(R) — at the R=4 serving grain a
+      // nicety, at the R=64 law-measurement grain (tools.BpeProbe) the
       // difference between a bounded loop and an unbounded block leak.
-      // sum over an empty vocabulary is NULL, not 0 — guard like the
-      // repo's other scalar-agg reads (Dedup, LateDataAnalytics)
-      val nRow = applied.agg(sum(expr("freq * size(seq)"))).head()
-      val nAfter = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+      val (best, applied, nAfter) = round(spark, seqs, r)
       unpersistCk(seqs)
       seqs = applied
       best.withColumn("n_symbols_after", lit(nAfter))

@@ -1069,7 +1069,14 @@ object Dedup {
     // partition ranks in parallel (the 100 TB-vocabulary shape).
     val freqs = inv.groupBy($"sh").agg(count(lit(1)).as("freq"))
     val ranked = {
-      val parts = math.max(freqs.rdd.getNumPartitions, 1)
+      // Partition count from session conf, NOT freqs.rdd.getNumPartitions
+      // (round 17): under AQE, .rdd on the agg EXECUTES its shuffle in a
+      // separate DAG just to report a count, and the range-sort DAG below
+      // then recomputes it — a full wasted pass over the shingle table.
+      // Any positive count yields identical ids (the global index is
+      // order-preserving across range partitions regardless of how many).
+      val parts = math.max(
+        spark.sessionState.conf.numShufflePartitions, 1)
       val sortedRdd = freqs
         .repartitionByRange(parts, $"freq".asc, $"sh".asc)
         .sortWithinPartitions($"freq".asc, $"sh".asc)

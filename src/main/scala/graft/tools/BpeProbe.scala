@@ -49,7 +49,7 @@ object BpeProbe {
     var total = 0.0
     for (r <- 1 to rounds) {
       val t0 = System.nanoTime()
-      val (best, applied) = Bpe.round(spark, seqs, r)
+      val (best, applied, _) = Bpe.round(spark, seqs, r)
       val sec = (System.nanoTime() - t0) / 1e9
       total += sec
       // untimed: the incremental-cache work bound — words containing
