@@ -656,17 +656,18 @@ object Dedup {
     // label₀ = min(id, min neighbor id) — the neighbor's initial label
     // is its own id, so no join against a label table is needed yet.
     val allNodes = nodes.toDF("id")
-    var labels = sym.groupBy($"src").agg(min($"dst").as("m"))
-      .select($"src".as("id"), least($"src", $"m").as("label"))
-      .localCheckpoint()
+    // init checkpoint + round-0 labelSum in ONE materialization pass
+    // (round 17 — same fold as the loop rounds below; an empty graph
+    // folds to 0, which converges immediately, matching the old
+    // null-guarded sum)
+    val (labelsInit, initSum) = org.apache.spark.sql.execution.GraftCheckpoint
+      .localCheckpointFreshStatsWithLongSum(
+        sym.groupBy($"src").agg(min($"dst").as("m"))
+          .select($"src".as("id"), least($"src", $"m").as("label")),
+        1)
+    var labels = labelsInit
     val isolated = allNodes.join(labels.select($"id"), Seq("id"), "left_anti")
-    // sum over zero rows is null — an empty graph must return empty,
-    // not NPE (labelSum treats it as 0, which converges immediately)
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum($"label")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    var prevSum = labelSum(labels)
+    var prevSum = initSum
     // the round-0 labels checkpoint is ALSO read by `isolated` at the
     // very end — it must stay pinned; every later round's checkpoint
     // is dead the moment its successor materializes
